@@ -1,0 +1,661 @@
+"""PDF → markdown kernel: from-scratch tokenizer + layout state machine.
+
+A brand-new implementation of the *semantics* of the reference's
+pdfplumber path (``lexoid/core/parse_type/static_parser.py:259-727``),
+operating on raw PDF bytes (the ``html:binary`` column), scoped to the
+documented PDF subset emitted by ``corpus/pdf_gen.py`` (SURVEY.md §7.1:
+wild PDFs out of scope; classic xref, uncompressed streams, one text
+object per word, line paths for rules, stroked rects for table ruling).
+
+Reproduced behaviors (reference file:line):
+- word boxes ``{text, x0, x1, top, bottom, size, fontname}``
+  (``static_parser.py:374-378``);
+- body-font-size mode and base-left-margin mode (``:380-399``);
+- strikethrough: first word overlapping each horizontal line → ``~~w~~``
+  (``:401-416``);
+- bold/heavy/black → ``**``, italic/oblique → ``*``, mono → `` ` ``,
+  all-mono paragraph → fenced code block (``:418-500``);
+- heading levels by size ratio ≥2/≥1.4/≥1.2 → h1/h2/h3 (``:502-519``);
+- indentation ``&nbsp;``×3·level, level = (x0-base)//25+1 beyond 5pt
+  (``:240-245``, ``:471-474``);
+- horizontal rules ``\\n---\\n\\n`` interleaved after preceding text
+  (``:580-590``);
+- ruled tables → pipe markdown, zone exclusion, reading-order interleave
+  by bottom (``:297-372``, ``:536-563``);
+- URI-rect scrape from raw bytes (``utils.py:615-624``) + inline link
+  embedding (``:178-237``), email ``<...>`` wrap (``:248-256``);
+- redundant-format cleanup chain (``:662-668``);
+- pages joined ``"\\n\\n"`` (``:721``), per-page segments keyed by
+  ``start + page_number`` (``:711-718``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+from lexoid_spark.kernels.table_md import clean_table_grid
+from lexoid_spark.kernels.text_ops import (
+    cleanup_redundant_formatting,
+    embed_email_links,
+)
+
+# width model shared with corpus/pdf_gen.py
+_CHAR_W = {"Courier": 0.6}
+_DEFAULT_CHAR_W = 0.5
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_TEXT_OBJ_RE = re.compile(
+    rb"BT\s+/(\w+)\s+([\d.]+)\s+Tf\s+([\d.-]+)\s+([\d.-]+)\s+Td\s+\((.*?)(?<!\\)\)\s*Tj\s+ET",
+    re.DOTALL,
+)
+_LINE_RE = re.compile(
+    rb"([\d.-]+)\s+([\d.-]+)\s+m\s+([\d.-]+)\s+([\d.-]+)\s+l\s+S"
+)
+_RECT_RE = re.compile(
+    rb"([\d.-]+)\s+([\d.-]+)\s+([\d.-]+)\s+([\d.-]+)\s+re\s+S"
+)
+_URI_RECT_SPLIT = "/Rect ["
+_URI_PATTERN = re.compile(r"\((https?://[^\s)]+)\)")
+
+
+def _unesc(b: bytes) -> str:
+    return (
+        b.replace(rb"\(", b"(")
+        .replace(rb"\)", b")")
+        .replace(rb"\\", b"\\")
+        .decode("latin-1")
+    )
+
+
+class PdfPage:
+    __slots__ = ("width", "height", "words", "lines", "rects", "annots")
+
+    def __init__(self, width, height):
+        self.width = width
+        self.height = height
+        self.words: List[Dict] = []
+        self.lines: List[Dict] = []
+        self.rects: List[Tuple[float, float, float, float]] = []  # x0,top,x1,bottom
+        self.annots: List[Dict] = []
+
+
+def _parse_objects(data: bytes) -> Dict[int, bytes]:
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+
+
+def _dict_value(obj: bytes, key: bytes) -> Optional[bytes]:
+    idx = obj.find(key)
+    if idx < 0:
+        return None
+    return obj[idx + len(key):]
+
+
+def _ref_after(obj: bytes, key: bytes) -> Optional[int]:
+    tail = _dict_value(obj, key)
+    if tail is None:
+        return None
+    m = re.match(rb"\s*(\d+)\s+0\s+R", tail)
+    return int(m.group(1)) if m else None
+
+
+def _numbers_in_brackets(obj: bytes, key: bytes) -> List[float]:
+    tail = _dict_value(obj, key)
+    if tail is None:
+        return []
+    m = re.match(rb"\s*\[(.*?)\]", tail, re.DOTALL)
+    if not m:
+        return []
+    return [float(x) for x in re.findall(rb"[\d.-]+", m.group(1))]
+
+
+def _refs_in_brackets(obj: bytes, key: bytes) -> List[int]:
+    tail = _dict_value(obj, key)
+    if tail is None:
+        return []
+    m = re.match(rb"\s*\[(.*?)\]", tail, re.DOTALL)
+    if not m:
+        return []
+    return [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", m.group(1))]
+
+
+def parse_pdf(data: bytes) -> List[PdfPage]:
+    """Tokenize PDF bytes into page objects with words/lines/rects/annots."""
+    objs = _parse_objects(data)
+    # find catalog → pages → kids (fall back to document order of /Type /Page)
+    page_nums: List[int] = []
+    for num, obj in objs.items():
+        if b"/Type /Catalog" in obj:
+            pages_ref = _ref_after(obj, b"/Pages")
+            if pages_ref in objs:
+                page_nums = _refs_in_brackets(objs[pages_ref], b"/Kids")
+            break
+    if not page_nums:
+        page_nums = sorted(
+            n for n, o in objs.items() if b"/Type /Page" in o and b"/Pages" not in o
+        )
+
+    pages: List[PdfPage] = []
+    for pnum in page_nums:
+        pobj = objs.get(pnum)
+        if pobj is None:
+            continue
+        media = _numbers_in_brackets(pobj, b"/MediaBox") or [0, 0, 612, 792]
+        width = media[2] - media[0]
+        height = media[3] - media[1]
+        page = PdfPage(width, height)
+
+        cref = _ref_after(pobj, b"/Contents")
+        stream = b""
+        if cref is not None and cref in objs:
+            m = _STREAM_RE.search(objs[cref])
+            if m:
+                stream = m.group(1)
+
+        for m in _TEXT_OBJ_RE.finditer(stream):
+            font_key = m.group(1).decode()
+            size = float(m.group(2))
+            x = float(m.group(3))
+            y = float(m.group(4))
+            text = _unesc(m.group(5))
+            fontname = _FONT_NAMES.get(font_key, "Helvetica")
+            cw = _CHAR_W.get(fontname, _DEFAULT_CHAR_W)
+            page.words.append({
+                "text": text,
+                "x0": x,
+                "x1": x + cw * size * len(text),
+                "top": height - y - size * 0.8,
+                "bottom": height - y + size * 0.2,
+                "size": size,
+                "fontname": fontname,
+            })
+
+        for m in _LINE_RE.finditer(stream):
+            x0, y0, x1, y1 = (float(m.group(i)) for i in range(1, 5))
+            page.lines.append({
+                "x0": min(x0, x1),
+                "x1": max(x0, x1),
+                "top": height - max(y0, y1),
+                "bottom": height - min(y0, y1),
+                "width": abs(x1 - x0),
+                "height": abs(y1 - y0),
+            })
+
+        for m in _RECT_RE.finditer(stream):
+            x, y, w, h = (float(m.group(i)) for i in range(1, 5))
+            page.rects.append((x, height - (y + h), x + w, height - y))
+
+        for aref in _refs_in_brackets(pobj, b"/Annots"):
+            aobj = objs.get(aref)
+            if aobj is None or b"/URI" not in aobj:
+                continue
+            rect = _numbers_in_brackets(aobj, b"/Rect")
+            um = re.search(rb"/URI\s*\((.*?)(?<!\\)\)", aobj, re.DOTALL)
+            uri = _unesc(um.group(1)) if um else None
+            if uri and len(rect) == 4:
+                page.annots.append({"uri": uri, "rect": rect})
+        pages.append(page)
+    return pages
+
+
+_FONT_NAMES = {
+    "F1": "Helvetica",
+    "F2": "Helvetica-Bold",
+    "F3": "Helvetica-Oblique",
+    "F4": "Courier",
+    "F5": "Helvetica-BoldOblique",
+}
+
+
+def get_uri_rects(data: bytes) -> Dict[str, List[float]]:
+    """Scrape uri→rect from raw bytes, exactly utils.py:615-624."""
+    byte_str = str(data)
+    uris = _URI_PATTERN.findall(byte_str)
+    rect_splits = byte_str.split(_URI_RECT_SPLIT)[1:]
+    rects = []
+    for rs in rect_splits:
+        try:
+            rects.append([float(v) for v in rs.split("]")[0].split()])
+        except ValueError:
+            continue
+    return {uri: rect for uri, rect in zip(uris, rects)}
+
+
+# --- table detection (lines-strategy analogue over stroked rect edges) -----
+
+def _cluster(values: List[float], tol: float) -> List[float]:
+    out: List[float] = []
+    for v in sorted(values):
+        if out and v - out[-1] <= tol:
+            continue
+        out.append(v)
+    return out
+
+
+def find_tables(page: PdfPage, snap_x_tolerance=10.0, snap_y_tolerance=0.0):
+    """Detect ruled tables from stroked rectangles.
+
+    Groups rects into connected clusters; each cluster's distinct edge
+    coordinates (snapped within tolerance) define a cell grid — the
+    "lines" strategy analogue of ``page.find_tables`` at
+    ``static_parser.py:352-361``.
+    Returns list of (bbox, cells) with bbox=(x0, top, x1, bottom).
+    """
+    rects = list(page.rects)
+    if not rects:
+        return []
+    # connected-component grouping by bbox touch/overlap (1pt slack)
+    groups: List[List[Tuple[float, float, float, float]]] = []
+    for r in rects:
+        placed = None
+        for g in groups:
+            for o in g:
+                if (r[0] <= o[2] + 1 and r[2] >= o[0] - 1
+                        and r[1] <= o[3] + 1 and r[3] >= o[1] - 1):
+                    placed = g
+                    break
+            if placed:
+                break
+        if placed is not None:
+            placed.append(r)
+        else:
+            groups.append([r])
+    # merge groups that became connected transitively
+    merged = True
+    while merged:
+        merged = False
+        for i in range(len(groups)):
+            for j in range(i + 1, len(groups)):
+                touch = any(
+                    a[0] <= b[2] + 1 and a[2] >= b[0] - 1
+                    and a[1] <= b[3] + 1 and a[3] >= b[1] - 1
+                    for a in groups[i] for b in groups[j]
+                )
+                if touch:
+                    groups[i].extend(groups[j])
+                    del groups[j]
+                    merged = True
+                    break
+            if merged:
+                break
+
+    tables = []
+    for g in groups:
+        xs = _cluster([r[0] for r in g] + [r[2] for r in g],
+                      max(snap_x_tolerance, 0.01))
+        ys = _cluster([r[1] for r in g] + [r[3] for r in g],
+                      max(snap_y_tolerance, 0.01))
+        if len(xs) < 2 or len(ys) < 2:
+            continue
+        cells = []
+        for j in range(len(ys) - 1):
+            row = []
+            for i in range(len(xs) - 1):
+                row.append((xs[i], ys[j], xs[i + 1], ys[j + 1]))
+            cells.append(row)
+        bbox = (xs[0], ys[0], xs[-1], ys[-1])
+        tables.append((bbox, cells))
+    tables.sort(key=lambda t: t[0][1])
+    return tables
+
+
+def _intersects(word_bbox, cell_bbox) -> bool:
+    wx0, wtop, wx1, wbot = word_bbox
+    cx0, ctop, cx1, cbot = cell_bbox
+    return (wx0 <= cx1) and (wx1 >= cx0) and (wtop <= cbot) and (wbot >= ctop)
+
+
+def _extract_table(page: PdfPage, bbox, cells, y_tolerance=5.0):
+    """Cell grid → text grid → cleaned pipe markdown + word bboxes."""
+    grid: List[List[Optional[str]]] = []
+    for row in cells:
+        grid_row = []
+        for cell in row:
+            in_cell = [
+                w for w in page.words
+                if _intersects((w["x0"], w["top"], w["x1"], w["bottom"]), cell)
+            ]
+            if not in_cell:
+                grid_row.append(None)
+                continue
+            in_cell.sort(key=lambda w: (w["top"], w["x0"]))
+            lines: List[List[str]] = []
+            last_top = None
+            for w in in_cell:
+                if last_top is None or abs(w["top"] - last_top) > y_tolerance:
+                    lines.append([])
+                    last_top = w["top"]
+                lines[-1].append(w["text"])
+            grid_row.append("\n".join(" ".join(ln) for ln in lines))
+        grid.append(grid_row)
+
+    md = clean_table_grid(grid)
+    if md is None:
+        return "", []
+    md = "\n%s\n\n" % md
+
+    bboxes = []
+    pw, ph = page.width, page.height
+    for row in cells:
+        for cell in row:
+            for w in page.words:
+                wb = (w["x0"], w["top"], w["x1"], w["bottom"])
+                if _intersects(wb, cell):
+                    text = (w["text"] or "").strip()
+                    if not text:
+                        continue
+                    bboxes.append(
+                        (text, (w["x0"] / pw, w["top"] / ph,
+                                w["x1"] / pw, w["bottom"] / ph))
+                    )
+    return md, bboxes
+
+
+# --- formatting helpers (static_parser.py:418-519) --------------------------
+
+def _get_formatting(word) -> Dict[str, bool]:
+    font = (word.get("fontname") or "").lower()
+    return {
+        "bold": any(s in font for s in ("bold", "heavy", "black")),
+        "italic": any(s in font for s in ("italic", "oblique")),
+        "monospace": "mono" in font or "courier" in font,
+    }
+
+
+def _apply_formatting(text, fmt) -> str:
+    if fmt["monospace"]:
+        text = f"`{text}`"
+    if fmt["bold"] and fmt["italic"]:
+        text = f"***{text}***"
+    elif fmt["bold"]:
+        text = f"**{text}**"
+    elif fmt["italic"]:
+        text = f"*{text}*"
+    return text
+
+
+def _detect_heading_level(font_size, body_font_size) -> Optional[int]:
+    ratio = font_size / body_font_size
+    if ratio >= 2:
+        return 1
+    if ratio >= 1.4:
+        return 2
+    if ratio >= 1.2:
+        return 3
+    return None
+
+
+def _detect_indentation_level(word, base_left) -> int:
+    diff = word["x0"] - base_left
+    if diff < 5:
+        return 0
+    return int(diff // 25) + 1
+
+
+# --- the page state machine (static_parser.py:259-670) ----------------------
+
+def process_page(page: PdfPage, uri_rects: Dict[str, List[float]],
+                 x_tolerance=1.0, y_tolerance=5.0):
+    """One page → (markdown, word_bboxes). Mirrors the reference flow."""
+    markdown_content: List[str] = []
+    current_paragraph: List = []
+    current_heading: List[Dict] = []
+    last_y = None
+    next_h_line_idx = 0
+    word_bboxes: List[Tuple[str, Tuple[float, float, float, float]]] = []
+    pw, ph = page.width, page.height
+
+    horizontal_lines = [
+        {"top": ln["top"], "bottom": ln["bottom"], "x0": ln["x0"], "x1": ln["x1"]}
+        for ln in page.lines
+        if abs(ln["height"]) < 0.1 or abs(ln["width"]) > abs(ln["height"]) * 20
+    ]
+
+    table_zones = []
+    for bbox, cells in find_tables(page):
+        md, bboxes = _extract_table(page, bbox, cells, y_tolerance)
+        table_zones.append((bbox, md, bboxes))
+
+    # filter out words overlapping any table zone (static_parser.py:367-372)
+    def in_any_zone(w):
+        wb = (w["x0"], w["top"], w["x1"], w["bottom"])
+        return any(_intersects(wb, z[0]) for z in table_zones)
+
+    words = [dict(w) for w in page.words if not in_any_zone(w)]
+    words.sort(key=lambda w: (w["top"], w["x0"]))
+
+    if words:
+        sizes = [w.get("size", 12) for w in words]
+        body_font_size = max(set(sizes), key=sizes.count)
+    else:
+        body_font_size = 12
+
+    left_positions = []
+    prev_bottom = None
+    for w in words:
+        if prev_bottom is None or abs(w["top"] - prev_bottom) > y_tolerance:
+            left_positions.append(w["x0"])
+        prev_bottom = w["top"]
+    base_left = (
+        max(set(left_positions), key=left_positions.count) if left_positions else 0
+    )
+
+    # strikethrough marking (first overlapping word per line)
+    for line in horizontal_lines:
+        for w in words:
+            x_ov = (w["x0"] <= line["x1"]) and (w["x1"] >= line["x0"])
+            y_ov = (w["top"] <= line["bottom"]) and (w["bottom"] >= line["top"])
+            if x_ov and y_ov:
+                w["text"] = f"~~{w['text']}~~"
+                break
+
+    def normalize_bbox(w):
+        return (w["x0"] / pw, w["top"] / ph, w["x1"] / pw, w["bottom"] / ph)
+
+    def format_paragraph(elements) -> str:
+        all_mono = True
+        formatted = []
+        for el in elements:
+            if isinstance(el, tuple) and el[0] == "indent":
+                formatted.append("&nbsp;" * el[1] * 3)
+                continue
+            fmt = _get_formatting(el)
+            if fmt["monospace"]:
+                fw = f"`{el['text']}`"
+            else:
+                all_mono = False
+                fw = _apply_formatting(el["text"], fmt)
+            formatted.append(fw)
+            word_bboxes.append((fw, normalize_bbox(el)))
+        if all_mono:
+            elements = list(elements)
+            if isinstance(elements[0], tuple):
+                indent_str = " " * elements[0][1]
+                if len(elements) > 1:
+                    elements = elements[1:]
+                    elements[0] = dict(elements[0])
+                    elements[0]["text"] = indent_str + elements[0]["text"]
+                else:
+                    return indent_str
+            code = " ".join(el["text"] for el in elements)
+            return f"```\n{code}\n```\n\n"
+        return f"{' '.join(formatted)}\n\n"
+
+    def flush_heading():
+        nonlocal current_heading
+        if current_heading:
+            level = _detect_heading_level(
+                current_heading[0]["size"], body_font_size
+            )
+            heading_text = format_paragraph(current_heading)
+            markdown_content.append(f"{'#' * (level or 1)} {heading_text}")
+            current_heading = []
+
+    def flush_paragraph():
+        nonlocal current_paragraph
+        if current_paragraph:
+            markdown_content.append(format_paragraph(current_paragraph))
+            current_paragraph = []
+
+    # reading-order interleave (static_parser.py:536-563)
+    tables = [
+        ("table", {"top": z[0][1], "bottom": z[0][3], "content": z[1],
+                   "bboxes": z[2]})
+        for z in table_zones
+    ]
+    tables.sort(key=lambda t: t[1]["bottom"])
+
+    content_elements: List[Tuple[str, Dict]] = []
+    for line in horizontal_lines:
+        content_elements.append(("horizontal_line", dict(line)))
+    for i, w in enumerate(words):
+        while tables and w["bottom"] > tables[0][1]["bottom"]:
+            content_elements.append(tables.pop(0))
+        if i > 0 and abs(w["top"] - words[i - 1]["top"]) < 3:
+            w["top"] = words[i - 1]["top"]
+        content_elements.append(("word", w))
+    content_elements.extend(tables)
+    content_elements.sort(key=lambda x: x[1].get("top", 0))
+
+    for element_type, element in content_elements:
+        if element_type == "table":
+            flush_heading()
+            flush_paragraph()
+            markdown_content.append(element["content"])
+            word_bboxes.extend(element["bboxes"])
+            last_y = element["bottom"]
+        elif element_type == "horizontal_line":
+            while (next_h_line_idx < len(horizontal_lines)) and (
+                last_y is not None
+                and horizontal_lines[next_h_line_idx]["top"] <= last_y
+            ):
+                flush_paragraph()
+                markdown_content.append("\n---\n\n")
+                next_h_line_idx += 1
+        else:
+            w = element
+            heading_level = _detect_heading_level(w["size"], body_font_size)
+            is_new_line = last_y is not None and abs(w["top"] - last_y) > y_tolerance
+            if is_new_line:
+                flush_heading()
+                flush_paragraph()
+                if heading_level is None:
+                    current_paragraph.append(
+                        ("indent", _detect_indentation_level(w, base_left))
+                    )
+            if heading_level:
+                flush_paragraph()
+                current_heading.append(w)
+            else:
+                flush_heading()
+                current_paragraph.append(w)
+            last_y = w["top"]
+
+    flush_heading()
+    flush_paragraph()
+
+    content = "".join(markdown_content)
+
+    # link embedding (static_parser.py:178-237)
+    links = []
+    for annot in page.annots:
+        uri = annot.get("uri")
+        if uri and uri_rects.get(uri):
+            links.append((uri_rects[uri], uri))
+    if links:
+        content = _embed_links_in_text(page, content, links)
+
+    content = embed_email_links(content)
+    content = cleanup_redundant_formatting(content)
+    return content, word_bboxes
+
+
+def _embed_links_in_text(page: PdfPage, text: str, links) -> str:
+    """Inline [span](uri) splice by rect/word position (spec: :178-237)."""
+    words = sorted(page.words, key=lambda w: (w["top"], w["x0"]))
+    words_with_positions = []
+    cur = 0
+    for w in words:
+        try:
+            pos = text.index(w["text"], cur)
+        except ValueError:
+            continue
+        words_with_positions.append(
+            (w["text"], w["x0"], page.height - w["top"], pos)
+        )
+        cur = pos + len(w["text"])
+
+    offset = 0
+    for rect, uri in links:
+        rect_left, rect_top, rect_right, rect_bottom = rect
+        text_span = []
+        start_pos = end_pos = None
+        for word, x0, word_top, word_pos in words_with_positions:
+            if (rect_left - 1 <= x0 <= rect_right + 1
+                    and rect_top - 1 <= word_top <= rect_bottom + 1):
+                if not start_pos:
+                    start_pos = word_pos + offset
+                end_pos = word_pos + len(word) + offset
+                text_span.append(word)
+        if start_pos is None:
+            continue
+        if start_pos > 0 and text[start_pos - 1] != " ":
+            start_pos = start_pos - len(text[:start_pos].split(" ")[-1])
+        if end_pos < len(text) and text[end_pos:end_pos + 1] != " ":
+            end_pos = end_pos + len(text[end_pos:].split(" ")[0])
+        if text_span:
+            text = (
+                text[:start_pos]
+                + f"[{text[start_pos:end_pos]}]({uri})"
+                + text[end_pos:]
+            )
+            offset += len(uri) + 4
+    return text
+
+
+# --- document-level entry points --------------------------------------------
+
+def pdf_to_pages(data, start: int = 0) -> List[Tuple[int, str]]:
+    """PDF bytes → [(page_number, markdown)] with page = start + idx + 1."""
+    if data is None:
+        return []
+    data = bytes(data)
+    uri_rects = get_uri_rects(data)
+    out = []
+    for idx, page in enumerate(parse_pdf(data)):
+        content, _ = process_page(page, uri_rects)
+        out.append((start + idx + 1, content))
+    return out
+
+
+def pdf_to_md(data, start: int = 0) -> str:
+    """PDF bytes → whole-document markdown (pages joined by blank line)."""
+    return "\n\n".join(c for _, c in pdf_to_pages(data, start))
+
+
+def sniff_doctype(payload) -> str:
+    """Magic-byte doctype sniff (S1/P1 analogue, utils.py:60-62 upgraded).
+
+    Returns one of: pdf, html, csv, txt.
+    """
+    if payload is None:
+        return "txt"
+    b = bytes(payload[:512])
+    if b.startswith(b"%PDF-"):
+        return "pdf"
+    low = b.lstrip().lower()
+    if low.startswith((b"<!doctype", b"<html", b"<head", b"<body")) or b"<html" in low:
+        return "html"
+    head = b.split(b"\n", 1)[0]
+    if b"," in head and b"<" not in head:
+        return "csv"
+    return "txt"
+
+
+def pdf_flags(payload) -> Tuple[bool, bool]:
+    """(has_image, has_hyperlink) byte scans — utils.py:467-481 semantics."""
+    if payload is None:
+        return (False, False)
+    s = str(bytes(payload)).lower()
+    return ("image" in s.split("/"), "/uri" in s)
