@@ -1,0 +1,303 @@
+"""Deterministic synthetic ``pages`` corpus + golden fixtures.
+
+Emits rows in exactly the BASELINE.json::input_hint shape —
+``pages(url:string, warc_ts:timestamp, html:binary, text:string,
+lang:string)`` — covering every fixture class in FIXTURES.md §3
+(HTML headings/lists/links/tables/boilerplate/invalid-bytes, PDF
+plain/headings/styles/indent/rules+strike/table/links+emails/multipage,
+CSV, TXT, and a giant-HTML skew tail). Fully deterministic from the doc
+index (seeded arithmetic, no wall clock), so goldens are stable bytes.
+
+Goldens are produced by running the kernels driver-side: the pipeline
+test then asserts the *Spark* output is byte-identical per url — this
+checks the distributed plumbing (Arrow transport, explode, salted merge
+ordering) cannot corrupt a single byte.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from typing import Dict, List, Tuple
+
+from lexoid_spark.corpus.pdf_gen import build_pdf, words_line
+
+_WORDS = (
+    "data spark table query scan filter join group sort merge batch "
+    "stream window value column row key hash part order line fast slow "
+    "big small vector agg customer index page text block cache shard"
+).split()
+
+LANGS = ("en", "de", "fr", "es", "hi")
+
+HTML_CLASSES = (
+    "html_headings", "html_lists_links", "html_table",
+    "html_boilerplate", "html_invalid_bytes",
+)
+PDF_CLASSES = (
+    "pdf_plain", "pdf_headings", "pdf_styles", "pdf_indent",
+    "pdf_rules_strike", "pdf_table", "pdf_links_emails", "pdf_multipage",
+)
+ALL_CLASSES = HTML_CLASSES + PDF_CLASSES + ("csv_table", "txt_plain")
+
+EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _rng(i: int) -> random.Random:
+    return random.Random(10_000 + i)
+
+
+def _sentence(r: random.Random, n: int) -> str:
+    return " ".join(r.choice(_WORDS) for _ in range(n))
+
+
+# --- per-class payload builders ---------------------------------------------
+
+def _html_headings(i: int, r: random.Random) -> bytes:
+    n_sections = 2 + i % 4
+    parts = ["<html><body>", f"<h1>Document {i}</h1>"]
+    parts.append(f"<p>{_sentence(r, 12)}</p>")
+    for s in range(n_sections):
+        parts.append(f"<h3>Section {s} of doc {i}</h3>")
+        parts.append(f"<p>{_sentence(r, 20)}</p>")
+    parts.append("</body></html>")
+    return "".join(parts).encode()
+
+
+def _html_lists_links(i: int, r: random.Random) -> bytes:
+    items = "".join(
+        f"<li>item {j} {_sentence(r, 3)}</li>" for j in range(3 + i % 3)
+    )
+    nested = "<li>outer<ul><li>inner a</li><li>inner b</li></ul></li>"
+    return (
+        "<html><body>"
+        f"<h2>Links {i}</h2>"
+        f"<p>See <a href='http://ex.test/doc/{i}'>reference {i}</a> and "
+        f"bare http://bare.test/{i} plus mail{i}@example.com now.</p>"
+        f"<ul>{items}{nested}</ul>"
+        f"<ol><li>first</li><li>second</li></ol>"
+        "</body></html>"
+    ).encode()
+
+
+def _html_table(i: int, r: random.Random) -> bytes:
+    rows = "".join(
+        f"<tr><td>r{j}</td><td>{(i * 7 + j) % 100}</td><td>{_sentence(r, 2)}</td></tr>"
+        for j in range(2 + i % 3)
+    )
+    return (
+        "<html><body>"
+        f"<h2>Table doc {i}</h2>"
+        "<table><tr><th>name</th><th>qty</th><th>note</th></tr>"
+        f"{rows}</table>"
+        f"<p>after table {_sentence(r, 8)}</p>"
+        "</body></html>"
+    ).encode()
+
+
+def _html_boilerplate(i: int, r: random.Random) -> bytes:
+    return (
+        "<html><head><title>boiler</title>"
+        "<style>body{margin:0}</style>"
+        "<script>window.track=1;</script></head>"
+        "<body><nav><ul><li>home</li><li>about</li></ul></nav>"
+        f"<h1>Main {i}</h1><p>{_sentence(r, 25)}</p>"
+        f"<p>second para {_sentence(r, 10)}</p>"
+        "<footer><p>footer junk</p></footer>"
+        "<script>var x=2;</script></body></html>"
+    ).encode()
+
+
+def _html_invalid_bytes(i: int, r: random.Random) -> bytes:
+    good = (
+        f"<html><body><h2>Broken {i}</h2><p>before {_sentence(r, 6)}"
+    ).encode()
+    bad = b" \xff\xfe\xc3\x28 "
+    tail = f"after {_sentence(r, 6)}</p></body></html>".encode()
+    return good + bad + tail
+
+
+def _html_giant(i: int, r: random.Random, repeat: int = 400) -> bytes:
+    sec = (
+        f"<h3>Giant section {i}</h3><p>{_sentence(r, 60)}</p>"
+    )
+    return (
+        f"<html><body><h1>Giant {i}</h1>{sec * repeat}</body></html>"
+    ).encode()
+
+
+def _pdf_plain(i: int, r: random.Random) -> bytes:
+    words = []
+    for li, y in enumerate(range(700, 560, -20)):
+        words += words_line(
+            [r.choice(_WORDS) for _ in range(6)], y=y, size=12
+        )
+    return build_pdf([{"words": words}])
+
+
+def _pdf_headings(i: int, r: random.Random) -> bytes:
+    words = words_line([f"Title{i}"], y=720, size=24)
+    words += words_line(["Subtitle", "here"], y=680, size=17)
+    words += words_line(["Minor", "heading"], y=640, size=15)
+    for y in (600, 580, 560, 540):
+        words += words_line([r.choice(_WORDS) for _ in range(5)], y=y, size=12)
+    return build_pdf([{"words": words}])
+
+
+def _pdf_styles(i: int, r: random.Random) -> bytes:
+    words = words_line(["plain", "text", "line", "one"], y=700)
+    words += words_line(["emphasis"], y=660, font="F3")
+    words += words_line(["strong"], y=620, font="F2")
+    words += words_line(["code", "fence", "line"], y=580, font="F4")
+    words += words_line(["closing", "words", "row"], y=540)
+    return build_pdf([{"words": words}])
+
+
+def _pdf_indent(i: int, r: random.Random) -> bytes:
+    words = words_line(["base", "paragraph", "words"], y=700, x0=72)
+    words += words_line(["level", "one"], y=660, x0=72 + 26)
+    words += words_line(["level", "two"], y=620, x0=72 + 52)
+    words += words_line(["back", "to", "base"], y=580, x0=72)
+    return build_pdf([{"words": words}])
+
+
+def _pdf_rules_strike(i: int, r: random.Random) -> bytes:
+    words = words_line(["above", "rule"], y=700)
+    words += words_line(["struck", "word"], y=650)
+    words += words_line(["between", "rules"], y=600)
+    words += words_line(["below", "everything"], y=500)
+    x_struck = words[2]["x"]
+    lines = [
+        (72, 670, 400, 670),
+        (x_struck, 654, x_struck + 20, 654),  # crosses 'struck'
+        (72, 550, 400, 550),
+    ]
+    return build_pdf([{"words": words, "lines": lines}])
+
+
+def _pdf_table(i: int, r: random.Random) -> bytes:
+    xs = [100, 220, 340]
+    ys = [560, 600, 640, 680]
+    rects = [
+        (xs[a], ys[b], xs[a + 1] - xs[a], ys[b + 1] - ys[b])
+        for b in range(3) for a in range(2)
+    ]
+    words = words_line(["Ruled", "table", "doc"], y=720)
+    words += words_line(["name"], y=655, x0=110)
+    words += words_line(["qty"], y=655, x0=230)
+    words += words_line([f"row{i % 5}"], y=615, x0=110)
+    words += words_line([str((i * 3) % 40)], y=615, x0=230)
+    words += words_line(["alpha"], y=575, x0=110)
+    words += words_line([str((i * 7) % 90)], y=575, x0=230)
+    words += words_line(["after", "the", "table"], y=500)
+    return build_pdf([{"words": words, "rects": rects}])
+
+
+def _pdf_links_emails(i: int, r: random.Random) -> bytes:
+    words = words_line(["visit", "linked", "words", "today"], y=700)
+    words += words_line(["email", f"user{i}@corp.example", "inline"], y=660)
+    x0 = words[1]["x"]
+    x1 = words[2]["x"] + 5
+    word_top = 700 + 0.8 * 12
+    links = [{
+        "uri": f"http://site.test/{i}",
+        "rect": (x0, word_top - 5, x1, word_top + 5),
+    }]
+    return build_pdf([{"words": words, "links": links}])
+
+
+def _pdf_multipage(i: int, r: random.Random) -> bytes:
+    n_pages = 2 + i % 3
+    pages = []
+    for p in range(n_pages):
+        words = words_line([f"page{p + 1}", "marker", f"doc{i}"], y=700)
+        words += words_line([r.choice(_WORDS) for _ in range(6)], y=660)
+        pages.append({"words": words})
+    return build_pdf(pages)
+
+
+def _csv_table(i: int, r: random.Random) -> bytes:
+    lines = ["name,qty,price"]
+    for j in range(3 + i % 4):
+        lines.append(f"item{j},{(i + j) % 50},{(i * j) % 100}")
+    return ("\n".join(lines) + "\n").encode()
+
+
+def _txt_plain(i: int, r: random.Random) -> bytes:
+    return (
+        f"plain text document {i}\n{_sentence(r, 30)}\n\n{_sentence(r, 20)}\n"
+    ).encode()
+
+
+_BUILDERS = {
+    "html_headings": _html_headings,
+    "html_lists_links": _html_lists_links,
+    "html_table": _html_table,
+    "html_boilerplate": _html_boilerplate,
+    "html_invalid_bytes": _html_invalid_bytes,
+    "pdf_plain": _pdf_plain,
+    "pdf_headings": _pdf_headings,
+    "pdf_styles": _pdf_styles,
+    "pdf_indent": _pdf_indent,
+    "pdf_rules_strike": _pdf_rules_strike,
+    "pdf_table": _pdf_table,
+    "pdf_links_emails": _pdf_links_emails,
+    "pdf_multipage": _pdf_multipage,
+    "csv_table": _csv_table,
+    "txt_plain": _txt_plain,
+}
+
+
+def gen_page_row(i: int, p_giant: float = 0.0) -> Tuple[str, dt.datetime, bytes, str, str]:
+    """One deterministic pages row for doc index i."""
+    r = _rng(i)
+    if p_giant > 0 and (i % max(1, int(1 / p_giant))) == 7:
+        cls = "html_giant"
+        payload = _html_giant(i, r)
+    else:
+        cls = ALL_CLASSES[i % len(ALL_CLASSES)]
+        payload = _BUILDERS[cls](i, r)
+    url = f"https://fixtures.test/{cls}/{i:06d}"
+    ts = EPOCH + dt.timedelta(seconds=i * 37)
+    text = _sentence(_rng(i * 2 + 1), 24)
+    lang = LANGS[i % len(LANGS)]
+    return (url, ts, payload, text, lang)
+
+
+def gen_pages(n_docs: int, p_giant: float = 0.0) -> List[Tuple]:
+    return [gen_page_row(i, p_giant) for i in range(n_docs)]
+
+
+PAGES_SCHEMA_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def pages_df(spark, n_docs: int, p_giant: float = 0.0):
+    return spark.createDataFrame(gen_pages(n_docs, p_giant), PAGES_SCHEMA_DDL)
+
+
+# --- driver-side golden computation (kernel reference output) ---------------
+
+def golden_raw_for_row(url: str, payload: bytes) -> str:
+    """Expected markdown for a pages row, computed kernel-side."""
+    from lexoid_spark.kernels.html_md import html_to_md
+    from lexoid_spark.kernels.pdf_md import pdf_to_md, sniff_doctype
+    from lexoid_spark.kernels.table_md import csv_to_md
+
+    doctype = sniff_doctype(payload)
+    if doctype == "html":
+        return html_to_md(payload)
+    if doctype == "pdf":
+        return pdf_to_md(payload)
+    if doctype == "csv":
+        return csv_to_md(payload)
+    return bytes(payload).decode("utf-8", errors="ignore")
+
+
+def golden_rows(n_docs: int, p_giant: float = 0.0) -> List[Dict]:
+    out = []
+    for i in range(n_docs):
+        url, ts, payload, text, lang = gen_page_row(i, p_giant)
+        out.append({"url": url, "golden_raw": golden_raw_for_row(url, payload)})
+    return out

@@ -1,0 +1,73 @@
+"""Native (JVM-side, codegen'd) column expressions.
+
+Everything here stays inside whole-stage codegen — no Python in the hot
+path. Each expression mirrors a reference scalar function (SURVEY.md
+§2.8) and its pure-Python twin in ``kernels/text_ops.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# reference: static_parser.py:248-256
+EMAIL_REGEX = r"(?<![<\[])(\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b)(?![>\]])"
+# reference: utils.py:386-407
+MD_LINK_REGEX = r"\[[^\]]+\]\((https?://[^\s\)]+)\)"
+BARE_URL_REGEX = r"(https?://[^\s\)]+)"
+
+
+def embed_email_links(col) -> Column:
+    """Wrap bare emails in angle brackets (F5) — native regexp_replace."""
+    return F.regexp_replace(col, EMAIL_REGEX, r"<$1>")
+
+
+def extract_md_urls(col) -> Column:
+    """URLs from [text](url) + bare URLs, deduplicated (F4).
+
+    Note: Spark's regexp lacks the reference's (?<!\\() guard cheaply for
+    the bare form; link URLs are a superset that includes the
+    markdown-link targets, so a distinct union matches the reference's
+    ``list(set(...))`` semantics.
+    """
+    return F.array_distinct(
+        F.concat(
+            F.regexp_extract_all(col, F.lit(MD_LINK_REGEX), F.lit(1)),
+            F.regexp_extract_all(col, F.lit(BARE_URL_REGEX), F.lit(1)),
+        )
+    )
+
+
+def strip_markdown(col) -> Column:
+    """Drop md formatting, unwrap links, strip inline tags (F15)."""
+    c = F.regexp_replace(col, r"[*_`~]", "")
+    c = F.regexp_replace(c, r"\[([^\]]+)\]\([^)]+\)", r"$1")
+    c = F.regexp_replace(c, r"<.*?>|&([a-z0-9]+|#[0-9]{1,6}|#x[0-9a-f]{1,6});", " ")
+    return c
+
+
+def clean_text(col) -> Column:
+    """Benchmark-metric normalizer (F16)."""
+    c = F.regexp_replace(col, r"\\[a-zA-Z]+(\[[^\]]*\])?(\{[^}]*\})?", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"[^a-zA-Z0-9 ]", " ")
+    return F.trim(c)
+
+
+def cleanup_redundant_formatting(col) -> Column:
+    """Order-sensitive cleanup chain (F13, static_parser.py:662-668)."""
+    c = F.replace(col, F.lit("** **"), F.lit(" "))
+    c = F.replace(c, F.lit("* *"), F.lit(" "))
+    c = F.replace(c, F.lit("` `"), F.lit(" "))
+    c = F.replace(c, F.lit("\n```\n\n```"), F.lit(""))
+    return c
+
+
+def doc_title(url_col) -> Column:
+    """Title = basename of the url path (reference api.py:262 analogue)."""
+    return F.element_at(F.split(url_col, "/"), -1)
+
+
+def salt(col, buckets: int) -> Column:
+    """Deterministic salt for hot keys: pmod(xxhash64(k), buckets)."""
+    return F.pmod(F.xxhash64(col), F.lit(buckets))

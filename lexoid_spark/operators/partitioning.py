@@ -1,0 +1,82 @@
+"""Skew-aware partitioning policies (north_rule: explicit
+repartition-by-size + salted keys for giant blobs).
+
+At 100 TB the ``pages`` table has a heavy tail of 100×–1000× median-size
+HTML blobs (FIXTURES.md §1 skew knob). Equal-row partitions would make
+byte-skewed stragglers; ``repartition_by_size`` range-partitions on the
+payload byte length so each task sees ~equal *bytes*. ``salted`` gives
+the classic partial/final two-phase aggregation key for hot urls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def repartition_by_size(df: DataFrame, num_partitions: int,
+                        payload_col: str = "html") -> DataFrame:
+    """Range-repartition on payload byte size with a hash tiebreaker.
+
+    ``repartitionByRange(length)`` alone puts all giant blobs in one
+    range bucket; adding ``xxhash64(url)`` as the second sort key
+    spreads equal-size rows uniformly. Small/medium docs co-locate into
+    byte-balanced tasks; the giant tail spreads across partitions.
+    """
+    return df.repartitionByRange(
+        num_partitions,
+        F.length(F.col(payload_col)).asc(),
+        F.xxhash64("url").asc(),
+    )
+
+
+def with_size_bucket(df: DataFrame, payload_col: str = "html",
+                     col_name: str = "size_bucket") -> DataFrame:
+    """Coarse log2 byte-size bucket column (for lineage/bench reporting)."""
+    return df.withColumn(
+        col_name,
+        F.floor(F.log2(F.greatest(F.length(F.col(payload_col)), F.lit(1)))),
+    )
+
+
+def salted_group_merge(df: DataFrame, key: str, sort_col: str,
+                       content_col: str, salt_buckets: int,
+                       sep: str = "\n\n") -> DataFrame:
+    """Two-phase (partial → final) ordered string merge per key.
+
+    Replaces the reference's chunk-merge loop (``api.py:361-382``): the
+    per-url page concat becomes ``groupBy(key, salt)`` partials (map-side
+    combine limits shuffle volume for hot keys) followed by a final
+    ``groupBy(key)``. Ordering is made total before any aggregation by
+    sorting structs on (sort_col ASC) — struct sort order is
+    lexicographic on field order, so output bytes are deterministic
+    under any physical row order (SURVEY.md §7.4(4)).
+    """
+    # salt on (key, sort_col): a single hot key's rows spread across
+    # salt_buckets partial groups (salting on key alone would keep the
+    # hot key in one bucket and help nothing)
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(key), F.col(sort_col)),
+                        F.lit(salt_buckets))
+    )
+    partial = (
+        salted.groupBy(key, "_salt")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(sort_col).alias("s"),
+                         F.col(content_col).alias("c"))
+            ).alias("_parts")
+        )
+    )
+    final = (
+        partial.groupBy(key)
+        .agg(
+            F.array_sort(F.flatten(F.collect_list("_parts"))).alias("_all")
+        )
+        .select(
+            key,
+            F.concat_ws(sep, F.col("_all").getField("c")).alias(content_col),
+            F.col("_all").alias("_sorted_parts"),
+        )
+    )
+    return final

@@ -1,0 +1,65 @@
+"""Doctype routing + error quarantine (reference P1-P7 as DataFrame ops).
+
+The reference's AUTO router (``utils.py:530-588``) is an imperative
+if/else over per-file probes; here the probes are columns computed once
+per row (magic-byte sniff, PDF image/hyperlink flags) and the decision
+is a ``when/otherwise`` chain — free for Catalyst to prune when a branch
+filter makes it constant. Exceptions become ``error`` columns and
+quarantined unions (P6/P7), never task failures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lexoid_spark.functions.udfs import pdf_flags_udf, sniff_doctype_udf
+
+
+def with_doctype(df: DataFrame, payload_col: str = "html") -> DataFrame:
+    """Add the magic-byte ``doctype`` column (S1)."""
+    return df.withColumn("doctype", sniff_doctype_udf(F.col(payload_col)))
+
+
+def with_pdf_flags(df: DataFrame, payload_col: str = "html") -> DataFrame:
+    """Add has_image / has_hyperlink byte-scan flags (P2/P3)."""
+    flags = pdf_flags_udf(F.col(payload_col))
+    return (
+        df.withColumn("_flags", flags)
+        .withColumn("has_image", F.col("_flags.has_image"))
+        .withColumn("has_hyperlink", F.col("_flags.has_hyperlink"))
+        .drop("_flags")
+    )
+
+
+def route_parser(df: DataFrame) -> DataFrame:
+    """STATIC-only router (P1 minus the LLM arm).
+
+    The reference routes text/spreadsheet → STATIC always, and PDFs
+    without images → STATIC (``utils.py:557-588``). Image-bearing PDFs
+    would go to the LLM/OCR path, which is out of the static rebuild's
+    scope → routed to the quarantine table instead.
+    """
+    return df.withColumn(
+        "route",
+        F.when(F.col("doctype").isin("html", "csv", "txt"), F.lit("STATIC"))
+        .when(
+            (F.col("doctype") == "pdf") & (~F.col("has_image")),
+            F.lit("STATIC"),
+        )
+        .otherwise(F.lit("UNSUPPORTED")),
+    )
+
+
+def quarantine(df: DataFrame, stage: str, run_id: str,
+               error_col: str = "error") -> DataFrame:
+    """Project failed rows into the errors-table schema (FIXTURES.md §4)."""
+    return (
+        df.filter(F.col(error_col).isNotNull())
+        .select(
+            "url",
+            F.lit(stage).alias("stage"),
+            F.col(error_col).alias("error"),
+            F.lit(run_id).alias("run_id"),
+        )
+    )
