@@ -1,38 +1,884 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline over a pages table
+synthesized from sf0.001 ``documents`` (BASELINE.json input_hint shape).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family (SURVEY.md §2 + the training-data-pipeline ops): relational
+skeleton (joins/aggs/windows/sorts), text analysis, dedup (exact,
+minhash+LSH, simhash, n-gram jaccard), similarity search (brute-force +
+IVF), and extraction kernels with SQL-constructible ground truth.
+
+Column names/types are aligned pairwise; double aggregates are rounded
+identically on both sides; sums are cast to BIGINT in DuckDB (which
+otherwise widens to HUGEINT).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+SF001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents → Common-Crawl-shaped pages → full extraction
+    pipeline (route → html kernel → segments → quarantine) at sf0.001."""
+    from lexoid_spark.plans.extract import extract
+
+    docs = _t(spark, SF001, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://corpus.test/doc/"), F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><h1>Doc "), F.col("doc_id"),
+                F.lit("</h1><h3>Body</h3><p>"), F.col("text"),
+                F.lit("</p><h3>Tail</h3><p>"), F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    return extract(pages, run_id="entry")["extracted"]
+
+
+# ---------------------------------------------------------------------------
+# shared query builders
+# ---------------------------------------------------------------------------
+
+def _q1(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+       ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q3(spark, sf):
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def _q5(spark, sf):
+    region = _t(spark, sf, "region")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def _q14_type_share(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("economy_share")
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'ECONOMY'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS economy_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def _top_customers(spark, sf):
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("c_custkey", "c_name", "total_spend", "n_orders")
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+_TOP_CUST_SQL = """
+SELECT c_custkey, c_name,
+       ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_spend,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def _supplier_rank(spark, sf):
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        supp.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("n_name", "s_suppkey", "s_name",
+                F.round("s_acctbal", 2).alias("acctbal"), "rnk")
+        .orderBy("n_name", "rnk")
+    )
+
+
+_SUPPLIER_RANK_SQL = """
+SELECT n_name, s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal, rnk
+FROM (
+  SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+  FROM supplier
+) s JOIN nation ON s_nationkey = n_nationkey
+WHERE rnk <= 3
+ORDER BY n_name, rnk
+"""
+
+
+def _events_daily(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_EVENTS_DAILY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY day, event_type ORDER BY day, event_type
+"""
+
+
+def _events_sessions(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("new_sess", F.when(gap > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            (F.sum("new_sess") + 1).alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_EVENTS_SESSIONS_SQL = """
+SELECT user_id,
+       CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+) t GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _events_json(spark, sf):
+    ev = _t(spark, sf, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_JSON_SQL = r"""
+SELECT event_type,
+       ROUND(AVG(k), 4) AS avg_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM (SELECT event_type,
+             CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
+      FROM events) t
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---- documents: text analysis ----
+
+def _docs_by_lang(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_DOCS_BY_LANG_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def _doc_token_stats(spark, sf):
+    from lexoid_spark.functions.textstats import alnum_ratio, token_count
+
+    docs = _t(spark, sf, "documents")
+    tok_chars = F.length(F.regexp_replace(F.trim("text"), r"\s+", ""))
+    n = token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.when(n > 0, F.round(tok_chars / n, 4)).otherwise(0.0).alias("avg_token_len"),
+        alnum_ratio(F.col("text")).alias("alnum_ratio"),
+    ).orderBy("doc_id")
+
+
+_DOC_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+       ROUND(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_token_len,
+       ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / length(text), 4) AS alnum_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def _doc_quality(spark, sf):
+    from lexoid_spark.functions.textstats import quality_score
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = "'the','a','of','and','to','in','is','it','for','on'"
+_DOC_QUALITY_SQL = rf"""
+SELECT doc_id,
+  ROUND(
+    0.5 * LEAST(1.0, len(regexp_split_to_array(trim(text), '\s+')) / 200.0)
+    + 0.3 * ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                  / length(text), 4)
+    + 0.2 * LEAST(1.0, 5.0 * ROUND(
+        CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+        / len(regexp_split_to_array(trim(text), '\s+')), 4)),
+  4) AS quality
+FROM documents ORDER BY doc_id
+"""
+
+
+def _doc_langid(spark, sf):
+    from lexoid_spark.functions.textstats import langid
+
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", langid(F.col("text")).alias("lang_pred")).orderBy(
+        "doc_id"
+    )
+
+
+_DOC_LANGID_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t = 'the')) AS c_en,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t = 'der')) AS c_de,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t = 'le'))  AS c_fr,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t = 'el'))  AS c_es,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t = 'ka'))  AS c_hi
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN c_en = GREATEST(c_en, c_de, c_fr, c_es, c_hi) AND c_en > 0 THEN 'en'
+    WHEN c_de = GREATEST(c_en, c_de, c_fr, c_es, c_hi) AND c_de > 0 THEN 'de'
+    WHEN c_fr = GREATEST(c_en, c_de, c_fr, c_es, c_hi) AND c_fr > 0 THEN 'fr'
+    WHEN c_es = GREATEST(c_en, c_de, c_fr, c_es, c_hi) AND c_es > 0 THEN 'es'
+    WHEN c_hi = GREATEST(c_en, c_de, c_fr, c_es, c_hi) AND c_hi > 0 THEN 'hi'
+    ELSE 'und'
+  END AS lang_pred
+FROM c ORDER BY doc_id
+"""
+
+
+def _doc_fingerprint(spark, sf):
+    from lexoid_spark.functions.textstats import fingerprint
+
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy(
+        "doc_id"
+    )
+
+
+_DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(regexp_replace(text,
+            '\\[a-zA-Z]+(\[[^\]]*\])?(\{[^}]*\})?', ' ', 'g'),
+            '\s+', ' ', 'g'),
+            '[^a-zA-Z0-9 ]', ' ', 'g'))) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def _exact_dup_groups(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.groupBy("lang", "n_chars")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_dups") > 1)
+        .orderBy("lang", "n_chars")
+    )
+
+
+_EXACT_DUP_SQL = """
+SELECT lang, n_chars, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+FROM documents GROUP BY lang, n_chars HAVING COUNT(*) > 1
+ORDER BY lang, n_chars
+"""
+
+# shared shingle fragments
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "range(len(regexp_split_to_array(trim(text), '\\s+')) - 2), "
+    "i -> regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' || "
+    "regexp_split_to_array(trim(text), '\\s+')[i+2] || ' ' || "
+    "regexp_split_to_array(trim(text), '\\s+')[i+3]))"
+)
+
+
+def _ngram_jaccard_adjacent(spark, sf):
+    from lexoid_spark.functions.dedup import shingles
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", shingles(F.col("text"), 3).alias("sh")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.when(union > 0, F.round(inter / union, 4))
+            .otherwise(0.0)
+            .alias("jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
+SELECT a.doc_id AS doc_id,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+             4) AS jaccard
+FROM s a JOIN s b ON a.doc_id + 1 = b.doc_id
+ORDER BY doc_id
+"""
+
+
+def _minhash_sample(spark, sf):
+    from lexoid_spark.functions.dedup import minhash_signature, shingles
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 20)
+    sig = minhash_signature(shingles(F.col("text"), 3), num_hashes=4)
+    return docs.select(
+        "doc_id",
+        sig.getItem(0).alias("h0"),
+        sig.getItem(1).alias("h1"),
+        sig.getItem(2).alias("h2"),
+        sig.getItem(3).alias("h3"),
+    ).orderBy("doc_id")
+
+
+def _minhash_hash_sql(k: int) -> str:
+    return (
+        f"list_min(list_transform(sh, s -> "
+        f"('0x' || substr(md5(s || ':{k}'), 1, 15))::BIGINT))"
+    )
+
+
+_MINHASH_SAMPLE_SQL = f"""
+WITH s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents WHERE doc_id < 20)
+SELECT doc_id,
+       {_minhash_hash_sql(0)} AS h0,
+       {_minhash_hash_sql(1)} AS h1,
+       {_minhash_hash_sql(2)} AS h2,
+       {_minhash_hash_sql(3)} AS h3
+FROM s ORDER BY doc_id
+"""
+
+
+def _minhash_band_pairs(spark, sf):
+    from lexoid_spark.functions.dedup import lsh_candidate_pairs
+
+    docs = _t(spark, sf, "documents")
+    return lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3
+    ).orderBy("id_a", "id_b")
+
+
+def _band_hash_sql(b: int, rows: int) -> str:
+    parts = " || ',' || ".join(
+        f"CAST({_minhash_hash_sql(b * rows + r)} AS VARCHAR)"
+        for r in range(rows)
+    )
+    return f"md5({parts})"
+
+
+_MINHASH_PAIRS_SQL = f"""
+WITH s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+bands AS (
+  SELECT doc_id, b.band,
+         CASE b.band
+           WHEN 0 THEN {_band_hash_sql(0, 2)}
+           WHEN 1 THEN {_band_hash_sql(1, 2)}
+           WHEN 2 THEN {_band_hash_sql(2, 2)}
+           ELSE {_band_hash_sql(3, 2)}
+         END AS bucket
+  FROM s, (SELECT UNNEST([0,1,2,3]) AS band) b
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def _simhash_pairs(spark, sf):
+    from lexoid_spark.functions.dedup import simhash_near_pairs
+
+    docs = _t(spark, sf, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---- embeddings: similarity search ----
+
+def _ann_cosine_topk(spark, sf):
+    from lexoid_spark.functions.similarity import cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return cosine_topk(emb, query_ids=list(range(10)), k=5).orderBy(
+        "qid", "rank"
+    )
+
+
+_ANN_COSINE_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+d AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nv FROM embeddings)
+SELECT qid, nid, rank FROM (
+  SELECT q.qid, d.nid,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(q.qv, d.nv) DESC, d.nid ASC
+         ) AS rank
+  FROM q CROSS JOIN d WHERE d.nid != q.qid
+) t WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
+def _ann_ivf_topk(spark, sf):
+    from lexoid_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivf_topk(
+        emb, query_ids=list(range(10)), k=5, n_centroids=8, nprobe=2
+    ).orderBy("qid", "rank")
+
+
+_ANN_IVF_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vid, vv, cid FROM (
+    SELECT e.vec_id AS vid, e.v AS vv, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+           ) AS r
+    FROM e CROSS JOIN cents c
+  ) t WHERE r = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+probes AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid ASC
+           ) AS r
+    FROM q CROSS JOIN cents c
+  ) t WHERE r <= 2
+),
+cand AS (
+  SELECT DISTINCT p.qid, a.vid AS nid, p.qv, a.vv
+  FROM probes p JOIN assigned a ON p.cid = a.cid
+  WHERE a.vid != p.qid
+)
+SELECT qid, nid, rank FROM (
+  SELECT qid, nid,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid
+           ORDER BY list_cosine_similarity(qv, vv) DESC, nid ASC
+         ) AS rank
+  FROM cand
+) t WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
+# ---- extraction kernels with SQL-constructible ground truth ----
+
+def _extract_html_h1(spark, sf):
+    from lexoid_spark.functions.udfs import html_to_md_udf
+
+    docs = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    return docs.select(
+        "doc_id", html_to_md_udf(html).getField("raw").alias("raw")
+    ).orderBy("doc_id")
+
+
+_EXTRACT_HTML_SQL = """
+SELECT doc_id,
+       chr(10) || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+       || repeat('=', 4 + length(CAST(doc_id AS VARCHAR)))
+       || chr(10) || chr(10) || text || chr(10) || chr(10) AS raw
+FROM documents ORDER BY doc_id
+"""
+
+
+def _extract_segments_n(spark, sf):
+    from lexoid_spark.functions.udfs import html_to_md_udf, segment_md_udf
+
+    docs = _t(spark, sf, "documents")
+    n = (F.col("n_chars") % 4 + 2).cast("int")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</h1>"),
+        F.repeat(F.lit("<h3>Sec</h3><p>body words</p>"), n),
+        F.lit("</body></html>"),
+    )
+    raw = html_to_md_udf(html).getField("raw")
+    return docs.select(
+        "doc_id", F.size(segment_md_udf(raw)).alias("n_segments")
+    ).orderBy("doc_id")
+
+
+_EXTRACT_SEGMENTS_SQL = """
+SELECT doc_id, CAST(n_chars % 4 + 2 + 1 AS INT) AS n_segments
+FROM documents ORDER BY doc_id
+"""
+
+
+def _email_embed(spark, sf):
+    from lexoid_spark.functions.columns import embed_email_links
+
+    docs = _t(spark, sf, "documents")
+    raw = F.concat(
+        F.lit("contact "), F.col("source"), F.lit("@corp.example about "),
+        F.substring("text", 1, 40),
+    )
+    return docs.select(
+        "doc_id", embed_email_links(raw).alias("wrapped")
+    ).orderBy("doc_id")
+
+
+_EMAIL_EMBED_SQL = """
+SELECT doc_id,
+       'contact <' || source || '@corp.example> about ' || substr(text, 1, 40)
+       AS wrapped
+FROM documents ORDER BY doc_id
+"""
+
+
+def _md_url_extract(spark, sf):
+    from lexoid_spark.functions.columns import extract_md_urls
+
+    docs = _t(spark, sf, "documents")
+    md = F.concat(
+        F.lit("see [link](http://a.test/"), F.col("doc_id").cast("string"),
+        F.lit(") or http://b.test/"), F.col("doc_id").cast("string"),
+        F.lit(" end"),
+    )
+    return (
+        docs.select("doc_id", F.explode(extract_md_urls(md)).alias("url"))
+        .orderBy("doc_id", "url")
+    )
+
+
+_MD_URL_SQL = """
+SELECT doc_id, 'http://a.test/' || CAST(doc_id AS VARCHAR) AS url FROM documents
+UNION ALL
+SELECT doc_id, 'http://b.test/' || CAST(doc_id AS VARCHAR) AS url FROM documents
+ORDER BY doc_id, url
+"""
+
+
+def _strip_md_roundtrip(spark, sf):
+    from lexoid_spark.functions.columns import strip_markdown
+
+    docs = _t(spark, sf, "documents")
+    md = F.concat(
+        F.lit("**"), F.substring("text", 1, 30),
+        F.lit("** and [x](http://y.test/a) `code`"),
+    )
+    return docs.select(
+        "doc_id", strip_markdown(md).alias("stripped")
+    ).orderBy("doc_id")
+
+
+_STRIP_MD_SQL = """
+SELECT doc_id, substr(text, 1, 30) || ' and x code' AS stripped
+FROM documents ORDER BY doc_id
+"""
+
+
+def _clean_text_roundtrip(spark, sf):
+    from lexoid_spark.functions.columns import clean_text
+
+    docs = _t(spark, sf, "documents")
+    raw = F.concat(
+        F.lit("\\alpha{x} "), F.substring("text", 1, 50), F.lit(" 42!")
+    )
+    return docs.select("doc_id", clean_text(raw).alias("cleaned")).orderBy(
+        "doc_id"
+    )
+
+
+_CLEAN_TEXT_SQL = r"""
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(regexp_replace(
+       '\alpha{x} ' || substr(text, 1, 50) || ' 42!',
+       '\\[a-zA-Z]+(\[[^\]]*\])?(\{[^}]*\})?', ' ', 'g'),
+       '\s+', ' ', 'g'),
+       '[^a-zA-Z0-9 ]', ' ', 'g')) AS cleaned
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---- rows-only pipeline smoke over the synthetic pages corpus ----
+
+def _pipeline_extract(spark, sf):
+    from lexoid_spark.corpus.gen import pages_df
+    from lexoid_spark.plans.extract import extract
+
+    pages = pages_df(spark, 60)
+    out = extract(pages, run_id="driver_check")["extracted"]
+    return out.select("url", "parser_used", "n_chars").orderBy("url")
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q1,
+        "q3_shipping_priority": _q3,
+        "q5_local_suppliers": _q5,
+        "q14_type_share": _q14_type_share,
+        "top_customers": _top_customers,
+        "supplier_rank": _supplier_rank,
+        "events_daily": _events_daily,
+        "events_sessions": _events_sessions,
+        "events_json": _events_json,
+        "docs_by_lang": _docs_by_lang,
+        "doc_token_stats": _doc_token_stats,
+        "doc_quality": _doc_quality,
+        "doc_langid": _doc_langid,
+        "doc_fingerprint": _doc_fingerprint,
+        "exact_dup_groups": _exact_dup_groups,
+        "ngram_jaccard_adjacent": _ngram_jaccard_adjacent,
+        "minhash_sample": _minhash_sample,
+        "minhash_band_pairs": _minhash_band_pairs,
+        "simhash_pairs": _simhash_pairs,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "extract_html_h1": _extract_html_h1,
+        "extract_segments_n": _extract_segments_n,
+        "email_embed": _email_embed,
+        "md_url_extract": _md_url_extract,
+        "strip_md_roundtrip": _strip_md_roundtrip,
+        "clean_text_roundtrip": _clean_text_roundtrip,
+        "pipeline_extract": _pipeline_extract,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_shipping_priority": _Q3_SQL,
+        "q5_local_suppliers": _Q5_SQL,
+        "q14_type_share": _Q14_SQL,
+        "top_customers": _TOP_CUST_SQL,
+        "supplier_rank": _SUPPLIER_RANK_SQL,
+        "events_daily": _EVENTS_DAILY_SQL,
+        "events_sessions": _EVENTS_SESSIONS_SQL,
+        "events_json": _EVENTS_JSON_SQL,
+        "docs_by_lang": _DOCS_BY_LANG_SQL,
+        "doc_token_stats": _DOC_TOKEN_STATS_SQL,
+        "doc_quality": _DOC_QUALITY_SQL,
+        "doc_langid": _DOC_LANGID_SQL,
+        "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+        "exact_dup_groups": _EXACT_DUP_SQL,
+        "ngram_jaccard_adjacent": _NGRAM_JACCARD_SQL,
+        "minhash_sample": _MINHASH_SAMPLE_SQL,
+        "minhash_band_pairs": _MINHASH_PAIRS_SQL,
+        # simhash_pairs: FNV-1a not expressible in DuckDB → rows-only
+        "ann_cosine_topk": _ANN_COSINE_SQL,
+        "ann_ivf_topk": _ANN_IVF_SQL,
+        "extract_html_h1": _EXTRACT_HTML_SQL,
+        "extract_segments_n": _EXTRACT_SEGMENTS_SQL,
+        "email_embed": _EMAIL_EMBED_SQL,
+        "md_url_extract": _MD_URL_SQL,
+        "strip_md_roundtrip": _STRIP_MD_SQL,
+        "clean_text_roundtrip": _CLEAN_TEXT_SQL,
+        # pipeline_extract: full pipeline over generated pages → rows-only
+    }

@@ -1,0 +1,180 @@
+"""Deduplication operators for a web-scale training-data pipeline.
+
+All variants scale as shuffles on bounded keys — no O(n²) pairwise
+compare except within tiny LSH buckets:
+
+- exact:      groupBy(md5(normalized text)) — one shuffle.
+- minhash+LSH: shingle → K minhashes → B bands → groupBy(band, hash)
+  bucket-join; only bucket collisions are candidate pairs.
+- simhash:    64-bit signature via vectorized numpy pandas-UDF; near-dup
+  = small Hamming distance, bucketed by 16-bit prefix blocks.
+- n-gram jaccard: exact verify step on candidate pairs (array_intersect
+  / array_union on distinct shingle sets).
+
+MinHash here is *deterministic and engine-portable*: hash_k(shingle) =
+first 15 hex digits of md5(shingle || ':' || k) as a bigint, so DuckDB
+can mirror it exactly (__spark_entry__ oracles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lexoid_spark.functions.textstats import tokens
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Distinct n-gram (token-level) shingles of a text column."""
+    toks = tokens(col)
+    k = F.size(toks)
+    return F.when(k < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    )
+
+
+def _md5_hash64(s: Column) -> Column:
+    """Portable 60-bit hash: bigint of md5 hex prefix (DuckDB-mirrorable)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signature(shingle_col, num_hashes: int = 16) -> Column:
+    """K minhash values: min over shingles of hash_k(shingle)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s: _md5_hash64(F.concat(s, F.lit(":"), k.cast("string"))),
+            )
+        ),
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                        num_hashes: int = 16, bands: int = 4,
+                        shingle_n: int = 3) -> DataFrame:
+    """MinHash-LSH candidate duplicate pairs (id_a < id_b).
+
+    shingle → minhash → band → bucket-join: the classic
+    banding scheme; rows per bucket are tiny so the self-join is a
+    bucket-local explode, not a cross join.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(F.col(text_col), shingle_n),
+                          num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1,
+                                        rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(col_a, col_b) -> Column:
+    """Jaccard similarity of two (distinct-element) array columns."""
+    inter = F.size(F.array_intersect(col_a, col_b))
+    union = F.size(F.array_union(col_a, col_b))
+    return F.when(union > 0, F.round(inter / union, 4)).otherwise(F.lit(0.0))
+
+
+# --- SimHash (vectorized numpy inside a pandas UDF) --------------------------
+
+def _simhash64_batch(texts: pd.Series) -> pd.Series:
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.split()
+        if not toks:
+            continue
+        # deterministic 64-bit token hashes (FNV-1a)
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for j, tok in enumerate(toks):
+            h = np.uint64(14695981039346656037)
+            for ch in tok.encode():
+                h = np.uint64(h ^ np.uint64(ch)) * np.uint64(1099511628211)
+            hs[j] = h
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        score = bits.astype(np.int64).sum(axis=0) * 2 - len(toks)
+        sig = np.uint64(0)
+        for b in range(64):
+            if score[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = sig
+    return pd.Series(out.astype(np.int64))  # two's-complement into long
+
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    return _simhash64_batch(texts)
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on 4×16-bit blocks (any pair
+    within Hamming distance ≤ 3 of a 64-bit hash shares at least one
+    exact 16-bit block by pigeonhole when distance < 4 blocks)."""
+    sig = df.select(F.col(id_col).alias("id"),
+                    simhash64_udf(F.col(text_col)).alias("sim"))
+    blocks = sig.select(
+        "id", "sim",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("block"),
+                    F.shiftrightunsigned("sim", 16 * b)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bv"),
+    ).select("id", "sim", F.col("bv.block").alias("block"),
+             F.col("bv.val").alias("val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, ["block", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sim").alias("sim_a"), F.col("b.sim").alias("sim_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.filter(hamming <= max_hamming).select(
+        "id_a", "id_b", hamming.alias("hamming")
+    )

@@ -1,0 +1,115 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Native zip_with/aggregate dot products (no Python), broadcast of the
+  small query side, window rank per query.
+- ``ivf_topk``: the scale path — IVF-style inverted file: deterministic
+  centroids (first C vectors), assign every vector to its nearest
+  centroid (one broadcast join), probe only ``nprobe`` nearest clusters
+  per query. Search cost drops from O(N) to O(N·nprobe/C) per query.
+
+At 100 TB the brute-force variant is only for verification subsets; the
+IVF bucket assignment is a single broadcast pass and the probe join
+shuffles on cluster id (bounded fan-in per bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(embeddings: DataFrame, query_ids, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for the given query ids.
+
+    Returns (qid, nid, rank) — ids only, so engine float noise cannot
+    flip a hash compare; rank ties broken by neighbor id.
+    """
+    q = embeddings.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    d = embeddings.select(F.col(id_col).alias("nid"),
+                          F.col(vec_col).alias("nvec"))
+    pairs = d.crossJoin(F.broadcast(q)).filter(F.col("nid") != F.col("qid"))
+    scored = pairs.select(
+        "qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank")
+    )
+
+
+def assign_clusters(embeddings: DataFrame, n_centroids: int,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF assignment: centroid c = vectors with id < n_centroids
+    (deterministic 'training'); each vector joins its nearest centroid."""
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vvec"),
+        "cid", cosine(F.col(vec_col), F.col("cvec")).alias("cos"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vid", "vvec", "cid")
+    )
+
+
+def ivf_topk(embeddings: DataFrame, query_ids, k: int = 5,
+             n_centroids: int = 8, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: probe only the nprobe nearest clusters."""
+    assigned = assign_clusters(embeddings, n_centroids, id_col, vec_col)
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    q = embeddings.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    # nprobe nearest centroids per query (tiny: Q × C)
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "qid", "qvec", "cid",
+        cosine(F.col("qvec"), F.col("cvec")).alias("ccos"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = (
+        qc.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= nprobe)
+        .select("qid", "qvec", "cid")
+    )
+    # search only probed buckets (join on cid — bounded per-bucket fan-in)
+    cand = probes.join(assigned, "cid").filter(F.col("vid") != F.col("qid"))
+    scored = cand.select(
+        "qid", F.col("vid").alias("nid"),
+        cosine(F.col("qvec"), F.col("vvec")).alias("cos"),
+    ).dropDuplicates(["qid", "nid"])
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank")
+    )

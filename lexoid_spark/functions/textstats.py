@@ -1,0 +1,110 @@
+"""Text-analysis columns for a training-data pipeline: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All *native* Spark column expressions (split/transform/filter/md5 —
+JVM-side, no Python), each with an exactly-mirrorable DuckDB SQL form
+used by the __spark_entry__ oracles. Formulas are deterministic and
+documented so both engines compute identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small closed-class sample; parity-critical: keep in sync with the
+# oracle SQL literal list in __spark_entry__.py
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+LANG_MARKERS = {
+    "en": "the",
+    "de": "der",
+    "fr": "le",
+    "es": "el",
+    "hi": "ka",
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens; empty string → empty array."""
+    return F.when(
+        F.length(F.trim(col)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(col), r"\s+"))
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_ratio(col) -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(n > 0, F.round(hits / n, 4)).otherwise(F.lit(0.0))
+
+
+def alnum_ratio(col) -> Column:
+    """Share of characters that are [a-zA-Z0-9 ] (1 - punct ratio)."""
+    total = F.length(col)
+    kept = F.length(F.regexp_replace(col, r"[^a-zA-Z0-9 ]", ""))
+    return F.when(total > 0, F.round(kept / total, 4)).otherwise(F.lit(0.0))
+
+
+def avg_token_len(col) -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(n > 0, F.round(total / n, 4)).otherwise(F.lit(0.0))
+
+
+def quality_score(col) -> Column:
+    """Deterministic quality score in [0,1]:
+
+    0.5*min(1, n_tokens/200) + 0.3*alnum_ratio + 0.2*min(1, 5*stopword_ratio)
+
+    (length prior + cleanliness + natural-language prior; the weights
+    are pinned and mirrored by the oracle SQL.)
+    """
+    nt = token_count(col)
+    return F.round(
+        0.5 * F.least(F.lit(1.0), nt / F.lit(200.0))
+        + 0.3 * alnum_ratio(col)
+        + 0.2 * F.least(F.lit(1.0), 5.0 * stopword_ratio(col)),
+        4,
+    )
+
+
+def langid(col) -> Column:
+    """N-gram-free marker-token language heuristic.
+
+    Count marker-token occurrences per language; argmax wins, ties and
+    zero-evidence → 'und'. Deterministic tie-break by the fixed marker
+    order en, de, fr, es, hi (first strictly-greatest wins).
+    """
+    toks = tokens(col)
+
+    def marker_count(marker: str):
+        # NB: the lambda must be unary — a second parameter would make
+        # Spark pass the array index as that argument
+        return F.size(F.filter(toks, lambda t: t == F.lit(marker)))
+
+    counts = {lang: marker_count(m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    # build reversed so earlier langs take precedence on ties
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when(
+            (counts[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: md5 of the normalized text (F16 + F26)."""
+    from lexoid_spark.functions.columns import clean_text
+
+    return F.md5(clean_text(col))

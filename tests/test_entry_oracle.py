@@ -1,0 +1,89 @@
+"""Local mirror of the driver's correctness gate: run every
+__spark_entry__.queries() entry and its oracle_sql() on the same
+parquet tables via DuckDB; compare row count + column names +
+order-insensitive stringified values (the driver's value-hash).
+
+Runs at sf0.001 in pytest for speed; run manually at sf0.01 to mirror
+the driver exactly (tools/check_oracles.py).
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        "|".join(_canon(r[i]) for i in order) for r in rows
+    )
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+
+    if name not in ORACLES:
+        # rows-only check (driver's weaker mode)
+        assert len(srows) >= 0
+        return
+
+    res = duck.execute(ORACLES[name])
+    dcols = [d[0].lower() for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    sset = _rowset(scols, srows)
+    dset = _rowset(dcols, drows)
+    if sset != dset:
+        diffs = [
+            (a, b) for a, b in zip(sset, dset) if a != b
+        ][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.limit(5).collect()
+    assert df.columns == ["url", "title", "raw", "segments", "parser_used", "n_chars"]
+    assert len(rows) > 0
