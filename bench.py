@@ -1,0 +1,101 @@
+"""Benchmark harness (driver runs this per round → BENCH_r{N}.json).
+
+Runs the headline workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries":
+{name: sec}, "sf", plus extraction docs/sec extras}.
+
+Headline = the flagship extraction pipeline (synthetic Common-Crawl
+pages corpus incl. giant-blob skew tail, written to parquet then
+scanned) + the relational / dedup / ANN query families over the
+driver-provided tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# scale the synthetic extraction corpus with the sf of the driver tables
+_SF_GUESS = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
+N_EXTRACT_DOCS = int(os.environ.get("BENCH_EXTRACT_DOCS",
+                                    str(int(20000 * _SF_GUESS))))
+PAGES_DIR = os.environ.get("BENCH_PAGES_DIR", "/tmp/bench_pages")
+
+
+def _noop_write(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from lexoid_spark.corpus.gen import pages_df
+    from lexoid_spark.plans.extract import extract
+    from lexoid_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("lexoid_spark_bench", cores=CPUS,
+                      shuffle_partitions=int(CPUS))
+
+    # materialize the synthetic pages corpus once (generation excluded
+    # from timing; the benched pipeline starts at the parquet scan)
+    if os.path.isdir(PAGES_DIR):
+        shutil.rmtree(PAGES_DIR)
+    from pyspark.sql import functions as F
+    (
+        pages_df(spark, N_EXTRACT_DOCS, p_giant=0.02)
+        .withColumn("n_bytes", F.length("html"))  # write-time size metadata
+        .write.parquet(PAGES_DIR)
+    )
+    pages = spark.read.parquet(PAGES_DIR)
+
+    timings: dict[str, float] = {}
+
+    def bench(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # --- headline: extraction throughput ---
+    def run_extract():
+        out = extract(pages, run_id="bench")["extracted"]
+        _noop_write(out)
+
+    bench("extract_pipeline", run_extract)
+    extract_docs_per_sec = round(N_EXTRACT_DOCS / timings["extract_pipeline"], 2)
+
+    # --- relational / window / dedup / ANN families ---
+    queries = entry_mod.queries()
+    bench_names = [
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_suppliers",
+        "top_customers", "supplier_rank", "events_daily", "events_sessions",
+        "docs_by_lang", "doc_quality", "doc_langid", "doc_fingerprint",
+        "ngram_jaccard_adjacent", "minhash_band_pairs", "simhash_pairs",
+        "ann_cosine_topk", "ann_ivf_topk", "extract_html_h1",
+    ]
+    for name in bench_names:
+        bench(name, lambda n=name: _noop_write(queries[n](spark, SF_DIR)))
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _SF_GUESS,
+        "extract_docs": N_EXTRACT_DOCS,
+        "extract_docs_per_sec": extract_docs_per_sec,
+        "cpus": int(CPUS),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

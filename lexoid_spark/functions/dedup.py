@@ -115,28 +115,41 @@ def jaccard(col_a, col_b) -> Column:
 
 # --- SimHash (vectorized numpy inside a pandas UDF) --------------------------
 
+_FNV_OFFSET = 14695981039346656037
+_FNV_PRIME = 1099511628211
+_MASK64 = (1 << 64) - 1
+
+
+def _fnv1a64(tok: str, _memo={}) -> int:
+    """Deterministic 64-bit FNV-1a; memoized (web text repeats tokens)."""
+    h = _memo.get(tok)
+    if h is None:
+        h = _FNV_OFFSET
+        for ch in tok.encode():
+            h = ((h ^ ch) * _FNV_PRIME) & _MASK64
+        if len(_memo) < 1_000_000:
+            _memo[tok] = h
+    return h
+
+
 def _simhash64_batch(texts: pd.Series) -> pd.Series:
     out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        toks = t.split()
-        if not toks:
-            continue
-        # deterministic 64-bit token hashes (FNV-1a)
-        hs = np.empty(len(toks), dtype=np.uint64)
-        for j, tok in enumerate(toks):
-            h = np.uint64(14695981039346656037)
-            for ch in tok.encode():
-                h = np.uint64(h ^ np.uint64(ch)) * np.uint64(1099511628211)
-            hs[j] = h
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-        score = bits.astype(np.int64).sum(axis=0) * 2 - len(toks)
-        sig = np.uint64(0)
-        for b in range(64):
-            if score[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = sig
+    bit_idx = np.arange(64, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts):
+            toks = t.split() if t else []
+            if not toks:
+                continue
+            hs = np.fromiter(
+                (_fnv1a64(tok) for tok in toks), dtype=np.uint64, count=len(toks)
+            )
+            bits = (hs[:, None] >> bit_idx) & np.uint64(1)
+            score = bits.astype(np.int64).sum(axis=0) * 2 - len(toks)
+            sig = np.uint64(0)
+            for b in range(64):
+                if score[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(b)
+            out[i] = sig
     return pd.Series(out.astype(np.int64))  # two's-complement into long
 
 

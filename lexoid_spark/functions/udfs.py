@@ -98,6 +98,70 @@ def segment_md_udf(mds: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# --- single-pass dispatch kernel (mapInPandas) -------------------------------
+
+DOC_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("raw", T.StringType()),
+    T.StructField("segments", T.ArrayType(T.StructType([
+        T.StructField("page", T.IntegerType()),
+        T.StructField("section", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]))),
+    T.StructField("parser_used", T.StringType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def _extract_one(doctype: str, payload):
+    """One document → (raw, segments, parser). The reference's
+    parse_static_doc dispatch (static_parser.py:59-141) per row, inside
+    an Arrow batch."""
+    if doctype == "html":
+        raw = html_to_md(payload)
+        segs = [
+            {"page": None, "section": s, "content": c}
+            for s, c in segment_md(raw)
+        ]
+    elif doctype == "pdf":
+        pages = pdf_to_pages(payload, start=0)
+        raw = "\n\n".join(c for _, c in pages)
+        segs = [
+            {"page": p, "section": None, "content": c} for p, c in pages
+        ]
+    elif doctype == "csv":
+        raw = csv_to_md(payload)
+        segs = [{"page": 1, "section": None, "content": raw}]
+    else:
+        raw = _txt_decode(payload)
+        segs = [{"page": 1, "section": None, "content": raw}]
+    return raw, segs
+
+
+def extract_doc_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (url, doctype, html) → extracted doc rows.
+
+    Single pass over the scan — no per-branch re-reads, no shuffle: the
+    whole static-parse path runs where the bytes are. Errors become
+    quarantine rows (error != NULL), never task failures.
+    """
+    for b in batches:
+        out = {"url": [], "raw": [], "segments": [],
+               "parser_used": [], "error": []}
+        for url, doctype, payload in zip(b["url"], b["doctype"], b["html"]):
+            try:
+                raw, segs = _extract_one(doctype, payload)
+                err = None
+            except Exception as e:
+                raw, segs, err = None, None, f"{type(e).__name__}: {e}"
+            out["url"].append(url)
+            out["raw"].append(raw)
+            out["segments"].append(segs)
+            out["parser_used"].append("STATIC_PARSE")
+            out["error"].append(err)
+        yield pd.DataFrame(out)
+
+
 # --- PDF page explosion (mapInPandas: variable row count out) ---------------
 
 PDF_PAGES_SCHEMA = T.StructType([

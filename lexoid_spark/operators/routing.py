@@ -17,7 +17,40 @@ from lexoid_spark.functions.udfs import pdf_flags_udf, sniff_doctype_udf
 
 
 def with_doctype(df: DataFrame, payload_col: str = "html") -> DataFrame:
-    """Add the magic-byte ``doctype`` column (S1)."""
+    """Add the magic-byte ``doctype`` column (S1) — fully native.
+
+    Mirrors ``kernels.pdf_md.sniff_doctype`` (the kernel twin used for
+    golden computation) with JVM-side expressions: hex-compare the %PDF-
+    magic, latin-1 decode of the first 512 bytes for the HTML probes,
+    first-line comma test for CSV. No Python in this hot path.
+    """
+    head = F.decode(F.substring(F.col(payload_col), 1, 512), "ISO-8859-1")
+    # bytes.lstrip() strips all whitespace, Spark ltrim only spaces →
+    # use a regexp to match the kernel twin exactly
+    low = F.lower(F.regexp_replace(head, r"^\s+", ""))
+    first_line = F.split(head, "\n").getItem(0)
+    return df.withColumn(
+        "doctype",
+        F.when(
+            F.hex(F.substring(F.col(payload_col), 1, 5)) == "255044462D",
+            F.lit("pdf"),
+        )
+        .when(
+            low.startswith("<!doctype") | low.startswith("<html")
+            | low.startswith("<head") | low.startswith("<body")
+            | low.contains("<html"),
+            F.lit("html"),
+        )
+        .when(
+            first_line.contains(",") & ~first_line.contains("<"),
+            F.lit("csv"),
+        )
+        .otherwise(F.lit("txt")),
+    )
+
+
+def with_doctype_kernel(df: DataFrame, payload_col: str = "html") -> DataFrame:
+    """Pandas-UDF variant of the sniff (kept for parity testing)."""
     return df.withColumn("doctype", sniff_doctype_udf(F.col(payload_col)))
 
 

@@ -3,21 +3,26 @@
 Spark rebuild of the reference lifecycle (SURVEY.md §3 entry point 1):
 
     pages(url, warc_ts, html, text, lang)
-      → column-pruned scan (url, html)
-      → repartition-by-size (byte-balanced tasks; skew tail spread)
-      → doctype sniff (magic bytes) → route
-      → HTML  : pandas_udf html_to_md
-        CSV   : pandas_udf csv_to_md
-        TXT   : pandas_udf decode-ignore
-        PDF   : mapInPandas per-page explode → page markdown
-                → salted partial/final groupBy merge ("\\n\\n" join)
-      → unionByName → segments → error-quarantine split
+      → column-pruned scan (url, html [, n_bytes])
+      → optional repartition-by-size (byte-balanced tasks; giant-blob
+        tail spread; cheap when the table carries an n_bytes column —
+        the sampling pass then reads a few KB/row-group, not payloads)
+      → native magic-byte doctype sniff (JVM, no Python)
+      → ONE mapInPandas dispatch pass: html_to_md / pdf layout parse /
+        csv pipe-table / txt decode + segmentation, per Arrow batch
+      → error-quarantine split
       → extracted(url, title, raw, segments, parser_used, n_chars)
 
-All extraction Python runs inside Arrow batches; all orchestration is
-native DataFrame ops (filters, unions, groupBy, when/otherwise) that
-Catalyst prunes and pushes down. Verified by tests/test_pipeline.py
-(plan shape: scan reads only url+html; branches reuse one scan).
+Default path has ZERO shuffles beyond the optional size repartition:
+document-level parallelism is ample at 10^12 rows, so per-page fan-out
+(the reference's process-pool chunking, api.py:339-359) is only needed
+for pathological single documents — enable ``explode_pdf_pages=True``
+to route PDFs through a per-page mapInPandas explode + salted
+partial/final merge (tested byte-identical to the in-kernel assembly).
+
+All extraction Python runs inside Arrow batches; orchestration is
+native DataFrame ops. tests/test_pipeline.py pins plan shape (scan
+reads only url+html) and byte identity vs driver-side kernel output.
 """
 
 from __future__ import annotations
@@ -26,130 +31,95 @@ from typing import Dict, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from lexoid_spark.functions.columns import doc_title
 from lexoid_spark.functions.udfs import (
+    DOC_SCHEMA,
     PDF_PAGES_SCHEMA,
-    csv_to_md_udf,
-    html_to_md_udf,
+    extract_doc_map,
     pdf_pages_map,
-    segment_md_udf,
-    txt_decode_udf,
 )
 from lexoid_spark.operators.partitioning import (
     repartition_by_size,
     salted_group_merge,
 )
-from lexoid_spark.operators.routing import (
-    quarantine,
-    route_parser,
-    with_doctype,
-    with_pdf_flags,
-)
-
-SEGMENTS_COL_TYPE = T.ArrayType(T.StructType([
-    T.StructField("page", T.IntegerType()),
-    T.StructField("section", T.StringType()),
-    T.StructField("content", T.StringType()),
-]))
-
-
-def _single_segment(raw_col) -> "F.Column":
-    """txt/csv: one segment, page=1 (static_parser.py:96-118)."""
-    return F.array(
-        F.struct(
-            F.lit(1).alias("page"),
-            F.lit(None).cast("string").alias("section"),
-            raw_col.alias("content"),
-        )
-    )
+from lexoid_spark.operators.routing import quarantine, with_doctype
 
 
 def extract(pages: DataFrame, run_id: str = "run0",
             num_partitions: Optional[int] = None,
+            repartition: bool = True,
+            explode_pdf_pages: bool = False,
             salt_buckets: int = 8) -> Dict[str, DataFrame]:
-    """Build the extraction plan. Returns {"extracted", "errors"} DataFrames."""
+    """Build the extraction plan. Returns {"extracted", "errors"}."""
     spark = pages.sparkSession
     if num_partitions is None:
         num_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
 
-    src = pages.select("url", "html")  # explicit column pruning
-    src = repartition_by_size(src, num_partitions)
+    has_nbytes = "n_bytes" in pages.columns
+    cols = ["url", "html"] + (["n_bytes"] if has_nbytes else [])
+    src = pages.select(*cols)  # explicit column pruning
+    if repartition:
+        size_col = "n_bytes" if has_nbytes else "html"
+        src = repartition_by_size(src, num_partitions, payload_col=size_col)
     src = with_doctype(src)
 
-    # ---- simple one-row branches (html / csv / txt) ----
-    def scalar_branch(doctype: str, udf) -> DataFrame:
-        b = src.filter(F.col("doctype") == doctype)
-        b = b.withColumn("_res", udf(F.col("html")))
-        segs = (
-            segment_md_udf(F.col("_res.raw"))
-            if doctype == "html"
-            else _single_segment(F.col("_res.raw"))
+    if not explode_pdf_pages:
+        docs = src.select("url", "doctype", "html").mapInPandas(
+            extract_doc_map, DOC_SCHEMA
         )
-        return b.select(
+    else:
+        # per-page fan-out for giant-PDF skew: explode pages, merge back
+        # with the salted two-phase groupBy (deterministic byte order)
+        non_pdf = src.filter(F.col("doctype") != "pdf")
+        docs_simple = non_pdf.select("url", "doctype", "html").mapInPandas(
+            extract_doc_map, DOC_SCHEMA
+        )
+        pdf_src = src.filter(F.col("doctype") == "pdf")
+        pages_rows = pdf_src.select("url", "html").mapInPandas(
+            pdf_pages_map, PDF_PAGES_SCHEMA
+        )
+        pdf_errors = pages_rows.filter(F.col("error").isNotNull())
+        pages_ok = pages_rows.filter(F.col("error").isNull())
+        merged = salted_group_merge(
+            pages_ok, key="url", sort_col="page", content_col="content",
+            salt_buckets=salt_buckets, sep="\n\n",
+        )
+        pdf_docs = merged.select(
             "url",
-            doc_title(F.col("url")).alias("title"),
-            F.col("_res.raw").alias("raw"),
-            segs.alias("segments"),
+            F.col("content").alias("raw"),
+            F.transform(
+                F.col("_sorted_parts"),
+                lambda p: F.struct(
+                    p.getField("s").cast("int").alias("page"),
+                    F.lit(None).cast("string").alias("section"),
+                    p.getField("c").alias("content"),
+                ),
+            ).alias("segments"),
             F.lit("STATIC_PARSE").alias("parser_used"),
-            F.col("_res.error").alias("error"),
+            F.lit(None).cast("string").alias("error"),
         )
-
-    html_b = scalar_branch("html", html_to_md_udf)
-    csv_b = scalar_branch("csv", csv_to_md_udf)
-    txt_b = scalar_branch("txt", txt_decode_udf)
-
-    # ---- PDF branch: page explode → per-page kernel → salted merge ----
-    pdf_src = src.filter(F.col("doctype") == "pdf")
-    pdf_src = with_pdf_flags(pdf_src)
-    pdf_routed = route_parser(with_doctype(pdf_src))
-    pdf_static = pdf_routed.filter(F.col("route") == "STATIC")
-    pdf_unsupported = pdf_routed.filter(F.col("route") != "STATIC").select(
-        "url",
-        F.lit("router").alias("stage"),
-        F.lit("unsupported: image-bearing PDF needs OCR/LLM path").alias("error"),
-        F.lit(run_id).alias("run_id"),
-    )
-
-    pages_rows = pdf_static.select("url", "html").mapInPandas(
-        pdf_pages_map, PDF_PAGES_SCHEMA
-    )
-    pdf_errors = quarantine(pages_rows, "pdf_kernel", run_id)
-    pages_ok = pages_rows.filter(F.col("error").isNull())
-
-    merged = salted_group_merge(
-        pages_ok, key="url", sort_col="page", content_col="content",
-        salt_buckets=salt_buckets, sep="\n\n",
-    )
-    pdf_b = merged.select(
-        "url",
-        doc_title(F.col("url")).alias("title"),
-        F.col("content").alias("raw"),
-        F.transform(
-            F.col("_sorted_parts"),
-            lambda p: F.struct(
-                p.getField("s").cast("int").alias("page"),
-                F.lit(None).cast("string").alias("section"),
-                p.getField("c").alias("content"),
-            ),
-        ).alias("segments"),
-        F.lit("STATIC_PARSE").alias("parser_used"),
-        F.lit(None).cast("string").alias("error"),
-    )
-
-    union = html_b.unionByName(csv_b).unionByName(txt_b).unionByName(pdf_b)
+        pdf_err_docs = pdf_errors.select(
+            "url",
+            F.lit(None).cast("string").alias("raw"),
+            F.lit(None).cast(DOC_SCHEMA["segments"].dataType).alias("segments"),
+            F.lit("STATIC_PARSE").alias("parser_used"),
+            F.col("error"),
+        )
+        docs = docs_simple.unionByName(pdf_docs).unionByName(pdf_err_docs)
 
     extracted = (
-        union.filter(F.col("error").isNull())
-        .withColumn("n_chars", F.length("raw"))
-        .drop("error")
+        docs.filter(F.col("error").isNull())
+        .select(
+            "url",
+            doc_title(F.col("url")).alias("title"),
+            "raw",
+            "segments",
+            "parser_used",
+            F.length("raw").alias("n_chars"),
+        )
     )
-    errors = (
-        quarantine(union, "kernel", run_id)
-        .unionByName(pdf_errors)
-        .unionByName(pdf_unsupported)
-    )
+    errors = quarantine(docs, "extract", run_id)
     return {"extracted": extracted, "errors": errors}

@@ -114,6 +114,19 @@ def test_giant_skew_tail_processed(spark):
     assert all(r["n_chars"] > 100_000 for r in rows)
 
 
+def test_explode_mode_byte_identical(spark, result):
+    """The per-page explode + salted-merge PDF path must produce the
+    same bytes as the in-kernel assembly (SURVEY.md §7.4(4))."""
+    pages = pages_df(spark, N_DOCS)
+    exploded = extract(pages, run_id="explode_run", explode_pdf_pages=True,
+                       salt_buckets=4)["extracted"]
+    default = result["extracted"].select("url", F.col("raw").alias("raw_d"))
+    joined = exploded.join(default, "url", "full_outer")
+    mism = joined.filter(~F.col("raw").eqNullSafe(F.col("raw_d"))).count()
+    assert mism == 0
+    assert exploded.count() == result["extracted"].count()
+
+
 def test_column_pruning_in_plan(spark):
     """The scan must read only url+html, not text/lang/warc_ts (free
     Catalyst win we verify, SURVEY.md §4.2)."""
