@@ -1,0 +1,63 @@
+"""spark-submit entry point for the extraction job (north_rule ship
+vehicle)::
+
+    python tools/build_pyfiles.py          # → dist/lexoid_spark.zip
+    spark-submit --master local[32] --py-files dist/lexoid_spark.zip \
+        jobs/extract_job.py --input /data/pages --output /data/out \
+        --run-id r1 --n-buckets 64
+
+On a real cluster the same command with ``--master yarn``/k8s ships the
+zip to every executor; nothing here is local-mode-specific.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-id", default="run0")
+    ap.add_argument("--n-buckets", type=int, default=16)
+    ap.add_argument("--group-size", type=int, default=4)
+    ap.add_argument("--max-buckets", type=int, default=None,
+                    help="stop after N buckets (kill simulation / sharding)")
+    ap.add_argument("--no-repartition", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    # spark-submit owns master/conf; only fill gaps for bare invocation
+    spark = (
+        SparkSession.builder.appName("lexoid_spark_extract")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from lexoid_spark.plans.job import run_extract_job
+
+    res = run_extract_job(
+        spark,
+        input_path=args.input,
+        output_dir=args.output,
+        run_id=args.run_id,
+        n_buckets=args.n_buckets,
+        group_size=args.group_size,
+        max_buckets=args.max_buckets,
+        repartition=not args.no_repartition,
+    )
+    print(json.dumps({
+        "buckets_done": res.buckets_done,
+        "buckets_skipped": res.buckets_skipped,
+        "n_docs": res.n_docs,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
