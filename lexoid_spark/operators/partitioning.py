@@ -14,6 +14,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _size_col(df: DataFrame, payload_col: str):
+    """Byte size of the payload: numeric columns pass through (a
+    precomputed ``n_bytes``), binary/string payloads get ``length()``.
+    (``F.length`` on an int would count its decimal digits.)"""
+    dtype = dict(df.dtypes).get(payload_col, "binary")
+    c = F.col(payload_col)
+    return c if dtype in ("int", "bigint", "long", "double") else F.length(c)
+
+
 def repartition_by_size(df: DataFrame, num_partitions: int,
                         payload_col: str = "html") -> DataFrame:
     """Range-repartition on payload byte size with a hash tiebreaker.
@@ -22,12 +31,34 @@ def repartition_by_size(df: DataFrame, num_partitions: int,
     range bucket; adding ``xxhash64(url)`` as the second sort key
     spreads equal-size rows uniformly. Small/medium docs co-locate into
     byte-balanced tasks; the giant tail spreads across partitions.
+
+    This shuffles EVERY payload byte — use :func:`split_giant_tail`
+    (the extract() default) unless the whole table needs re-balancing.
     """
     return df.repartitionByRange(
         num_partitions,
-        F.length(F.col(payload_col)).asc(),
+        _size_col(df, payload_col).asc(),
         F.xxhash64("url").asc(),
     )
+
+
+def split_giant_tail(df: DataFrame, num_partitions: int,
+                     payload_col: str = "html",
+                     threshold_bytes: int = 1 << 20) -> DataFrame:
+    """Spread only the giant-blob tail; the bulk never shuffles.
+
+    Parquet input splits (``spark.sql.files.maxPartitionBytes``) already
+    give ~byte-balanced *input*; the residual skew is per-row compute on
+    rare giant documents. So: filter rows above ``threshold_bytes`` into
+    a round-robin ``repartition`` (spreads them across all tasks) and
+    union the untouched bulk — shuffle volume is the tail's bytes only,
+    not the table's. At 100 TB with a ~2% tail that is a 50× cheaper
+    shuffle than ``repartition_by_size``.
+    """
+    size = _size_col(df, payload_col)
+    bulk = df.filter(size <= threshold_bytes)
+    tail = df.filter(size > threshold_bytes).repartition(num_partitions)
+    return bulk.unionByName(tail)
 
 
 def with_size_bucket(df: DataFrame, payload_col: str = "html",

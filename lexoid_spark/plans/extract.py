@@ -42,6 +42,7 @@ from lexoid_spark.functions.udfs import (
 from lexoid_spark.operators.partitioning import (
     repartition_by_size,
     salted_group_merge,
+    split_giant_tail,
 )
 from lexoid_spark.operators.routing import quarantine, with_doctype
 
@@ -49,9 +50,19 @@ from lexoid_spark.operators.routing import quarantine, with_doctype
 def extract(pages: DataFrame, run_id: str = "run0",
             num_partitions: Optional[int] = None,
             repartition: bool = True,
+            skew_mode: str = "tail",
+            giant_threshold_bytes: int = 1 << 20,
             explode_pdf_pages: bool = False,
             salt_buckets: int = 8) -> Dict[str, DataFrame]:
-    """Build the extraction plan. Returns {"extracted", "errors"}."""
+    """Build the extraction plan. Returns {"extracted", "errors"}.
+
+    skew_mode="tail" (default): only payloads above
+    ``giant_threshold_bytes`` shuffle (round-robin spread); the bulk
+    rides the scan's input splits untouched. skew_mode="range": full
+    repartitionByRange on byte size (rebalances everything — 50× the
+    shuffle volume for a 2% tail; only for pathologically skewed input
+    layouts).
+    """
     spark = pages.sparkSession
     if num_partitions is None:
         num_partitions = int(
@@ -63,7 +74,13 @@ def extract(pages: DataFrame, run_id: str = "run0",
     src = pages.select(*cols)  # explicit column pruning
     if repartition:
         size_col = "n_bytes" if has_nbytes else "html"
-        src = repartition_by_size(src, num_partitions, payload_col=size_col)
+        if skew_mode == "range":
+            src = repartition_by_size(src, num_partitions,
+                                      payload_col=size_col)
+        else:
+            src = split_giant_tail(src, num_partitions,
+                                   payload_col=size_col,
+                                   threshold_bytes=giant_threshold_bytes)
     src = with_doctype(src)
 
     if not explode_pdf_pages:
