@@ -668,6 +668,128 @@ SELECT qid, nid, rank FROM (
 """
 
 
+def _emb_near_dup(spark, sf):
+    from lexoid_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(emb, tau=0.35, n_centroids=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_EMB_NEAR_DUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vid, vv, cid FROM (
+    SELECT e.vec_id AS vid, e.v AS vv, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+           ) AS r
+    FROM e CROSS JOIN cents c
+  ) t WHERE r = 1
+)
+SELECT a.vid AS id_a, b.vid AS id_b
+FROM assigned a JOIN assigned b
+  ON a.cid = b.cid AND a.vid < b.vid
+WHERE list_cosine_similarity(a.vv, b.vv) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
+# ---- multimodal binary columns (deterministic FAKE codec; real
+# Spark plumbing: binary columns through mapInPandas kernels) ----
+
+def _mm_images(spark, sf):
+    from lexoid_spark.functions.multimodal import fake_image_udf
+
+    docs = _t(spark, sf, "documents")
+    w = (F.col("n_chars") % 1900 + 100).cast("int")
+    h = ((F.col("n_chars") * 7) % 1200 + 50).cast("int")
+    c = (F.col("doc_id") % 3 + 1).cast("int")
+    return docs.select(
+        "doc_id", fake_image_udf(w, h, c).alias("payload")
+    )
+
+
+def _image_meta(spark, sf):
+    from lexoid_spark.functions.multimodal import image_meta
+
+    imgs = _mm_images(spark, sf)
+    return (
+        image_meta(imgs, id_col="doc_id", bin_col="payload")
+        .select(F.col("id").alias("doc_id"), "width", "height",
+                "channels", "error")
+        .orderBy("doc_id")
+    )
+
+
+_IMAGE_META_SQL = """
+SELECT doc_id,
+       CAST(n_chars % 1900 + 100 AS INT) AS width,
+       CAST((n_chars * 7) % 1200 + 50 AS INT) AS height,
+       CAST(doc_id % 3 + 1 AS INT) AS channels,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents ORDER BY doc_id
+"""
+
+
+def _image_resize(spark, sf):
+    from lexoid_spark.functions.multimodal import resize_image_meta
+
+    imgs = _mm_images(spark, sf)
+    return (
+        resize_image_meta(imgs, max_size=1000, id_col="doc_id",
+                          bin_col="payload")
+        .select(F.col("id").alias("doc_id"), "new_width", "new_height",
+                "resized")
+        .orderBy("doc_id")
+    )
+
+
+_IMAGE_RESIZE_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(n_chars % 1900 + 100 AS INT) AS w,
+         CAST((n_chars * 7) % 1200 + 50 AS INT) AS h
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN GREATEST(w, h) > 1000
+       THEN CAST(floor(w * (1000.0 / GREATEST(w, h))) AS INT) ELSE w END
+  AS new_width,
+  CASE WHEN GREATEST(w, h) > 1000
+       THEN CAST(floor(h * (1000.0 / GREATEST(w, h))) AS INT) ELSE h END
+  AS new_height,
+  GREATEST(w, h) > 1000 AS resized
+FROM m ORDER BY doc_id
+"""
+
+
+def _video_frames(spark, sf):
+    from lexoid_spark.functions.multimodal import fake_video_udf, frame_sample
+
+    docs = _t(spark, sf, "documents")
+    vids = docs.select(
+        "doc_id",
+        fake_video_udf(
+            F.lit(320), F.lit(240), (F.col("n_chars") % 50 + 1).cast("int")
+        ).alias("payload"),
+    )
+    return (
+        frame_sample(vids, every_n=7, id_col="doc_id", bin_col="payload")
+        .select(F.col("id").alias("doc_id"), "frame_idx")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+_VIDEO_FRAMES_SQL = """
+SELECT doc_id, CAST(UNNEST(range(0, n_chars % 50 + 1, 7)) AS INT) AS frame_idx
+FROM documents ORDER BY doc_id, frame_idx
+"""
+
+
 # ---- extraction kernels with SQL-constructible ground truth ----
 
 def _extract_html_h1(spark, sf):
@@ -838,6 +960,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _simhash_pairs,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "emb_near_dup": _emb_near_dup,
+        "image_meta": _image_meta,
+        "image_resize": _image_resize,
+        "video_frames": _video_frames,
         "extract_html_h1": _extract_html_h1,
         "extract_segments_n": _extract_segments_n,
         "email_embed": _email_embed,
@@ -871,6 +997,10 @@ def oracle_sql() -> dict[str, str]:
         # simhash_pairs: FNV-1a not expressible in DuckDB → rows-only
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
+        "emb_near_dup": _EMB_NEAR_DUP_SQL,
+        "image_meta": _IMAGE_META_SQL,
+        "image_resize": _IMAGE_RESIZE_SQL,
+        "video_frames": _VIDEO_FRAMES_SQL,
         "extract_html_h1": _EXTRACT_HTML_SQL,
         "extract_segments_n": _EXTRACT_SEGMENTS_SQL,
         "email_embed": _EMAIL_EMBED_SQL,

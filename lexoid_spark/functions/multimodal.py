@@ -1,0 +1,198 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched kernels.
+
+The Spark-side plumbing is real — schemas, mapInPandas batch shape,
+partition behavior — while the codec itself is a deterministic fake
+(container ships no image/audio libraries): payloads use the ``FAKE``
+container below. Swapping in PIL/ffmpeg later only changes the
+``_decode_*`` internals, not one line of the DataFrame plumbing.
+
+Reference parity hook: ``resize_image_meta`` reproduces the reference's
+resize rule — downscale so max(dim) <= max_size, preserving aspect
+ratio (``lexoid/core/utils.py:65-89`` resize_image_if_needed, max
+1000 px).
+
+Container formats (big-endian):
+  image  b"IMG!" + u16 width + u16 height + u8 channels + pixels
+  video  b"VID!" + u16 width + u16 height + u16 n_frames + frames
+  audio  b"AUD!" + u32 sample_rate + u32 n_samples + samples
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMG_MAGIC = b"IMG!"
+VID_MAGIC = b"VID!"
+AUD_MAGIC = b"AUD!"
+
+
+# --- codec (deterministic fake) ----------------------------------------------
+
+def encode_fake_image(width: int, height: int, channels: int = 3) -> bytes:
+    head = IMG_MAGIC + struct.pack(">HHB", width, height, channels)
+    # deterministic pixel bytes; tiny (8 per image) — metadata plumbing
+    # is the product here, not pixel payloads
+    px = bytes((width * 31 + height * 17 + i) % 256 for i in range(8))
+    return head + px
+
+
+def encode_fake_video(width: int, height: int, n_frames: int) -> bytes:
+    return VID_MAGIC + struct.pack(">HHH", width, height, n_frames) + bytes(4)
+
+
+def decode_image_header(b: bytes) -> tuple[int, int, int] | None:
+    if b is None or len(b) < 9 or b[:4] != IMG_MAGIC:
+        return None
+    w, h, c = struct.unpack(">HHB", b[4:9])
+    return w, h, c
+
+
+def decode_video_header(b: bytes) -> tuple[int, int, int] | None:
+    if b is None or len(b) < 10 or b[:4] != VID_MAGIC:
+        return None
+    return struct.unpack(">HHH", b[4:10])
+
+
+def decode_image_pixels(b: bytes) -> "np.ndarray":
+    """Real-codec seam: a PIL/pyarrow decode would live here."""
+    raise NotImplementedError(
+        "real image decoding requires an image library not present in "
+        "this environment; metadata/resize/frame plumbing is fully "
+        "functional on the FAKE container"
+    )
+
+
+# --- Arrow-batched kernels ----------------------------------------------------
+
+IMAGE_META_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def image_meta(df: DataFrame, id_col: str = "id",
+               bin_col: str = "payload") -> DataFrame:
+    """Decode typed metadata from an opaque image binary column."""
+    src = df.select(F.col(id_col).cast("long").alias("id"),
+                    F.col(bin_col).alias("payload"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i, payload in zip(b["id"], b["payload"]):
+                hdr = decode_image_header(payload)
+                if hdr is None:
+                    rows.append((i, None, None, None,
+                                 len(payload or b""), "bad_magic"))
+                else:
+                    rows.append((i, hdr[0], hdr[1], hdr[2],
+                                 len(payload), None))
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "channels",
+                               "n_bytes", "error"])
+
+    return src.mapInPandas(kernel, IMAGE_META_SCHEMA)
+
+
+def resize_image_meta(df: DataFrame, max_size: int = 1000,
+                      id_col: str = "id",
+                      bin_col: str = "payload") -> DataFrame:
+    """Reference resize rule (utils.py:65-89): if max(w,h) > max_size,
+    scale both dims by max_size/max(w,h) (trunc toward zero); emits the
+    new header (fake re-encode) + dims."""
+    src = df.select(F.col(id_col).cast("long").alias("id"),
+                    F.col(bin_col).alias("payload"))
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+        T.StructField("resized", T.BooleanType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i, payload in zip(b["id"], b["payload"]):
+                hdr = decode_image_header(payload)
+                if hdr is None:
+                    continue
+                w, h, c = hdr
+                if max(w, h) > max_size:
+                    ratio = max_size / max(w, h)
+                    nw, nh = int(w * ratio), int(h * ratio)
+                    rows.append((i, nw, nh, True,
+                                 encode_fake_image(nw, nh, c)))
+                else:
+                    rows.append((i, w, h, False, payload))
+            yield pd.DataFrame(
+                rows, columns=["id", "new_width", "new_height",
+                               "resized", "payload"])
+
+    return src.mapInPandas(kernel, schema)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "id",
+                 bin_col: str = "payload") -> DataFrame:
+    """Sample every Nth frame index from a video binary column — a
+    row-expanding mapInPandas (UDTF shape): one output row per sampled
+    frame, so downstream per-frame ops parallelize as ordinary rows."""
+    src = df.select(F.col(id_col).cast("long").alias("id"),
+                    F.col(bin_col).alias("payload"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"id": [], "frame_idx": [], "width": [], "height": []}
+            for i, payload in zip(b["id"], b["payload"]):
+                hdr = decode_video_header(payload)
+                if hdr is None:
+                    continue
+                w, h, n_frames = hdr
+                for fi in range(0, n_frames, every_n):
+                    out["id"].append(i)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+# --- fake-corpus builders (Spark-side, vectorized) ----------------------------
+
+@F.pandas_udf(T.BinaryType())
+def fake_image_udf(width: pd.Series, height: pd.Series,
+                   channels: pd.Series) -> pd.Series:
+    return pd.Series([
+        encode_fake_image(int(w), int(h), int(c))
+        for w, h, c in zip(width, height, channels)
+    ])
+
+
+@F.pandas_udf(T.BinaryType())
+def fake_video_udf(width: pd.Series, height: pd.Series,
+                   n_frames: pd.Series) -> pd.Series:
+    return pd.Series([
+        encode_fake_video(int(w), int(h), int(n))
+        for w, h, n in zip(width, height, n_frames)
+    ])

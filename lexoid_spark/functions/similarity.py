@@ -79,6 +79,31 @@ def assign_clusters(embeddings: DataFrame, n_centroids: int,
     )
 
 
+def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.9,
+                             n_centroids: int = 8,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= tau).
+
+    Scale path: candidates are generated ONLY within IVF clusters (same
+    deterministic assignment as :func:`ivf_topk`), so the pairwise
+    compare is bucket-local — O(sum b_i²) instead of O(N²). Recall is
+    bounded by cluster granularity, the standard ANN near-dup
+    trade-off; raise ``n_centroids`` at scale so buckets stay small.
+    """
+    assigned = assign_clusters(embeddings, n_centroids, id_col, vec_col)
+    a = assigned.select(F.col("cid"), F.col("vid").alias("id_a"),
+                        F.col("vvec").alias("va"))
+    b = assigned.select(F.col("cid"), F.col("vid").alias("id_b"),
+                        F.col("vvec").alias("vb"))
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= tau)
+        .select("id_a", "id_b")
+    )
+
+
 def ivf_topk(embeddings: DataFrame, query_ids, k: int = 5,
              n_centroids: int = 8, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -1,0 +1,92 @@
+"""Multimodal binary-column plumbing: codec round-trip, mapInPandas
+batch shape, row expansion, resize rule parity with the reference
+(utils.py:65-89 resize_image_if_needed, max-dim clamp)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lexoid_spark.functions.multimodal import (
+    decode_image_header,
+    decode_image_pixels,
+    decode_video_header,
+    encode_fake_image,
+    encode_fake_video,
+    fake_image_udf,
+    fake_video_udf,
+    frame_sample,
+    image_meta,
+    resize_image_meta,
+)
+
+
+def test_codec_roundtrip():
+    assert decode_image_header(encode_fake_image(640, 480, 3)) == (640, 480, 3)
+    assert decode_video_header(encode_fake_video(320, 240, 99)) == (320, 240, 99)
+    assert decode_image_header(b"PNG\x89junk") is None
+    assert decode_image_header(None) is None
+    assert decode_image_header(b"IMG!") is None  # truncated header
+
+
+def test_real_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image_pixels(encode_fake_image(2, 2, 1))
+
+
+def test_image_meta_and_quarantine(spark):
+    df = spark.createDataFrame(
+        [(1, encode_fake_image(100, 50, 3)),
+         (2, encode_fake_image(2000, 1000, 1)),
+         (3, b"not an image")],
+        "id long, payload binary",
+    )
+    got = {r["id"]: r for r in image_meta(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (100, 50, 3)
+    assert got[2]["width"] == 2000
+    assert got[3]["error"] == "bad_magic" and got[3]["width"] is None
+
+
+def test_resize_rule_matches_reference_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, encode_fake_image(2000, 1000, 3)),   # downscale 2x
+         (2, encode_fake_image(500, 300, 3)),     # untouched
+         (3, encode_fake_image(999, 1001, 1))],   # h is the max dim
+        "id long, payload binary",
+    )
+    got = {r["id"]: r for r in resize_image_meta(df, max_size=1000).collect()}
+    assert (got[1]["new_width"], got[1]["new_height"], got[1]["resized"]) == (
+        1000, 500, True)
+    assert (got[2]["new_width"], got[2]["resized"]) == (500, False)
+    assert got[3]["new_height"] == 1000
+    assert got[3]["new_width"] == int(999 * (1000 / 1001))
+    # re-encoded payload decodes to the new dims
+    assert decode_image_header(got[1]["payload"])[:2] == (1000, 500)
+
+
+def test_frame_sample_expands_rows(spark):
+    df = spark.createDataFrame(
+        [(1, encode_fake_video(320, 240, 25)),
+         (2, encode_fake_video(320, 240, 3)),
+         (3, b"garbage")],
+        "id long, payload binary",
+    )
+    rows = frame_sample(df, every_n=10).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r["frame_idx"])
+    assert sorted(by_id[1]) == [0, 10, 20]
+    assert by_id[2] == [0]
+    assert 3 not in by_id  # undecodable video yields no frames
+
+
+def test_fake_udfs_vectorized(spark):
+    df = spark.range(5).select(
+        F.col("id"),
+        fake_image_udf(
+            (F.col("id") + 10).cast("int"), F.lit(20), F.lit(3)
+        ).alias("img"),
+        fake_video_udf(F.lit(8), F.lit(8), (F.col("id") + 1).cast("int")
+                       ).alias("vid"),
+    )
+    got = {r["id"]: r for r in df.collect()}
+    assert decode_image_header(got[4]["img"]) == (14, 20, 3)
+    assert decode_video_header(got[2]["vid"]) == (8, 8, 3)
