@@ -923,6 +923,87 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _crawl_reachable(spark, sf):
+    from lexoid_spark.operators.crawl import crawl_edges
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://c.test/"), F.col("doc_id")).alias("url"),
+        F.concat(
+            F.lit("see [a](http://c.test/"), F.col("doc_id") + 3,
+            F.lit(") and [b](http://c.test/"), F.col("doc_id") + 7, F.lit(")"),
+        ).alias("text"),
+    )
+    return crawl_edges(pages, seed_urls=["http://c.test/0", "http://c.test/1"], depth=2).orderBy(
+        "depth", "parent_url", "child_url"
+    )
+
+
+_CRAWL_SQL = """
+WITH e AS (
+  SELECT 'http://c.test/' || doc_id AS parent_url,
+         'http://c.test/' || (doc_id + 3) AS child_url, doc_id + 3 AS c
+  FROM documents
+  UNION ALL
+  SELECT 'http://c.test/' || doc_id, 'http://c.test/' || (doc_id + 7), doc_id + 7
+  FROM documents
+),
+e2 AS (SELECT parent_url, child_url
+       FROM e JOIN documents d ON e.c = d.doc_id),
+d1 AS (SELECT DISTINCT parent_url, child_url FROM e2
+       WHERE parent_url IN ('http://c.test/0', 'http://c.test/1')),
+f1 AS (SELECT DISTINCT child_url FROM d1
+       WHERE child_url NOT IN ('http://c.test/0', 'http://c.test/1')),
+d2 AS (SELECT DISTINCT e2.parent_url, e2.child_url
+       FROM e2 JOIN f1 ON e2.parent_url = f1.child_url)
+SELECT parent_url, child_url, 1 AS depth FROM d1
+UNION ALL
+SELECT parent_url, child_url, 2 AS depth FROM d2
+ORDER BY depth, parent_url, child_url
+"""
+
+
+def _parse_quality_metrics(spark, sf):
+    from lexoid_spark.functions.metrics import token_set_metrics
+
+    docs = _t(spark, sf, "documents")
+    parsed = F.substring("text", 1, 60)
+    m = token_set_metrics(parsed, F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(m["jaccard"], 4).alias("jaccard"),
+        F.round(m["precision"], 4).alias("precision"),
+        F.round(m["recall"], 4).alias("recall"),
+        F.round(m["f1"], 4).alias("f1"),
+    ).orderBy("doc_id")
+
+
+_PARSE_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    list_distinct(regexp_split_to_array(trim(substr(text, 1, 60)), '\s+')) AS sa,
+    list_distinct(regexp_split_to_array(trim(text), '\s+')) AS sb
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(list_intersect(sa, sb)) AS DOUBLE) AS i,
+    CAST(len(sa) AS DOUBLE) AS na, CAST(len(sb) AS DOUBLE) AS nb,
+    CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) AS u
+  FROM t
+)
+SELECT doc_id,
+  ROUND(CASE WHEN u > 0 THEN i / u ELSE 0 END, 4) AS jaccard,
+  ROUND(CASE WHEN na > 0 THEN i / na ELSE 0 END, 4) AS precision,
+  ROUND(CASE WHEN nb > 0 THEN i / nb ELSE 0 END, 4) AS recall,
+  ROUND(CASE WHEN (CASE WHEN na > 0 THEN i / na ELSE 0 END)
+                + (CASE WHEN nb > 0 THEN i / nb ELSE 0 END) > 0
+        THEN 2 * (i / na) * (i / nb) / ((i / na) + (i / nb))
+        ELSE 0 END, 4) AS f1
+FROM m ORDER BY doc_id
+"""
+
+
 # ---- rows-only pipeline smoke over the synthetic pages corpus ----
 
 def _pipeline_extract(spark, sf):
@@ -970,6 +1051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_url_extract": _md_url_extract,
         "strip_md_roundtrip": _strip_md_roundtrip,
         "clean_text_roundtrip": _clean_text_roundtrip,
+        "crawl_reachable": _crawl_reachable,
+        "parse_quality_metrics": _parse_quality_metrics,
         "pipeline_extract": _pipeline_extract,
     }
 
@@ -1007,5 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "md_url_extract": _MD_URL_SQL,
         "strip_md_roundtrip": _STRIP_MD_SQL,
         "clean_text_roundtrip": _CLEAN_TEXT_SQL,
+        "crawl_reachable": _CRAWL_SQL,
+        "parse_quality_metrics": _PARSE_QUALITY_SQL,
         # pipeline_extract: full pipeline over generated pages → rows-only
     }

@@ -277,6 +277,29 @@ def pages_df(spark, n_docs: int, p_giant: float = 0.0):
     return spark.createDataFrame(gen_pages(n_docs, p_giant), PAGES_SCHEMA_DDL)
 
 
+def pages_df_dist(spark, n_docs: int, p_giant: float = 0.0,
+                  num_partitions: int | None = None):
+    """Distributed corpus generation: gen_page_row is a pure function of
+    the doc index, so executors build their own ranges — no driver-side
+    list, no parallelize of blobs (400k+ docs materialize in seconds)."""
+    import pandas as pd
+
+    if num_partitions is None:
+        num_partitions = max(
+            32, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
+
+    def build(batches):
+        for b in batches:
+            rows = [gen_page_row(int(i), p_giant) for i in b["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    rng = spark.range(0, n_docs, numPartitions=num_partitions)
+    return rng.mapInPandas(build, PAGES_SCHEMA_DDL)
+
+
 # --- driver-side golden computation (kernel reference output) ---------------
 
 def golden_raw_for_row(url: str, payload: bytes) -> str:

@@ -1,0 +1,93 @@
+"""Recursive-crawl analogue (reference: ``recursive_read_html``,
+``lexoid/core/utils.py:410-464`` + ``api.py:413-439``).
+
+The reference recurses ``parse()`` over URLs extracted from each page's
+markdown, with a visited-set to prevent cycles. At corpus scale there
+is no network: the crawl becomes an **iterative driver loop over the
+pages table** (Spark SQL has no recursion) —
+
+  frontier ⋈ corpus (url equi-join, frontier broadcast)
+    → extract links (native regexp over the extracted markdown)
+    → explode → dedup → anti-join visited (J3/U1)
+    → next frontier; edges accumulated per depth.
+
+Each round is one narrow plan; ``depth`` bounds the loop as in the
+reference's ``depth`` kwarg. Returns the reachable-edge table
+(parent_url, child_url, depth) — the relational form of the
+``recursive_docs`` tree (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lexoid_spark.functions.columns import extract_md_urls
+
+
+def crawl_edges(pages: DataFrame, seed_urls: list[str], depth: int = 2,
+                md_col: str | None = None) -> DataFrame:
+    """BFS over in-corpus links; one DataFrame round per depth level.
+
+    ``pages`` must carry ``url`` and either ``md_col`` (pre-extracted
+    markdown) or a ``text``-like column holding link-bearing content.
+    Links pointing outside the corpus are dropped by the inner join
+    (the reference skips un-fetchable URLs the same way).
+    """
+    spark = pages.sparkSession
+    content = F.col(md_col) if md_col else F.col("text")
+    links = pages.select(
+        F.col("url").alias("parent_url"),
+        F.explode(extract_md_urls(content)).alias("child_url"),
+    ).distinct()
+
+    frontier = spark.createDataFrame(
+        [(u,) for u in seed_urls], "url string"
+    ).distinct()
+    visited = frontier
+    edge_parts: list[DataFrame] = []
+
+    for d in range(1, depth + 1):
+        step = (
+            links.join(
+                F.broadcast(frontier),
+                links.parent_url == frontier.url,
+            )
+            .select("parent_url", "child_url")
+            .distinct()
+        )
+        # only edges INTO the corpus (child must exist as a page)
+        step = step.join(
+            pages.select(F.col("url").alias("child_url")).distinct(),
+            "child_url",
+        )
+        new_frontier = (
+            step.select(F.col("child_url").alias("url"))
+            .distinct()
+            .join(visited, "url", "left_anti")  # cycle prevention (J3)
+        )
+        edge_parts.append(step.withColumn("depth", F.lit(d)))
+        # materialize the small frontier/visited sets per round so the
+        # loop's lineage doesn't grow into a deep recursive plan
+        new_frontier = spark.createDataFrame(
+            new_frontier.collect(), "url string"
+        )
+        if new_frontier.rdd.isEmpty():
+            frontier = new_frontier
+            break
+        visited = visited.unionByName(new_frontier).distinct()
+        visited = spark.createDataFrame(visited.collect(), "url string")
+        frontier = new_frontier
+
+    out = edge_parts[0]
+    for p in edge_parts[1:]:
+        out = out.unionByName(p)
+    # an edge discovered at several depths keeps its first depth (BFS)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("parent_url", "child_url").orderBy("depth")
+    return (
+        out.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("parent_url", "child_url", "depth")
+    )

@@ -55,7 +55,13 @@ def split_giant_tail(df: DataFrame, num_partitions: int,
     not the table's. At 100 TB with a ~2% tail that is a 50× cheaper
     shuffle than ``repartition_by_size``.
     """
+    # null size (e.g. a null n_bytes metadata column) must not drop the
+    # row from BOTH branches (null <= t and null > t are both null):
+    # fall back to the actual payload length, then 0
     size = _size_col(df, payload_col)
+    if payload_col != "html" and "html" in df.columns:
+        size = F.coalesce(size, F.length("html"))
+    size = F.coalesce(size, F.lit(0))
     bulk = df.filter(size <= threshold_bytes)
     tail = df.filter(size > threshold_bytes).repartition(num_partitions)
     return bulk.unionByName(tail)

@@ -14,7 +14,8 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "lexoid_spark", cores: str | int | None = None,
               shuffle_partitions: int | None = None,
-              arrow_max_records: int = 256) -> SparkSession:
+              arrow_max_records: int = 256,
+              extra_conf: dict | None = None) -> SparkSession:
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{cores}]"
@@ -31,10 +32,20 @@ def get_spark(app_name: str = "lexoid_spark", cores: str | int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(arrow_max_records))
+        # blob-extraction workloads burn ~100× more CPU per input byte
+        # than relational scans: shrink input splits so the no-shuffle
+        # map path yields far more tasks than cores (the 128 MB default
+        # packs small files into a handful of splits and caps
+        # parallelism below the core count)
+        .config("spark.sql.files.maxPartitionBytes", "6m")
+        .config("spark.sql.files.openCostInBytes", "256k")
+        .config("spark.locality.wait", "0")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
