@@ -410,11 +410,13 @@ FROM documents ORDER BY doc_id
 
 
 def _doc_langid(spark, sf):
-    from lexoid_spark.functions.textstats import langid
+    from lexoid_spark.functions.textstats import langid_table
 
     docs = _t(spark, sf, "documents")
-    return docs.select("doc_id", langid(F.col("text")).alias("lang_pred")).orderBy(
-        "doc_id"
+    return (
+        langid_table(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     )
 
 

@@ -103,6 +103,39 @@ def langid(col) -> Column:
     return expr
 
 
+def langid_table(df, id_col: str, text_col: str):
+    """Bulk language-ID: same semantics as :func:`langid`, one pass.
+
+    The scalar form's argmax when-chain references each marker count
+    ~7× and interpreted eval re-runs the tokenizer per reference
+    (~35 splits/row — measured 6.8 s at sf0.1). Here markers are
+    counted in ONE conditional aggregation over exploded tokens
+    (shuffle on id only carries 5 ints), then the argmax runs over
+    plain int columns. Returns (id, lang_pred).
+    """
+    from pyspark.sql import functions as F
+
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
+    ).filter(F.col("t").isin(*LANG_MARKERS.values()))
+    counts = ex.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.col("t") == m, 1).otherwise(0)).alias(f"c_{lang}")
+            for lang, m in LANG_MARKERS.items()
+        ]
+    )
+    base = df.select(F.col(id_col).alias("id")).join(counts, "id", "left")
+    cols = {lang: F.coalesce(F.col(f"c_{lang}"), F.lit(0))
+            for lang in LANG_MARKERS}
+    best = F.greatest(*cols.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((cols[lang] == best) & (best > 0), F.lit(lang)).otherwise(
+            expr
+        )
+    return base.select("id", expr.alias("lang_pred"))
+
+
 def fingerprint(col) -> Column:
     """Document fingerprint: md5 of the normalized text (F16 + F26)."""
     from lexoid_spark.functions.columns import clean_text
