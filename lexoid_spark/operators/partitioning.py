@@ -58,12 +58,21 @@ def split_giant_tail(df: DataFrame, num_partitions: int,
     # null size (e.g. a null n_bytes metadata column) must not drop the
     # row from BOTH branches (null <= t and null > t are both null):
     # fall back to the actual payload length, then 0
-    size = _size_col(df, payload_col)
+    raw = _size_col(df, payload_col)
+    size = raw
     if payload_col != "html" and "html" in df.columns:
         size = F.coalesce(size, F.length("html"))
     size = F.coalesce(size, F.lit(0))
     bulk = df.filter(size <= threshold_bytes)
-    tail = df.filter(size > threshold_bytes).repartition(num_partitions)
+    tail = df.filter(size > threshold_bytes)
+    if payload_col != "html":
+        # the coalesce() blocks parquet predicate pushdown; this
+        # redundant, weaker conjunct IS pushable, so row groups whose
+        # max(n_bytes) <= t (and with no nulls) never read their blobs
+        tail = tail.filter(
+            (raw > threshold_bytes) | raw.isNull()
+        )
+    tail = tail.repartition(num_partitions)
     return bulk.unionByName(tail)
 
 
