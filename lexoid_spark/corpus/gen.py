@@ -38,7 +38,9 @@ PDF_CLASSES = (
     "pdf_plain", "pdf_headings", "pdf_styles", "pdf_indent",
     "pdf_rules_strike", "pdf_table", "pdf_links_emails", "pdf_multipage",
 )
-ALL_CLASSES = HTML_CLASSES + PDF_CLASSES + ("csv_table", "txt_plain")
+ALL_CLASSES = HTML_CLASSES + PDF_CLASSES + (
+    "csv_table", "txt_plain", "docx_doc", "xlsx_sheet",
+)
 
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 
@@ -229,6 +231,66 @@ def _txt_plain(i: int, r: random.Random) -> bytes:
     ).encode()
 
 
+def _zip_bytes(entries: dict[str, str]) -> bytes:
+    """Deterministic zip: fixed timestamps (zipfile would stamp now())."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name in sorted(entries):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(zi, entries[name])
+    return buf.getvalue()
+
+
+_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+
+def _docx_doc(i: int, r: random.Random) -> bytes:
+    paras = [f"docx document {i}"] + [_sentence(r, 12) for _ in range(3)]
+    body = "".join(
+        f'<w:p><w:r><w:t xml:space="preserve">{p}</w:t></w:r></w:p>'
+        for p in paras
+    )
+    return _zip_bytes({
+        "[Content_Types].xml":
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+            'formats.org/package/2006/content-types"><Override PartName='
+            '"/word/document.xml" ContentType="application/vnd.openxml'
+            'formats-officedocument.wordprocessingml.document.main+xml"/>'
+            "</Types>",
+        "word/document.xml":
+            f'<?xml version="1.0"?><w:document xmlns:w="{_W}">'
+            f"<w:body>{body}</w:body></w:document>",
+    })
+
+
+def _xlsx_sheet(i: int, r: random.Random) -> bytes:
+    strings = ["name", "qty"] + [f"thing{j}" for j in range(3)]
+    rows_xml = [
+        '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+        '<c r="B1" t="s"><v>1</v></c></row>'
+    ]
+    for j in range(3):
+        rows_xml.append(
+            f'<row r="{j + 2}"><c r="A{j + 2}" t="s"><v>{j + 2}</v></c>'
+            f'<c r="B{j + 2}"><v>{(i + j) % 40}</v></c></row>'
+        )
+    sst = "".join(f"<si><t>{s}</t></si>" for s in strings)
+    return _zip_bytes({
+        "[Content_Types].xml":
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+            'formats.org/package/2006/content-types"/>',
+        "xl/sharedStrings.xml":
+            f'<?xml version="1.0"?><sst xmlns="{_S}">{sst}</sst>',
+        "xl/worksheets/sheet1.xml":
+            f'<?xml version="1.0"?><worksheet xmlns="{_S}">'
+            f'<sheetData>{"".join(rows_xml)}</sheetData></worksheet>',
+    })
+
+
 _BUILDERS = {
     "html_headings": _html_headings,
     "html_lists_links": _html_lists_links,
@@ -245,6 +307,8 @@ _BUILDERS = {
     "pdf_multipage": _pdf_multipage,
     "csv_table": _csv_table,
     "txt_plain": _txt_plain,
+    "docx_doc": _docx_doc,
+    "xlsx_sheet": _xlsx_sheet,
 }
 
 
@@ -313,6 +377,19 @@ def golden_raw_for_row(url: str, payload: bytes) -> str:
         return html_to_md(payload)
     if doctype == "pdf":
         return pdf_to_md(payload)
+    if doctype == "zip":
+        from lexoid_spark.kernels.office_md import (
+            docx_to_md,
+            sniff_office,
+            xlsx_to_md,
+        )
+
+        office = sniff_office(payload)
+        if office == "docx":
+            return docx_to_md(payload)
+        if office == "xlsx":
+            return xlsx_to_md(payload)
+        raise ValueError("unsupported zip container")
     if doctype == "csv":
         return csv_to_md(payload)
     return bytes(payload).decode("utf-8", errors="ignore")

@@ -129,6 +129,21 @@ def _extract_one(doctype: str, payload):
         segs = [
             {"page": p, "section": None, "content": c} for p, c in pages
         ]
+    elif doctype == "zip":
+        from lexoid_spark.kernels.office_md import (
+            docx_to_md,
+            sniff_office,
+            xlsx_to_md,
+        )
+
+        office = sniff_office(payload)
+        if office == "docx":
+            raw = docx_to_md(payload)
+        elif office == "xlsx":
+            raw = xlsx_to_md(payload)
+        else:
+            raise ValueError("unsupported zip container")  # → quarantine
+        segs = [{"page": 1, "section": None, "content": raw}]
     elif doctype == "csv":
         raw = csv_to_md(payload)
         segs = [{"page": 1, "section": None, "content": raw}]

@@ -1,0 +1,143 @@
+"""DOCX / XLSX → markdown kernels on stdlib zip+XML only.
+
+Reference behavior being reproduced (from /root/reference):
+
+- DOCX (``lexoid/core/parse_type/static_parser.py:730-748``): open with
+  python-docx, join paragraph texts with ``"\\n"``; the parsed-document
+  dict gets one segment holding the whole text. Here: unzip
+  ``word/document.xml``, concatenate ``w:t`` runs per ``w:p`` paragraph
+  (tabs ``w:tab`` → "\\t", breaks ``w:br``/``w:cr`` → "\\n"), join
+  paragraphs with "\\n".
+- XLSX (``static_parser.py:105-118``): ``pd.read_excel`` then
+  ``to_markdown(index=False, tablefmt="pipe")``. Here: unzip the first
+  worksheet, resolve shared strings, build the cell grid, render with
+  the same pipe-table writer used for CSV and PDF tables
+  (``kernels.table_md``).
+
+Both formats are OPC zip containers, so the outer sniff is just the
+``PK`` magic; docx/xlsx discrimination reads ``[Content_Types].xml``.
+No third-party parsing deps — "brand-new, NOT a port".
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+
+from lexoid_spark.kernels.table_md import rows_to_pipe_table
+
+_W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_S_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _as_bytes(payload) -> bytes:
+    if payload is None:
+        return b""
+    return bytes(payload)
+
+
+def sniff_office(payload) -> str | None:
+    """'docx' | 'xlsx' | None for a PK-zip payload."""
+    b = _as_bytes(payload)
+    if not b.startswith(b"PK\x03\x04"):
+        return None
+    try:
+        with zipfile.ZipFile(io.BytesIO(b)) as zf:
+            names = set(zf.namelist())
+            if "word/document.xml" in names:
+                return "docx"
+            if any(n.startswith("xl/worksheets/") for n in names):
+                return "xlsx"
+    except zipfile.BadZipFile:
+        return None
+    return None
+
+
+def docx_to_md(payload) -> str:
+    """DOCX → text: paragraph texts joined with "\\n"
+    (static_parser.py:746-748 semantics)."""
+    b = _as_bytes(payload)
+    with zipfile.ZipFile(io.BytesIO(b)) as zf:
+        xml = zf.read("word/document.xml")
+    root = ET.fromstring(xml)
+    paras = []
+    for p in root.iter(f"{_W_NS}p"):
+        parts: list[str] = []
+        for node in p.iter():
+            if node.tag == f"{_W_NS}t":
+                parts.append(node.text or "")
+            elif node.tag == f"{_W_NS}tab":
+                parts.append("\t")
+            elif node.tag in (f"{_W_NS}br", f"{_W_NS}cr"):
+                parts.append("\n")
+        paras.append("".join(parts))
+    return "\n".join(paras)
+
+
+def _col_index(cell_ref: str) -> int:
+    """'B7' → 1 (zero-based column)."""
+    letters = re.match(r"[A-Z]+", cell_ref or "")
+    if not letters:
+        return 0
+    idx = 0
+    for ch in letters.group(0):
+        idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    return idx - 1
+
+
+def _fmt_number(raw: str) -> str:
+    """Numeric cell text the way pandas would render it (42 not 42.0)."""
+    try:
+        f = float(raw)
+    except ValueError:
+        return raw
+    if f == int(f) and "e" not in raw.lower() and "." not in raw:
+        return raw
+    if f == int(f):
+        return str(int(f))
+    return raw
+
+
+def xlsx_to_md(payload) -> str:
+    """First worksheet → pipe markdown (S7 analogue for spreadsheets)."""
+    b = _as_bytes(payload)
+    with zipfile.ZipFile(io.BytesIO(b)) as zf:
+        names = sorted(
+            n for n in zf.namelist()
+            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        if not names:
+            return ""
+        sheet = ET.fromstring(zf.read(names[0]))
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            sroot = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in sroot.iter(f"{_S_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_S_NS}t")))
+
+    rows: list[list[str]] = []
+    for row in sheet.iter(f"{_S_NS}row"):
+        cells: dict[int, str] = {}
+        for c in row.iter(f"{_S_NS}c"):
+            ref = c.attrib.get("r", "")
+            ctype = c.attrib.get("t", "n")
+            v = c.find(f"{_S_NS}v")
+            if v is None or v.text is None:
+                text = ""
+            elif ctype == "s":
+                text = shared[int(v.text)]
+            elif ctype == "str":
+                text = v.text
+            else:
+                text = _fmt_number(v.text)
+            cells[_col_index(ref)] = text
+        if cells:
+            width = max(cells) + 1
+            rows.append([cells.get(j, "") for j in range(width)])
+    if not rows:
+        return ""
+    ncol = max(len(r) for r in rows)
+    rows = [r + [""] * (ncol - len(r)) for r in rows]
+    return rows_to_pipe_table(rows[0], rows[1:])

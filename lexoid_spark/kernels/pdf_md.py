@@ -637,13 +637,15 @@ def pdf_to_md(data, start: int = 0) -> str:
 def sniff_doctype(payload) -> str:
     """Magic-byte doctype sniff (S1/P1 analogue, utils.py:60-62 upgraded).
 
-    Returns one of: pdf, html, csv, txt.
+    Returns one of: pdf, zip (OPC containers: docx/xlsx), html, csv, txt.
     """
     if payload is None:
         return "txt"
     b = bytes(payload[:512])
     if b.startswith(b"%PDF-"):
         return "pdf"
+    if b.startswith(b"PK\x03\x04"):
+        return "zip"
     low = b.lstrip().lower()
     if low.startswith((b"<!doctype", b"<html", b"<head", b"<body")) or b"<html" in low:
         return "html"

@@ -36,6 +36,10 @@ def with_doctype(df: DataFrame, payload_col: str = "html") -> DataFrame:
             F.lit("pdf"),
         )
         .when(
+            F.hex(F.substring(F.col(payload_col), 1, 4)) == "504B0304",
+            F.lit("zip"),  # OPC container (docx/xlsx); refined in-kernel
+        )
+        .when(
             low.startswith("<!doctype") | low.startswith("<html")
             | low.startswith("<head") | low.startswith("<body")
             | low.contains("<html"),
