@@ -102,6 +102,9 @@ def csv_to_md(payload) -> str:
         return ""
     if isinstance(payload, (bytes, bytearray, memoryview)):
         payload = bytes(payload).decode("utf-8", errors="ignore")
+    # bare \r inside an unquoted field raises _csv.Error (found by
+    # hypothesis); web CSVs are dirty — normalize line endings first
+    payload = payload.replace("\r\n", "\n").replace("\r", "\n")
     reader = csv.reader(io.StringIO(payload))
     rows = [row for row in reader if row]
     if not rows:

@@ -1,0 +1,122 @@
+"""TableIO seam: Iceberg tables when a catalog is configured, plain
+parquet directories with an explicit JSON manifest otherwise
+(SURVEY.md §7.1 — no Iceberg runtime jars are guaranteed in this
+sandbox, and the north rule's table semantics must not depend on them).
+
+Same logical schema either way. The manifest records what Iceberg's
+metadata layer would: schema DDL, partition columns, and an
+append-only snapshot log (snapshot id, operation, row count), enough
+for the resume/lineage machinery to reason about table state and for a
+later Iceberg migration to be a drop-in (swap `_parquet_*` for
+`writeTo`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, base: str,
+                 catalog: Optional[str] = None):
+        self.spark = spark
+        self.base = base
+        # use the Iceberg path iff the named catalog is actually
+        # configured in this session
+        self.catalog = catalog if (
+            catalog
+            and spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+        ) else None
+
+    # --- public API -----------------------------------------------------
+
+    def write(self, df: DataFrame, name: str, mode: str = "append",
+              partition_by: Optional[list[str]] = None) -> None:
+        if self.catalog:
+            writer = df.writeTo(f"{self.catalog}.{name}")
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(
+                    *[F.col(c) for c in partition_by]
+                )
+            if mode == "overwrite":
+                writer.createOrReplace()
+            else:
+                writer.createOrReplace() if not self._exists(name) \
+                    else writer.append()
+            return
+        self._parquet_write(df, name, mode, partition_by)
+
+    def read(self, name: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.read.table(f"{self.catalog}.{name}")
+        return self.spark.read.parquet(self._data_dir(name))
+
+    def snapshots(self, name: str) -> list[dict]:
+        if self.catalog:
+            rows = self.spark.sql(
+                f"SELECT * FROM {self.catalog}.{name}.snapshots"
+            ).collect()
+            return [r.asDict() for r in rows]
+        return self._manifest(name).get("snapshots", [])
+
+    def schema_ddl(self, name: str) -> str:
+        if self.catalog:
+            return self.read(name).schema.simpleString()
+        return self._manifest(name)["schema"]
+
+    # --- parquet fallback ------------------------------------------------
+
+    def _exists(self, name: str) -> bool:
+        if self.catalog:
+            return self.spark.catalog.tableExists(f"{self.catalog}.{name}")
+        return os.path.isfile(self._manifest_path(name))
+
+    def _data_dir(self, name: str) -> str:
+        return os.path.join(self.base, name, "data")
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.base, name, "manifest.json")
+
+    def _manifest(self, name: str) -> dict:
+        if not os.path.isfile(self._manifest_path(name)):
+            return {}
+        with open(self._manifest_path(name)) as f:
+            return json.load(f)
+
+    def _parquet_write(self, df: DataFrame, name: str, mode: str,
+                       partition_by: Optional[list[str]]) -> None:
+        n = df.count()
+        writer = df.write.mode(
+            "overwrite" if mode == "overwrite" else "append"
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._data_dir(name))
+
+        m = self._manifest(name)
+        if mode == "overwrite" or not m:
+            m = {
+                "table": name,
+                "schema": df.schema.simpleString(),
+                "partition_by": partition_by or [],
+                "snapshots": [] if mode == "overwrite" else
+                m.get("snapshots", []),
+            }
+        snap_id = len(m["snapshots"]) + 1
+        m["snapshots"].append({
+            "snapshot_id": snap_id,
+            "operation": mode,
+            "rows": n,
+            "ts": int(time.time()),
+        })
+        os.makedirs(os.path.dirname(self._manifest_path(name)),
+                    exist_ok=True)
+        with open(self._manifest_path(name), "w") as f:
+            json.dump(m, f, indent=2)

