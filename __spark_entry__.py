@@ -1008,6 +1008,23 @@ FROM m ORDER BY doc_id
 
 # ---- rows-only pipeline smoke over the synthetic pages corpus ----
 
+def _pdf_word_boxes(spark, sf):
+    """Word-box side-channel table from the PDF layout parser
+    (rows-only: a from-scratch PDF parse has no SQL oracle)."""
+    from lexoid_spark.corpus.gen import pages_df
+    from lexoid_spark.functions.udfs import pdf_word_boxes
+    from lexoid_spark.operators.routing import with_doctype
+
+    pages = with_doctype(pages_df(spark, 40))
+    pdfs = pages.filter(F.col("doctype") == "pdf")
+    return (
+        pdf_word_boxes(pdfs)
+        .select("url", "page", "word",
+                F.round("x0", 4).alias("x0"), F.round("top", 4).alias("top"))
+        .orderBy("url", "page", "top", "x0", "word")
+    )
+
+
 def _pipeline_extract(spark, sf):
     from lexoid_spark.corpus.gen import pages_df
     from lexoid_spark.plans.extract import extract
@@ -1055,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text_roundtrip": _clean_text_roundtrip,
         "crawl_reachable": _crawl_reachable,
         "parse_quality_metrics": _parse_quality_metrics,
+        "pdf_word_boxes": _pdf_word_boxes,
         "pipeline_extract": _pipeline_extract,
     }
 

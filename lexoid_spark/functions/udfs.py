@@ -213,3 +213,55 @@ def pdf_pages_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "url": urls, "page": pages_out,
             "content": contents, "error": errors,
         })
+
+
+# --- PDF word-box table (the reference's bbox side-channel as rows) ----------
+
+PDF_BBOX_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("page", T.IntegerType()),
+    T.StructField("word", T.StringType()),
+    T.StructField("x0", T.DoubleType()),
+    T.StructField("top", T.DoubleType()),
+    T.StructField("x1", T.DoubleType()),
+    T.StructField("bottom", T.DoubleType()),
+])
+
+
+def pdf_bboxes_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (url, html) → one row per word box.
+
+    Reference parity: segments carry "bboxes" normalized to [0,1] by
+    page dims (static_parser.py:450-458, :711-718); lifting them to a
+    row-per-word table makes the spatial joins (J1/J2 analogues)
+    expressible as ordinary DataFrame predicates downstream.
+    """
+    from lexoid_spark.kernels.pdf_md import pdf_to_pages_with_bboxes
+
+    for b in batches:
+        out = {"url": [], "page": [], "word": [], "x0": [], "top": [],
+               "x1": [], "bottom": []}
+        for url, payload in zip(b["url"], b["html"]):
+            try:
+                pages = pdf_to_pages_with_bboxes(payload)
+            except Exception:
+                continue  # undecodable PDFs contribute no boxes
+            for page_no, _content, bboxes in pages:
+                for word, (x0, top, x1, bottom) in bboxes:
+                    out["url"].append(url)
+                    out["page"].append(page_no)
+                    out["word"].append(word)
+                    out["x0"].append(float(x0))
+                    out["top"].append(float(top))
+                    out["x1"].append(float(x1))
+                    out["bottom"].append(float(bottom))
+        yield pd.DataFrame(out)
+
+
+def pdf_word_boxes(df, url_col: str = "url", payload_col: str = "html"):
+    """(url, payload) → word-box table (url, page, word, x0..bottom)."""
+    from pyspark.sql import functions as F
+
+    src = df.select(F.col(url_col).alias("url"),
+                    F.col(payload_col).alias("html"))
+    return src.mapInPandas(pdf_bboxes_map, PDF_BBOX_SCHEMA)

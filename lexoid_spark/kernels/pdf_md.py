@@ -634,6 +634,23 @@ def pdf_to_md(data, start: int = 0) -> str:
     return "\n\n".join(c for _, c in pdf_to_pages(data, start))
 
 
+def pdf_to_pages_with_bboxes(data, start: int = 0):
+    """PDF bytes → [(page, markdown, word_bboxes)] where word_bboxes is
+    [(word, (x0, top, x1, bottom))] normalized to [0,1] by page dims —
+    the reference's per-page bbox side-channel
+    (``static_parser.py:450-458`` normalize_bbox, ``:711-718`` segments
+    with "bboxes")."""
+    if data is None:
+        return []
+    data = bytes(data)
+    uri_rects = get_uri_rects(data)
+    out = []
+    for idx, page in enumerate(parse_pdf(data)):
+        content, bboxes = process_page(page, uri_rects)
+        out.append((start + idx + 1, content, bboxes))
+    return out
+
+
 def sniff_doctype(payload) -> str:
     """Magic-byte doctype sniff (S1/P1 analogue, utils.py:60-62 upgraded).
 

@@ -79,7 +79,10 @@ def route_parser(df: DataFrame) -> DataFrame:
     """
     return df.withColumn(
         "route",
-        F.when(F.col("doctype").isin("html", "csv", "txt"), F.lit("STATIC"))
+        F.when(
+            F.col("doctype").isin("html", "csv", "txt", "zip"),
+            F.lit("STATIC"),
+        )
         .when(
             (F.col("doctype") == "pdf") & (~F.col("has_image")),
             F.lit("STATIC"),
