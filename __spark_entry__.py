@@ -1008,6 +1008,59 @@ FROM m ORDER BY doc_id
 
 # ---- rows-only pipeline smoke over the synthetic pages corpus ----
 
+def _bbox_range_join(spark, sf):
+    """J1 lifted to DataFrames: link-rect × word-box interval θ-join
+    (reference nested loop at static_parser.py:204-217 — word x0 within
+    [rect_x0 - 1, rect_x1 + 1] and inside the rect's vertical band)."""
+    docs = _t(spark, sf, "documents")
+    words = docs.select(
+        "doc_id",
+        (F.col("n_chars") % 97 / 100.0).alias("x0"),
+        (F.col("n_chars") % 89 / 100.0).alias("top"),
+    )
+    rects = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("rect_id"),
+        (F.col("doc_id") % 40 / 100.0).alias("rx0"),
+        (F.col("doc_id") % 40 / 100.0 + 0.3).alias("rx1"),
+        (F.col("doc_id") % 30 / 100.0).alias("rtop"),
+        (F.col("doc_id") % 30 / 100.0 + 0.4).alias("rbottom"),
+    )
+    joined = words.join(
+        F.broadcast(rects),
+        (F.col("x0") >= F.col("rx0") - 0.01)
+        & (F.col("x0") <= F.col("rx1") + 0.01)
+        & (F.col("top") >= F.col("rtop"))
+        & (F.col("top") <= F.col("rbottom")),
+    )
+    return (
+        joined.groupBy("rect_id")
+        .agg(F.count("*").alias("n_words"),
+             F.round(F.avg("x0"), 4).alias("avg_x0"))
+        .orderBy("rect_id")
+    )
+
+
+_BBOX_RANGE_JOIN_SQL = """
+WITH words AS (
+  SELECT doc_id, (n_chars % 97) / 100.0 AS x0, (n_chars % 89) / 100.0 AS top
+  FROM documents
+),
+rects AS (
+  SELECT doc_id AS rect_id,
+         (doc_id % 40) / 100.0 AS rx0,
+         (doc_id % 40) / 100.0 + 0.3 AS rx1,
+         (doc_id % 30) / 100.0 AS rtop,
+         (doc_id % 30) / 100.0 + 0.4 AS rbottom
+  FROM documents WHERE doc_id % 25 = 0
+)
+SELECT rect_id, COUNT(*) AS n_words, ROUND(AVG(x0), 4) AS avg_x0
+FROM words JOIN rects
+  ON x0 >= rx0 - 0.01 AND x0 <= rx1 + 0.01
+ AND top >= rtop AND top <= rbottom
+GROUP BY rect_id ORDER BY rect_id
+"""
+
+
 def _pdf_word_boxes(spark, sf):
     """Word-box side-channel table from the PDF layout parser
     (rows-only: a from-scratch PDF parse has no SQL oracle)."""
@@ -1072,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text_roundtrip": _clean_text_roundtrip,
         "crawl_reachable": _crawl_reachable,
         "parse_quality_metrics": _parse_quality_metrics,
+        "bbox_range_join": _bbox_range_join,
         "pdf_word_boxes": _pdf_word_boxes,
         "pipeline_extract": _pipeline_extract,
     }
@@ -1112,5 +1166,6 @@ def oracle_sql() -> dict[str, str]:
         "clean_text_roundtrip": _CLEAN_TEXT_SQL,
         "crawl_reachable": _CRAWL_SQL,
         "parse_quality_metrics": _PARSE_QUALITY_SQL,
+        "bbox_range_join": _BBOX_RANGE_JOIN_SQL,
         # pipeline_extract: full pipeline over generated pages → rows-only
     }

@@ -1,0 +1,58 @@
+"""Physical-plan pins: the properties that make the pipeline scale must
+survive refactors — column pruning at the scan, pushable tail
+predicate, broadcast joins for dimensions. (.explain-driven; SURVEY.md
+§4.2 'free — verify, don't build'.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _formatted(df):
+    jdf = df._jdf
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+    return jdf.queryExecution().explainString(mode.fromString("formatted"))
+
+
+@pytest.fixture(scope="module")
+def bench_pages(spark, tmp_path_factory):
+    from lexoid_spark.corpus.gen import pages_df
+
+    p = str(tmp_path_factory.mktemp("pp") / "pages")
+    (
+        pages_df(spark, 40)
+        .withColumn("n_bytes", F.length("html").cast("long"))
+        .write.parquet(p)
+    )
+    return spark.read.parquet(p)
+
+
+def test_scan_prunes_to_needed_columns(spark, bench_pages):
+    from lexoid_spark.plans.extract import extract
+
+    plan = _formatted(extract(bench_pages)["extracted"])
+    assert "ReadSchema: struct<url:string,html:binary,n_bytes:bigint>" in plan
+    # warc_ts / text / lang never read
+    assert "warc_ts" not in plan
+
+
+def test_tail_predicate_pushed_to_parquet(spark, bench_pages):
+    from lexoid_spark.plans.extract import extract
+
+    plan = _formatted(extract(bench_pages)["extracted"])
+    assert "GreaterThan(n_bytes,1048576)" in plan
+    assert "IsNull(n_bytes)" in plan
+
+
+def test_dimension_joins_broadcast(spark):
+    import __spark_entry__ as em
+
+    q3 = em.queries()["q3_shipping_priority"](spark, "/root/testdata/sf0.001")
+    plan = _formatted(q3)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_shuffle_without_repartition(spark, bench_pages):
+    from lexoid_spark.plans.extract import extract
+
+    plan = _formatted(extract(bench_pages, repartition=False)["extracted"])
+    assert "Exchange" not in plan  # pure map pipeline
