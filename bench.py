@@ -26,7 +26,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # scale the synthetic extraction corpus with the sf of the driver tables
 _SF_GUESS = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
 N_EXTRACT_DOCS = int(os.environ.get("BENCH_EXTRACT_DOCS",
-                                    str(int(20000 * _SF_GUESS))))
+                                    str(int(100000 * _SF_GUESS))))
 PAGES_DIR = os.environ.get("BENCH_PAGES_DIR", "/tmp/bench_pages")
 
 
@@ -35,7 +35,7 @@ def _noop_write(df):
 
 
 def main() -> None:
-    from lexoid_spark.corpus.gen import pages_df
+    from lexoid_spark.corpus.gen import pages_df_dist
     from lexoid_spark.plans.extract import extract
     from lexoid_spark.session import get_spark
 
@@ -45,16 +45,21 @@ def main() -> None:
                       shuffle_partitions=int(CPUS))
 
     # materialize the synthetic pages corpus once (generation excluded
-    # from timing; the benched pipeline starts at the parquet scan)
+    # from timing; the benched pipeline starts at the parquet scan) —
+    # distributed gen, many files so the map path gets enough splits
     if os.path.isdir(PAGES_DIR):
         shutil.rmtree(PAGES_DIR)
     from pyspark.sql import functions as F
     (
-        pages_df(spark, N_EXTRACT_DOCS, p_giant=0.02)
-        .withColumn("n_bytes", F.length("html"))  # write-time size metadata
+        pages_df_dist(spark, N_EXTRACT_DOCS, p_giant=0.02,
+                      num_partitions=max(64, int(CPUS) * 2))
+        .withColumn("n_bytes", F.length("html").cast("long"))
         .write.parquet(PAGES_DIR)
     )
     pages = spark.read.parquet(PAGES_DIR)
+    # warm the python worker pool so the timed extract measures
+    # steady-state throughput, not interpreter spin-up
+    _noop_write(extract(pages.limit(64), run_id="warm")["extracted"])
 
     timings: dict[str, float] = {}
 
@@ -78,7 +83,9 @@ def main() -> None:
         "top_customers", "supplier_rank", "events_daily", "events_sessions",
         "docs_by_lang", "doc_quality", "doc_langid", "doc_fingerprint",
         "ngram_jaccard_adjacent", "minhash_band_pairs", "simhash_pairs",
-        "ann_cosine_topk", "ann_ivf_topk", "extract_html_h1",
+        "ann_cosine_topk", "ann_ivf_topk", "emb_near_dup",
+        "image_meta", "video_frames", "parse_quality_metrics",
+        "bbox_range_join", "crawl_reachable", "extract_html_h1",
     ]
     for name in bench_names:
         bench(name, lambda n=name: _noop_write(queries[n](spark, SF_DIR)))

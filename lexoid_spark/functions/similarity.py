@@ -92,14 +92,21 @@ def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.9,
     trade-off; raise ``n_centroids`` at scale so buckets stay small.
     """
     assigned = assign_clusters(embeddings, n_centroids, id_col, vec_col)
+    # norms once per VECTOR below the join (the join boundary keeps the
+    # projection there); computing cosine per pair re-aggregates both
+    # norms for every candidate — 3× the interpreted-HOF work
     a = assigned.select(F.col("cid"), F.col("vid").alias("id_a"),
-                        F.col("vvec").alias("va"))
+                        F.col("vvec").alias("va"),
+                        norm(F.col("vvec")).alias("na"))
     b = assigned.select(F.col("cid"), F.col("vid").alias("id_b"),
-                        F.col("vvec").alias("vb"))
+                        F.col("vvec").alias("vb"),
+                        norm(F.col("vvec")).alias("nb"))
     return (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= tau)
+        # dot >= tau·|a|·|b|  ⇔  cosine >= tau (norms > 0, tau > 0)
+        .filter(dot(F.col("va"), F.col("vb"))
+                >= tau * F.col("na") * F.col("nb"))
         .select("id_a", "id_b")
     )
 

@@ -36,14 +36,19 @@ def crawl_edges(pages: DataFrame, seed_urls: list[str], depth: int = 2,
     """
     spark = pages.sparkSession
     content = F.col(md_col) if md_col else F.col("text")
+    # the edge table is re-joined every BFS round — cache it so link
+    # extraction (regexp over every document) runs once, not per depth
     links = pages.select(
         F.col("url").alias("parent_url"),
         F.explode(extract_md_urls(content)).alias("child_url"),
-    ).distinct()
+    ).distinct().persist()
+    corpus_urls = pages.select(
+        F.col("url").alias("child_url")
+    ).distinct().persist()
 
     frontier = spark.createDataFrame(
         [(u,) for u in seed_urls], "url string"
-    ).distinct()
+    ).distinct().persist()
     visited = frontier
     edge_parts: list[DataFrame] = []
 
@@ -55,28 +60,25 @@ def crawl_edges(pages: DataFrame, seed_urls: list[str], depth: int = 2,
             )
             .select("parent_url", "child_url")
             .distinct()
-        )
-        # only edges INTO the corpus (child must exist as a page)
-        step = step.join(
-            pages.select(F.col("url").alias("child_url")).distinct(),
-            "child_url",
+            # only edges INTO the corpus (child must exist as a page)
+            .join(corpus_urls, "child_url")
+            .persist()
         )
         new_frontier = (
             step.select(F.col("child_url").alias("url"))
             .distinct()
             .join(visited, "url", "left_anti")  # cycle prevention (J3)
+            .persist()
         )
         edge_parts.append(step.withColumn("depth", F.lit(d)))
-        # materialize the small frontier/visited sets per round so the
-        # loop's lineage doesn't grow into a deep recursive plan
-        new_frontier = spark.createDataFrame(
-            new_frontier.collect(), "url string"
-        )
-        if new_frontier.rdd.isEmpty():
+        # per-round persist keeps the loop's lineage flat (each round
+        # reads the previous round's cache, not a growing plan) with
+        # ONE materializing job per round and no driver collect —
+        # frontiers can be corpus-sized at web scale
+        if new_frontier.isEmpty():
             frontier = new_frontier
             break
-        visited = visited.unionByName(new_frontier).distinct()
-        visited = spark.createDataFrame(visited.collect(), "url string")
+        visited = visited.unionByName(new_frontier).distinct().persist()
         frontier = new_frontier
 
     out = edge_parts[0]
