@@ -1008,6 +1008,77 @@ FROM m ORDER BY doc_id
 
 # ---- rows-only pipeline smoke over the synthetic pages corpus ----
 
+def _low_yield_split(spark, sf):
+    """P4 short-circuit as a query: extract SQL-constructible html,
+    classify by stripped yield length against the threshold."""
+    from lexoid_spark.functions.udfs import html_to_md_udf
+    from lexoid_spark.operators.routing import low_yield_split
+
+    docs = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.when(F.col("doc_id") % 5 == 0, F.substring("text", 1, 20))
+        .otherwise(F.col("text")),
+        F.lit("</p></body></html>"),
+    )
+    extracted = docs.select(
+        "doc_id", html_to_md_udf(html).getField("raw").alias("raw")
+    )
+    parts = low_yield_split(extracted, character_threshold=60)
+    kept = parts["kept"].select("doc_id", F.lit("kept").alias("bucket"))
+    low = parts["needs_review"].select(
+        "doc_id", F.lit("needs_review").alias("bucket")
+    )
+    return kept.unionByName(low).orderBy("doc_id")
+
+
+# html kernel renders <p>x</p> as "\n\nx\n\n"; trim(raw) = the text
+_LOW_YIELD_SQL = """
+SELECT doc_id,
+       CASE WHEN length(trim(CASE WHEN doc_id % 5 = 0
+                                  THEN substr(text, 1, 20)
+                                  ELSE text END)) >= 60
+            THEN 'kept' ELSE 'needs_review' END AS bucket
+FROM documents ORDER BY doc_id
+"""
+
+
+def _quality_by_lang(spark, sf):
+    """A6: per-config mean±stddev aggregation (benchmark harness
+    analogue, tests/benchmark.py:318-373) over parse-quality metrics."""
+    from lexoid_spark.functions.metrics import token_set_metrics
+
+    docs = _t(spark, sf, "documents")
+    parsed = F.substring("text", 1, 60)
+    m = token_set_metrics(parsed, F.col("text"))
+    per_doc = docs.select("lang", m["recall"].alias("recall"))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("recall"), 4).alias("avg_recall"),
+            F.round(F.stddev("recall"), 4).alias("std_recall"),
+        )
+        .orderBy("lang")
+    )
+
+
+_QUALITY_BY_LANG_SQL = r"""
+WITH t AS (
+  SELECT lang,
+    CAST(len(list_intersect(
+      list_distinct(regexp_split_to_array(trim(substr(text, 1, 60)), '\s+')),
+      list_distinct(regexp_split_to_array(trim(text), '\s+')))) AS DOUBLE)
+    / len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS recall
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n,
+       ROUND(AVG(recall), 4) AS avg_recall,
+       ROUND(STDDEV_SAMP(recall), 4) AS std_recall
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
 def _bbox_range_join(spark, sf):
     """J1 lifted to DataFrames: link-rect × word-box interval θ-join
     (reference nested loop at static_parser.py:204-217 — word x0 within
@@ -1126,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_reachable": _crawl_reachable,
         "parse_quality_metrics": _parse_quality_metrics,
         "bbox_range_join": _bbox_range_join,
+        "low_yield_split": _low_yield_split,
+        "quality_by_lang": _quality_by_lang,
         "pdf_word_boxes": _pdf_word_boxes,
         "pipeline_extract": _pipeline_extract,
     }
@@ -1167,5 +1240,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_reachable": _CRAWL_SQL,
         "parse_quality_metrics": _PARSE_QUALITY_SQL,
         "bbox_range_join": _BBOX_RANGE_JOIN_SQL,
+        "low_yield_split": _LOW_YIELD_SQL,
+        "quality_by_lang": _QUALITY_BY_LANG_SQL,
         # pipeline_extract: full pipeline over generated pages → rows-only
     }

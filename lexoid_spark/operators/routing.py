@@ -91,6 +91,42 @@ def route_parser(df: DataFrame) -> DataFrame:
     )
 
 
+def low_yield_split(extracted: DataFrame,
+                    character_threshold: int = 100) -> dict:
+    """P4: the reference's cost-priority short-circuit
+    (``api.py:66-82``) — keep a cheap parse only if it yielded at least
+    ``character_threshold`` stripped characters, else hand the doc to
+    the expensive pass. With no LLM arm, low-yield docs route to a
+    ``needs_review`` table instead of a second parser.
+    """
+    # NB: F.trim strips only spaces; the kernels emit leading/trailing
+    # newlines, so strip all whitespace (the reference strips with
+    # str.strip(), api.py:70)
+    yield_chars = F.length(
+        F.regexp_replace(F.col("raw"), r"^\s+|\s+$", "")
+    )
+    ok = extracted.filter(yield_chars >= character_threshold)
+    low = extracted.filter(
+        (yield_chars < character_threshold) | yield_chars.isNull()
+    )
+    return {"kept": ok, "needs_review": low}
+
+
+def filter_segment_pages(df: DataFrame, page_nums: list[int],
+                         segments_col: str = "segments") -> DataFrame:
+    """S11: the reference's ``page_nums`` sub-document selection
+    (``utils.py:46-57`` create_sub_pdf) — as an array filter on the
+    segments column, no re-parse."""
+    wanted = F.array([F.lit(p) for p in sorted(set(page_nums))])
+    return df.withColumn(
+        segments_col,
+        F.filter(
+            F.col(segments_col),
+            lambda s: F.array_contains(wanted, s.getField("page")),
+        ),
+    )
+
+
 def quarantine(df: DataFrame, stage: str, run_id: str,
                error_col: str = "error") -> DataFrame:
     """Project failed rows into the errors-table schema (FIXTURES.md §4)."""
