@@ -85,6 +85,23 @@ def with_size_bucket(df: DataFrame, payload_col: str = "html",
     )
 
 
+def write_bucketed(df: DataFrame, table: str, key: str = "url",
+                   n_buckets: int = 64, sort: bool = True) -> None:
+    """Persist a table bucketed (and sorted) by ``key`` so every later
+    equi-join/groupBy on that key is shuffle-free (SURVEY.md: co-located
+    joins via bucketing — e.g. the extracted↔golden byte-identity join
+    J4, or repeated url-keyed merges, at 100 TB).
+
+    Uses ``saveAsTable`` — bucketing metadata lives in the session
+    catalog; both sides of a join must be bucketed with the same key
+    and bucket count for the exchange to be elided.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.format("parquet").saveAsTable(table)
+
+
 def salted_group_merge(df: DataFrame, key: str, sort_col: str,
                        content_col: str, salt_buckets: int,
                        sep: str = "\n\n") -> DataFrame:
