@@ -589,6 +589,26 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _doc_bpe_tokens(spark, sf):
+    from lexoid_spark.functions.textstats import bpe_token_count, token_count
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+_DOC_BPE_SQL = r"""
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text,
+       ' ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS INT) AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 def _doc_quality(spark, sf):
     from lexoid_spark.functions.textstats import quality_score
 
@@ -1385,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _events_json,
         "docs_by_lang": _docs_by_lang,
         "doc_token_stats": _doc_token_stats,
+        "doc_bpe_tokens": _doc_bpe_tokens,
         "doc_quality": _doc_quality,
         "doc_langid": _doc_langid,
         "doc_fingerprint": _doc_fingerprint,
@@ -1434,6 +1455,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json": _EVENTS_JSON_SQL,
         "docs_by_lang": _DOCS_BY_LANG_SQL,
         "doc_token_stats": _DOC_TOKEN_STATS_SQL,
+        "doc_bpe_tokens": _DOC_BPE_SQL,
         "doc_quality": _DOC_QUALITY_SQL,
         "doc_langid": _DOC_LANGID_SQL,
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,

@@ -36,6 +36,19 @@ def token_count(col) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-ish pretokenizer classes: a word with optional leading space,
+# a number run, a punctuation run, or residual whitespace-free chars —
+# RE2-compatible (no lookahead) so DuckDB can mirror it exactly
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count(col) -> Column:
+    """Subword-ish token count via a BPE-style pretokenizer regex —
+    all-JVM (regexp_count), mirrors the GPT-2 pattern's word/number/
+    punct split without the lookahead RE2 lacks."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_PATTERN))
+
+
 def stopword_ratio(col) -> Column:
     toks = tokens(col)
     n = F.size(toks)
