@@ -687,6 +687,53 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _exact_dedup_keepers(spark, sf):
+    from lexoid_spark.functions.dedup import exact_dedup
+
+    docs = _t(spark, sf, "documents")
+    return (
+        exact_dedup(docs, "doc_id", "text")
+        .select("doc_id", "n_dups")
+        .orderBy("doc_id")
+    )
+
+
+_EXACT_DEDUP_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(regexp_replace(text,
+              '\\[a-zA-Z]+(\[[^\]]*\])?(\{[^}]*\})?', ' ', 'g'),
+              '\s+', ' ', 'g'),
+              '[^a-zA-Z0-9 ]', ' ', 'g'))) AS f
+  FROM documents
+)
+SELECT doc_id, n_dups FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY f) AS n_dups
+  FROM fp
+) t WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def _events_windowed(spark, sf):
+    """Watermarked tumbling-window aggregation (batch form of the
+    streaming plan — same declarative query, streaming/windowed.py)."""
+    from lexoid_spark.streaming.windowed import windowed_counts
+
+    ev = _t(spark, sf, "events")
+    return windowed_counts(ev).orderBy("window_start", "event_type")
+
+
+_EVENTS_WINDOWED_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+       AS window_start,
+       event_type, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _exact_dup_groups(spark, sf):
     docs = _t(spark, sf, "documents")
     return (
@@ -1410,6 +1457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": _doc_langid,
         "doc_fingerprint": _doc_fingerprint,
         "exact_dup_groups": _exact_dup_groups,
+        "exact_dedup_keepers": _exact_dedup_keepers,
+        "events_windowed": _events_windowed,
         "ngram_jaccard_adjacent": _ngram_jaccard_adjacent,
         "minhash_sample": _minhash_sample,
         "minhash_band_pairs": _minhash_band_pairs,
@@ -1460,6 +1509,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": _DOC_LANGID_SQL,
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "exact_dup_groups": _EXACT_DUP_SQL,
+        "exact_dedup_keepers": _EXACT_DEDUP_SQL,
+        "events_windowed": _EVENTS_WINDOWED_SQL,
         "ngram_jaccard_adjacent": _NGRAM_JACCARD_SQL,
         "minhash_sample": _MINHASH_SAMPLE_SQL,
         "minhash_band_pairs": _MINHASH_PAIRS_SQL,

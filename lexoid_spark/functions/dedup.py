@@ -147,6 +147,25 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact deduplication: one keeper (lowest id) per normalized-text
+    fingerprint — the hash-groupBy variant (one shuffle on the md5 key;
+    at 10^12 rows the map-side partial keeps it bounded). Returns the
+    deduped rows plus the group size as ``n_dups``."""
+    from lexoid_spark.functions.textstats import fingerprint
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_fp", fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_dups",
+                    F.count("*").over(Window.partitionBy("_fp")))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_fp")
+    )
+
+
 def jaccard(col_a, col_b) -> Column:
     """Jaccard similarity of two (distinct-element) array columns."""
     inter = F.size(F.array_intersect(col_a, col_b))
