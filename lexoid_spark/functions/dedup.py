@@ -110,12 +110,21 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         num_hashes: int = 16, bands: int = 4,
-                        shingle_n: int = 3) -> DataFrame:
+                        shingle_n: int = 3,
+                        max_bucket_size: int = 10_000) -> DataFrame:
     """MinHash-LSH candidate duplicate pairs (id_a < id_b).
 
     shingle → minhash → band → bucket-join: the classic
     banding scheme; rows per bucket are tiny so the self-join is a
     bucket-local explode, not a cross join.
+
+    LSH hygiene for boilerplate-heavy web corpora: a degenerate bucket
+    (millions of byte-identical pages sharing one band hash) would
+    explode quadratically, so buckets larger than ``max_bucket_size``
+    are deterministically split into ⌈size/cap⌉ sub-buckets and only
+    joined within a sub-bucket. Pairs straying across sub-buckets are
+    lost — bounded recall loss on exactly the inputs exact-dedup
+    (one md5 shuffle) already removes, so run it first at scale.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
@@ -137,10 +146,29 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
+    # bucket-size window rides the same (band, bucket) shuffle the join
+    # needs — no extra pass; sub_bucket is 0 everywhere a bucket fits
+    # under the cap, so small-corpus results are unchanged
+    from pyspark.sql import Window
+
+    n_sub = F.ceil(
+        F.count("*").over(Window.partitionBy("band", "bucket"))
+        / F.lit(max_bucket_size)
+    ).cast("long")
+    banded = banded.withColumn(
+        "sub_bucket",
+        F.when(n_sub <= 1, F.lit(0)).otherwise(
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+                       16, 10).cast("long"),
+                n_sub,
+            )
+        ),
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b, ["band", "bucket", "sub_bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

@@ -26,13 +26,20 @@ from lexoid_spark.functions.columns import extract_md_urls
 
 
 def crawl_edges(pages: DataFrame, seed_urls: list[str], depth: int = 2,
-                md_col: str | None = None) -> DataFrame:
+                md_col: str | None = None,
+                broadcast_threshold: int = 1_000_000) -> DataFrame:
     """BFS over in-corpus links; one DataFrame round per depth level.
 
     ``pages`` must carry ``url`` and either ``md_col`` (pre-extracted
     markdown) or a ``text``-like column holding link-bearing content.
     Links pointing outside the corpus are dropped by the inner join
     (the reference skips un-fetchable URLs the same way).
+
+    The frontier is broadcast only while its known row count stays
+    under ``broadcast_threshold`` — depth≥2 frontiers can approach
+    corpus size at web scale, and a forced broadcast of an unbounded
+    frontier is a driver-OOM; past the threshold the join falls back
+    to a plain shuffle (AQE may still re-plan it at runtime).
     """
     spark = pages.sparkSession
     content = F.col(md_col) if md_col else F.col("text")
@@ -49,13 +56,22 @@ def crawl_edges(pages: DataFrame, seed_urls: list[str], depth: int = 2,
     frontier = spark.createDataFrame(
         [(u,) for u in seed_urls], "url string"
     ).distinct().persist()
+    frontier_size = len(set(seed_urls))
     visited = frontier
     edge_parts: list[DataFrame] = []
+    # superseded per-round caches (frontiers, old visited sets) are
+    # released at loop end; the step caches stay — they back the
+    # returned edge DataFrame
+    spent_caches: list[DataFrame] = []
 
     for d in range(1, depth + 1):
+        frontier_side = (
+            F.broadcast(frontier)
+            if frontier_size <= broadcast_threshold else frontier
+        )
         step = (
             links.join(
-                F.broadcast(frontier),
+                frontier_side,
                 links.parent_url == frontier.url,
             )
             .select("parent_url", "child_url")
@@ -71,15 +87,28 @@ def crawl_edges(pages: DataFrame, seed_urls: list[str], depth: int = 2,
             .persist()
         )
         edge_parts.append(step.withColumn("depth", F.lit(d)))
+        spent_caches.append(frontier)
         # per-round persist keeps the loop's lineage flat (each round
         # reads the previous round's cache, not a growing plan) with
-        # ONE materializing job per round and no driver collect —
-        # frontiers can be corpus-sized at web scale
-        if new_frontier.isEmpty():
+        # ONE materializing job per round (the count doubles as the
+        # broadcastability probe) and no driver collect of frontier rows
+        frontier_size = new_frontier.count()
+        if frontier_size == 0:
             frontier = new_frontier
+            spent_caches.append(new_frontier)
             break
+        spent_caches.append(visited)
         visited = visited.unionByName(new_frontier).distinct().persist()
         frontier = new_frontier
+
+    spent_caches.extend([visited, frontier])  # final round's sets
+    for c in spent_caches:
+        c.unpersist()  # idempotent; steps/links stay cached for the caller
+
+    if not edge_parts:  # depth=0: no rounds ran
+        return spark.createDataFrame(
+            [], "parent_url string, child_url string, depth int"
+        )
 
     out = edge_parts[0]
     for p in edge_parts[1:]:

@@ -45,11 +45,18 @@ def read_progress(spark: SparkSession, progress_dir: str) -> DataFrame:
 
 def pending_buckets(spark: SparkSession, n_buckets: int,
                     progress_dir: str, run_id: str) -> list[int]:
-    """All-buckets ∖ completed — the resume anti-join (J5)."""
+    """All-buckets ∖ completed-in-THIS-run — the resume anti-join (J5).
+
+    Progress rows are scoped per ``run_id``: resuming means relaunching
+    with the same run id; a *new* run id over the same output_dir
+    reprocesses every bucket (idempotent — each bucket overwrites its
+    own partition) instead of silently inheriting another run's
+    completions.
+    """
     all_b = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
     done = (
         read_progress(spark, progress_dir)
-        .filter(F.col("status") == "done")
+        .filter((F.col("status") == "done") & (F.col("run_id") == run_id))
         .select("bucket")
         .distinct()
     )

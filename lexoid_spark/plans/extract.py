@@ -53,8 +53,14 @@ def extract(pages: DataFrame, run_id: str = "run0",
             skew_mode: str = "tail",
             giant_threshold_bytes: int = 1 << 20,
             explode_pdf_pages: bool = False,
-            salt_buckets: int = 8) -> Dict[str, DataFrame]:
+            salt_buckets: int = 8,
+            return_docs: bool = False) -> Dict[str, DataFrame]:
     """Build the extraction plan. Returns {"extracted", "errors"}.
+
+    ``return_docs=True`` adds the pre-split ``docs`` frame to the dict:
+    callers that sink BOTH branches can persist it so the kernels run
+    once per document, not once per branch (Spark's cache manager
+    matches the shared analyzed plan).
 
     skew_mode="tail" (default): only payloads above
     ``giant_threshold_bytes`` shuffle (round-robin spread); the bulk
@@ -139,4 +145,7 @@ def extract(pages: DataFrame, run_id: str = "run0",
         )
     )
     errors = quarantine(docs, "extract", run_id)
-    return {"extracted": extracted, "errors": errors}
+    out = {"extracted": extracted, "errors": errors}
+    if return_docs:
+        out["docs"] = docs
+    return out

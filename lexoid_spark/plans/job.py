@@ -73,6 +73,12 @@ def run_extract_job(
     done: list[int] = []
     total_docs = 0
 
+    # ONE write job per group per table via dynamic partition overwrite
+    # (a per-bucket filter+write loop is thousands of sequential jobs at
+    # the 4096-bucket design point); only the bucket partitions present
+    # in the group are replaced, so re-running a bucket stays idempotent
+    dyn = {"partitionOverwriteMode": "dynamic"}
+
     for i in range(0, len(todo), group_size):
         group = todo[i : i + group_size]
         subset = pages.filter(F.col("bucket").isin(group)).drop("bucket")
@@ -80,19 +86,24 @@ def run_extract_job(
         ext = with_bucket(out["extracted"], n_buckets).persist()
         err = with_bucket(out["errors"], n_buckets)
 
-        lineage_rows(ext, run_id).write.mode("append").parquet(lineage_dir)
-
         counts = {
             r["bucket"]: r["n"]
             for r in ext.groupBy("bucket").agg(F.count("*").alias("n")).collect()
         }
+        ext.write.mode("overwrite").options(**dyn).partitionBy(
+            "bucket"
+        ).parquet(os.path.join(output_dir, "extracted"))
+        err.write.mode("overwrite").options(**dyn).partitionBy(
+            "bucket"
+        ).parquet(os.path.join(output_dir, "errors"))
+        # lineage after the data writes, partitioned by bucket with the
+        # same dynamic overwrite: a killed-and-resumed bucket REPLACES
+        # its lineage rows (append-only lineage double-counts replays)
+        lineage_rows(ext, run_id, group_col="bucket").write.mode(
+            "overwrite"
+        ).options(**dyn).partitionBy("bucket").parquet(lineage_dir)
+
         for b in group:
-            ext.filter(F.col("bucket") == b).drop("bucket").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(output_dir, "extracted", f"bucket={b}"))
-            err.filter(F.col("bucket") == b).drop("bucket").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(output_dir, "errors", f"bucket={b}"))
             mark_done(spark, progress_dir, run_id, b, counts.get(b, 0))
             done.append(b)
             total_docs += counts.get(b, 0)

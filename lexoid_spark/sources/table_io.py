@@ -18,7 +18,8 @@ import os
 import time
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 
 class TableIO:
@@ -92,13 +93,20 @@ class TableIO:
 
     def _parquet_write(self, df: DataFrame, name: str, mode: str,
                        partition_by: Optional[list[str]]) -> None:
-        n = df.count()
+        # row count for the manifest snapshot rides the write job itself
+        # via an Observation — a separate df.count() would execute the
+        # full upstream plan twice (for an extraction write that means
+        # re-running every kernel) and could disagree with the rows
+        # actually written when the plan is nondeterministic
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         writer = df.write.mode(
             "overwrite" if mode == "overwrite" else "append"
         )
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._data_dir(name))
+        n = obs.get["rows"]
 
         m = self._manifest(name)
         if mode == "overwrite" or not m:
