@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -859,12 +860,50 @@ ORDER BY id_a, id_b
 
 
 def _simhash_pairs(spark, sf):
-    from lexoid_spark.functions.dedup import simhash_near_pairs
+    """Portable SimHash near-dup pairs — fully native JVM (explode →
+    md5-derived 60-bit token hash → per-bit majority groupBy → 15-bit
+    block pigeonhole join), DuckDB-mirrorable bit-for-bit. The FNV-1a
+    pandas-UDF variant (``simhash_near_pairs``) stays as the
+    alternative kernel; this one is both faster (no Python) and
+    oracle-checkable."""
+    from lexoid_spark.functions.dedup import simhash_near_pairs_portable
 
     docs = _t(spark, sf, "documents")
-    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
-        "id_a", "id_b"
-    )
+    return simhash_near_pairs_portable(
+        docs, "doc_id", "text", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+_SIMHASH_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT AS hv FROM toks),
+bitscore AS (
+  SELECT doc_id, b.bp,
+         SUM(CASE WHEN (hv >> b.bp) & 1 = 1 THEN 1 ELSE -1 END) AS score
+  FROM h, (SELECT unnest(range(60)) AS bp) b
+  GROUP BY doc_id, b.bp
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN score > 0 THEN (1::BIGINT << bp) ELSE 0 END)::BIGINT AS sim
+  FROM bitscore GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, sim, b.block, (sim >> (15*b.block)::INT) & 32767 AS val
+  FROM sig, (SELECT unnest(range(4)) AS block) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sa, b.sim AS sb
+  FROM blocks a JOIN blocks b ON a.block=b.block AND a.val=b.val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 # ---- embeddings: similarity search ----
@@ -1405,29 +1444,113 @@ GROUP BY rect_id ORDER BY rect_id
 
 
 def _pdf_word_boxes(spark, sf):
-    """Word-box side-channel table from the PDF layout parser
-    (rows-only: a from-scratch PDF parse has no SQL oracle)."""
-    from lexoid_spark.corpus.gen import pages_df
+    """Word-box side-channel table from the PDF layout parser, over
+    PDFs whose word coordinates are closed-form in doc_id — so DuckDB
+    can reconstruct every normalized box without parsing a byte of
+    PDF. Exercises the real pipeline: build PDF bytes → from-scratch
+    tokenizer → layout state machine → normalized bbox rows
+    (mixed-corpus PDFs are pinned to goldens in tests/test_pdf_bboxes)."""
+    from lexoid_spark.corpus.pdf_gen import build_pdf
     from lexoid_spark.functions.udfs import pdf_word_boxes
-    from lexoid_spark.operators.routing import with_doctype
 
-    pages = with_doctype(pages_df(spark, 40))
-    pdfs = pages.filter(F.col("doctype") == "pdf")
+    @F.pandas_udf("binary")
+    def word_grid_pdf(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            k = d % 4 + 2
+            y = float(700 - (d % 5) * 20)
+            words = [
+                {"text": f"w{j}x{d % 7}", "x": 72.0 + 50.0 * j, "y": y,
+                 "size": 12.0, "font": "F1"}
+                for j in range(k)
+            ]
+            out.append(build_pdf([{"words": words}]))
+        return pd.Series(out)
+
+    docs = _t(spark, sf, "documents")
+    pdfs = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        word_grid_pdf("doc_id").alias("html"),
+    )
     return (
         pdf_word_boxes(pdfs)
-        .select("url", "page", "word",
-                F.round("x0", 4).alias("x0"), F.round("top", 4).alias("top"))
-        .orderBy("url", "page", "top", "x0", "word")
+        .select(
+            F.col("url").cast("long").alias("doc_id"), "word",
+            F.round("x0", 4).alias("x0"), F.round("top", 4).alias("top"),
+            F.round("x1", 4).alias("x1"),
+            F.round("bottom", 4).alias("bottom"),
+        )
+        .orderBy("doc_id", "x0")
     )
 
 
+# mirrors kernels/pdf_md.py's box math: top = H - y - size*0.8,
+# bottom = H - y + size*0.2, x1 = x + 0.5*size*len(word), all /612 or /792
+_PDF_WORD_BOXES_SQL = """
+WITH n AS (
+  SELECT doc_id, doc_id % 4 + 2 AS k, 700 - (doc_id % 5) * 20 AS y
+  FROM documents
+),
+w AS (
+  SELECT doc_id, y, unnest(range(k)) AS j FROM n
+)
+SELECT doc_id,
+       'w' || CAST(j AS VARCHAR) || 'x' || CAST(doc_id % 7 AS VARCHAR) AS word,
+       ROUND((72 + 50 * j) / 612, 4) AS x0,
+       ROUND((792 - y - 12 * 0.8) / 792, 4) AS top,
+       ROUND((72 + 50 * j + 0.5 * 12 * 4) / 612, 4) AS x1,
+       ROUND((792 - y + 12 * 0.2) / 792, 4) AS bottom
+FROM w ORDER BY doc_id, x0
+"""
+
+
 def _pipeline_extract(spark, sf):
-    from lexoid_spark.corpus.gen import pages_df
+    """The FULL extract() plan — native doctype sniff, size
+    repartition, mapInPandas dispatch kernel, segmentation, quarantine
+    split — over SQL-constructible HTML pages built from the documents
+    table, so DuckDB can predict the extracted markdown closed-form
+    (raw bytes, char count, segment count). The mixed-corpus variant
+    (every fixture class incl. PDFs) is pinned byte-identical to
+    goldens in tests/test_pipeline.py."""
     from lexoid_spark.plans.extract import extract
 
-    pages = pages_df(spark, 60)
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://synth.test/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><h1>Doc "),
+                F.col("doc_id").cast("string"),
+                F.lit("</h1><p>"), F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
     out = extract(pages, run_id="driver_check")["extracted"]
-    return out.select("url", "parser_used", "n_chars").orderBy("url")
+    return out.select(
+        "url", "raw", "parser_used", "n_chars",
+        F.size("segments").alias("n_segments"),
+    ).orderBy("url")
+
+
+_PIPELINE_EXTRACT_SQL = """
+WITH m AS (
+  SELECT 'http://synth.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         chr(10) || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+         || repeat('=', 4 + length(CAST(doc_id AS VARCHAR)))
+         || chr(10) || chr(10) || text || chr(10) || chr(10) AS raw
+  FROM documents
+)
+SELECT url, raw, 'STATIC_PARSE' AS parser_used,
+       length(raw) AS n_chars, 1 AS n_segments
+FROM m ORDER BY url
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1514,7 +1637,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_adjacent": _NGRAM_JACCARD_SQL,
         "minhash_sample": _MINHASH_SAMPLE_SQL,
         "minhash_band_pairs": _MINHASH_PAIRS_SQL,
-        # simhash_pairs: FNV-1a not expressible in DuckDB → rows-only
+        "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
@@ -1532,5 +1655,6 @@ def oracle_sql() -> dict[str, str]:
         "bbox_range_join": _BBOX_RANGE_JOIN_SQL,
         "low_yield_split": _LOW_YIELD_SQL,
         "quality_by_lang": _QUALITY_BY_LANG_SQL,
-        # pipeline_extract: full pipeline over generated pages → rows-only
+        "pdf_word_boxes": _PDF_WORD_BOXES_SQL,
+        "pipeline_extract": _PIPELINE_EXTRACT_SQL,
     }

@@ -279,3 +279,72 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
     return cand.filter(hamming <= max_hamming).select(
         "id_a", "id_b", hamming.alias("hamming")
     )
+
+
+# --- portable SimHash (fully native JVM, DuckDB-mirrorable) -------------------
+
+def simhash_signatures_portable(df: DataFrame, id_col: str, text_col: str,
+                                bits: int = 60) -> DataFrame:
+    """SimHash signatures with an engine-portable token hash.
+
+    Same algorithm as :func:`simhash_near_pairs` but the per-token hash
+    is the md5-derived 60-bit bigint (``_md5_hash64``) instead of
+    FNV-1a, so DuckDB can mirror it bit-for-bit — and the whole
+    computation is native JVM (no Python at all): explode tokens →
+    hash → ONE groupBy with 60 per-bit majority sums (map-side
+    combine; shuffles (id, 60 small ints) partials). Empty-token docs
+    drop out of the explode and get no signature (they can't be
+    near-dups of anything by content).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    )
+    h = toks.select("id", _md5_hash64(F.col("_t")).alias("hv"))
+    scored = h.groupBy("id").agg(*[
+        F.sum(
+            F.shiftrightunsigned("hv", b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ])
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"b{b}") > 0,
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return scored.select("id", sig.alias("sim"))
+
+
+def simhash_near_pairs_portable(df: DataFrame, id_col: str, text_col: str,
+                                max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by portable SimHash: 4×15-bit block pigeonhole
+    bucketing over the 60-bit signature (any pair within Hamming
+    distance ≤ 3 shares at least one exact block), then the exact
+    Hamming filter via bit_count(xor). Same scale shape as the FNV
+    variant; every step DuckDB-expressible (the CORRECTNESS oracle)."""
+    sig = simhash_signatures_portable(df, id_col, text_col)
+    blocks = sig.select(
+        "id", "sim",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("block"),
+                    F.shiftrightunsigned("sim", 15 * b)
+                    .bitwiseAND(F.lit(0x7FFF)).alias("val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bv"),
+    ).select("id", "sim", F.col("bv.block").alias("block"),
+             F.col("bv.val").alias("val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, ["block", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sim").alias("sim_a"), F.col("b.sim").alias("sim_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.filter(hamming <= max_hamming).select(
+        "id_a", "id_b", hamming.alias("hamming")
+    )
