@@ -1553,6 +1553,62 @@ FROM m ORDER BY url
 """
 
 
+def _pdf_flate_extract(spark, sf):
+    """Flate-compressed compact-dialect PDFs (one multi-op BT block,
+    Tm positioning, array-form TJ with exact kerning) built closed-form
+    from doc_id, pushed through the FULL extract() plan — zlib decode,
+    content-stream interpreter, layout machine — so DuckDB predicts the
+    final markdown string without touching a byte of PDF."""
+    from lexoid_spark.corpus.pdf_gen import build_pdf
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def flate_pdf(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            k = d % 4 + 2
+            # step 48 with 4-char words (width 24) → kern −2000 exactly
+            words = [
+                {"text": f"f{j}x{d % 7}", "x": 72.0 + 48.0 * j,
+                 "y": 700.0, "size": 12.0, "font": "F1"}
+                for j in range(k)
+            ]
+            out.append(build_pdf([{"words": words, "style": "compact"}],
+                                 compress=True))
+        return pd.Series(out)
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://pdf.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        flate_pdf("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(pages, run_id="flate_check")["extracted"]
+    return out.select("url", "raw", "n_chars").orderBy("url")
+
+
+_PDF_FLATE_SQL = """
+WITH base AS (
+  SELECT doc_id, doc_id % 4 + 2 AS k, CAST(doc_id % 7 AS VARCHAR) AS m
+  FROM documents
+),
+r AS (
+  SELECT 'http://pdf.test/' || CAST(doc_id AS VARCHAR) AS url,
+         'f0x' || m || ' f1x' || m
+         || CASE WHEN k >= 3 THEN ' f2x' || m ELSE '' END
+         || CASE WHEN k >= 4 THEN ' f3x' || m ELSE '' END
+         || CASE WHEN k >= 5 THEN ' f4x' || m ELSE '' END
+         || chr(10) || chr(10) AS raw
+  FROM base
+)
+SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1605,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_by_lang": _quality_by_lang,
         "pdf_word_boxes": _pdf_word_boxes,
         "pipeline_extract": _pipeline_extract,
+        "pdf_flate_extract": _pdf_flate_extract,
     }
 
 
@@ -1657,4 +1714,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_by_lang": _QUALITY_BY_LANG_SQL,
         "pdf_word_boxes": _PDF_WORD_BOXES_SQL,
         "pipeline_extract": _PIPELINE_EXTRACT_SQL,
+        "pdf_flate_extract": _PDF_FLATE_SQL,
     }

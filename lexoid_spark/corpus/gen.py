@@ -37,6 +37,7 @@ HTML_CLASSES = (
 PDF_CLASSES = (
     "pdf_plain", "pdf_headings", "pdf_styles", "pdf_indent",
     "pdf_rules_strike", "pdf_table", "pdf_links_emails", "pdf_multipage",
+    "pdf_flate", "pdf_compact",
 )
 ALL_CLASSES = HTML_CLASSES + PDF_CLASSES + (
     "csv_table", "txt_plain", "docx_doc", "xlsx_sheet",
@@ -218,6 +219,26 @@ def _pdf_multipage(i: int, r: random.Random) -> bytes:
     return build_pdf(pages)
 
 
+def _pdf_flate(i: int, r: random.Random) -> bytes:
+    """Flate-compressed classic-dialect PDF — the near-universal wild
+    encoding (reference parses these via pdfplumber,
+    static_parser.py:700-727; here stdlib zlib in kernels/pdf_md.py)."""
+    words = words_line([f"Flate{i}", "doc"], y=720, size=20)
+    for y in range(680, 600, -20):
+        words += words_line([r.choice(_WORDS) for _ in range(5)], y=y, size=12)
+    return build_pdf([{"words": words}], compress=True)
+
+
+def _pdf_compact(i: int, r: random.Random) -> bytes:
+    """Compressed compact-dialect PDF: ONE multi-op BT block, Tm line
+    positioning, array-form TJ with kerning numbers — exercises the
+    general content-stream interpreter end-to-end."""
+    words = words_line([f"Compact{i}", "title"], y=720, size=18)
+    for y in (680, 660, 640):
+        words += words_line([r.choice(_WORDS) for _ in range(6)], y=y, size=12)
+    return build_pdf([{"words": words, "style": "compact"}], compress=True)
+
+
 def _csv_table(i: int, r: random.Random) -> bytes:
     lines = ["name,qty,price"]
     for j in range(3 + i % 4):
@@ -305,6 +326,8 @@ _BUILDERS = {
     "pdf_table": _pdf_table,
     "pdf_links_emails": _pdf_links_emails,
     "pdf_multipage": _pdf_multipage,
+    "pdf_flate": _pdf_flate,
+    "pdf_compact": _pdf_compact,
     "csv_table": _csv_table,
     "txt_plain": _txt_plain,
     "docx_doc": _docx_doc,

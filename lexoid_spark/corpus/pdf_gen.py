@@ -62,8 +62,16 @@ def page_content_stream(page: Dict) -> bytes:
       "words": [{"text", "x", "y", "size", "font"}],   # y = baseline (from bottom)
       "lines": [(x0, y0, x1, y1)],                      # stroked line paths
       "rects": [(x, y, w, h)],                          # stroked rectangles
+      "style": "classic" (default) | "compact",
     }
+
+    classic: one ``BT /Fn size Tf x y Td (word) Tj ET`` object per word
+    (the round-1 fixture dialect). compact: the wild-PDF dialect — ONE
+    multi-op ``BT..ET`` block, ``Tm`` line positioning, array-form
+    ``TJ`` with kerning numbers between word runs.
     """
+    if page.get("style") == "compact":
+        return _compact_text_stream(page)
     parts: List[str] = []
     for w in page.get("words", []):
         parts.append(
@@ -71,6 +79,10 @@ def page_content_stream(page: Dict) -> bytes:
             % (w.get("font", "F1"), _fmt(w.get("size", 12)),
                _fmt(w["x"]), _fmt(w["y"]), _esc(w["text"]))
         )
+    return _graphics_parts(page, parts)
+
+
+def _graphics_parts(page: Dict, parts: List[str]) -> bytes:
     for (x0, y0, x1, y1) in page.get("lines", []):
         parts.append("%s %s m %s %s l S" % (_fmt(x0), _fmt(y0), _fmt(x1), _fmt(y1)))
     for (x, y, w, h) in page.get("rects", []):
@@ -78,8 +90,57 @@ def page_content_stream(page: Dict) -> bytes:
     return "\n".join(parts).encode("latin-1")
 
 
-def build_pdf(pages: Sequence[Dict]) -> bytes:
-    """Assemble a full PDF from page specs. Deterministic bytes."""
+def _compact_text_stream(page: Dict) -> bytes:
+    """Same word layout, emitted as one BT block with Tm + TJ arrays.
+
+    Consecutive words sharing (y, font, size) form a run shown by one
+    ``TJ`` with kerning numbers ``-(gap·1000/size)`` between strings —
+    the standard justified-text encoding. Kern values are rounded to
+    2 decimals (the generator's numeric format), so callers that need
+    bit-exact x positions should pick gaps where gap·1000/size is
+    exactly representable (e.g. size 12, gaps in multiples of 0.012).
+    """
+    words = page.get("words", [])
+    parts: List[str] = ["BT"]
+    cur_font, cur_size = None, None
+    i = 0
+    while i < len(words):
+        w = words[i]
+        font, size = w.get("font", "F1"), float(w.get("size", 12))
+        run = [w]
+        j = i + 1
+        while j < len(words):
+            nxt = words[j]
+            if (nxt.get("font", "F1"), float(nxt.get("size", 12)),
+                    float(nxt["y"])) != (font, size, float(w["y"])):
+                break
+            run.append(nxt)
+            j += 1
+        if (font, size) != (cur_font, cur_size):
+            parts.append("/%s %s Tf" % (font, _fmt(size)))
+            cur_font, cur_size = font, size
+        parts.append("1 0 0 1 %s %s Tm" % (_fmt(run[0]["x"]), _fmt(run[0]["y"])))
+        fname = FONTS[font]
+        tj: List[str] = []
+        for k, rw in enumerate(run):
+            tj.append("(%s)" % _esc(rw["text"]))
+            if k + 1 < len(run):
+                end_x = rw["x"] + char_width_factor(fname) * size * len(rw["text"])
+                gap = run[k + 1]["x"] - end_x
+                tj.append(_fmt(round(-gap * 1000.0 / size, 2)))
+        parts.append("[%s] TJ" % " ".join(tj))
+        i = j
+    parts.append("ET")
+    return _graphics_parts(page, parts)
+
+
+def build_pdf(pages: Sequence[Dict], compress: bool = False) -> bytes:
+    """Assemble a full PDF from page specs. Deterministic bytes.
+
+    ``compress=True`` FlateDecode-compresses every content stream
+    (zlib level 9 for deterministic output) — the near-universal
+    wild-PDF encoding the kernel must decode.
+    """
     objs: List[bytes] = []  # 1-indexed body objects, object i = objs[i-1]
 
     def add(obj: bytes) -> int:
@@ -101,9 +162,18 @@ def build_pdf(pages: Sequence[Dict]) -> bytes:
     annot_nums: List[List[int]] = []
     for page in pages:
         stream = page_content_stream(page)
-        cnum = add(
-            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
-        )
+        if compress:
+            import zlib
+
+            stream = zlib.compress(stream, 9)
+            cnum = add(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                % (len(stream), stream)
+            )
+        else:
+            cnum = add(
+                b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+            )
         content_nums.append(cnum)
         a_nums = []
         for link in page.get("links", []):

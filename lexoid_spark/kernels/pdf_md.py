@@ -2,10 +2,20 @@
 
 A brand-new implementation of the *semantics* of the reference's
 pdfplumber path (``lexoid/core/parse_type/static_parser.py:259-727``),
-operating on raw PDF bytes (the ``html:binary`` column), scoped to the
-documented PDF subset emitted by ``corpus/pdf_gen.py`` (SURVEY.md §7.1:
-wild PDFs out of scope; classic xref, uncompressed streams, one text
-object per word, line paths for rules, stroked rects for table ruling).
+operating on raw PDF bytes (the ``html:binary`` column).
+
+Supported PDF surface (a superset of what ``corpus/pdf_gen.py`` emits):
+classic xref, FlateDecode-compressed OR raw content streams (stdlib
+``zlib``), multi-stream ``/Contents`` arrays, general text objects —
+multi-op ``BT..ET`` blocks with ``Tf``/``Td``/``TD``/``Tm``/``TL``/
+``T*``/``'``, both ``Tj`` and array-form ``TJ`` (kerning numbers
+applied as x-advances), literal and hex strings with the standard
+escape set — per-page ``/Resources /Font`` → ``/BaseFont`` resolution,
+and stroked path/rect graphics (``m``/``l``/``re``/``S``) for rules
+and table ruling. Out of scope (documented): cross-reference streams /
+object streams (PDF 1.5 ObjStm), CID/Type0 encodings, embedded font
+width tables (a deterministic per-font width model stands in), and
+rotated text matrices (``Tm`` is honored for translation).
 
 Reproduced behaviors (reference file:line):
 - word boxes ``{text, x0, x1, top, bottom, size, fontname}``
@@ -32,6 +42,7 @@ Reproduced behaviors (reference file:line):
 from __future__ import annotations
 
 import re
+import zlib
 from typing import Dict, List, Optional, Tuple
 
 from lexoid_spark.kernels.table_md import clean_table_grid
@@ -44,29 +55,44 @@ from lexoid_spark.kernels.text_ops import (
 _CHAR_W = {"Courier": 0.6}
 _DEFAULT_CHAR_W = 0.5
 
-_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
-_TEXT_OBJ_RE = re.compile(
-    rb"BT\s+/(\w+)\s+([\d.]+)\s+Tf\s+([\d.-]+)\s+([\d.-]+)\s+Td\s+\((.*?)(?<!\\)\)\s*Tj\s+ET",
-    re.DOTALL,
-)
-_LINE_RE = re.compile(
-    rb"([\d.-]+)\s+([\d.-]+)\s+m\s+([\d.-]+)\s+([\d.-]+)\s+l\s+S"
-)
-_RECT_RE = re.compile(
-    rb"([\d.-]+)\s+([\d.-]+)\s+([\d.-]+)\s+([\d.-]+)\s+re\s+S"
-)
 _URI_RECT_SPLIT = "/Rect ["
 _URI_PATTERN = re.compile(r"\((https?://[^\s)]+)\)")
 
+_STD_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
 
 def _unesc(b: bytes) -> str:
-    return (
-        b.replace(rb"\(", b"(")
-        .replace(rb"\)", b")")
-        .replace(rb"\\", b"\\")
-        .decode("latin-1")
-    )
+    """PDF literal-string unescape: the standard escape set plus
+    3-digit octal codes and escaped-newline line continuation."""
+    out = bytearray()
+    i, n = 0, len(b)
+    while i < n:
+        c = b[i:i + 1]
+        if c != b"\\":
+            out += c
+            i += 1
+            continue
+        nxt = b[i + 1:i + 2]
+        if nxt in _STD_ESCAPES:
+            out += _STD_ESCAPES[nxt]
+            i += 2
+        elif nxt.isdigit():
+            j = i + 1
+            while j < min(i + 4, n) and b[j:j + 1].isdigit():
+                j += 1
+            out.append(int(b[i + 1:j], 8) & 0xFF)
+            i = j
+        elif nxt in (b"\n", b"\r"):  # line continuation
+            i += 2
+            if nxt == b"\r" and b[i:i + 1] == b"\n":
+                i += 1
+        else:
+            out += nxt
+            i += 2
+    return out.decode("latin-1")
 
 
 class PdfPage:
@@ -81,8 +107,77 @@ class PdfPage:
         self.annots: List[Dict] = []
 
 
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+0\s+obj")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+
+
 def _parse_objects(data: bytes) -> Dict[int, bytes]:
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    """Sequential object scan, stream-body aware.
+
+    A naive ``N 0 obj (.*?) endobj`` regex truncates objects whose
+    Flate-compressed stream bytes happen to contain ``endobj``; this
+    scanner skips stream bodies using the direct ``/Length`` entry
+    (falling back to an ``endstream`` search for indirect lengths).
+    """
+    objs: Dict[int, bytes] = {}
+    pos = 0
+    n = len(data)
+    while pos < n:
+        m = _OBJ_HEAD_RE.search(data, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        start = m.end()
+        s_idx = data.find(b"stream", start)
+        e_idx = data.find(b"endobj", start)
+        if s_idx != -1 and (e_idx == -1 or s_idx < e_idx):
+            lm = _LENGTH_RE.search(data, start, s_idx)
+            body = s_idx + len(b"stream")
+            if data[body:body + 2] == b"\r\n":
+                body += 2
+            elif data[body:body + 1] == b"\n":
+                body += 1
+            if lm:
+                body_end = body + int(lm.group(1))
+            else:
+                body_end = data.find(b"endstream", body)
+                if body_end == -1:
+                    body_end = body
+            e_idx = data.find(b"endobj", body_end)
+        if e_idx == -1:
+            objs[num] = data[start:]
+            break
+        objs[num] = data[start:e_idx]
+        pos = e_idx + len(b"endobj")
+    return objs
+
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+
+
+def _stream_bytes(obj: bytes) -> bytes:
+    """Extract (and FlateDecode if filtered) an object's stream body."""
+    s_idx = obj.find(b"stream")
+    if s_idx == -1:
+        return b""
+    header = obj[:s_idx]
+    body = s_idx + len(b"stream")
+    if obj[body:body + 2] == b"\r\n":
+        body += 2
+    elif obj[body:body + 1] == b"\n":
+        body += 1
+    lm = _LENGTH_RE.search(header)
+    if lm:
+        data = obj[body:body + int(lm.group(1))]
+    else:
+        m = _STREAM_RE.search(obj)
+        data = m.group(1) if m else b""
+    if b"/FlateDecode" in header:
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            return b""
+    return data
 
 
 def _dict_value(obj: bytes, key: bytes) -> Optional[bytes]:
@@ -120,6 +215,269 @@ def _refs_in_brackets(obj: bytes, key: bytes) -> List[int]:
     return [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", m.group(1))]
 
 
+# --- content-stream lexer + interpreter --------------------------------------
+
+_NUM_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
+_NAME_RE = re.compile(rb"/([^\s/\[\]()<>{}%]*)")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
+_WS = b" \t\r\n\x00\x0c"
+
+
+def _lex_content(data: bytes) -> List[Tuple[str, object]]:
+    """Tokenize a (decoded) content stream into tagged tokens:
+    names, literal/hex strings, numbers, array brackets, operators."""
+    toks: List[Tuple[str, object]] = []
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i:i + 1]
+        if c in _WS:
+            i += 1
+        elif c == b"%":  # comment to EOL
+            j = data.find(b"\n", i)
+            i = n if j == -1 else j + 1
+        elif c == b"/":
+            m = _NAME_RE.match(data, i)
+            toks.append(("name", m.group(1).decode("latin-1")))
+            i = m.end()
+        elif c == b"(":
+            j = i + 1
+            depth = 1
+            buf = bytearray()
+            while j < n and depth:
+                ch = data[j:j + 1]
+                if ch == b"\\":
+                    buf += data[j:j + 2]
+                    j += 2
+                    continue
+                if ch == b"(":
+                    depth += 1
+                elif ch == b")":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                buf += ch
+                j += 1
+            toks.append(("str", bytes(buf)))
+            i = j
+        elif c == b"[":
+            toks.append(("larr", None))
+            i += 1
+        elif c == b"]":
+            toks.append(("rarr", None))
+            i += 1
+        elif c == b"<":
+            if data[i:i + 2] == b"<<":  # inline dict: skip to matching >>
+                j = data.find(b">>", i + 2)
+                i = n if j == -1 else j + 2
+            else:  # hex string
+                j = data.find(b">", i)
+                if j == -1:
+                    j = n
+                hx = re.sub(rb"\s", b"", data[i + 1:j])
+                if len(hx) % 2:
+                    hx += b"0"
+                toks.append(("hexstr", bytes.fromhex(hx.decode("latin-1"))))
+                i = j + 1
+        else:
+            m = _NUM_RE.match(data, i)
+            if m:
+                toks.append(("num", float(m.group(0))))
+                i = m.end()
+                continue
+            m = _OP_RE.match(data, i)
+            if m:
+                toks.append(("op", m.group(0).decode("latin-1")))
+                i = m.end()
+            else:
+                i += 1  # unknown byte: skip (lenient)
+    return toks
+
+
+def _interpret_content(stream: bytes, height: float,
+                       fonts: Dict[str, str], page: PdfPage) -> None:
+    """Run the text/path operators of one content stream into ``page``.
+
+    Text state machine per PDF spec subset: ``Tf`` font+size, ``Td``/
+    ``TD`` line translation, ``Tm`` text matrix (translation honored),
+    ``TL`` leading, ``T*`` next line, ``Tj``/``'`` single show,
+    ``TJ`` array show with kerning advances (thousandths of text
+    space). Each shown string run becomes one word box — the parser's
+    atomic unit, mirroring pdfplumber ``extract_words`` granularity.
+    Path ops: ``m``/``l`` segments and ``re`` rects collected until
+    ``S`` strokes them into page.lines / page.rects.
+    """
+    font_key: Optional[str] = None
+    size = 12.0
+    leading = 0.0
+    lx = ly = x = y = 0.0
+    stack: List[Tuple[str, object]] = []
+    path_segs: List[Tuple[float, float, float, float]] = []
+    path_rects: List[Tuple[float, float, float, float]] = []
+    cur_pt: Optional[Tuple[float, float]] = None
+
+    def nums(k: int) -> List[float]:
+        vals = [v for t, v in stack if t == "num"]
+        return vals[-k:] if len(vals) >= k else []
+
+    def emit(raw: bytes, hex_: bool = False) -> None:
+        nonlocal x
+        text = raw.decode("latin-1") if hex_ else _unesc(raw)
+        fontname = fonts.get(font_key or "", "Helvetica")
+        cw = _CHAR_W.get(fontname, _DEFAULT_CHAR_W)
+        w = cw * size * len(text)
+        page.words.append({
+            "text": text,
+            "x0": x,
+            "x1": x + w,
+            "top": height - y - size * 0.8,
+            "bottom": height - y + size * 0.2,
+            "size": size,
+            "fontname": fontname,
+        })
+        x += w
+
+    def show_top() -> None:
+        if stack and stack[-1][0] in ("str", "hexstr"):
+            t, v = stack[-1]
+            emit(v, hex_=(t == "hexstr"))
+
+    i = 0
+    toks = _lex_content(stream)
+    while i < len(toks):
+        tag, val = toks[i]
+        i += 1
+        if tag in ("num", "str", "hexstr", "name", "larr"):
+            stack.append((tag, val))
+            continue
+        if tag == "rarr":
+            arr: List[Tuple[str, object]] = []
+            while stack and stack[-1][0] != "larr":
+                arr.append(stack.pop())
+            if stack:
+                stack.pop()
+            stack.append(("arr", list(reversed(arr))))
+            continue
+        op = val  # tag == "op"
+        if op == "BT":
+            lx = ly = x = y = 0.0
+        elif op == "Tf":
+            v = nums(1)
+            if v:
+                size = v[0]
+            names = [v2 for t2, v2 in stack if t2 == "name"]
+            if names:
+                font_key = names[-1]
+        elif op in ("Td", "TD"):
+            v = nums(2)
+            if len(v) == 2:
+                lx += v[0]
+                ly += v[1]
+                x, y = lx, ly
+                if op == "TD":
+                    leading = -v[1]
+        elif op == "Tm":
+            v = nums(6)
+            if len(v) == 6:
+                lx, ly = v[4], v[5]
+                x, y = lx, ly
+        elif op == "TL":
+            v = nums(1)
+            if v:
+                leading = v[0]
+        elif op == "T*":
+            ly -= leading
+            x, y = lx, ly
+        elif op == "Tj":
+            show_top()
+        elif op == "'":
+            ly -= leading
+            x, y = lx, ly
+            show_top()
+        elif op == "TJ":
+            if stack and stack[-1][0] == "arr":
+                for t2, v2 in stack[-1][1]:
+                    if t2 == "str":
+                        emit(v2)
+                    elif t2 == "hexstr":
+                        emit(v2, hex_=True)
+                    elif t2 == "num":
+                        x -= v2 / 1000.0 * size
+        elif op == "m":
+            v = nums(2)
+            if len(v) == 2:
+                cur_pt = (v[0], v[1])
+        elif op == "l":
+            v = nums(2)
+            if len(v) == 2 and cur_pt is not None:
+                path_segs.append((cur_pt[0], cur_pt[1], v[0], v[1]))
+                cur_pt = (v[0], v[1])
+        elif op == "re":
+            v = nums(4)
+            if len(v) == 4:
+                path_rects.append((v[0], v[1], v[2], v[3]))
+        elif op == "S":
+            for (x0, y0, x1, y1) in path_segs:
+                page.lines.append({
+                    "x0": min(x0, x1),
+                    "x1": max(x0, x1),
+                    "top": height - max(y0, y1),
+                    "bottom": height - min(y0, y1),
+                    "width": abs(x1 - x0),
+                    "height": abs(y1 - y0),
+                })
+            for (rx, ry, rw, rh) in path_rects:
+                page.rects.append(
+                    (rx, height - (ry + rh), rx + rw, height - ry))
+            path_segs = []
+            path_rects = []
+            cur_pt = None
+        elif op == "n":  # no-op path paint: discard path
+            path_segs = []
+            path_rects = []
+            cur_pt = None
+        # every operator consumes its operands (lenient postfix model)
+        stack.clear()
+
+
+_FONT_NAMES = {
+    "F1": "Helvetica",
+    "F2": "Helvetica-Bold",
+    "F3": "Helvetica-Oblique",
+    "F4": "Courier",
+    "F5": "Helvetica-BoldOblique",
+}
+
+_FONT_REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
+_BASEFONT_RE = re.compile(rb"/BaseFont\s*/([^\s/<>\]]+)")
+
+
+def _page_fonts(pobj: bytes, objs: Dict[int, bytes]) -> Dict[str, str]:
+    """Resolve the page's /Resources /Font dict: key → BaseFont name.
+
+    Falls back to the fixture-dialect F1–F5 map for keys that cannot
+    be resolved (missing resources, inline font dicts)."""
+    fonts = dict(_FONT_NAMES)
+    f_idx = pobj.find(b"/Font")
+    if f_idx == -1:
+        return fonts
+    tail = pobj[f_idx:]
+    d_start = tail.find(b"<<")
+    d_end = tail.find(b">>")
+    if d_start == -1 or d_end == -1 or d_end < d_start:
+        return fonts
+    for m in _FONT_REF_RE.finditer(tail[d_start:d_end]):
+        fobj = objs.get(int(m.group(2)))
+        if fobj is None:
+            continue
+        bm = _BASEFONT_RE.search(fobj)
+        if bm:
+            name = bm.group(1).decode("latin-1")
+            # strip subset prefix "ABCDEF+Name"
+            fonts[m.group(1).decode("latin-1")] = name.split("+")[-1]
+    return fonts
+
+
 def parse_pdf(data: bytes) -> List[PdfPage]:
     """Tokenize PDF bytes into page objects with words/lines/rects/annots."""
     objs = _parse_objects(data)
@@ -145,46 +503,17 @@ def parse_pdf(data: bytes) -> List[PdfPage]:
         width = media[2] - media[0]
         height = media[3] - media[1]
         page = PdfPage(width, height)
+        fonts = _page_fonts(pobj, objs)
 
-        cref = _ref_after(pobj, b"/Contents")
-        stream = b""
-        if cref is not None and cref in objs:
-            m = _STREAM_RE.search(objs[cref])
-            if m:
-                stream = m.group(1)
-
-        for m in _TEXT_OBJ_RE.finditer(stream):
-            font_key = m.group(1).decode()
-            size = float(m.group(2))
-            x = float(m.group(3))
-            y = float(m.group(4))
-            text = _unesc(m.group(5))
-            fontname = _FONT_NAMES.get(font_key, "Helvetica")
-            cw = _CHAR_W.get(fontname, _DEFAULT_CHAR_W)
-            page.words.append({
-                "text": text,
-                "x0": x,
-                "x1": x + cw * size * len(text),
-                "top": height - y - size * 0.8,
-                "bottom": height - y + size * 0.2,
-                "size": size,
-                "fontname": fontname,
-            })
-
-        for m in _LINE_RE.finditer(stream):
-            x0, y0, x1, y1 = (float(m.group(i)) for i in range(1, 5))
-            page.lines.append({
-                "x0": min(x0, x1),
-                "x1": max(x0, x1),
-                "top": height - max(y0, y1),
-                "bottom": height - min(y0, y1),
-                "width": abs(x1 - x0),
-                "height": abs(y1 - y0),
-            })
-
-        for m in _RECT_RE.finditer(stream):
-            x, y, w, h = (float(m.group(i)) for i in range(1, 5))
-            page.rects.append((x, height - (y + h), x + w, height - y))
+        # /Contents: single ref or array of refs; streams concatenated
+        crefs = _refs_in_brackets(pobj, b"/Contents")
+        if not crefs:
+            cref = _ref_after(pobj, b"/Contents")
+            crefs = [cref] if cref is not None else []
+        stream = b"\n".join(
+            _stream_bytes(objs[r]) for r in crefs if r in objs
+        )
+        _interpret_content(stream, height, fonts, page)
 
         for aref in _refs_in_brackets(pobj, b"/Annots"):
             aobj = objs.get(aref)
@@ -197,15 +526,6 @@ def parse_pdf(data: bytes) -> List[PdfPage]:
                 page.annots.append({"uri": uri, "rect": rect})
         pages.append(page)
     return pages
-
-
-_FONT_NAMES = {
-    "F1": "Helvetica",
-    "F2": "Helvetica-Bold",
-    "F3": "Helvetica-Oblique",
-    "F4": "Courier",
-    "F5": "Helvetica-BoldOblique",
-}
 
 
 def get_uri_rects(data: bytes) -> Dict[str, List[float]]:
