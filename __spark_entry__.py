@@ -1609,6 +1609,105 @@ SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
 """
 
 
+def _ocr_scanned(spark, sf):
+    """OCR arm (P5): standalone image documents (FAKE container) built
+    closed-form from doc_id, routed image→OCR by the full extract()
+    plan; the deterministic stand-in recognizer makes the page text a
+    pure function of the header, so DuckDB predicts it exactly.
+    Reference shape: bbox_router (utils.py:591-612) +
+    parse_with_paddleocr (static_parser.py:751-818)."""
+    from lexoid_spark.functions.multimodal import encode_fake_image
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def fake_scan(doc_ids: pd.Series) -> pd.Series:
+        return pd.Series([
+            encode_fake_image(320 + int(d) % 16, 240 + int(d) % 8,
+                              int(d) % 3 + 1)
+            for d in doc_ids
+        ])
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://img.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        fake_scan("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(pages, run_id="ocr_check")["extracted"]
+    return out.select("url", "raw", "parser_used").orderBy("url")
+
+
+_OCR_SCANNED_SQL = """
+SELECT 'http://img.test/' || CAST(doc_id AS VARCHAR) AS url,
+       'scan' || CAST(320 + doc_id % 16 AS VARCHAR)
+       || 'x' || CAST(240 + doc_id % 8 AS VARCHAR)
+       || ' ch' || CAST(doc_id % 3 + 1 AS VARCHAR) || ' ocr' AS raw,
+       'OCR_PARSE' AS parser_used
+FROM documents ORDER BY url
+"""
+
+
+def _pdf_speed_arm(spark, sf):
+    """The cheap text-only PDF arm (reference pdfminer framework,
+    static_parser.py:144-177): same compressed PDFs as
+    pdf_flate_extract plus a second line, extracted with
+    pdf_framework='pdfminer' — no markdown, words joined by spaces,
+    lines by newlines."""
+    from lexoid_spark.corpus.pdf_gen import build_pdf
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def speed_pdf(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            k = d % 4 + 2
+            words = [
+                {"text": f"f{j}x{d % 7}", "x": 72.0 + 48.0 * j,
+                 "y": 700.0, "size": 12.0, "font": "F1"}
+                for j in range(k)
+            ]
+            words.append({"text": f"endx{d % 7}", "x": 72.0, "y": 680.0,
+                          "size": 12.0, "font": "F1"})
+            out.append(build_pdf([{"words": words, "style": "compact"}],
+                                 compress=True))
+        return pd.Series(out)
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://spdf.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        speed_pdf("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(pages, run_id="speed_check",
+                  pdf_framework="pdfminer")["extracted"]
+    return out.select("url", "raw", "n_chars").orderBy("url")
+
+
+_PDF_SPEED_SQL = """
+WITH base AS (
+  SELECT doc_id, doc_id % 4 + 2 AS k, CAST(doc_id % 7 AS VARCHAR) AS m
+  FROM documents
+),
+r AS (
+  SELECT 'http://spdf.test/' || CAST(doc_id AS VARCHAR) AS url,
+         'f0x' || m || ' f1x' || m
+         || CASE WHEN k >= 3 THEN ' f2x' || m ELSE '' END
+         || CASE WHEN k >= 4 THEN ' f3x' || m ELSE '' END
+         || CASE WHEN k >= 5 THEN ' f4x' || m ELSE '' END
+         || chr(10) || 'endx' || m AS raw
+  FROM base
+)
+SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1662,6 +1761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_word_boxes": _pdf_word_boxes,
         "pipeline_extract": _pipeline_extract,
         "pdf_flate_extract": _pdf_flate_extract,
+        "ocr_scanned": _ocr_scanned,
+        "pdf_speed_arm": _pdf_speed_arm,
     }
 
 
@@ -1715,4 +1816,6 @@ def oracle_sql() -> dict[str, str]:
         "pdf_word_boxes": _PDF_WORD_BOXES_SQL,
         "pipeline_extract": _PIPELINE_EXTRACT_SQL,
         "pdf_flate_extract": _PDF_FLATE_SQL,
+        "ocr_scanned": _OCR_SCANNED_SQL,
+        "pdf_speed_arm": _PDF_SPEED_SQL,
     }

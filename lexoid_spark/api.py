@@ -47,7 +47,7 @@ def parse(source: Union[str, bytes], parser_type: str = "STATIC_PARSE",
         name = title or os.path.basename(source)
 
     doctype = sniff_doctype(payload)
-    raw, segs = _extract_one(doctype, payload)
+    raw, segs, parser_used = _extract_one(doctype, payload)
     segments = [
         {
             "metadata": {
@@ -65,6 +65,6 @@ def parse(source: Union[str, bytes], parser_type: str = "STATIC_PARSE",
         "parent_title": "",
         "recursive_docs": [],
         "token_usage": dict(_ZERO_USAGE),
-        "parser_used": "STATIC_PARSE",
-        "parsers_used": ["STATIC_PARSE"],
+        "parser_used": parser_used,
+        "parsers_used": [parser_used],
     }

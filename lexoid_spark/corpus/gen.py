@@ -41,6 +41,7 @@ PDF_CLASSES = (
 )
 ALL_CLASSES = HTML_CLASSES + PDF_CLASSES + (
     "csv_table", "txt_plain", "docx_doc", "xlsx_sheet",
+    "pptx_deck", "img_scan", "pdf_scanned",
 )
 
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
@@ -312,6 +313,55 @@ def _xlsx_sheet(i: int, r: random.Random) -> bytes:
     })
 
 
+def _pptx_deck(i: int, r: random.Random) -> bytes:
+    """PPTX deck (S9): title placeholder + body paragraphs per slide."""
+    a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    p = "http://schemas.openxmlformats.org/presentationml/2006/main"
+
+    def slide(title: str, paras: list[str]) -> str:
+        body = "".join(
+            f"<p:sp><p:txBody><a:p><a:r><a:t>{t}</a:t></a:r></a:p>"
+            "</p:txBody></p:sp>"
+            for t in paras
+        )
+        return (
+            f'<?xml version="1.0"?><p:sld xmlns:p="{p}" xmlns:a="{a}">'
+            "<p:cSld><p:spTree>"
+            "<p:sp><p:nvSpPr><p:nvPr><p:ph type=\"title\"/></p:nvPr>"
+            f"</p:nvSpPr><p:txBody><a:p><a:r><a:t>{title}</a:t></a:r>"
+            f"</a:p></p:txBody></p:sp>{body}"
+            "</p:spTree></p:cSld></p:sld>"
+        )
+
+    n_slides = 2 + i % 2
+    entries = {
+        "[Content_Types].xml":
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+            'formats.org/package/2006/content-types"/>',
+    }
+    for s in range(1, n_slides + 1):
+        entries[f"ppt/slides/slide{s}.xml"] = slide(
+            f"Slide {s} of deck {i}",
+            [_sentence(r, 8), _sentence(r, 6)],
+        )
+    return _zip_bytes(entries)
+
+
+def _img_scan(i: int, r: random.Random) -> bytes:
+    """Standalone image document (FAKE container) → OCR arm (P5)."""
+    from lexoid_spark.functions.multimodal import encode_fake_image
+
+    return encode_fake_image(640 + (i % 5) * 8, 480 + (i % 3) * 16, 3)
+
+
+def _pdf_scanned(i: int, r: random.Random) -> bytes:
+    """Image-bearing PDF (embedded FAKE /Subtype /Image XObjects, no
+    text) → routes to the OCR arm like the reference's bbox_router."""
+    n_imgs = 1 + i % 2
+    images = [(320 + 8 * j + i % 4, 240 + 4 * j, 3) for j in range(n_imgs)]
+    return build_pdf([{"images": images}])
+
+
 _BUILDERS = {
     "html_headings": _html_headings,
     "html_lists_links": _html_lists_links,
@@ -332,6 +382,9 @@ _BUILDERS = {
     "txt_plain": _txt_plain,
     "docx_doc": _docx_doc,
     "xlsx_sheet": _xlsx_sheet,
+    "pptx_deck": _pptx_deck,
+    "img_scan": _img_scan,
+    "pdf_scanned": _pdf_scanned,
 }
 
 
@@ -390,32 +443,17 @@ def pages_df_dist(spark, n_docs: int, p_giant: float = 0.0,
 # --- driver-side golden computation (kernel reference output) ---------------
 
 def golden_raw_for_row(url: str, payload: bytes) -> str:
-    """Expected markdown for a pages row, computed kernel-side."""
-    from lexoid_spark.kernels.html_md import html_to_md
-    from lexoid_spark.kernels.pdf_md import pdf_to_md, sniff_doctype
-    from lexoid_spark.kernels.table_md import csv_to_md
+    """Expected markdown for a pages row, computed kernel-side.
 
-    doctype = sniff_doctype(payload)
-    if doctype == "html":
-        return html_to_md(payload)
-    if doctype == "pdf":
-        return pdf_to_md(payload)
-    if doctype == "zip":
-        from lexoid_spark.kernels.office_md import (
-            docx_to_md,
-            sniff_office,
-            xlsx_to_md,
-        )
+    Delegates to the SAME single-document dispatch the Spark kernel
+    wraps (``functions.udfs._extract_one``) — the golden check pins the
+    distributed plumbing (Arrow transport, explode, salted merge
+    ordering), not the kernels, which have their own unit tests."""
+    from lexoid_spark.functions.udfs import _extract_one
+    from lexoid_spark.kernels.pdf_md import sniff_doctype
 
-        office = sniff_office(payload)
-        if office == "docx":
-            return docx_to_md(payload)
-        if office == "xlsx":
-            return xlsx_to_md(payload)
-        raise ValueError("unsupported zip container")
-    if doctype == "csv":
-        return csv_to_md(payload)
-    return bytes(payload).decode("utf-8", errors="ignore")
+    raw, _segs, _parser = _extract_one(sniff_doctype(payload), payload)
+    return raw
 
 
 def golden_rows(n_docs: int, p_giant: float = 0.0) -> List[Dict]:

@@ -160,7 +160,23 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False) -> bytes:
 
     content_nums = []
     annot_nums: List[List[int]] = []
+    image_nums: List[List[int]] = []
     for page in pages:
+        # embedded image XObjects: page["images"] = [(w, h, c), ...] —
+        # the payload is the FAKE container (functions/multimodal.py);
+        # "/Subtype /Image" makes the has_image byte-scan fire exactly
+        # as the reference's has_image_in_pdf (utils.py:467-472)
+        img_nums_page = []
+        for (iw, ih, ic) in page.get("images", []):
+            from lexoid_spark.functions.multimodal import encode_fake_image
+
+            px = encode_fake_image(iw, ih, ic)
+            img_nums_page.append(add(
+                (b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                 b"/Length %d >>\nstream\n%s\nendstream"
+                 % (iw, ih, len(px), px))
+            ))
+        image_nums.append(img_nums_page)
         stream = page_content_stream(page)
         if compress:
             import zlib
@@ -197,12 +213,17 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False) -> bytes:
             annots = " /Annots [%s]" % " ".join(
                 "%d 0 R" % n for n in annot_nums[i]
             )
+        xobjects = ""
+        if image_nums[i]:
+            xobjects = " /XObject << %s >>" % " ".join(
+                "/Im%d %d 0 R" % (j, n) for j, n in enumerate(image_nums[i])
+            )
         page_obj_nums.append(add(
             (
                 "<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %s %s] "
-                "/Resources << /Font << %s >> >> /Contents %d 0 R%s >>"
+                "/Resources << /Font << %s >>%s >> /Contents %d 0 R%s >>"
                 % (pages_obj_num_placeholder, _fmt(PAGE_W), _fmt(PAGE_H),
-                   font_dict, content_nums[i], annots)
+                   font_dict, xobjects, content_nums[i], annots)
             ).encode("latin-1")
         ))
 

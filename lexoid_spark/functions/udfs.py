@@ -113,10 +113,15 @@ DOC_SCHEMA = T.StructType([
 ])
 
 
-def _extract_one(doctype: str, payload):
+def _extract_one(doctype: str, payload, pdf_framework: str = "pdfplumber"):
     """One document → (raw, segments, parser). The reference's
     parse_static_doc dispatch (static_parser.py:59-141) per row, inside
-    an Arrow batch."""
+    an Arrow batch. ``pdf_framework``: "pdfplumber" (full layout
+    reconstruction, default) or "pdfminer" (text-only cheap arm,
+    static_parser.py:144-177) — the reference's framework kwarg.
+    Image files and image-bearing PDFs take the OCR arm (P5,
+    utils.py:591-612 + static_parser.py:751-818)."""
+    parser = "STATIC_PARSE"
     if doctype == "html":
         raw = html_to_md(payload)
         segs = [
@@ -124,14 +129,34 @@ def _extract_one(doctype: str, payload):
             for s, c in segment_md(raw)
         ]
     elif doctype == "pdf":
-        pages = pdf_to_pages(payload, start=0)
-        raw = "\n\n".join(c for _, c in pages)
+        has_image, _ = pdf_flags(payload)
+        if has_image:
+            from lexoid_spark.kernels.ocr_stub import ocr_pdf_to_pages
+
+            pages = [(p, c) for p, c, _b in ocr_pdf_to_pages(payload)]
+            raw = "\n\n".join(c for _, c in pages)  # static_parser.py:812
+            parser = "OCR_PARSE"
+        elif pdf_framework == "pdfminer":
+            from lexoid_spark.kernels.pdf_md import pdf_to_text_pages
+
+            pages = pdf_to_text_pages(payload, start=0)
+            raw = "\n".join(c for _, c in pages)  # static_parser.py:170
+        else:
+            pages = pdf_to_pages(payload, start=0)
+            raw = "\n\n".join(c for _, c in pages)
         segs = [
             {"page": p, "section": None, "content": c} for p, c in pages
         ]
+    elif doctype == "image":
+        from lexoid_spark.kernels.ocr_stub import ocr_image_to_page
+
+        raw, _boxes = ocr_image_to_page(payload)
+        segs = [{"page": 1, "section": None, "content": raw}]
+        parser = "OCR_PARSE"
     elif doctype == "zip":
         from lexoid_spark.kernels.office_md import (
             docx_to_md,
+            pptx_to_md,
             sniff_office,
             xlsx_to_md,
         )
@@ -139,42 +164,64 @@ def _extract_one(doctype: str, payload):
         office = sniff_office(payload)
         if office == "docx":
             raw = docx_to_md(payload)
+            segs = [{"page": 1, "section": None, "content": raw}]
         elif office == "xlsx":
             raw = xlsx_to_md(payload)
+            segs = [{"page": 1, "section": None, "content": raw}]
+        elif office == "pptx":
+            raw = pptx_to_md(payload)
+            # reference splits pptx output by headings → slide segments
+            segs = [
+                {"page": None, "section": s, "content": c}
+                for s, c in segment_md(raw)
+            ]
         else:
             raise ValueError("unsupported zip container")  # → quarantine
-        segs = [{"page": 1, "section": None, "content": raw}]
     elif doctype == "csv":
         raw = csv_to_md(payload)
         segs = [{"page": 1, "section": None, "content": raw}]
     else:
         raw = _txt_decode(payload)
         segs = [{"page": 1, "section": None, "content": raw}]
-    return raw, segs
+    return raw, segs, parser
 
 
-def extract_doc_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: (url, doctype, html) → extracted doc rows.
+def make_extract_doc_map(pdf_framework: str = "pdfplumber"):
+    """Factory for the dispatch kernel with the PDF-arm knob bound
+    (mapInPandas takes a fixed-signature function; the knob rides the
+    closure, serialized once per task)."""
 
-    Single pass over the scan — no per-branch re-reads, no shuffle: the
-    whole static-parse path runs where the bytes are. Errors become
-    quarantine rows (error != NULL), never task failures.
-    """
-    for b in batches:
-        out = {"url": [], "raw": [], "segments": [],
-               "parser_used": [], "error": []}
-        for url, doctype, payload in zip(b["url"], b["doctype"], b["html"]):
-            try:
-                raw, segs = _extract_one(doctype, payload)
-                err = None
-            except Exception as e:
-                raw, segs, err = None, None, f"{type(e).__name__}: {e}"
-            out["url"].append(url)
-            out["raw"].append(raw)
-            out["segments"].append(segs)
-            out["parser_used"].append("STATIC_PARSE")
-            out["error"].append(err)
-        yield pd.DataFrame(out)
+    def extract_doc_map(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"url": [], "raw": [], "segments": [],
+                   "parser_used": [], "error": []}
+            for url, doctype, payload in zip(
+                    b["url"], b["doctype"], b["html"]):
+                try:
+                    raw, segs, parser = _extract_one(
+                        doctype, payload, pdf_framework)
+                    err = None
+                except Exception as e:
+                    raw, segs, err = None, None, f"{type(e).__name__}: {e}"
+                    parser = "STATIC_PARSE"
+                out["url"].append(url)
+                out["raw"].append(raw)
+                out["segments"].append(segs)
+                out["parser_used"].append(parser)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return extract_doc_map
+
+
+# default kernel: full-layout PDF arm. mapInPandas kernel:
+# (url, doctype, html) → extracted doc rows. Single pass over the scan —
+# no per-branch re-reads, no shuffle: the whole static-parse path runs
+# where the bytes are. Errors become quarantine rows (error != NULL),
+# never task failures.
+extract_doc_map = make_extract_doc_map("pdfplumber")
 
 
 # --- PDF page explosion (mapInPandas: variable row count out) ---------------

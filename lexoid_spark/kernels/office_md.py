@@ -1,4 +1,4 @@
-"""DOCX / XLSX → markdown kernels on stdlib zip+XML only.
+"""DOCX / XLSX / PPTX → markdown kernels on stdlib zip+XML only.
 
 Reference behavior being reproduced (from /root/reference):
 
@@ -13,9 +13,16 @@ Reference behavior being reproduced (from /root/reference):
   worksheet, resolve shared strings, build the cell grid, render with
   the same pipe-table writer used for CSV and PDF tables
   (``kernels.table_md``).
+- PPTX (``static_parser.py:119-139``): pptx2md with images/notes
+  disabled, then ``split_md_by_headings(content, "#")``. Here: unzip
+  ``ppt/slides/slideN.xml`` in deck order; per slide the title
+  placeholder (``p:ph type="title"|"ctrTitle"``) becomes an ``# ``
+  heading and the remaining text paragraphs follow, slides joined by
+  blank lines — so the reference's heading-split segmentation yields
+  one segment per slide.
 
-Both formats are OPC zip containers, so the outer sniff is just the
-``PK`` magic; docx/xlsx discrimination reads ``[Content_Types].xml``.
+All three formats are OPC zip containers, so the outer sniff is just
+the ``PK`` magic; docx/xlsx/pptx discrimination reads entry names.
 No third-party parsing deps — "brand-new, NOT a port".
 """
 
@@ -30,6 +37,8 @@ from lexoid_spark.kernels.table_md import rows_to_pipe_table
 
 _W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 _S_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_A_NS = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_P_NS = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
 
 
 def _as_bytes(payload) -> bytes:
@@ -39,7 +48,7 @@ def _as_bytes(payload) -> bytes:
 
 
 def sniff_office(payload) -> str | None:
-    """'docx' | 'xlsx' | None for a PK-zip payload."""
+    """'docx' | 'xlsx' | 'pptx' | None for a PK-zip payload."""
     b = _as_bytes(payload)
     if not b.startswith(b"PK\x03\x04"):
         return None
@@ -50,6 +59,8 @@ def sniff_office(payload) -> str | None:
                 return "docx"
             if any(n.startswith("xl/worksheets/") for n in names):
                 return "xlsx"
+            if any(n.startswith("ppt/slides/") for n in names):
+                return "pptx"
     except zipfile.BadZipFile:
         return None
     return None
@@ -74,6 +85,43 @@ def docx_to_md(payload) -> str:
                 parts.append("\n")
         paras.append("".join(parts))
     return "\n".join(paras)
+
+
+def pptx_to_md(payload) -> str:
+    """PPTX → markdown (S9): slide titles as ``# `` headings, body
+    paragraphs below, slides joined by blank lines — one heading-split
+    segment per slide (static_parser.py:119-139 semantics, images and
+    speaker notes disabled exactly as the reference configures
+    pptx2md)."""
+    b = _as_bytes(payload)
+    with zipfile.ZipFile(io.BytesIO(b)) as zf:
+        slide_names = sorted(
+            (n for n in zf.namelist()
+             if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1]).group()),
+        )
+        slides = []
+        for name in slide_names:
+            root = ET.fromstring(zf.read(name))
+            title_paras: list[str] = []
+            body_paras: list[str] = []
+            for sp in root.iter(f"{_P_NS}sp"):
+                is_title = any(
+                    ph.attrib.get("type") in ("title", "ctrTitle")
+                    for ph in sp.iter(f"{_P_NS}ph")
+                )
+                for p in sp.iter(f"{_A_NS}p"):
+                    txt = "".join(t.text or "" for t in p.iter(f"{_A_NS}t"))
+                    if not txt.strip():
+                        continue
+                    (title_paras if is_title else body_paras).append(txt)
+            parts = []
+            if title_paras:
+                parts.append("# " + " ".join(title_paras))
+            parts.extend(body_paras)
+            if parts:
+                slides.append("\n\n".join(parts))
+    return "\n\n".join(slides)
 
 
 def _col_index(cell_ref: str) -> int:

@@ -954,6 +954,52 @@ def pdf_to_md(data, start: int = 0) -> str:
     return "\n\n".join(c for _, c in pdf_to_pages(data, start))
 
 
+def pdf_to_text_pages(data, start: int = 0,
+                      y_tolerance: float = 5.0) -> List[Tuple[int, str]]:
+    """Cheap text-only PDF arm (the reference's pdfminer framework,
+    ``static_parser.py:144-177``): per page, words in reading order
+    grouped into lines (y tolerance), words joined by spaces, lines by
+    newlines — no layout reconstruction, no markdown, no table
+    detection. Routed by ``extract(pdf_framework="pdfminer")`` when
+    speed beats fidelity."""
+    if data is None:
+        return []
+    out = []
+    for idx, page in enumerate(parse_pdf(bytes(data))):
+        words = sorted(page.words, key=lambda w: (w["top"], w["x0"]))
+        lines: List[List[str]] = []
+        last_top: Optional[float] = None
+        for w in words:
+            if last_top is None or abs(w["top"] - last_top) > y_tolerance:
+                lines.append([])
+                last_top = w["top"]
+            lines[-1].append(w["text"])
+        out.append((start + idx + 1,
+                    "\n".join(" ".join(ln) for ln in lines)))
+    return out
+
+
+def pdf_to_text(data, start: int = 0) -> str:
+    """Whole-document cheap arm; pages joined "\\n" exactly as the
+    reference joins pdfminer page texts (static_parser.py:170)."""
+    return "\n".join(c for _, c in pdf_to_text_pages(data, start))
+
+
+def pdf_image_payloads(data) -> List[bytes]:
+    """Embedded /Subtype /Image XObject stream payloads, in object
+    order — the input units for the OCR arm (P5)."""
+    if data is None:
+        return []
+    objs = _parse_objects(bytes(data))
+    out = []
+    for num in sorted(objs):
+        obj = objs[num]
+        s_idx = obj.find(b"stream")
+        if s_idx != -1 and b"/Subtype /Image" in obj[:s_idx]:
+            out.append(_stream_bytes(obj))
+    return out
+
+
 def pdf_to_pages_with_bboxes(data, start: int = 0):
     """PDF bytes → [(page, markdown, word_bboxes)] where word_bboxes is
     [(word, (x0, top, x1, bottom))] normalized to [0,1] by page dims —
@@ -974,7 +1020,8 @@ def pdf_to_pages_with_bboxes(data, start: int = 0):
 def sniff_doctype(payload) -> str:
     """Magic-byte doctype sniff (S1/P1 analogue, utils.py:60-62 upgraded).
 
-    Returns one of: pdf, zip (OPC containers: docx/xlsx), html, csv, txt.
+    Returns one of: pdf, zip (OPC containers: docx/xlsx/pptx), image
+    (PNG/JPEG/GIF or the FAKE container → OCR arm), html, csv, txt.
     """
     if payload is None:
         return "txt"
@@ -983,6 +1030,8 @@ def sniff_doctype(payload) -> str:
         return "pdf"
     if b.startswith(b"PK\x03\x04"):
         return "zip"
+    if b.startswith((b"IMG!", b"\x89PNG", b"\xff\xd8\xff", b"GIF8")):
+        return "image"
     low = b.lstrip().lower()
     if low.startswith((b"<!doctype", b"<html", b"<head", b"<body")) or b"<html" in low:
         return "html"
@@ -993,8 +1042,11 @@ def sniff_doctype(payload) -> str:
 
 
 def pdf_flags(payload) -> Tuple[bool, bool]:
-    """(has_image, has_hyperlink) byte scans — utils.py:467-481 semantics."""
+    """(has_image, has_hyperlink) byte scans — exactly the reference's
+    has_image_in_pdf / has_hyperlink_in_pdf (utils.py:467-481): split
+    str(bytes) on "/", strip each element, membership-test the bare
+    keyword."""
     if payload is None:
         return (False, False)
-    s = str(bytes(payload)).lower()
-    return ("image" in s.split("/"), "/uri" in s)
+    parts = [x.strip() for x in str(bytes(payload)).lower().split("/")]
+    return ("image" in parts, "uri" in parts)

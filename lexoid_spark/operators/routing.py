@@ -37,7 +37,16 @@ def with_doctype(df: DataFrame, payload_col: str = "html") -> DataFrame:
         )
         .when(
             F.hex(F.substring(F.col(payload_col), 1, 4)) == "504B0304",
-            F.lit("zip"),  # OPC container (docx/xlsx); refined in-kernel
+            F.lit("zip"),  # OPC container (docx/xlsx/pptx); refined in-kernel
+        )
+        .when(
+            F.hex(F.substring(F.col(payload_col), 1, 4)).isin(
+                "494D4721",  # FAKE container "IMG!"
+                "89504E47",  # PNG
+                "47494638",  # GIF8
+            )
+            | (F.hex(F.substring(F.col(payload_col), 1, 3)) == "FFD8FF"),
+            F.lit("image"),  # → OCR arm (P5)
         )
         .when(
             low.startswith("<!doctype") | low.startswith("<html")
@@ -70,12 +79,14 @@ def with_pdf_flags(df: DataFrame, payload_col: str = "html") -> DataFrame:
 
 
 def route_parser(df: DataFrame) -> DataFrame:
-    """STATIC-only router (P1 minus the LLM arm).
+    """Three-way router (P1/P5 minus the LLM arm).
 
-    The reference routes text/spreadsheet → STATIC always, and PDFs
-    without images → STATIC (``utils.py:557-588``). Image-bearing PDFs
-    would go to the LLM/OCR path, which is out of the static rebuild's
-    scope → routed to the quarantine table instead.
+    The reference routes text/spreadsheet → STATIC always, PDFs
+    without images → STATIC (``utils.py:557-588``); image files and
+    image-bearing PDFs route to the OCR arm (``bbox_router``,
+    ``utils.py:591-612``: image/* → paddleocr, pdf with images →
+    paddleocr, pdf without → pdfplumber). The LLM arm stays out of the
+    static rebuild's scope → UNSUPPORTED/quarantine.
     """
     return df.withColumn(
         "route",
@@ -86,6 +97,11 @@ def route_parser(df: DataFrame) -> DataFrame:
         .when(
             (F.col("doctype") == "pdf") & (~F.col("has_image")),
             F.lit("STATIC"),
+        )
+        .when(
+            (F.col("doctype") == "image")
+            | ((F.col("doctype") == "pdf") & F.col("has_image")),
+            F.lit("OCR"),
         )
         .otherwise(F.lit("UNSUPPORTED")),
     )

@@ -36,7 +36,7 @@ from lexoid_spark.functions.columns import doc_title
 from lexoid_spark.functions.udfs import (
     DOC_SCHEMA,
     PDF_PAGES_SCHEMA,
-    extract_doc_map,
+    make_extract_doc_map,
     pdf_pages_map,
 )
 from lexoid_spark.operators.partitioning import (
@@ -44,7 +44,11 @@ from lexoid_spark.operators.partitioning import (
     salted_group_merge,
     split_giant_tail,
 )
-from lexoid_spark.operators.routing import quarantine, with_doctype
+from lexoid_spark.operators.routing import (
+    quarantine,
+    with_doctype,
+    with_pdf_flags,
+)
 
 
 def extract(pages: DataFrame, run_id: str = "run0",
@@ -54,13 +58,18 @@ def extract(pages: DataFrame, run_id: str = "run0",
             giant_threshold_bytes: int = 1 << 20,
             explode_pdf_pages: bool = False,
             salt_buckets: int = 8,
-            return_docs: bool = False) -> Dict[str, DataFrame]:
+            return_docs: bool = False,
+            pdf_framework: str = "pdfplumber") -> Dict[str, DataFrame]:
     """Build the extraction plan. Returns {"extracted", "errors"}.
 
     ``return_docs=True`` adds the pre-split ``docs`` frame to the dict:
     callers that sink BOTH branches can persist it so the kernels run
     once per document, not once per branch (Spark's cache manager
     matches the shared analyzed plan).
+
+    ``pdf_framework``: "pdfplumber" (full layout reconstruction,
+    default) or "pdfminer" (cheap text-only arm) — the reference's
+    framework/priority knob (static_parser.py:59-141 dispatch).
 
     skew_mode="tail" (default): only payloads above
     ``giant_threshold_bytes`` shuffle (round-robin spread); the bulk
@@ -91,16 +100,24 @@ def extract(pages: DataFrame, run_id: str = "run0",
 
     if not explode_pdf_pages:
         docs = src.select("url", "doctype", "html").mapInPandas(
-            extract_doc_map, DOC_SCHEMA
+            make_extract_doc_map(pdf_framework), DOC_SCHEMA
         )
     else:
         # per-page fan-out for giant-PDF skew: explode pages, merge back
         # with the salted two-phase groupBy (deterministic byte order)
         non_pdf = src.filter(F.col("doctype") != "pdf")
-        docs_simple = non_pdf.select("url", "doctype", "html").mapInPandas(
-            extract_doc_map, DOC_SCHEMA
+        # image-bearing PDFs take the OCR arm in the doc-level kernel
+        # (P5) — only layout-parsed PDFs fan out per page
+        pdf_flagged = with_pdf_flags(src.filter(F.col("doctype") == "pdf"))
+        ocr_pdfs = pdf_flagged.filter(F.col("has_image")).select(
+            "url", "doctype", "html"
         )
-        pdf_src = src.filter(F.col("doctype") == "pdf")
+        docs_simple = (
+            non_pdf.select("url", "doctype", "html")
+            .unionByName(ocr_pdfs)
+            .mapInPandas(make_extract_doc_map(pdf_framework), DOC_SCHEMA)
+        )
+        pdf_src = pdf_flagged.filter(~F.col("has_image"))
         pages_rows = pdf_src.select("url", "html").mapInPandas(
             pdf_pages_map, PDF_PAGES_SCHEMA
         )

@@ -30,7 +30,11 @@ def test_kernel_bboxes_normalized():
 
 def test_word_box_table_end_to_end(spark):
     pages = with_doctype(pages_df(spark, 40))
-    pdfs = pages.filter(F.col("doctype") == "pdf")
+    # pdf_scanned docs are image-only (no text layer) — correctly
+    # contribute zero word boxes; every text-bearing PDF must appear
+    pdfs = pages.filter(
+        (F.col("doctype") == "pdf") & ~F.col("url").contains("pdf_scanned")
+    )
     n_pdfs = pdfs.count()
     assert n_pdfs >= 8
     boxes = pdf_word_boxes(pdfs)
