@@ -937,13 +937,35 @@ def _ann_ivf_topk(spark, sf):
 
     emb = _t(spark, sf, "embeddings")
     return ivf_topk(
-        emb, query_ids=list(range(10)), k=5, n_centroids=8, nprobe=2
+        emb, query_ids=list(range(10)), k=5, n_centroids=8, nprobe=2,
+        n_iter=1,
     ).orderBy("qid", "rank")
 
 
+# n_iter=1: one Lloyd refinement of the first-C seed; centroid means
+# rounded to 6 dp on BOTH engines so distributed float summation order
+# cannot flip a rank
 _ANN_IVF_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+cents0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+a0 AS (
+  SELECT vid, vv, cid FROM (
+    SELECT e.vec_id AS vid, e.v AS vv, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+           ) AS r
+    FROM e CROSS JOIN cents0 c
+  ) t WHERE r = 1
+),
+dims AS (
+  SELECT cid, unnest(vv) AS val, unnest(range(1, len(vv) + 1)) AS pos
+  FROM a0
+),
+avgd AS (
+  SELECT cid, pos, ROUND(AVG(val), 6) AS c FROM dims GROUP BY cid, pos
+),
+cents AS (SELECT cid, list(c ORDER BY pos) AS cv FROM avgd GROUP BY cid),
 assigned AS (
   SELECT vid, vv, cid FROM (
     SELECT e.vec_id AS vid, e.v AS vv, c.cid,
