@@ -122,3 +122,58 @@ def crawl_edges(pages: DataFrame, seed_urls: list[str], depth: int = 2,
         .filter(F.col("_r") == 1)
         .select("parent_url", "child_url", "depth")
     )
+
+
+def reachable_docs(edges: DataFrame, docs: DataFrame,
+                   url_col: str = "url",
+                   title_col: str = "title") -> DataFrame:
+    """Flat relational form of the reference's nested ``recursive_docs``
+    tree (``api.py:413-439``, ``utils.py:410-464``): one row per
+    reachable document carrying its parent's url AND title — the
+    ``parent_title`` field the reference stamps on every sub-doc. A
+    broadcast join on the (small relative to corpus) edge table; the
+    edge table IS the tree, this view just decorates it."""
+    parents = docs.select(
+        F.col(url_col).alias("parent_url"),
+        F.col(title_col).alias("parent_title"),
+    )
+    children = docs.select(
+        F.col(url_col).alias("child_url"),
+        F.col(title_col).alias("title"),
+    )
+    return (
+        edges.join(parents, "parent_url", "left")
+        .join(children, "child_url", "left")
+        .select("child_url", "parent_url", "parent_title", "title", "depth")
+    )
+
+
+def edges_to_tree(edge_rows, docs_by_url: dict, root_url: str,
+                  parent_title: str = "", _visited: set | None = None) -> dict:
+    """Driver-side reconstruction of the reference's nested per-doc
+    dict (``recursive_read_html`` return shape): {raw, title, url,
+    parent_title, recursive_docs=[...]}, visited-set cycle prevention
+    included (``utils.py:423-436``). Control-plane only — use for
+    single-root inspection of a bounded crawl, never over the corpus
+    (the distributed form is :func:`reachable_docs`)."""
+    if _visited is None:
+        _visited = set()
+    _visited.add(root_url)
+    doc = docs_by_url.get(root_url, {})
+    node = {
+        "raw": doc.get("raw", ""),
+        "segments": doc.get("segments", []),
+        "title": doc.get("title", ""),
+        "url": root_url,
+        "parent_title": parent_title,
+        "recursive_docs": [],
+    }
+    children = sorted(c for p, c in edge_rows if p == root_url)
+    for child in children:
+        if child in _visited:
+            continue
+        node["recursive_docs"].append(
+            edges_to_tree(edge_rows, docs_by_url, child,
+                          node["title"], _visited)
+        )
+    return node

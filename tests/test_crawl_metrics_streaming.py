@@ -137,3 +137,49 @@ def test_split_giant_tail_null_nbytes_no_loss(spark):
     )
     out = split_giant_tail(df, 2, payload_col="n_bytes", threshold_bytes=10)
     assert out.count() == 2  # null n_bytes row must not vanish
+
+
+def test_reachable_docs_carries_parent_title(spark):
+    from lexoid_spark.operators.crawl import crawl_edges, reachable_docs
+
+    pages = spark.createDataFrame(
+        [("http://t.test/0", "[a](http://t.test/1) [b](http://t.test/2)"),
+         ("http://t.test/1", "[c](http://t.test/2)"),
+         ("http://t.test/2", "leaf")],
+        "url string, text string",
+    )
+    edges = crawl_edges(pages, seed_urls=["http://t.test/0"], depth=2)
+    docs = spark.createDataFrame(
+        [("http://t.test/0", "Root"), ("http://t.test/1", "Mid"),
+         ("http://t.test/2", "Leaf")],
+        "url string, title string",
+    )
+    got = {
+        (r["child_url"], r["depth"]): (r["parent_title"], r["title"])
+        for r in reachable_docs(edges, docs).collect()
+    }
+    assert got[("http://t.test/1", 1)] == ("Root", "Mid")
+    assert got[("http://t.test/2", 1)] == ("Root", "Leaf")
+
+
+def test_edges_to_tree_reference_shape(spark):
+    from lexoid_spark.operators.crawl import edges_to_tree
+
+    edges = [("r", "a"), ("r", "b"), ("a", "b"), ("b", "r")]  # cycle back
+    docs = {
+        "r": {"raw": "R", "title": "Root"},
+        "a": {"raw": "A", "title": "TitleA"},
+        "b": {"raw": "B", "title": "TitleB"},
+    }
+    tree = edges_to_tree(edges, docs, "r")
+    assert tree["title"] == "Root" and tree["parent_title"] == ""
+    # DFS pre-order exactly like the reference's recursion: a is visited
+    # first, claims b as ITS child; b is then skipped under r, and b's
+    # cycle back to r is cut by the visited set
+    subs = {d["url"]: d for d in tree["recursive_docs"]}
+    assert set(subs) == {"a"}
+    assert subs["a"]["parent_title"] == "Root"
+    inner = {d["url"]: d for d in subs["a"]["recursive_docs"]}
+    assert set(inner) == {"b"}
+    assert inner["b"]["parent_title"] == "TitleA"
+    assert inner["b"]["recursive_docs"] == []
