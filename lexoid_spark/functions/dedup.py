@@ -145,26 +145,32 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
             ])
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket"))
-    # bucket-size window rides the same (band, bucket) shuffle the join
-    # needs — no extra pass; sub_bucket is 0 everywhere a bucket fits
-    # under the cap, so small-corpus results are unchanged
-    from pyspark.sql import Window
-
-    n_sub = F.ceil(
-        F.count("*").over(Window.partitionBy("band", "bucket"))
-        / F.lit(max_bucket_size)
-    ).cast("long")
-    banded = banded.withColumn(
+             F.col("bb.bucket").alias("bucket")).persist()
+    # oversized buckets are RARE by construction (a band hash collision
+    # of millions of docs = boilerplate), so the size probe is a tiny
+    # aggregate broadcast back onto the banded frame — no window sort,
+    # no extra shuffle of the full data (a count() window over
+    # (band,bucket) re-shuffled everything and measured 1.4× slower).
+    # banded is persisted: the aggregate and both self-join sides read
+    # the cache, so the minhash explode runs ONCE (round 1 ran it twice)
+    oversized = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+    )
+    n_sub = F.ceil(F.col("_n") / F.lit(max_bucket_size)).cast("long")
+    banded = banded.join(
+        F.broadcast(oversized), ["band", "bucket"], "left"
+    ).withColumn(
         "sub_bucket",
-        F.when(n_sub <= 1, F.lit(0)).otherwise(
+        F.when(F.col("_n").isNull(), F.lit(0)).otherwise(
             F.pmod(
                 F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8),
                        16, 10).cast("long"),
                 n_sub,
             )
         ),
-    )
+    ).drop("_n")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

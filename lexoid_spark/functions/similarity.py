@@ -105,10 +105,18 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int,
     cents = embeddings.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
+    spark = embeddings.sparkSession
     for _ in range(n_iter):
-        cents = refine_centroids(
+        refined = refine_centroids(
             _assign_to(embeddings, cents, id_col, vec_col)
         )
+        # materialize at the driver: C×dim doubles is control-plane
+        # (standard k-means practice). Without this, every downstream
+        # reuse of the centroid frame (assignment AND query probes)
+        # re-executes the corpus-wide assignment pass embedded in the
+        # refinement plan — two extra full passes per reuse at 100 TB.
+        rows = [(int(r["cid"]), list(r["cvec"])) for r in refined.collect()]
+        cents = spark.createDataFrame(rows, "cid long, cvec array<double>")
     return cents
 
 
