@@ -1102,6 +1102,63 @@ FROM m ORDER BY doc_id
 """
 
 
+def _audio_meta(spark, sf):
+    from lexoid_spark.functions.multimodal import audio_meta, fake_audio_udf
+
+    docs = _t(spark, sf, "documents")
+    auds = docs.select(
+        "doc_id",
+        fake_audio_udf(
+            F.lit(16000), (F.col("n_chars") % 100000 + 16000).cast("int")
+        ).alias("payload"),
+    )
+    return (
+        audio_meta(auds, id_col="doc_id")
+        .select(F.col("id").alias("doc_id"), "sample_rate", "n_samples",
+                "duration_sec")
+        .orderBy("doc_id")
+    )
+
+
+_AUDIO_META_SQL = """
+SELECT doc_id, 16000 AS sample_rate,
+       CAST(n_chars % 100000 + 16000 AS BIGINT) AS n_samples,
+       ROUND((n_chars % 100000 + 16000) / 16000.0, 6) AS duration_sec
+FROM documents ORDER BY doc_id
+"""
+
+
+def _audio_chunks(spark, sf):
+    """Fixed-duration audio chunking (ASR batching primitive): one row
+    per chunk via the UDTF-shaped mapInPandas kernel."""
+    from lexoid_spark.functions.multimodal import audio_chunks, fake_audio_udf
+
+    docs = _t(spark, sf, "documents")
+    auds = docs.select(
+        "doc_id",
+        fake_audio_udf(
+            F.lit(100), (F.col("n_chars") % 1000 + 50).cast("int")
+        ).alias("payload"),
+    )
+    return (
+        audio_chunks(auds, chunk_sec=3.0, id_col="doc_id")
+        .select(F.col("id").alias("doc_id"), "chunk_idx", "start_sample",
+                "n_samples")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_AUDIO_CHUNKS_SQL = """
+WITH a AS (
+  SELECT doc_id, CAST(n_chars % 1000 + 50 AS BIGINT) AS n FROM documents
+),
+s AS (SELECT doc_id, n, UNNEST(range(0, n, 300)) AS st FROM a)
+SELECT doc_id, CAST(st / 300 AS INT) AS chunk_idx, st AS start_sample,
+       CASE WHEN n - st < 300 THEN n - st ELSE 300 END AS n_samples
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
+
 def _video_frames(spark, sf):
     from lexoid_spark.functions.multimodal import fake_video_udf, frame_sample
 
@@ -1556,12 +1613,15 @@ def _pipeline_extract(spark, sf):
     )
     out = extract(pages, run_id="driver_check")["extracted"]
     return out.select(
-        "url", "raw", "parser_used", "n_chars",
+        "url", "raw", "parser_used", "n_chars", "n_tokens",
         F.size("segments").alias("n_segments"),
     ).orderBy("url")
 
 
-_PIPELINE_EXTRACT_SQL = """
+# n_tokens mirrors functions/textstats.py::token_count exactly:
+# trim strips SPACES only (Spark F.trim semantics), so the leading
+# markdown newlines yield one empty first token on both engines
+_PIPELINE_EXTRACT_SQL = r"""
 WITH m AS (
   SELECT 'http://synth.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
          chr(10) || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
@@ -1570,7 +1630,9 @@ WITH m AS (
   FROM documents
 )
 SELECT url, raw, 'STATIC_PARSE' AS parser_used,
-       length(raw) AS n_chars, 1 AS n_segments
+       length(raw) AS n_chars,
+       len(regexp_split_to_array(trim(raw, ' '), '\s+')) AS n_tokens,
+       1 AS n_segments
 FROM m ORDER BY url
 """
 
@@ -1769,6 +1831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": _image_meta,
         "image_resize": _image_resize,
         "video_frames": _video_frames,
+        "audio_meta": _audio_meta,
+        "audio_chunks": _audio_chunks,
         "extract_html_h1": _extract_html_h1,
         "extract_segments_n": _extract_segments_n,
         "email_embed": _email_embed,
@@ -1824,6 +1888,8 @@ def oracle_sql() -> dict[str, str]:
         "image_meta": _IMAGE_META_SQL,
         "image_resize": _IMAGE_RESIZE_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
+        "audio_meta": _AUDIO_META_SQL,
+        "audio_chunks": _AUDIO_CHUNKS_SQL,
         "extract_html_h1": _EXTRACT_HTML_SQL,
         "extract_segments_n": _EXTRACT_SEGMENTS_SQL,
         "email_embed": _EMAIL_EMBED_SQL,

@@ -48,6 +48,16 @@ def encode_fake_video(width: int, height: int, n_frames: int) -> bytes:
     return VID_MAGIC + struct.pack(">HHH", width, height, n_frames) + bytes(4)
 
 
+def encode_fake_audio(sample_rate: int, n_samples: int) -> bytes:
+    return AUD_MAGIC + struct.pack(">II", sample_rate, n_samples) + bytes(4)
+
+
+def decode_audio_header(b: bytes) -> tuple[int, int] | None:
+    if b is None or len(b) < 12 or b[:4] != AUD_MAGIC:
+        return None
+    return struct.unpack(">II", b[4:12])
+
+
 def decode_image_header(b: bytes) -> tuple[int, int, int] | None:
     if b is None or len(b) < 9 or b[:4] != IMG_MAGIC:
         return None
@@ -178,6 +188,77 @@ def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "id",
     return src.mapInPandas(kernel, FRAME_SCHEMA)
 
 
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_sec", T.DoubleType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def audio_meta(df: DataFrame, id_col: str = "id",
+               bin_col: str = "payload") -> DataFrame:
+    """Decode typed metadata from an opaque audio binary column
+    (duration derived, bad magic → error row, never a task failure)."""
+    src = df.select(F.col(id_col).cast("long").alias("id"),
+                    F.col(bin_col).alias("payload"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i, payload in zip(b["id"], b["payload"]):
+                hdr = decode_audio_header(payload)
+                if hdr is None:
+                    rows.append((i, None, None, None, "bad_magic"))
+                else:
+                    sr, n = hdr
+                    rows.append((i, sr, n, round(n / sr, 6) if sr else None,
+                                 None))
+            yield pd.DataFrame(
+                rows, columns=["id", "sample_rate", "n_samples",
+                               "duration_sec", "error"])
+
+    return src.mapInPandas(kernel, AUDIO_META_SCHEMA)
+
+
+AUDIO_CHUNK_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("chunk_idx", T.IntegerType()),
+    T.StructField("start_sample", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+])
+
+
+def audio_chunks(df: DataFrame, chunk_sec: float = 30.0,
+                 id_col: str = "id", bin_col: str = "payload") -> DataFrame:
+    """Split audio into fixed-duration chunks — one output row per
+    chunk (UDTF shape, like frame_sample): the ASR-batching primitive a
+    training pipeline needs. The last chunk is short; decode itself is
+    behind the real-codec seam."""
+    src = df.select(F.col(id_col).cast("long").alias("id"),
+                    F.col(bin_col).alias("payload"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"id": [], "chunk_idx": [], "start_sample": [],
+                   "n_samples": []}
+            for i, payload in zip(b["id"], b["payload"]):
+                hdr = decode_audio_header(payload)
+                if hdr is None:
+                    continue
+                sr, n = hdr
+                step = max(1, int(sr * chunk_sec))
+                for ci, start in enumerate(range(0, n, step)):
+                    out["id"].append(i)
+                    out["chunk_idx"].append(ci)
+                    out["start_sample"].append(start)
+                    out["n_samples"].append(min(step, n - start))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(kernel, AUDIO_CHUNK_SCHEMA)
+
+
 # --- fake-corpus builders (Spark-side, vectorized) ----------------------------
 
 @F.pandas_udf(T.BinaryType())
@@ -195,4 +276,13 @@ def fake_video_udf(width: pd.Series, height: pd.Series,
     return pd.Series([
         encode_fake_video(int(w), int(h), int(n))
         for w, h, n in zip(width, height, n_frames)
+    ])
+
+
+@F.pandas_udf(T.BinaryType())
+def fake_audio_udf(sample_rate: pd.Series,
+                   n_samples: pd.Series) -> pd.Series:
+    return pd.Series([
+        encode_fake_audio(int(sr), int(n))
+        for sr, n in zip(sample_rate, n_samples)
     ])

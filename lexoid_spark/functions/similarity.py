@@ -131,10 +131,29 @@ def assign_clusters(embeddings: DataFrame, n_centroids: int,
     return _assign_to(embeddings, cents, id_col, vec_col)
 
 
+def numpy_dot_udf():
+    """Arrow-batched einsum dot product — the throughput path for wide
+    embeddings: one numpy call per batch instead of an interpreted
+    fold per element. (Float summation order differs from the HOF
+    fold at the last ulp, so the bit-parity oracle keeps the HOF form;
+    values agree to ~1e-15.)"""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def dot_np(a, b):
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return F.pandas_udf(dot_np, T.DoubleType())
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.9,
                              n_centroids: int = 8,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             impl: str = "hof") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= tau).
 
     Scale path: candidates are generated ONLY within IVF clusters (same
@@ -142,6 +161,10 @@ def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.9,
     compare is bucket-local — O(sum b_i²) instead of O(N²). Recall is
     bounded by cluster granularity, the standard ANN near-dup
     trade-off; raise ``n_centroids`` at scale so buckets stay small.
+
+    ``impl``: "hof" (native fold, bit-exact vs the DuckDB oracle) or
+    "numpy" (Arrow-batched einsum — faster per pair on wide vectors;
+    equal pair sets unless a cosine sits within float noise of tau).
     """
     assigned = assign_clusters(embeddings, n_centroids, id_col, vec_col)
     # norms once per VECTOR below the join (the join boundary keeps the
@@ -153,12 +176,15 @@ def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.9,
     b = assigned.select(F.col("cid"), F.col("vid").alias("id_b"),
                         F.col("vvec").alias("vb"),
                         norm(F.col("vvec")).alias("nb"))
+    pair_dot = (
+        numpy_dot_udf()(F.col("va"), F.col("vb")) if impl == "numpy"
+        else dot(F.col("va"), F.col("vb"))
+    )
     return (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
         # dot >= tau·|a|·|b|  ⇔  cosine >= tau (norms > 0, tau > 0)
-        .filter(dot(F.col("va"), F.col("vb"))
-                >= tau * F.col("na") * F.col("nb"))
+        .filter(pair_dot >= tau * F.col("na") * F.col("nb"))
         .select("id_a", "id_b")
     )
 

@@ -150,6 +150,8 @@ def extract(pages: DataFrame, run_id: str = "run0",
         )
         docs = docs_simple.unionByName(pdf_docs).unionByName(pdf_err_docs)
 
+    from lexoid_spark.functions.textstats import token_count
+
     extracted = (
         docs.filter(F.col("error").isNull())
         .select(
@@ -159,6 +161,10 @@ def extract(pages: DataFrame, run_id: str = "run0",
             "segments",
             "parser_used",
             F.length("raw").alias("n_chars"),
+            # whitespace token count, native JVM (A5/A9 analogue over
+            # extracted text; the reference's LLM token accounting
+            # stays zeroed in api.py — no LLM arm)
+            token_count(F.col("raw")).alias("n_tokens"),
         )
     )
     errors = quarantine(docs, "extract", run_id)

@@ -85,5 +85,5 @@ def test_query_matches_oracle(spark, duck, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.limit(5).collect()
-    assert df.columns == ["url", "title", "raw", "segments", "parser_used", "n_chars"]
+    assert df.columns == ["url", "title", "raw", "segments", "parser_used", "n_chars", "n_tokens"]
     assert len(rows) > 0

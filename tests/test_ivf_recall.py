@@ -72,3 +72,15 @@ def test_refine_centroids_is_member_mean(spark):
     )
     got = {r["cid"]: r["cvec"] for r in refine_centroids(assigned).collect()}
     assert got == {1: [2.0, 3.0], 2: [10.0, 0.0]}
+
+
+def test_near_dup_numpy_impl_matches_hof(spark):
+    from lexoid_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    hof = {(r["id_a"], r["id_b"])
+           for r in embedding_near_dup_pairs(emb, tau=0.35).collect()}
+    fast = {(r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(emb, tau=0.35,
+                                              impl="numpy").collect()}
+    assert hof and fast == hof

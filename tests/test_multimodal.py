@@ -90,3 +90,30 @@ def test_fake_udfs_vectorized(spark):
     got = {r["id"]: r for r in df.collect()}
     assert decode_image_header(got[4]["img"]) == (14, 20, 3)
     assert decode_video_header(got[2]["vid"]) == (8, 8, 3)
+
+
+def test_audio_meta_and_error(spark):
+    from lexoid_spark.functions.multimodal import audio_meta, encode_fake_audio
+
+    rows = [(1, encode_fake_audio(16000, 48000)), (2, b"not audio")]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r for r in audio_meta(df).collect()}
+    assert (got[1]["sample_rate"], got[1]["n_samples"]) == (16000, 48000)
+    assert got[1]["duration_sec"] == 3.0 and got[1]["error"] is None
+    assert got[2]["error"] == "bad_magic"
+
+
+def test_audio_chunks_cover_exactly(spark):
+    from lexoid_spark.functions.multimodal import (
+        audio_chunks,
+        encode_fake_audio,
+    )
+
+    # 100 Hz, 650 samples, 3 s chunks (300 samples): 300+300+50
+    df = spark.createDataFrame(
+        [(7, encode_fake_audio(100, 650))], "id long, payload binary")
+    got = [(r["chunk_idx"], r["start_sample"], r["n_samples"])
+           for r in audio_chunks(df, chunk_sec=3.0).orderBy("chunk_idx").collect()]
+    assert got == [(0, 0, 300), (1, 300, 300), (2, 600, 50)]
+    total = sum(n for _, _, n in got)
+    assert total == 650  # lossless cover, no overlap

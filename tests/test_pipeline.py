@@ -146,4 +146,5 @@ def test_column_pruning_in_plan(spark):
 def test_extracted_schema_stable(result):
     assert [f.name for f in result["extracted"].schema.fields] == [
         "url", "title", "raw", "segments", "parser_used", "n_chars",
+        "n_tokens",
     ]
