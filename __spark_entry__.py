@@ -1206,6 +1206,47 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _extract_html_main(spark, sf):
+    """Main-content extraction (north-rule boilerplate strip): the SAME
+    closed-form document as extract_html_h1 wrapped in nav / cookie
+    banner / page header / social-share / footer chrome — the
+    tag+class blocklists must strip ALL of it, leaving exactly the
+    h1+paragraph markdown the oracle predicts."""
+    from lexoid_spark.functions.udfs import html_main_to_md_udf
+
+    docs = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit(
+            "<html><body>"
+            "<nav><ul><li>home</li><li>about</li></ul></nav>"
+            "<div class='cookie-banner'><p>accept all cookies</p></div>"
+            "<header><p>site chrome</p></header>"
+            "<h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            "</p><div id='social-share'><p>share this</p></div>"
+            "<footer><p>footer junk</p></footer></body></html>"
+        ),
+    )
+    return docs.select(
+        "doc_id", html_main_to_md_udf(html).getField("raw").alias("raw")
+    ).orderBy("doc_id")
+
+
+# identical closed form to _EXTRACT_HTML_SQL: every chrome element is
+# stripped, so only the h1 + paragraph survive
+_EXTRACT_HTML_MAIN_SQL = """
+SELECT doc_id,
+       chr(10) || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+       || repeat('=', 4 + length(CAST(doc_id AS VARCHAR)))
+       || chr(10) || chr(10) || text || chr(10) || chr(10) AS raw
+FROM documents ORDER BY doc_id
+"""
+
+
 def _extract_segments_n(spark, sf):
     from lexoid_spark.functions.udfs import html_to_md_udf, segment_md_udf
 
@@ -1834,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": _audio_meta,
         "audio_chunks": _audio_chunks,
         "extract_html_h1": _extract_html_h1,
+        "extract_html_main": _extract_html_main,
         "extract_segments_n": _extract_segments_n,
         "email_embed": _email_embed,
         "md_url_extract": _md_url_extract,
@@ -1891,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_meta": _AUDIO_META_SQL,
         "audio_chunks": _AUDIO_CHUNKS_SQL,
         "extract_html_h1": _EXTRACT_HTML_SQL,
+        "extract_html_main": _EXTRACT_HTML_MAIN_SQL,
         "extract_segments_n": _EXTRACT_SEGMENTS_SQL,
         "email_embed": _EMAIL_EMBED_SQL,
         "md_url_extract": _MD_URL_SQL,

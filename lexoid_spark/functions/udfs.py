@@ -50,6 +50,17 @@ def html_to_md_udf(payloads: pd.Series) -> pd.DataFrame:
 
 
 @F.pandas_udf(RAW_ERR_TYPE)
+def html_main_to_md_udf(payloads: pd.Series) -> pd.DataFrame:
+    """Main-content variant: boilerplate chrome stripped via the
+    tag/class blocklists before markdown emission."""
+    rows = [
+        _guarded(lambda p: html_to_md(p, main_content=True))(p)
+        for p in payloads
+    ]
+    return pd.DataFrame(rows)
+
+
+@F.pandas_udf(RAW_ERR_TYPE)
 def csv_to_md_udf(payloads: pd.Series) -> pd.DataFrame:
     rows = [_guarded(csv_to_md)(p) for p in payloads]
     return pd.DataFrame(rows)
@@ -113,17 +124,20 @@ DOC_SCHEMA = T.StructType([
 ])
 
 
-def _extract_one(doctype: str, payload, pdf_framework: str = "pdfplumber"):
+def _extract_one(doctype: str, payload, pdf_framework: str = "pdfplumber",
+                 html_main_content: bool = False):
     """One document → (raw, segments, parser). The reference's
     parse_static_doc dispatch (static_parser.py:59-141) per row, inside
     an Arrow batch. ``pdf_framework``: "pdfplumber" (full layout
     reconstruction, default) or "pdfminer" (text-only cheap arm,
     static_parser.py:144-177) — the reference's framework kwarg.
-    Image files and image-bearing PDFs take the OCR arm (P5,
-    utils.py:591-612 + static_parser.py:751-818)."""
+    ``html_main_content``: strip nav/ads/social chrome via the
+    tag/class blocklists (north-rule boilerplate strip; default off
+    for reference byte parity). Image files and image-bearing PDFs
+    take the OCR arm (P5, utils.py:591-612 + static_parser.py:751-818)."""
     parser = "STATIC_PARSE"
     if doctype == "html":
-        raw = html_to_md(payload)
+        raw = html_to_md(payload, main_content=html_main_content)
         segs = [
             {"page": None, "section": s, "content": c}
             for s, c in segment_md(raw)
@@ -186,9 +200,10 @@ def _extract_one(doctype: str, payload, pdf_framework: str = "pdfplumber"):
     return raw, segs, parser
 
 
-def make_extract_doc_map(pdf_framework: str = "pdfplumber"):
-    """Factory for the dispatch kernel with the PDF-arm knob bound
-    (mapInPandas takes a fixed-signature function; the knob rides the
+def make_extract_doc_map(pdf_framework: str = "pdfplumber",
+                         html_main_content: bool = False):
+    """Factory for the dispatch kernel with the per-arm knobs bound
+    (mapInPandas takes a fixed-signature function; the knobs ride the
     closure, serialized once per task)."""
 
     def extract_doc_map(
@@ -201,7 +216,8 @@ def make_extract_doc_map(pdf_framework: str = "pdfplumber"):
                     b["url"], b["doctype"], b["html"]):
                 try:
                     raw, segs, parser = _extract_one(
-                        doctype, payload, pdf_framework)
+                        doctype, payload, pdf_framework,
+                        html_main_content)
                     err = None
                 except Exception as e:
                     raw, segs, err = None, None, f"{type(e).__name__}: {e}"

@@ -45,6 +45,16 @@ VOID_TAGS = frozenset(
 # tags whose entire subtree is boilerplate to drop
 DROP_TAGS = frozenset("script style template noscript iframe svg head".split())
 
+# main-content extraction (north_rule: "boilerplate strip via tag/class
+# blocklists"): structural chrome tags, plus class/id substrings that
+# mark navigation/ads/social chrome on web pages. Substring matching on
+# the joined class+id attribute is the standard readability heuristic.
+BOILERPLATE_TAGS = frozenset("nav footer aside form".split())
+BOILERPLATE_TOKENS = (
+    "nav", "menu", "footer", "sidebar", "banner", "cookie",
+    "breadcrumb", "share", "social", "comment", "advert", "promo",
+)
+
 # block-ish containers that participate in the nested-whitespace rule
 NESTED_TAGS = frozenset(
     "ol ul li table thead tbody tfoot tr td th".split()
@@ -485,15 +495,53 @@ def _next_elem_sibling_text(el):
 _EMITTER = MarkdownEmitter()
 
 
-def html_to_md(html) -> str:
+def _is_boilerplate(node: Node) -> bool:
+    if node.name in BOILERPLATE_TAGS:
+        return True
+    # page-level <header> is chrome; <header> inside an article is not
+    if node.name == "header" and node.parent is not None and \
+            node.parent.name in ("body", "html", ""):
+        return True
+    cid = f"{node.get('class', '')} {node.get('id', '')}".strip().lower()
+    if not cid:
+        return False
+    return any(tok in cid for tok in BOILERPLATE_TOKENS)
+
+
+def strip_boilerplate(root: Node) -> Node:
+    """Prune boilerplate subtrees in place (tag + class/id blocklists)."""
+    def prune(node: Node) -> None:
+        kept = []
+        for ch in node.children:
+            if isinstance(ch, Node):
+                if _is_boilerplate(ch):
+                    continue
+                prune(ch)
+            kept.append(ch)
+        node.children = kept
+
+    prune(root)
+    return root
+
+
+def html_to_md(html, main_content: bool = False) -> str:
     """Convert an HTML payload (str or bytes) to markdown.
 
     Bytes are decoded UTF-8 with ``errors="ignore"`` — the reference's
     invalid-byte tolerance (``static_parser.py:90-92``,
     ``tests/test_parser.py:177-212``).
+
+    ``main_content=True`` additionally prunes navigation/ads/social
+    chrome via :func:`strip_boilerplate` before emission (the
+    north-rule's "boilerplate strip via tag/class blocklists"; the
+    reference's markdownify path keeps chrome, so the default stays
+    False for byte parity).
     """
     if html is None:
         return ""
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="ignore")
-    return _EMITTER.convert(parse_html(html))
+    root = parse_html(html)
+    if main_content:
+        root = strip_boilerplate(root)
+    return _EMITTER.convert(root)

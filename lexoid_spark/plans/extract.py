@@ -59,7 +59,8 @@ def extract(pages: DataFrame, run_id: str = "run0",
             explode_pdf_pages: bool = False,
             salt_buckets: int = 8,
             return_docs: bool = False,
-            pdf_framework: str = "pdfplumber") -> Dict[str, DataFrame]:
+            pdf_framework: str = "pdfplumber",
+            html_main_content: bool = False) -> Dict[str, DataFrame]:
     """Build the extraction plan. Returns {"extracted", "errors"}.
 
     ``return_docs=True`` adds the pre-split ``docs`` frame to the dict:
@@ -70,6 +71,9 @@ def extract(pages: DataFrame, run_id: str = "run0",
     ``pdf_framework``: "pdfplumber" (full layout reconstruction,
     default) or "pdfminer" (cheap text-only arm) — the reference's
     framework/priority knob (static_parser.py:59-141 dispatch).
+    ``html_main_content``: strip navigation/ads/social chrome via the
+    tag/class blocklists (north-rule boilerplate strip; off by default
+    for reference byte parity).
 
     skew_mode="tail" (default): only payloads above
     ``giant_threshold_bytes`` shuffle (round-robin spread); the bulk
@@ -100,7 +104,8 @@ def extract(pages: DataFrame, run_id: str = "run0",
 
     if not explode_pdf_pages:
         docs = src.select("url", "doctype", "html").mapInPandas(
-            make_extract_doc_map(pdf_framework), DOC_SCHEMA
+            make_extract_doc_map(pdf_framework, html_main_content),
+            DOC_SCHEMA,
         )
     else:
         # per-page fan-out for giant-PDF skew: explode pages, merge back
@@ -115,7 +120,10 @@ def extract(pages: DataFrame, run_id: str = "run0",
         docs_simple = (
             non_pdf.select("url", "doctype", "html")
             .unionByName(ocr_pdfs)
-            .mapInPandas(make_extract_doc_map(pdf_framework), DOC_SCHEMA)
+            .mapInPandas(
+                make_extract_doc_map(pdf_framework, html_main_content),
+                DOC_SCHEMA,
+            )
         )
         pdf_src = pdf_flagged.filter(~F.col("has_image"))
         pages_rows = pdf_src.select("url", "html").mapInPandas(

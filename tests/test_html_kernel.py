@@ -145,3 +145,50 @@ def test_div_transparent():
 
 def test_heading_inline_content():
     assert html_to_md("<h1><em>T</em>itle</h1>") == "\n\n*T*itle\n=======\n\n"
+
+
+def test_main_content_strips_tag_blocklist():
+    from lexoid_spark.kernels.html_md import html_to_md
+
+    html = (
+        "<html><body><nav><ul><li>home</li></ul></nav>"
+        "<header><p>chrome</p></header>"
+        "<h1>Keep</h1><p>body text</p>"
+        "<aside><p>related</p></aside>"
+        "<form><input name='q'/></form>"
+        "<footer><p>footer</p></footer></body></html>"
+    )
+    md = html_to_md(html, main_content=True)
+    assert "Keep" in md and "body text" in md
+    for junk in ("home", "chrome", "related", "footer"):
+        assert junk not in md
+    # default path keeps everything (reference markdownify parity)
+    assert "home" in html_to_md(html)
+
+
+def test_main_content_strips_class_id_blocklist():
+    from lexoid_spark.kernels.html_md import html_to_md
+
+    html = (
+        "<html><body>"
+        "<div class='cookie-banner'><p>accept</p></div>"
+        "<div id='social-share'><p>tweet</p></div>"
+        "<div class='menu top'><p>links</p></div>"
+        "<div class='content'><p>real text</p></div>"
+        "</body></html>"
+    )
+    md = html_to_md(html, main_content=True)
+    assert "real text" in md
+    for junk in ("accept", "tweet", "links"):
+        assert junk not in md
+
+
+def test_main_content_keeps_article_header():
+    from lexoid_spark.kernels.html_md import html_to_md
+
+    html = (
+        "<html><body><article><header><h2>Inside</h2></header>"
+        "<p>para</p></article></body></html>"
+    )
+    md = html_to_md(html, main_content=True)
+    assert "Inside" in md and "para" in md
