@@ -84,8 +84,11 @@ def main() -> None:
         "docs_by_lang", "doc_quality", "doc_langid", "doc_fingerprint",
         "ngram_jaccard_adjacent", "minhash_band_pairs", "simhash_pairs",
         "ann_cosine_topk", "ann_ivf_topk", "emb_near_dup",
-        "image_meta", "video_frames", "parse_quality_metrics",
+        "image_meta", "video_frames", "audio_chunks",
+        "parse_quality_metrics",
         "bbox_range_join", "crawl_reachable", "extract_html_h1",
+        "extract_html_main", "pdf_flate_extract", "pdf_speed_arm",
+        "ocr_scanned",
     ]
     for name in bench_names:
         bench(name, lambda n=name: _noop_write(queries[n](spark, SF_DIR)))
