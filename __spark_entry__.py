@@ -859,6 +859,40 @@ ORDER BY id_a, id_b
 """
 
 
+def _dup_clusters(spark, sf):
+    """Candidate pairs → duplicate CLUSTERS (connected components via
+    min-label propagation) — the step between LSH and choosing a
+    keeper. Oracle: recursive-CTE transitive closure over the same
+    pair set (quadratic in component size — fine for the oracle corpus;
+    the Spark side is the scale path)."""
+    from lexoid_spark.functions.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3
+    )
+    return connected_components(pairs).orderBy("id")
+
+
+_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE und AS (
+  SELECT id_a AS a, id_b AS b FROM ({_MINHASH_PAIRS_SQL}) p
+  UNION
+  SELECT id_b AS a, id_a AS b FROM ({_MINHASH_PAIRS_SQL}) p
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id
+FROM reach GROUP BY a ORDER BY id
+"""
+
+
 def _simhash_pairs(spark, sf):
     """Portable SimHash near-dup pairs — fully native JVM (explode →
     md5-derived 60-bit token hash → per-bit majority groupBy → 15-bit
@@ -1865,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_adjacent": _ngram_jaccard_adjacent,
         "minhash_sample": _minhash_sample,
         "minhash_band_pairs": _minhash_band_pairs,
+        "dup_clusters": _dup_clusters,
         "simhash_pairs": _simhash_pairs,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -1923,6 +1958,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_adjacent": _NGRAM_JACCARD_SQL,
         "minhash_sample": _MINHASH_SAMPLE_SQL,
         "minhash_band_pairs": _MINHASH_PAIRS_SQL,
+        "dup_clusters": _DUP_CLUSTERS_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,

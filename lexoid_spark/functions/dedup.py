@@ -181,6 +181,71 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Duplicate clusters from candidate pairs: (id, cluster_id) where
+    cluster_id = min doc id in the connected component.
+
+    The step LSH stops short of: near-dup PAIRS must become GROUPS
+    before a keeper can be chosen (A and B dups, B and C dups → one
+    cluster {A,B,C}, keep A). Min-label propagation over the
+    undirected edge set, one round per iteration:
+
+        label(v) ← min(label(v), min over neighbors u of label(u))
+
+    Each round is a join + groupBy on the (persisted) edge table —
+    shuffles only (node, label) pairs — and converges in
+    O(graph diameter) rounds. Near-dup graphs are dense blobs with
+    tiny diameter (docs similar to each other), so 3–4 rounds settle
+    real corpora; ``max_iter`` bounds adversarial chains. Only docs
+    that appear in some pair get a row (singletons are their own
+    cluster by definition — don't materialize corpus-sized identity).
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    # localCheckpoint truncates lineage each round — the label frame is
+    # referenced twice per iteration (propagate + change probe), so an
+    # un-truncated logical plan doubles per round and OOMs the DRIVER
+    # long before any executor feels it. On a cluster with flaky
+    # executors, swap for reliable checkpoint(dir).
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = und.select("a").distinct().withColumn(
+        "lbl", F.col("a")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            und.join(
+                labels.select(F.col("a").alias("b"),
+                              F.col("lbl").alias("nlbl")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nlbl").alias("min_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr, "a", "left")
+            .select(
+                "a",
+                F.least(
+                    F.col("lbl"), F.coalesce("min_nbr", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("a", F.col("lbl").alias("old")), "a"
+            )
+            .filter(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("a").alias("id"), F.col("lbl").alias("cluster_id"))
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact deduplication: one keeper (lowest id) per normalized-text
     fingerprint — the hash-groupBy variant (one shuffle on the md5 key;

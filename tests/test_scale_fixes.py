@@ -195,3 +195,25 @@ def test_new_run_id_does_not_inherit_progress(spark, tmp_path, run_id2):
     # (idempotent overwrites) instead of silently no-op'ing
     r2 = run_extract_job(spark, p, out, run_id=run_id2, n_buckets=4)
     assert len(r2.buckets_done) == 4 and r2.n_docs == 12
+
+
+def test_connected_components_clusters(spark):
+    from lexoid_spark.functions.dedup import connected_components
+
+    # two components: {1,2,3,9} via chain, {5,7}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 7)], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from lexoid_spark.functions.dedup import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    got = connected_components(pairs, max_iter=n + 2).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == n + 1
