@@ -17,7 +17,7 @@ from lexoid_spark.kernels.table_md import csv_to_md
 @settings(max_examples=200, deadline=None)
 @given(st.binary(max_size=2048))
 def test_sniff_total_and_closed(payload):
-    assert sniff_doctype(payload) in {"pdf", "zip", "html", "csv", "txt"}
+    assert sniff_doctype(payload) in {"pdf", "zip", "image", "html", "csv", "txt"}
 
 
 @settings(max_examples=100, deadline=None)
@@ -63,3 +63,29 @@ def test_shingle_determinism_and_shape(text):
     if len(toks) >= 3:
         expected = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
         assert len(expected) >= 1
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            min_size=1, max_size=12,
+        ).map(lambda s: s.replace(" ", "") or "w").filter(bool),
+        min_size=1, max_size=6,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_pdf_string_escape_roundtrip(words):
+    """Words with parens/backslashes survive the writer's _esc and the
+    interpreter's _unesc through a full compressed compact PDF."""
+    from lexoid_spark.corpus.pdf_gen import build_pdf
+    from lexoid_spark.kernels.pdf_md import parse_pdf
+
+    specs = [
+        {"text": w, "x": 72.0 + 60.0 * j, "y": 700.0,
+         "size": 12.0, "font": "F1"}
+        for j, w in enumerate(words)
+    ]
+    pdf = build_pdf([{"words": specs, "style": "compact"}], compress=True)
+    got = [w["text"] for w in parse_pdf(pdf)[0].words]
+    assert got == words
