@@ -86,3 +86,45 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS t_extracted")
         spark.sql("DROP TABLE IF EXISTS t_golden")
+
+
+def test_dedup_plans_never_cartesian(spark):
+    """LSH, portable SimHash, and IVF near-dup must stay bucket-local
+    joins — a CartesianProduct anywhere is the O(N^2) scale-killer."""
+    from lexoid_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        simhash_near_pairs_portable,
+    )
+    from lexoid_spark.functions.similarity import embedding_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} alpha beta gamma delta common tail")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    for df in (
+        lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=8, bands=2),
+        simhash_near_pairs_portable(docs, "doc_id", "text"),
+        embedding_near_dup_pairs(emb, tau=0.5, n_centroids=4),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+
+
+def test_lsh_size_probe_is_broadcast(spark):
+    """The oversized-bucket probe joins back as a BROADCAST (tiny build
+    side), not a shuffle of the full banded frame."""
+    from lexoid_spark.functions.dedup import lsh_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "same text everywhere for collisions") for i in range(20)],
+        "doc_id long, text string",
+    )
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text",
+                                num_hashes=8, bands=2)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
