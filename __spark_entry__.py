@@ -1046,6 +1046,19 @@ def _emb_near_dup(spark, sf):
     )
 
 
+def _emb_near_dup_fast(spark, sf):
+    """Arrow-batched numpy-einsum variant of the near-dup pair filter —
+    the wide-embedding throughput path. Same oracle as emb_near_dup:
+    einsum and the HOF fold agree to ~1e-15, and no synthetic cosine
+    sits that close to tau."""
+    from lexoid_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, tau=0.35, n_centroids=8, impl="numpy"
+    ).orderBy("id_a", "id_b")
+
+
 _EMB_NEAR_DUP_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
@@ -1904,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "emb_near_dup": _emb_near_dup,
+        "emb_near_dup_fast": _emb_near_dup_fast,
         "image_meta": _image_meta,
         "image_resize": _image_resize,
         "video_frames": _video_frames,
@@ -1963,6 +1977,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
+        "emb_near_dup_fast": _EMB_NEAR_DUP_SQL,
         "image_meta": _IMAGE_META_SQL,
         "image_resize": _IMAGE_RESIZE_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
