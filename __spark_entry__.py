@@ -544,6 +544,46 @@ GROUP BY event_type ORDER BY event_type
 
 # ---- documents: text analysis ----
 
+def _sessions_closed(spark, sf):
+    """Batch twin of the stateful streaming sessionizer
+    (streaming/sessionize.py, applyInPandasWithState): gap-split
+    sessions minus each user's open (last) one — what the stream emits.
+    The stream↔batch equivalence is pinned in
+    tests/test_sessionize_stateful.py."""
+    from lexoid_spark.streaming.sessionize import sessionize_batch
+
+    ev = _t(spark, sf, "events")
+    return sessionize_batch(ev, gap_sec=1800).orderBy(
+        "user_id", "start_sec"
+    )
+
+
+_SESSIONS_CLOSED_SQL = """
+WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+g AS (
+  SELECT user_id, sec,
+         CASE WHEN LAG(sec) OVER w IS NULL
+              OR sec - LAG(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+),
+s AS (
+  SELECT user_id, sec,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+),
+agg AS (
+  SELECT user_id, sid, MIN(sec) AS start_sec, MAX(sec) AS end_sec,
+         COUNT(*)::BIGINT AS n_events
+  FROM s GROUP BY user_id, sid
+),
+last AS (SELECT user_id, MAX(sid) AS lsid FROM agg GROUP BY user_id)
+SELECT a.user_id AS user_id, a.start_sec, a.end_sec, a.n_events
+FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid != l.lsid
+ORDER BY a.user_id, a.start_sec
+"""
+
+
 def _docs_by_lang(spark, sf):
     docs = _t(spark, sf, "documents")
     return (
@@ -1900,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": _events_daily,
         "events_sessions": _events_sessions,
         "events_json": _events_json,
+        "sessions_closed": _sessions_closed,
         "docs_by_lang": _docs_by_lang,
         "doc_token_stats": _doc_token_stats,
         "doc_bpe_tokens": _doc_bpe_tokens,
@@ -1960,6 +2001,7 @@ def oracle_sql() -> dict[str, str]:
         "events_daily": _EVENTS_DAILY_SQL,
         "events_sessions": _EVENTS_SESSIONS_SQL,
         "events_json": _EVENTS_JSON_SQL,
+        "sessions_closed": _SESSIONS_CLOSED_SQL,
         "docs_by_lang": _DOCS_BY_LANG_SQL,
         "doc_token_stats": _DOC_TOKEN_STATS_SQL,
         "doc_bpe_tokens": _DOC_BPE_SQL,

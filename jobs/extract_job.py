@@ -26,6 +26,11 @@ def main() -> None:
     ap.add_argument("--max-buckets", type=int, default=None,
                     help="stop after N buckets (kill simulation / sharding)")
     ap.add_argument("--no-repartition", action="store_true")
+    ap.add_argument("--pdf-framework", default="pdfplumber",
+                    choices=["pdfplumber", "pdfminer"],
+                    help="PDF arm: full layout (default) or text-only fast")
+    ap.add_argument("--html-main-content", action="store_true",
+                    help="strip nav/ads/social chrome via tag/class blocklists")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -50,6 +55,8 @@ def main() -> None:
         group_size=args.group_size,
         max_buckets=args.max_buckets,
         repartition=not args.no_repartition,
+        pdf_framework=args.pdf_framework,
+        html_main_content=args.html_main_content,
     )
     print(json.dumps({
         "buckets_done": res.buckets_done,

@@ -53,6 +53,8 @@ def run_extract_job(
     group_size: int = 4,
     max_buckets: int | None = None,
     repartition: bool = True,
+    pdf_framework: str = "pdfplumber",
+    html_main_content: bool = False,
 ) -> JobResult:
     """Process pending buckets; ``max_buckets`` simulates a mid-run kill.
 
@@ -82,7 +84,9 @@ def run_extract_job(
     for i in range(0, len(todo), group_size):
         group = todo[i : i + group_size]
         subset = pages.filter(F.col("bucket").isin(group)).drop("bucket")
-        out = extract(subset, run_id=run_id, repartition=repartition)
+        out = extract(subset, run_id=run_id, repartition=repartition,
+                      pdf_framework=pdf_framework,
+                      html_main_content=html_main_content)
         ext = with_bucket(out["extracted"], n_buckets).persist()
         err = with_bucket(out["errors"], n_buckets)
 

@@ -89,3 +89,17 @@ def test_pdf_string_escape_roundtrip(words):
     pdf = build_pdf([{"words": specs, "style": "compact"}], compress=True)
     got = [w["text"] for w in parse_pdf(pdf)[0].words]
     assert got == words
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=1024))
+def test_content_lexer_total(data):
+    """The content-stream lexer/interpreter must be total over
+    arbitrary bytes — a malformed stream yields (possibly empty)
+    words, never an exception (wild-PDF robustness)."""
+    from lexoid_spark.kernels.pdf_md import PdfPage, _interpret_content
+
+    page = PdfPage(612.0, 792.0)
+    _interpret_content(data, 792.0, {"F1": "Helvetica"}, page)
+    for w in page.words:
+        assert isinstance(w["text"], str)
