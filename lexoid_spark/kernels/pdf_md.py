@@ -274,7 +274,9 @@ def _lex_content(data: bytes) -> List[Tuple[str, object]]:
                 j = data.find(b">", i)
                 if j == -1:
                     j = n
-                hx = re.sub(rb"\s", b"", data[i + 1:j])
+                # lenient: drop any non-hex byte (spec allows whitespace;
+                # wild streams contain worse)
+                hx = re.sub(rb"[^0-9a-fA-F]", b"", data[i + 1:j])
                 if len(hx) % 2:
                     hx += b"0"
                 toks.append(("hexstr", bytes.fromhex(hx.decode("latin-1"))))
