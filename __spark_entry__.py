@@ -846,9 +846,13 @@ def _minhash_sample(spark, sf):
 
 
 def _minhash_hash_sql(k: int) -> str:
+    # mirrors dedup._minhash_hash32: 32-bit slices of grouped digests
+    g, part = divmod(k, 4)
+    salt = "" if g == 0 else f" || ':{g}'"
+    off = part * 8 + 1
     return (
         f"list_min(list_transform(sh, s -> "
-        f"('0x' || substr(md5(s || ':{k}'), 1, 15))::BIGINT))"
+        f"('0x' || substr(md5(s{salt}), {off}, 8))::BIGINT))"
     )
 
 
