@@ -217,82 +217,87 @@ def _refs_in_brackets(obj: bytes, key: bytes) -> List[int]:
 
 # --- content-stream lexer + interpreter --------------------------------------
 
-_NUM_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
-_NAME_RE = re.compile(rb"/([^\s/\[\]()<>{}%]*)")
-_OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
-_WS = b" \t\r\n\x00\x0c"
+# one alternation regex drives the lexer loop in C; only literal
+# strings with NESTED unescaped parens fall back to a manual scan
+# (the regex string arm stops at the first unescaped ')')
+_TOKEN_RE = re.compile(
+    rb"(?P<num>[-+]?(?:\d+\.?\d*|\.\d+))"
+    rb"|(?P<op>[A-Za-z'\"*]{1,3})"
+    rb"|(?P<name>/[^\s/\[\]()<>{}%]*)"
+    rb"|(?P<str>\((?:[^()\\]|\\.)*\)?)"
+    rb"|(?P<larr>\[)"
+    rb"|(?P<rarr>\])"
+    rb"|(?P<dict><<)"
+    rb"|(?P<hex><[^>]*>?)"
+    rb"|(?P<comment>%[^\n]*)"
+)
+def _scan_string(data: bytes, i: int) -> Tuple[bytes, int]:
+    """Manual literal-string scan (escape- and nesting-aware) starting
+    at the ``(`` at position i; returns (body, end_index)."""
+    j = i + 1
+    depth = 1
+    n = len(data)
+    buf = bytearray()
+    while j < n and depth:
+        ch = data[j:j + 1]
+        if ch == b"\\":
+            buf += data[j:j + 2]
+            j += 2
+            continue
+        if ch == b"(":
+            depth += 1
+        elif ch == b")":
+            depth -= 1
+            if depth == 0:
+                j += 1
+                break
+        buf += ch
+        j += 1
+    return bytes(buf), j
 
 
 def _lex_content(data: bytes) -> List[Tuple[str, object]]:
     """Tokenize a (decoded) content stream into tagged tokens:
     names, literal/hex strings, numbers, array brackets, operators."""
     toks: List[Tuple[str, object]] = []
-    i, n = 0, len(data)
-    while i < n:
-        c = data[i:i + 1]
-        if c in _WS:
-            i += 1
-        elif c == b"%":  # comment to EOL
-            j = data.find(b"\n", i)
-            i = n if j == -1 else j + 1
-        elif c == b"/":
-            m = _NAME_RE.match(data, i)
-            toks.append(("name", m.group(1).decode("latin-1")))
-            i = m.end()
-        elif c == b"(":
-            j = i + 1
-            depth = 1
-            buf = bytearray()
-            while j < n and depth:
-                ch = data[j:j + 1]
-                if ch == b"\\":
-                    buf += data[j:j + 2]
-                    j += 2
-                    continue
-                if ch == b"(":
-                    depth += 1
-                elif ch == b")":
-                    depth -= 1
-                    if depth == 0:
-                        j += 1
-                        break
-                buf += ch
-                j += 1
-            toks.append(("str", bytes(buf)))
-            i = j
-        elif c == b"[":
-            toks.append(("larr", None))
-            i += 1
-        elif c == b"]":
-            toks.append(("rarr", None))
-            i += 1
-        elif c == b"<":
-            if data[i:i + 2] == b"<<":  # inline dict: skip to matching >>
-                j = data.find(b">>", i + 2)
-                i = n if j == -1 else j + 2
-            else:  # hex string
-                j = data.find(b">", i)
-                if j == -1:
-                    j = n
-                # lenient: drop any non-hex byte (spec allows whitespace;
-                # wild streams contain worse)
-                hx = re.sub(rb"[^0-9a-fA-F]", b"", data[i + 1:j])
-                if len(hx) % 2:
-                    hx += b"0"
-                toks.append(("hexstr", bytes.fromhex(hx.decode("latin-1"))))
-                i = j + 1
-        else:
-            m = _NUM_RE.match(data, i)
-            if m:
-                toks.append(("num", float(m.group(0))))
-                i = m.end()
-                continue
-            m = _OP_RE.match(data, i)
-            if m:
-                toks.append(("op", m.group(0).decode("latin-1")))
-                i = m.end()
+    n = len(data)
+    pos = 0
+    while pos < n:
+        m = _TOKEN_RE.search(data, pos)
+        if m is None:
+            break
+        kind = m.lastgroup
+        pos = m.end()
+        if kind == "num":
+            toks.append(("num", float(m.group())))
+        elif kind == "op":
+            toks.append(("op", m.group().decode("latin-1")))
+        elif kind == "name":
+            toks.append(("name", m.group()[1:].decode("latin-1")))
+        elif kind == "str":
+            body = m.group()
+            if body.endswith(b")"):
+                inner = body[1:-1]
             else:
-                i += 1  # unknown byte: skip (lenient)
+                # regex stopped early: nested unescaped paren (or EOF) —
+                # redo with the depth-aware scanner
+                inner, pos = _scan_string(data, m.start())
+            toks.append(("str", inner))
+        elif kind == "larr":
+            toks.append(("larr", None))
+        elif kind == "rarr":
+            toks.append(("rarr", None))
+        elif kind == "dict":  # inline dict: skip to matching >>
+            j = data.find(b">>", pos)
+            pos = n if j == -1 else j + 2
+        elif kind == "hex":
+            body = m.group()
+            end = -1 if body.endswith(b">") else None
+            hx = re.sub(rb"[^0-9a-fA-F]", b"", body[1:end])
+            if len(hx) % 2:
+                hx += b"0"
+            toks.append(("hexstr", bytes.fromhex(hx.decode("latin-1"))))
+        # comments: skipped
     return toks
 
 
