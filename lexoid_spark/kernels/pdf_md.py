@@ -67,6 +67,8 @@ _STD_ESCAPES = {
 def _unesc(b: bytes) -> str:
     """PDF literal-string unescape: the standard escape set plus
     3-digit octal codes and escaped-newline line continuation."""
+    if b"\\" not in b:  # overwhelmingly common fast path
+        return b.decode("latin-1")
     out = bytearray()
     i, n = 0, len(b)
     while i < n:
@@ -681,13 +683,22 @@ def _extract_table(page: PdfPage, bbox, cells, y_tolerance=5.0):
 
 # --- formatting helpers (static_parser.py:418-519) --------------------------
 
+_FMT_MEMO: Dict[str, Dict[str, bool]] = {}
+
+
 def _get_formatting(word) -> Dict[str, bool]:
-    font = (word.get("fontname") or "").lower()
-    return {
-        "bold": any(s in font for s in ("bold", "heavy", "black")),
-        "italic": any(s in font for s in ("italic", "oblique")),
-        "monospace": "mono" in font or "courier" in font,
-    }
+    name = word.get("fontname") or ""
+    fmt = _FMT_MEMO.get(name)
+    if fmt is None:
+        font = name.lower()
+        fmt = {
+            "bold": any(s in font for s in ("bold", "heavy", "black")),
+            "italic": any(s in font for s in ("italic", "oblique")),
+            "monospace": "mono" in font or "courier" in font,
+        }
+        if len(_FMT_MEMO) < 10_000:
+            _FMT_MEMO[name] = fmt
+    return fmt
 
 
 def _apply_formatting(text, fmt) -> str:
