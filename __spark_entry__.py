@@ -903,6 +903,45 @@ ORDER BY id_a, id_b
 """
 
 
+def _doc_winnow(spark, sf):
+    """Winnowing fingerprints (rolling-window k-gram min selection):
+    the localizing document sketch — shared fingerprints point at the
+    shared PASSAGE, not just the document pair."""
+    from lexoid_spark.functions.textstats import winnow_fingerprints
+
+    docs = _t(spark, sf, "documents")
+    return (
+        winnow_fingerprints(docs, "doc_id", "text", k=3, window=4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "fp")
+    )
+
+
+_DOC_WINNOW_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+         unnest(range(0, len(regexp_split_to_array(trim(text), '\s+')))) AS pos
+  FROM documents WHERE length(trim(text)) > 0
+),
+g AS (
+  SELECT doc_id, pos,
+         CASE WHEN LEAD(tok, 2) OVER w IS NOT NULL THEN
+           ('0x' || substr(md5(tok || ' ' || LEAD(tok, 1) OVER w
+                                   || ' ' || LEAD(tok, 2) OVER w),
+                           1, 15))::BIGINT
+         END AS h
+  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+a AS (
+  SELECT doc_id, MIN(h) OVER f AS fp, COUNT(h) OVER f AS n
+  FROM g WINDOW f AS (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+)
+SELECT DISTINCT doc_id, fp FROM a WHERE n = 4 ORDER BY doc_id, fp
+"""
+
+
 def _dup_clusters(spark, sf):
     """Candidate pairs → duplicate CLUSTERS (connected components via
     min-label propagation) — the step between LSH and choosing a
@@ -1951,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _doc_quality,
         "doc_langid": _doc_langid,
         "doc_fingerprint": _doc_fingerprint,
+        "doc_winnow": _doc_winnow,
         "exact_dup_groups": _exact_dup_groups,
         "exact_dedup_keepers": _exact_dedup_keepers,
         "events_windowed": _events_windowed,
@@ -2012,6 +2052,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _DOC_QUALITY_SQL,
         "doc_langid": _DOC_LANGID_SQL,
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+        "doc_winnow": _DOC_WINNOW_SQL,
         "exact_dup_groups": _EXACT_DUP_SQL,
         "exact_dedup_keepers": _EXACT_DEDUP_SQL,
         "events_windowed": _EVENTS_WINDOWED_SQL,

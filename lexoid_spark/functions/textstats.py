@@ -154,3 +154,54 @@ def fingerprint(col) -> Column:
     from lexoid_spark.functions.columns import clean_text
 
     return F.md5(clean_text(col))
+
+
+def winnow_fingerprints(df, id_col: str, text_col: str,
+                        k: int = 3, window: int = 4):
+    """Winnowing fingerprints (rolling-window k-gram selection, the
+    MOSS scheme): hash every positional k-gram, slide a ``window``-gram
+    window, keep the MIN hash per window, dedupe — a compact sketch
+    whose overlap localizes shared passages (exact/near dedup can say
+    only that documents match; winnowing says *where*).
+
+    Shape: explode tokens with position (one shuffle on (id, pos) for
+    the two window passes), LEAD to form k-grams, frame-window min —
+    all native JVM; DuckDB mirrors every step. Rows out:
+    (id, fp) distinct, ≈ n_tokens/window per document.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w_lead = Window.partitionBy("id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", *[F.lead("tok", j).over(w_lead) for j in range(k)]
+    )
+    # lead() yields NULL past the end → gram of a partial k-gram is a
+    # shorter concat; invalidate it explicitly
+    n_parts = sum(
+        F.when(F.lead("tok", j).over(w_lead).isNotNull(), 1).otherwise(0)
+        for j in range(k)
+    )
+    grams = toks.select(
+        "id", "pos",
+        F.when(n_parts == k,
+               F.conv(F.substring(F.md5(gram), 1, 15), 16, 10)
+               .cast("long")).alias("h"),
+    )
+    w_frame = (
+        Window.partitionBy("id").orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    anchored = grams.select(
+        "id",
+        F.min("h").over(w_frame).alias("fp"),
+        F.count("h").over(w_frame).alias("_n"),
+    )
+    return (
+        anchored.filter(F.col("_n") == window)
+        .select("id", "fp")
+        .distinct()
+    )

@@ -217,3 +217,24 @@ def test_connected_components_long_chain_converges(spark):
     got = connected_components(pairs, max_iter=n + 2).collect()
     assert {r["cluster_id"] for r in got} == {0}
     assert len(got) == n + 1
+
+
+def test_winnow_shared_passage_shares_fingerprints(spark):
+    from lexoid_spark.functions.textstats import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "intro words here " + shared + " closing remarks"),
+        (2, "totally different opener " + shared + " other ending words"),
+        (3, "no overlap with anything else at all whatsoever in here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=3, window=4)
+    by_doc = {
+        i: {r["fp"] for r in fps.filter(F.col("id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    # the shared passage forces common fingerprints between 1 and 2...
+    assert by_doc[1] & by_doc[2]
+    # ...and the unrelated doc shares none
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
