@@ -162,11 +162,42 @@ def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.9,
     bounded by cluster granularity, the standard ANN near-dup
     trade-off; raise ``n_centroids`` at scale so buckets stay small.
 
-    ``impl``: "hof" (native fold, bit-exact vs the DuckDB oracle) or
-    "numpy" (Arrow-batched einsum — faster per pair on wide vectors;
-    equal pair sets unless a cosine sits within float noise of tau).
+    ``impl``:
+      * "hof"   — native fold, bit-exact vs the DuckDB oracle;
+      * "numpy" — Arrow-batched einsum per candidate pair;
+      * "gemm"  — ONE BLAS matrix product per cluster
+        (``applyInPandas`` over cid: S = X·Xᵀ, mask the upper triangle
+        against tau·‖x_i‖‖x_j‖). The O(b²·d) work that dominates at
+        scale runs inside BLAS instead of b²/2 interpreted dots — the
+        correct shape for wide embeddings and big buckets.
+    Pair sets agree across impls unless a cosine sits within float
+    noise of tau.
     """
     assigned = assign_clusters(embeddings, n_centroids, id_col, vec_col)
+    if impl == "gemm":
+        import numpy as np
+
+        def per_cluster(pdf):
+            import pandas as pd
+
+            if len(pdf) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": []}).astype(
+                    {"id_a": "int64", "id_b": "int64"})
+            order = pdf["vid"].to_numpy().argsort()
+            ids = pdf["vid"].to_numpy()[order]
+            X = np.stack([
+                np.asarray(v, dtype=np.float64)
+                for v in pdf["vvec"].to_numpy()[order]
+            ])
+            norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+            S = X @ X.T
+            thresh = tau * np.outer(norms, norms)
+            ia, ib = np.where(np.triu(S >= thresh, k=1))
+            return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+        return assigned.groupBy("cid").applyInPandas(
+            per_cluster, "id_a long, id_b long"
+        )
     # norms once per VECTOR below the join (the join boundary keeps the
     # projection there); computing cosine per pair re-aggregates both
     # norms for every candidate — 3× the interpreted-HOF work

@@ -84,3 +84,15 @@ def test_near_dup_numpy_impl_matches_hof(spark):
             for r in embedding_near_dup_pairs(emb, tau=0.35,
                                               impl="numpy").collect()}
     assert hof and fast == hof
+
+
+def test_near_dup_gemm_impl_matches_hof(spark):
+    from lexoid_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    hof = {(r["id_a"], r["id_b"])
+           for r in embedding_near_dup_pairs(emb, tau=0.35).collect()}
+    gemm = {(r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(emb, tau=0.35,
+                                              impl="gemm").collect()}
+    assert hof and gemm == hof
