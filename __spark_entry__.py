@@ -903,6 +903,68 @@ ORDER BY id_a, id_b
 """
 
 
+def _gopher_filters(spark, sf):
+    """Gopher-style quality filter flags (word count, mean word length,
+    symbol/bullet/ellipsis ratios) — the rule family large-scale text
+    pipelines apply before training, all-native JVM."""
+    from lexoid_spark.functions.textstats import gopher_quality_flags
+
+    docs = _t(spark, sf, "documents")
+    f = gopher_quality_flags(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f.getField("word_count_ok").alias("word_count_ok"),
+        f.getField("mean_word_len_ok").alias("mean_word_len_ok"),
+        f.getField("symbol_ratio_ok").alias("symbol_ratio_ok"),
+        f.getField("bullet_ratio_ok").alias("bullet_ratio_ok"),
+        f.getField("ellipsis_ratio_ok").alias("ellipsis_ratio_ok"),
+        f.getField("passes").alias("passes"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text, ' '), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines,
+         length(text) - length(regexp_replace(text, '[#…]', '', 'g'))
+           AS n_symbols
+  FROM documents
+),
+c AS (
+  SELECT doc_id, len(toks) AS n, lines, n_symbols,
+         CASE WHEN len(toks) > 0 THEN
+           list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+         ELSE 0.0 END AS mean_len,
+         len(lines) AS n_lines,
+         len(list_filter(lines, ln ->
+             starts_with(trim(ln, ' '), '-')
+             OR starts_with(trim(ln, ' '), '*')
+             OR starts_with(trim(ln, ' '), '•'))) AS bullet_lines,
+         len(list_filter(lines, ln -> ends_with(ln, '...')))
+           AS ellipsis_lines
+  FROM m
+)
+SELECT doc_id,
+       n >= 50 AND n <= 100000 AS word_count_ok,
+       mean_len >= 3.0 AND mean_len <= 10.0 AS mean_word_len_ok,
+       CASE WHEN n > 0 THEN n_symbols / n <= 0.1 ELSE FALSE END
+         AS symbol_ratio_ok,
+       CASE WHEN n_lines > 0 THEN bullet_lines / n_lines <= 0.9
+            ELSE TRUE END AS bullet_ratio_ok,
+       CASE WHEN n_lines > 0 THEN ellipsis_lines / n_lines <= 0.3
+            ELSE TRUE END AS ellipsis_ratio_ok,
+       (n >= 50 AND n <= 100000)
+       AND (mean_len >= 3.0 AND mean_len <= 10.0)
+       AND (CASE WHEN n > 0 THEN n_symbols / n <= 0.1 ELSE FALSE END)
+       AND (CASE WHEN n_lines > 0 THEN bullet_lines / n_lines <= 0.9
+                 ELSE TRUE END)
+       AND (CASE WHEN n_lines > 0 THEN ellipsis_lines / n_lines <= 0.3
+                 ELSE TRUE END) AS passes
+FROM c ORDER BY doc_id
+"""
+
+
 def _doc_winnow(spark, sf):
     """Winnowing fingerprints (rolling-window k-gram min selection):
     the localizing document sketch — shared fingerprints point at the
@@ -1993,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": _doc_langid,
         "doc_fingerprint": _doc_fingerprint,
         "doc_winnow": _doc_winnow,
+        "gopher_filters": _gopher_filters,
         "exact_dup_groups": _exact_dup_groups,
         "exact_dedup_keepers": _exact_dedup_keepers,
         "events_windowed": _events_windowed,
@@ -2055,6 +2118,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": _DOC_LANGID_SQL,
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "doc_winnow": _DOC_WINNOW_SQL,
+        "gopher_filters": _GOPHER_SQL,
         "exact_dup_groups": _EXACT_DUP_SQL,
         "exact_dedup_keepers": _EXACT_DEDUP_SQL,
         "events_windowed": _EVENTS_WINDOWED_SQL,

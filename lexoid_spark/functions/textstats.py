@@ -91,6 +91,62 @@ def quality_score(col) -> Column:
     )
 
 
+def gopher_quality_flags(col) -> Column:
+    """Gopher-style repetition/quality filter flags (the rule family
+    large-scale text pipelines apply before training), as a struct of
+    booleans — all-native JVM, every rule DuckDB-mirrorable:
+
+      word_count_ok     50 ≤ n_tokens ≤ 100 000
+      mean_word_len_ok  3 ≤ mean token length ≤ 10
+      symbol_ratio_ok   '#' + '…' + '. . .'-free enough:
+                        symbols/tokens ≤ 0.1
+      bullet_ratio_ok   ≤ 90% of lines start with a bullet
+      ellipsis_ratio_ok ≤ 30% of lines end with '...'
+      passes            all of the above
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(F.transform(toks, lambda t: F.length(t)),
+                    F.lit(0).cast("long"), lambda a, x: a + x) / n,
+    ).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.length(col) - F.length(F.regexp_replace(col, r"[#…]", ""))
+    )
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).startswith("-")
+        | F.trim(ln).startswith("*") | F.trim(ln).startswith("•")
+    ))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda ln: ln.endswith("...")
+    ))
+    word_count_ok = (n >= 50) & (n <= 100_000)
+    mean_word_len_ok = (mean_len >= 3.0) & (mean_len <= 10.0)
+    symbol_ratio_ok = F.when(
+        n > 0, n_symbols / n <= 0.1
+    ).otherwise(F.lit(False))
+    bullet_ratio_ok = F.when(
+        n_lines > 0, bullet_lines / n_lines <= 0.9
+    ).otherwise(F.lit(True))
+    ellipsis_ratio_ok = F.when(
+        n_lines > 0, ellipsis_lines / n_lines <= 0.3
+    ).otherwise(F.lit(True))
+    return F.struct(
+        word_count_ok.alias("word_count_ok"),
+        mean_word_len_ok.alias("mean_word_len_ok"),
+        symbol_ratio_ok.alias("symbol_ratio_ok"),
+        bullet_ratio_ok.alias("bullet_ratio_ok"),
+        ellipsis_ratio_ok.alias("ellipsis_ratio_ok"),
+        (
+            word_count_ok & mean_word_len_ok & symbol_ratio_ok
+            & bullet_ratio_ok & ellipsis_ratio_ok
+        ).alias("passes"),
+    )
+
+
 def langid(col) -> Column:
     """N-gram-free marker-token language heuristic.
 

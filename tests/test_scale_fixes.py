@@ -238,3 +238,25 @@ def test_winnow_shared_passage_shares_fingerprints(spark):
     assert by_doc[1] & by_doc[2]
     # ...and the unrelated doc shares none
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_gopher_flags_rule_behavior(spark):
+    from lexoid_spark.functions.textstats import gopher_quality_flags
+
+    good = " ".join(f"word{i}" for i in range(60))
+    short = "too few words here"
+    symbols = " ".join(["####"] * 60)
+    bullets = "\n".join(f"- item {i} word word" for i in range(10))
+    rows = [(1, good), (2, short), (3, symbols), (4, bullets)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    f = gopher_quality_flags(F.col("text"))
+    got = {r["doc_id"]: r for r in docs.select(
+        "doc_id", f.getField("passes").alias("passes"),
+        f.getField("word_count_ok").alias("wc"),
+        f.getField("symbol_ratio_ok").alias("sym"),
+        f.getField("bullet_ratio_ok").alias("bul"),
+    ).collect()}
+    assert got[1]["passes"]
+    assert not got[2]["wc"] and not got[2]["passes"]
+    assert not got[3]["sym"] and not got[3]["passes"]
+    assert not got[4]["bul"] and not got[4]["passes"]
