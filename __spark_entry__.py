@@ -1038,6 +1038,43 @@ FROM reach GROUP BY a ORDER BY id
 """
 
 
+def _dedup_keep_list(spark, sf):
+    """The composed end-to-end dedup decision a training pipeline
+    actually ships: exact dedup (normalized-text fingerprint keepers)
+    ∩ near-dup cluster keepers (LSH pairs → connected components →
+    keep the min id per cluster). Returns the final keep-list."""
+    from lexoid_spark.functions.dedup import (
+        connected_components,
+        exact_dedup,
+        lsh_candidate_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    exact_keep = exact_dedup(docs, "doc_id", "text").select("doc_id")
+    pairs = lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3
+    )
+    dropped = (
+        connected_components(pairs)
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    return exact_keep.join(dropped, "doc_id", "left_anti").orderBy("doc_id")
+
+
+_DEDUP_KEEP_SQL = f"""
+WITH exact_keep AS (
+  SELECT doc_id FROM ({_EXACT_DEDUP_SQL.replace("SELECT doc_id, n_dups",
+                                                "SELECT doc_id")}) e
+),
+clusters AS ({_DUP_CLUSTERS_SQL}),
+dropped AS (SELECT id AS doc_id FROM clusters WHERE id != cluster_id)
+SELECT k.doc_id AS doc_id FROM exact_keep k
+WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY doc_id
+"""
+
+
 def _simhash_pairs(spark, sf):
     """Portable SimHash near-dup pairs — fully native JVM (explode →
     md5-derived 60-bit token hash → per-bit majority groupBy → 15-bit
@@ -2063,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sample": _minhash_sample,
         "minhash_band_pairs": _minhash_band_pairs,
         "dup_clusters": _dup_clusters,
+        "dedup_keep_list": _dedup_keep_list,
         "simhash_pairs": _simhash_pairs,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
@@ -2126,6 +2164,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sample": _MINHASH_SAMPLE_SQL,
         "minhash_band_pairs": _MINHASH_PAIRS_SQL,
         "dup_clusters": _DUP_CLUSTERS_SQL,
+        "dedup_keep_list": _DEDUP_KEEP_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
