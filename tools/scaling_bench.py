@@ -246,10 +246,10 @@ def main() -> None:
     # full-corpus JVM runs — opt in via SCALING_FULL=1. Defaults are
     # the last full measurement (2026-08-16, this corpus/commit).
     single = {
-        8: {"times_sec": [70.158, 56.594], "best_sec": 56.594,
-            "median_sec": 63.376, "docs_per_sec": 7067.85},
-        32: {"times_sec": [21.244, 25.815], "best_sec": 21.244,
-             "median_sec": 23.53, "docs_per_sec": 18828.77},
+        8: {"times_sec": [59.524, 61.574], "best_sec": 59.524,
+            "median_sec": 60.549, "docs_per_sec": 6720.03},
+        32: {"times_sec": [19.075, 18.989], "best_sec": 18.989,
+             "median_sec": 19.032, "docs_per_sec": 21065.26},
     }
     if os.environ.get("SCALING_FULL"):
         single = {}
