@@ -232,3 +232,44 @@ def test_compressed_stream_with_magic_markers_survives():
     comp = build_pdf([{"words": words}], compress=True)
     assert zlib.compress(b"x")  # sanity: stdlib available
     assert pdf_to_md(comp) == pdf_to_md(raw)
+
+
+def test_page_without_contents_yields_empty_page():
+    data = (
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>"
+        b"\nendobj\n"
+    )
+    pages = parse_pdf(data)
+    assert len(pages) == 1 and pages[0].words == []
+    assert pdf_to_md(data) == ""
+
+
+def test_corrupt_flate_stream_degrades_to_empty_not_crash():
+    bad = (
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 12 /Filter /FlateDecode >>\nstream\n"
+        b"notzlibdata!\nendstream\nendobj\n"
+    )
+    assert pdf_to_md(bad) == ""  # graceful: no words, no exception
+
+
+def test_octal_escape_and_line_continuation():
+    stream = (b"BT /F1 12 Tf 72 700 Td (A\\101B) Tj "
+              b"0 -20 Td (cont\\\ninued) Tj ET")
+    page = _interp(stream)
+    assert page.words[0]["text"] == "AAB"  # \101 = 'A'
+    assert page.words[1]["text"] == "continued"
+
+
+def test_truncated_pdf_no_crash():
+    from lexoid_spark.corpus.pdf_gen import build_pdf, words_line
+
+    full = build_pdf([{"words": words_line(["hello", "world"], y=700)}])
+    for cut in (len(full) // 4, len(full) // 2, len(full) - 20):
+        md = pdf_to_md(full[:cut])  # must not raise
+        assert isinstance(md, str)
