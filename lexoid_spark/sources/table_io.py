@@ -59,6 +59,34 @@ class TableIO:
             return self.spark.read.table(f"{self.catalog}.{name}")
         return self.spark.read.parquet(self._data_dir(name))
 
+    def read_at(self, name: str, snapshot_id: int) -> DataFrame:
+        """Time travel: the table as of ``snapshot_id`` (Iceberg's
+        ``VERSION AS OF``). The parquet fallback replays the manifest's
+        per-snapshot file lists — reading exactly the data files that
+        existed then; an overwrite snapshot resets the visible set,
+        appends accumulate."""
+        if self.catalog:
+            return (
+                self.spark.read.option("snapshot-id", snapshot_id)
+                .table(f"{self.catalog}.{name}")
+            )
+        files: list[str] = []
+        for snap in self._manifest(name).get("snapshots", []):
+            if snap["snapshot_id"] > snapshot_id:
+                break
+            if snap["operation"] == "overwrite":
+                files = list(snap.get("files", []))
+            else:
+                files.extend(snap.get("files", []))
+        if not files:
+            raise ValueError(
+                f"snapshot {snapshot_id} of table {name!r} has no files "
+                "(unknown snapshot id, or written before time-travel "
+                "tracking)"
+            )
+        base = self._data_dir(name)
+        return self.spark.read.parquet(*[os.path.join(base, f) for f in files])
+
     def snapshots(self, name: str) -> list[dict]:
         if self.catalog:
             rows = self.spark.sql(
@@ -105,10 +133,25 @@ class TableIO:
         )
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(self._data_dir(name))
-        n = obs.get["rows"]
-
+        data_dir = self._data_dir(name)
         m = self._manifest(name)
+        known: set[str] = {
+            f for s in m.get("snapshots", []) for f in s.get("files", [])
+        }
+        writer.parquet(data_dir)
+        n = obs.get["rows"]
+        # files added by THIS write = on-disk data files minus every
+        # file a previous snapshot recorded (what Iceberg's manifest
+        # list tracks) — enables read_at() time travel
+        new_files = sorted(
+            os.path.relpath(os.path.join(root, fn), data_dir)
+            for root, _, fns in os.walk(data_dir)
+            for fn in fns
+            if fn.endswith(".parquet")
+            and os.path.relpath(os.path.join(root, fn), data_dir)
+            not in known
+        )
+
         if mode == "overwrite" or not m:
             m = {
                 "table": name,
@@ -122,6 +165,7 @@ class TableIO:
             "snapshot_id": snap_id,
             "operation": mode,
             "rows": n,
+            "files": new_files,
             "ts": int(time.time()),
         })
         os.makedirs(os.path.dirname(self._manifest_path(name)),

@@ -50,3 +50,21 @@ def test_unconfigured_catalog_falls_back(spark, tmp_path):
     assert io.catalog is None
     io.write(spark.range(1), "t5", mode="overwrite")
     assert io.read("t5").count() == 1
+
+
+def test_time_travel_read_at(spark, tmp_path):
+    from lexoid_spark.sources.table_io import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    io.write(spark.range(0, 3).selectExpr("id"), "tt", mode="overwrite")
+    io.write(spark.range(10, 12).selectExpr("id"), "tt", mode="append")
+    io.write(spark.range(20, 24).selectExpr("id"), "tt", mode="append")
+
+    assert sorted(r["id"] for r in io.read_at("tt", 1).collect()) == [0, 1, 2]
+    assert sorted(r["id"] for r in io.read_at("tt", 2).collect()) == [
+        0, 1, 2, 10, 11]
+    assert io.read_at("tt", 3).count() == 9 == io.read("tt").count()
+
+    # overwrite resets the visible set for later snapshots
+    io.write(spark.range(100, 102).selectExpr("id"), "tt", mode="overwrite")
+    assert sorted(r["id"] for r in io.read_at("tt", 1).collect()) == [100, 101]
