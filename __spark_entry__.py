@@ -1154,11 +1154,13 @@ def _ann_ivf_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return ivf_topk(
         emb, query_ids=list(range(10)), k=5, n_centroids=8, nprobe=2,
-        n_iter=1,
+        n_iter=1, train_modulus=4,
     ).orderBy("qid", "rank")
 
 
-# n_iter=1: one Lloyd refinement of the first-C seed; centroid means
+# n_iter=1, train_modulus=4: one minibatch Lloyd refinement of the
+# first-C seed (assignment pass over vec_id % 4 = 0 only — the
+# full-corpus pass per refinement is the scale cost); centroid means
 # rounded to 6 dp on BOTH engines so distributed float summation order
 # cannot flip a rank
 _ANN_IVF_SQL = """
@@ -1172,6 +1174,7 @@ a0 AS (
              ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
            ) AS r
     FROM e CROSS JOIN cents0 c
+    WHERE e.vec_id % 4 = 0
   ) t WHERE r = 1
 ),
 dims AS (

@@ -97,18 +97,29 @@ def refine_centroids(assigned: DataFrame, round_dp: int = 6) -> DataFrame:
 
 def ivf_centroids(embeddings: DataFrame, n_centroids: int,
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  n_iter: int = 0) -> DataFrame:
+                  n_iter: int = 0, train_modulus: int = 1) -> DataFrame:
     """IVF 'training': deterministic seed (the first C vectors by id)
     plus ``n_iter`` Lloyd refinement steps. The seed alone gives poor
     recall on real embedding distributions; one or two refinements
-    recover most of it while staying fully deterministic."""
+    recover most of it while staying fully deterministic.
+
+    ``train_modulus`` > 1 refines on the deterministic subset
+    ``id % modulus == 0`` (minibatch k-means): at 10^12 vectors a full
+    assignment pass per refinement is the dominant cost, and centroid
+    means converge on a fixed sample — the final assignment still
+    covers every vector."""
     cents = embeddings.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
+    train = embeddings
+    if train_modulus > 1:
+        train = embeddings.filter(
+            F.col(id_col) % train_modulus == 0
+        )
     spark = embeddings.sparkSession
     for _ in range(n_iter):
         refined = refine_centroids(
-            _assign_to(embeddings, cents, id_col, vec_col)
+            _assign_to(train, cents, id_col, vec_col)
         )
         # materialize at the driver: C×dim doubles is control-plane
         # (standard k-means practice). Without this, every downstream
@@ -223,10 +234,12 @@ def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.9,
 def ivf_topk(embeddings: DataFrame, query_ids, k: int = 5,
              n_centroids: int = 8, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_iter: int = 0) -> DataFrame:
+             n_iter: int = 0, train_modulus: int = 1) -> DataFrame:
     """Approximate top-k: probe only the nprobe nearest clusters.
-    ``n_iter`` Lloyd refinements sharpen the partition (recall)."""
-    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col, n_iter)
+    ``n_iter`` Lloyd refinements sharpen the partition (recall);
+    ``train_modulus`` subsamples the refinement pass (minibatch)."""
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col,
+                          n_iter, train_modulus)
     assigned = _assign_to(embeddings, cents, id_col, vec_col)
     q = embeddings.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
