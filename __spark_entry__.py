@@ -410,6 +410,177 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+def _q7_volume_shipping(spark, sf):
+    """TPC-H Q7 shape (volume shipping between two nation groups, both
+    directions, per year). The -ish 25-nation / small-SF data makes a
+    single nation pair vacuous, so the pair is nation-key groups
+    (<5 vs ≥20) — same join/group shape."""
+    nation = _t(spark, sf, "nation")
+    supp = _t(spark, sf, "supplier")
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("s_nk") < 5) & (F.col("c_nk") >= 20))
+            | ((F.col("s_nk") >= 20) & (F.col("c_nk") < 5))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+       ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+         AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_nationkey < 5 AND n2.n_nationkey >= 20)
+       OR (n1.n_nationkey >= 20 AND n2.n_nationkey < 5))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def _q8_market_share(spark, sf):
+    """TPC-H Q8 shape: one nation group's share of ASIA-customer
+    revenue per order year."""
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    supp = _t(spark, sf, "supplier")
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") <= "1997-12-31")
+    )
+    li = _t(spark, sf, "lineitem")
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_regionkey").alias("c_rk"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("s_nationkey") < 5, vol).otherwise(0.0))
+            / F.sum(vol), 6,
+        ).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+_Q8_SQL = """
+SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+       ROUND(CAST(
+         SUM(CASE WHEN s_nationkey < 5
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+         / SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 6)
+         AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+def _q16_supplier_cnt(spark, sf):
+    """TPC-H Q16 shape (supplier count per part attribute bucket).
+    No partsupp table in the -ish schema — lineitem is the
+    part↔supplier bridge; brand exclusion + size subset kept."""
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def _q20_small_part_suppliers(spark, sf):
+    """TPC-H Q20 shape (nested semi-join: suppliers who moved serious
+    volume of a part class): suppliers whose shipped quantity of
+    SMALL-type parts exceeds 50, via left-semi join."""
+    part = _t(spark, sf, "part").filter(F.col("p_type") == "SMALL")
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+_Q20_SQL = """
+SELECT s_name, s_acctbal FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL'
+  GROUP BY l_suppkey HAVING SUM(l_quantity) > 50
+)
+ORDER BY s_name
+"""
+
+
 def _top_customers(spark, sf):
     orders = _t(spark, sf, "orders")
     cust = _t(spark, sf, "customer")
@@ -2082,6 +2253,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_type_share": _q14_type_share,
         "q18_large_volume": _q18,
         "q19_discounted_revenue": _q19,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q8_market_share": _q8_market_share,
+        "q16_supplier_cnt": _q16_supplier_cnt,
+        "q20_small_part_suppliers": _q20_small_part_suppliers,
         "top_customers": _top_customers,
         "supplier_rank": _supplier_rank,
         "events_daily": _events_daily,
@@ -2146,6 +2321,10 @@ def oracle_sql() -> dict[str, str]:
         "q14_type_share": _Q14_SQL,
         "q18_large_volume": _Q18_SQL,
         "q19_discounted_revenue": _Q19_SQL,
+        "q7_volume_shipping": _Q7_SQL,
+        "q8_market_share": _Q8_SQL,
+        "q16_supplier_cnt": _Q16_SQL,
+        "q20_small_part_suppliers": _Q20_SQL,
         "top_customers": _TOP_CUST_SQL,
         "supplier_rank": _SUPPLIER_RANK_SQL,
         "events_daily": _EVENTS_DAILY_SQL,
