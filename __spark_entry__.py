@@ -2239,6 +2239,340 @@ SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
 
 
 # ---------------------------------------------------------------------------
+# corpus-curation family (functions/curation.py): PII redaction,
+# paragraph-level exact dedup, Gopher repetition signals, URL
+# canonicalization, stratified sampling, context-window packing
+# ---------------------------------------------------------------------------
+
+
+def _pii_redact_docs(spark, sf):
+    """PII scrub: emails / IPv4 / phone-shaped numbers → typed
+    placeholders. PII strings are injected deterministically from
+    doc_id (the synthetic corpus contains none) so the redaction
+    actually fires; the oracle mirrors injection + the regexes with
+    the 'g' flag."""
+    from lexoid_spark.functions.curation import pii_redact
+
+    docs = _t(spark, sf, "documents")
+    blob = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1415"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"),
+                   7, "0"),
+            F.lit(" ip 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 ph 415-555-01"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(100)).cast("string"),
+                   2, "0"),
+        ).alias("blob"),
+    )
+    return blob.select(
+        "doc_id", pii_redact("blob").alias("redacted")
+    ).orderBy("doc_id")
+
+
+_PII_REDACT_SQL = r"""
+WITH blob AS (
+  SELECT doc_id,
+         substr(text, 1, 80) || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or +1415'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0')
+         || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.7 ph 415-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+           AS blob
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(blob,
+             '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+         '\+\d{7,15}\b|\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g')
+         AS redacted
+FROM blob ORDER BY doc_id
+"""
+
+
+def _para_dedup(spark, sf):
+    """RefinedWeb-style cross-document paragraph dedup: a shared header
+    and per-lang footer are injected so every document carries
+    corpus-duplicated paragraphs; each survives only in its min
+    (doc_id, pos) occurrence. Keeper selection is groupBy(hash) +
+    min(struct) — map-side combinable, no hot window partitions."""
+    from lexoid_spark.functions.curation import paragraph_dedup
+
+    docs = _t(spark, sf, "documents")
+    body = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Shared boilerplate header."), F.lit("\n\n"),
+            F.col("text"), F.lit("\n\n"),
+            F.lit("Footer for "), F.col("lang"),
+        ).alias("body"),
+    )
+    out = paragraph_dedup(body, "doc_id", "body")
+    return out.select(
+        F.col("id").alias("doc_id"), "n_paras", "n_kept", "text_dedup"
+    ).orderBy("doc_id")
+
+
+_PARA_DEDUP_SQL = r"""
+WITH body AS (
+  SELECT doc_id,
+         'Shared boilerplate header.' || chr(10) || chr(10) || text
+         || chr(10) || chr(10) || 'Footer for ' || lang AS body
+  FROM documents
+),
+p0 AS (
+  SELECT doc_id,
+         unnest(string_split(body, chr(10) || chr(10))) AS para,
+         unnest(range(0, len(string_split(body, chr(10) || chr(10)))))
+           AS pos
+  FROM body
+),
+p AS (SELECT * FROM p0 WHERE length(trim(para)) > 0),
+k AS (
+  SELECT doc_id, pos, para,
+         ROW_NUMBER() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, pos) AS rn
+  FROM p
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM p GROUP BY doc_id),
+kept AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_dedup
+  FROM k WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(t.n_paras AS BIGINT) AS n_paras,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(text_dedup, '') AS text_dedup
+FROM tot t LEFT JOIN kept USING (doc_id) ORDER BY doc_id
+"""
+
+
+def _doc_repetition(spark, sf):
+    """Gopher repetition signals (dup-line fraction / dup-line char
+    fraction / top-2-gram char coverage) over a deterministically
+    multi-line body (corpus text is single-line; two injected lines
+    repeat). Line metrics are shuffle-free sorted-neighbor array
+    compares; only the 2-gram mode explodes."""
+    from lexoid_spark.functions.curation import repetition_table
+
+    docs = _t(spark, sf, "documents")
+    body = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 60), F.substring("text", 31, 60),
+            F.substring("text", 31, 60),
+            F.concat(F.lit("tail "), F.col("lang")),
+        ).alias("body"),
+    )
+    return (
+        repetition_table(body, "doc_id", "body")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_DOC_REPETITION_SQL = r"""
+WITH body AS (
+  SELECT doc_id,
+         substr(text, 1, 60) || chr(10) || substr(text, 31, 60) || chr(10)
+         || substr(text, 31, 60) || chr(10) || 'tail ' || lang AS body
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(body, chr(10)),
+                            x -> length(x) > 0)) AS ln
+  FROM body
+),
+lc AS (SELECT doc_id, ln, COUNT(*) AS c FROM l GROUP BY doc_id, ln),
+lm AS (
+  SELECT doc_id, SUM(c) AS n_lines,
+         COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS dup_cnt,
+         COALESCE(SUM(c * length(ln)) FILTER (WHERE c >= 2), 0)
+           AS dup_chars,
+         SUM(c * length(ln)) AS tot_chars
+  FROM lc GROUP BY doc_id
+),
+m AS (SELECT doc_id, regexp_split_to_array(trim(body), '\s+') AS toks
+      FROM body),
+tk AS (SELECT doc_id,
+              list_sum(list_transform(toks, t -> length(t))) AS tok_chars
+       FROM m),
+t AS (SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(0, len(toks))) AS pos
+      FROM m),
+g0 AS (SELECT doc_id, pos,
+              tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS gram
+       FROM t),
+g AS (SELECT doc_id, gram FROM g0 WHERE gram IS NOT NULL),
+gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+top AS (
+  SELECT doc_id, gram, c FROM (
+    SELECT doc_id, gram, c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, gram DESC) AS rn
+    FROM gc
+  ) WHERE rn = 1
+)
+SELECT b.doc_id,
+       CAST(COALESCE(lm.n_lines, 0) AS INT) AS n_lines,
+       CASE WHEN COALESCE(lm.n_lines, 0) > 0
+            THEN lm.dup_cnt::DOUBLE / lm.n_lines ELSE 0.0 END
+         AS dup_line_frac,
+       CASE WHEN COALESCE(lm.tot_chars, 0) > 0
+            THEN lm.dup_chars::DOUBLE / lm.tot_chars ELSE 0.0 END
+         AS dup_line_char_frac,
+       COALESCE(top.gram, '') AS top_2gram,
+       CASE WHEN COALESCE(tk.tok_chars, 0) > 0 AND top.c IS NOT NULL
+            THEN (top.c * length(replace(top.gram, ' ', '')))::DOUBLE
+                 / tk.tok_chars
+            ELSE 0.0 END AS top_2gram_frac
+FROM body b
+LEFT JOIN lm USING (doc_id)
+LEFT JOIN tk USING (doc_id)
+LEFT JOIN top USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+def _url_normalize(spark, sf):
+    """URL canonicalization for dedup: lowercase scheme+host, strip
+    fragment + tracking params, clean dangling separators and one
+    trailing slash. Zero-shuffle regexp chain; URLs are synthesized
+    from doc_id across three dirty shapes."""
+    from lexoid_spark.functions.curation import normalize_url
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.upper("source"), F.lit(".test/Docs/"),
+            did,
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                F.concat(F.lit("?utm_source=feed&q="), did,
+                         F.lit("&utm_campaign=x")),
+            ).when(
+                F.pmod(F.col("doc_id"), F.lit(3)) == 1,
+                F.concat(F.lit("/?gclid=abc"), did, F.lit("#sec-2")),
+            ).otherwise(F.lit("/")),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id", "url", normalize_url("url").alias("url_norm")
+    ).orderBy("doc_id")
+
+
+_URL_NORMALIZE_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || upper(source) || '.test/Docs/'
+         || CAST(doc_id AS VARCHAR)
+         || CASE doc_id % 3
+              WHEN 0 THEN '?utm_source=feed&q=' || CAST(doc_id AS VARCHAR)
+                          || '&utm_campaign=x'
+              WHEN 1 THEN '/?gclid=abc' || CAST(doc_id AS VARCHAR)
+                          || '#sec-2'
+              ELSE '/'
+            END AS url
+  FROM documents
+),
+s AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*')) AS head,
+         regexp_replace(url,
+           '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*', '') AS rest
+  FROM u
+)
+SELECT doc_id, url,
+       head || regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(rest, '#.*$', ''),
+             '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+           '[?&]+$', ''),
+         '/$', '') AS url_norm
+FROM s ORDER BY doc_id
+"""
+
+
+def _doc_sample_stratified(spark, sf):
+    """Deterministic stratified sampling: keep iff a portable
+    md5-derived hash bucket of doc_id falls under the stratum's rate —
+    reproducible across runs/engines, zero shuffle (pure filter)."""
+    from lexoid_spark.functions.curation import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    rates = {"en": 1.0, "de": 0.5, "fr": 0.25}
+    return (
+        stratified_sample(docs, "doc_id", "lang", rates, default_rate=0.1)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_DOC_SAMPLE_SQL = r"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 15))
+        ::BIGINT % 10000
+      < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+                  WHEN 'fr' THEN 2500 ELSE 1000 END
+ORDER BY doc_id
+"""
+
+
+def _token_pack_bins(spark, sf):
+    """Context-window packing: docs in id order fill 4096-token bins
+    via a DISTRIBUTED prefix sum (per-partition cumsum + P-row driver
+    offsets — not a single-partition global window)."""
+    from lexoid_spark.functions.curation import packed_bins
+    from lexoid_spark.functions.textstats import token_count
+
+    docs = _t(spark, sf, "documents")
+    wt = docs.select("doc_id", token_count("text").alias("nt"))
+    bins = packed_bins(wt, "doc_id", "nt", 4096)
+    return (
+        bins.groupBy("bin")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("sum_tokens"))
+        .orderBy("bin")
+    )
+
+
+_TOKEN_PACK_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+  FROM documents
+),
+c AS (
+  SELECT doc_id, nt,
+         COALESCE(SUM(nt) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum
+  FROM w
+)
+SELECT CAST(FLOOR(cum / 4096.0) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS sum_tokens
+FROM c GROUP BY 1 ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2306,6 +2640,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_flate_extract": _pdf_flate_extract,
         "ocr_scanned": _ocr_scanned,
         "pdf_speed_arm": _pdf_speed_arm,
+        "pii_redact_docs": _pii_redact_docs,
+        "para_dedup": _para_dedup,
+        "doc_repetition": _doc_repetition,
+        "url_normalize": _url_normalize,
+        "doc_sample_stratified": _doc_sample_stratified,
+        "token_pack_bins": _token_pack_bins,
     }
 
 
@@ -2374,4 +2714,10 @@ def oracle_sql() -> dict[str, str]:
         "pdf_flate_extract": _PDF_FLATE_SQL,
         "ocr_scanned": _OCR_SCANNED_SQL,
         "pdf_speed_arm": _PDF_SPEED_SQL,
+        "pii_redact_docs": _PII_REDACT_SQL,
+        "para_dedup": _PARA_DEDUP_SQL,
+        "doc_repetition": _DOC_REPETITION_SQL,
+        "url_normalize": _URL_NORMALIZE_SQL,
+        "doc_sample_stratified": _DOC_SAMPLE_SQL,
+        "token_pack_bins": _TOKEN_PACK_SQL,
     }

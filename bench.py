@@ -90,6 +90,8 @@ def main() -> None:
         "bbox_range_join", "crawl_reachable", "extract_html_h1",
         "extract_html_main", "pdf_flate_extract", "pdf_speed_arm",
         "ocr_scanned",
+        "para_dedup", "doc_repetition", "pii_redact_docs",
+        "token_pack_bins",
     ]
     for name in bench_names:
         bench(name, lambda n=name: _noop_write(queries[n](spark, SF_DIR)))

@@ -1,0 +1,306 @@
+"""Corpus-curation operators for a web-scale training-data pipeline.
+
+The post-extraction cleanup family every large pretraining corpus runs
+between "markdown per url" and "tokens in the dataloader": PII
+redaction, cross-document paragraph dedup (RefinedWeb-style), Gopher
+repetition signals, URL canonicalization, deterministic stratified
+sampling, and context-window packing. None of these exist in the
+reference (Lexoid stops at markdown — ``api.py:235-441`` returns
+per-document parses); they are the scale layer this engine adds on top.
+
+Scale shapes:
+
+- ``pii_redact``: pure ``regexp_replace`` chain — JVM-native, zero
+  shuffle, rides the scan.
+- ``paragraph_dedup``: posexplode → groupBy(paragraph hash) min-struct
+  (map-side combine, skew-proof: a boilerplate paragraph repeated in
+  10^9 docs partially aggregates) → equi-join back → groupBy(doc).
+  Two shuffles on bounded keys, no windows over hot partitions.
+- ``repetition_table``: duplicate-line metrics are per-row native
+  (sorted-adjacent array compare, no shuffle); only the top-2-gram
+  statistic explodes + groupBys (map-side combine).
+- ``normalize_url``: native regexp chain, zero shuffle.
+- ``stratified_sample``: filter on a portable md5-derived hash bucket —
+  zero shuffle, deterministic across engines and runs.
+- ``packed_bins``: two-phase distributed prefix sum (per-partition
+  cumsum + driver-side partition offsets — a P-row control-plane
+  collect), NOT a single-partition global window.
+
+All hashes are md5-derived so DuckDB oracles can mirror them exactly
+(same trick as ``dedup._md5_hash64``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lexoid_spark.functions.dedup import _md5_hash64
+from lexoid_spark.functions.textstats import tokens
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, \b,
+# non-capturing groups. Order matters: emails before phones (digits in
+# mail hosts), IPs before phones (dotted digit runs).
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+\d{7,15}\b|\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+
+
+def pii_redact(col) -> Column:
+    """Replace emails / IPv4 addresses / phone-shaped numbers with
+    typed placeholder tokens (the pre-training scrub applied by e.g.
+    ROOTS/RefinedWeb-style pipelines). Pure JVM regexp chain."""
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Cross-document paragraph dedup (RefinedWeb-style exact span dedup)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
+                    sep: str = "\n\n") -> DataFrame:
+    """Remove exact-duplicate paragraphs corpus-wide, keeping only the
+    first occurrence (min ``(id, pos)``); reassemble each document from
+    its surviving paragraphs.
+
+    The keeper per paragraph hash is chosen with ``min(struct(id,
+    pos))`` under ``groupBy(hash)`` — an aggregation with map-side
+    combine, so a boilerplate paragraph shared by millions of pages
+    partially aggregates on the map side instead of hot-spotting one
+    window partition. Returns ``(id, n_paras, n_kept, text_dedup)``.
+    """
+    paras = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .filter(F.length(F.trim(F.col("para"))) > 0)
+        .withColumn("_h", F.md5(F.col("para")))
+    )
+    keepers = paras.groupBy("_h").agg(
+        F.min(F.struct("id", "pos")).alias("k")
+    )
+    kept = paras.join(keepers, "_h").filter(
+        (F.col("id") == F.col("k.id")) & (F.col("pos") == F.col("k.pos"))
+    )
+    per_doc_kept = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s.getField("para"),
+            ),
+            sep,
+        ).alias("text_dedup"),
+    )
+    totals = paras.groupBy("id").agg(F.count("*").alias("n_paras"))
+    return (
+        totals.join(per_doc_kept, "id", "left")
+        .select(
+            "id",
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals
+# ---------------------------------------------------------------------------
+
+def _grams2(col) -> Column:
+    """Ordered (non-distinct) word 2-grams — shifted-zip form, same
+    rationale as ``dedup.shingles`` (HOF re-evaluation trap)."""
+    toks = tokens(col)
+    k = F.size(toks)
+    nxt = F.slice(toks, 2, F.greatest(k - 1, F.lit(0)))
+    zipped = F.slice(F.arrays_zip(toks.alias("a"), nxt.alias("b")),
+                     1, F.greatest(k - 1, F.lit(0)))
+    return F.transform(
+        zipped, lambda x: F.concat_ws(" ", x.getField("a"), x.getField("b"))
+    )
+
+
+def repetition_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style in-document repetition metrics:
+
+      dup_line_frac       duplicated lines / non-empty lines
+      dup_line_char_frac  chars in duplicated lines / chars in lines
+      top_2gram           most frequent word 2-gram (ties → greatest)
+      top_2gram_frac      chars covered by its occurrences / token chars
+
+    Line metrics are per-row native: sort the line array once, then a
+    line is duplicated iff it equals a sorted neighbor — no shuffle.
+    Only the 2-gram mode needs explode + groupBy (map-side combine).
+    """
+    txt = F.col(text_col)
+    lines = F.filter(F.split(txt, "\n"), lambda ln: F.length(ln) > 0)
+    srt = F.array_sort(lines)
+    n = F.size(srt)
+    prev = F.concat(F.array(F.lit(None).cast("string")),
+                    F.slice(srt, 1, F.greatest(n - 1, F.lit(0))))
+    nxt = F.concat(F.slice(srt, 2, F.greatest(n - 1, F.lit(0))),
+                   F.array(F.lit(None).cast("string")))
+    z = F.arrays_zip(srt.alias("c"), prev.alias("p"), nxt.alias("x"))
+    dups = F.filter(
+        z,
+        lambda s: s.getField("c").eqNullSafe(s.getField("p"))
+        | s.getField("c").eqNullSafe(s.getField("x")),
+    )
+    dup_cnt = F.size(dups)
+    dup_chars = F.aggregate(
+        dups, F.lit(0).cast("long"),
+        lambda a, s: a + F.length(s.getField("c")),
+    )
+    tot_chars = F.aggregate(
+        srt, F.lit(0).cast("long"), lambda a, ln: a + F.length(ln)
+    )
+    toks = tokens(txt)
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_lines"),
+        F.when(n > 0, dup_cnt.cast("double") / n).otherwise(0.0)
+         .alias("dup_line_frac"),
+        F.when(tot_chars > 0, dup_chars.cast("double") / tot_chars)
+         .otherwise(0.0).alias("dup_line_char_frac"),
+        tok_chars.alias("_tok_chars"),
+    )
+
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(_grams2(txt)).alias("gram")
+    )
+    top = (
+        ex.groupBy("id", "gram").agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.max(F.struct("c", "gram")).alias("t"))
+        .select("id", F.col("t.gram").alias("top_2gram"),
+                F.col("t.c").alias("_c"))
+    )
+    # occurrences × word-chars of the gram (spaces excluded), over all
+    # token chars — the Gopher "fraction of characters contained within
+    # the most frequently-occurring 2-gram"
+    return (
+        base.join(top, "id", "left")
+        .select(
+            "id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+            F.coalesce("top_2gram", F.lit("")).alias("top_2gram"),
+            F.when(
+                (F.col("_tok_chars") > 0) & F.col("_c").isNotNull(),
+                (F.col("_c")
+                 * F.length(F.regexp_replace("top_2gram", " ", "")))
+                .cast("double") / F.col("_tok_chars"),
+            ).otherwise(0.0).alias("top_2gram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+_SCHEME_HOST = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
+_TRACKING = r"(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?"
+
+
+def normalize_url(col) -> Column:
+    """Canonicalize a URL for dedup: lowercase scheme+host, drop the
+    fragment, strip tracking params (utm_*/fbclid/gclid), clean
+    dangling ``?``/``&``, drop one trailing slash. Pure regexp chain
+    (RE2-compatible so DuckDB oracles mirror it verbatim)."""
+    head = F.lower(F.regexp_extract(col, _SCHEME_HOST, 0))
+    rest = F.regexp_replace(col, _SCHEME_HOST, "")
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    rest = F.regexp_replace(rest, _TRACKING, "")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.concat(head, rest)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      salt: str = "strat", denom: int = 10_000) -> DataFrame:
+    """Keep each row iff ``md5_hash64(id:salt) % denom < rate(stratum)
+    * denom`` — deterministic (re-runs and engines agree; no RNG), and
+    a pure filter (zero shuffle; rides the scan). ``rates`` maps
+    stratum value → sampling rate in [0, 1]."""
+    bucket = F.pmod(
+        _md5_hash64(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+        F.lit(denom),
+    )
+    thresh = F.lit(int(default_rate * denom))
+    expr = None
+    for k, v in sorted(rates.items()):
+        cond = F.col(stratum_col) == k
+        t = F.lit(int(v * denom))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thresh = expr.otherwise(thresh) if expr is not None else thresh
+    return df.filter(bucket < thresh)
+
+
+# ---------------------------------------------------------------------------
+# Context-window packing
+# ---------------------------------------------------------------------------
+
+def packed_bins(df: DataFrame, id_col: str, n_tokens_col: str,
+                context_len: int, num_parts: int = 32) -> DataFrame:
+    """Assign documents (in ``id`` order) to fixed-size token bins:
+    ``bin = floor(exclusive_prefix_sum(n_tokens) / context_len)`` —
+    the boundary-straddling approximation of greedy sequence packing
+    (a doc may span two bins; the dataloader splits it).
+
+    The prefix sum is distributed: range-partition by id, cumsum
+    per partition under a partition-local window, then add per-partition
+    offsets computed from a P-row driver collect (control-plane only).
+    A naive ``Window.orderBy(id)`` with no partitioning would funnel
+    the whole corpus through ONE task — the classic global-window
+    scale-killer this avoids. Returns ``(id, bin)``.
+    """
+    part = df.select(
+        F.col(id_col).alias("id"),
+        F.col(n_tokens_col).cast("long").alias("_n"),
+    ).repartitionByRange(num_parts, "id").withColumn(
+        "_p", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_p").orderBy("id")
+    local = part.withColumn(
+        "_cum", F.sum("_n").over(w) - F.col("_n")
+    ).persist()
+    # P control-plane rows: (partition, total tokens, min id)
+    sizes = sorted(
+        local.groupBy("_p").agg(
+            F.sum("_n").alias("tot"), F.min("id").alias("mn")
+        ).collect(),
+        key=lambda r: r["mn"],
+    )
+    offsets, acc = {}, 0
+    for r in sizes:
+        offsets[r["_p"]] = acc
+        acc += r["tot"]
+    off_col = F.lit(0).cast("long")
+    expr = None
+    for p, o in offsets.items():
+        c = F.col("_p") == p
+        expr = F.when(c, o) if expr is None else expr.when(c, o)
+    off_col = expr.otherwise(F.lit(0)) if expr is not None else off_col
+    out = local.select(
+        "id",
+        F.col("_n").alias("n_tokens"),
+        F.floor((F.col("_cum") + off_col) / context_len).alias("bin"),
+    )
+    return out

@@ -1,0 +1,163 @@
+"""Unit tests for the corpus-curation operators (functions/curation.py):
+PII redaction, cross-document paragraph dedup, Gopher repetition
+signals, URL canonicalization, stratified sampling, context packing.
+
+These ops are the post-extraction layer the reference lacks (Lexoid
+stops at markdown, api.py:235-441); each also has an oracled driver
+query in __spark_entry__ — here we pin the exact semantics on crafted
+micro-inputs.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lexoid_spark.functions.curation import (
+    normalize_url,
+    packed_bins,
+    paragraph_dedup,
+    pii_redact,
+    repetition_table,
+    stratified_sample,
+)
+
+
+def _one(df, col):
+    return df.select(F.col(col)).collect()[0][0]
+
+
+class TestPiiRedact:
+    def test_email_ip_phone(self, spark):
+        df = spark.createDataFrame(
+            [("write a.b-c+d@sub.example.org from 192.168.0.1 "
+              "or call +4917212345678 / 415-555-0134",)], ["t"])
+        out = _one(df.select(pii_redact("t").alias("r")), "r")
+        assert out == ("write <EMAIL> from <IP> or call <PHONE> / <PHONE>")
+
+    def test_leaves_clean_text(self, spark):
+        df = spark.createDataFrame(
+            [("version 1.2 costs $3 at 5pm on 2024-01-01",)], ["t"])
+        out = _one(df.select(pii_redact("t").alias("r")), "r")
+        assert out == "version 1.2 costs $3 at 5pm on 2024-01-01"
+
+    def test_multiple_emails_all_replaced(self, spark):
+        df = spark.createDataFrame([("a@b.co x c@d.org",)], ["t"])
+        assert _one(df.select(pii_redact("t").alias("r")), "r") == \
+            "<EMAIL> x <EMAIL>"
+
+
+class TestParagraphDedup:
+    def test_keeps_first_occurrence_only(self, spark):
+        df = spark.createDataFrame(
+            [(1, "shared\n\nown one"),
+             (2, "shared\n\nown two"),
+             (3, "own three\n\nshared")],
+            ["id", "text"])
+        out = {r["id"]: r for r in
+               paragraph_dedup(df, "id", "text").collect()}
+        assert out[1]["text_dedup"] == "shared\n\nown one"
+        assert out[2]["text_dedup"] == "own two"
+        assert out[3]["text_dedup"] == "own three"
+        assert (out[1]["n_paras"], out[1]["n_kept"]) == (2, 2)
+        assert (out[2]["n_paras"], out[2]["n_kept"]) == (2, 1)
+
+    def test_duplicate_within_one_doc(self, spark):
+        df = spark.createDataFrame([(1, "p\n\nq\n\np")], ["id", "text"])
+        row = paragraph_dedup(df, "id", "text").collect()[0]
+        assert row["text_dedup"] == "p\n\nq"
+        assert row["n_paras"] == 3 and row["n_kept"] == 2
+
+    def test_all_paragraphs_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, "only"), (2, "only")], ["id", "text"])
+        out = {r["id"]: r for r in
+               paragraph_dedup(df, "id", "text").collect()}
+        assert out[2]["text_dedup"] == "" and out[2]["n_kept"] == 0
+
+    def test_blank_paragraphs_ignored(self, spark):
+        df = spark.createDataFrame([(1, "a\n\n   \n\nb")], ["id", "text"])
+        row = paragraph_dedup(df, "id", "text").collect()[0]
+        assert row["text_dedup"] == "a\n\nb" and row["n_paras"] == 2
+
+
+class TestRepetitionTable:
+    def test_duplicate_lines(self, spark):
+        df = spark.createDataFrame(
+            [(1, "dup\ndup\nunique line here")], ["id", "text"])
+        row = repetition_table(df, "id", "text").collect()[0]
+        assert row["n_lines"] == 3
+        assert row["dup_line_frac"] == pytest.approx(2 / 3)
+        # dup chars 6 of 6+16=22
+        assert row["dup_line_char_frac"] == pytest.approx(6 / 22)
+
+    def test_top_2gram(self, spark):
+        df = spark.createDataFrame([(1, "go go go stop")], ["id", "text"])
+        row = repetition_table(df, "id", "text").collect()[0]
+        assert row["top_2gram"] == "go go"
+        # "go go" occurs twice, covers 2*4=8 word chars of 2+2+2+4=10
+        assert row["top_2gram_frac"] == pytest.approx(8 / 10)
+
+    def test_empty_text(self, spark):
+        df = spark.createDataFrame([(1, "")], ["id", "text"])
+        row = repetition_table(df, "id", "text").collect()[0]
+        assert row["n_lines"] == 0 and row["dup_line_frac"] == 0.0
+        assert row["top_2gram"] == "" and row["top_2gram_frac"] == 0.0
+
+
+class TestNormalizeUrl:
+    CASES = [
+        ("HTTPS://WWW.Ex.COM/Path?utm_source=a&q=1&utm_x=2#frag",
+         "https://www.ex.com/Path?q=1"),
+        ("http://A.B/p/", "http://a.b/p"),
+        ("https://ex.com/?utm_a=1", "https://ex.com"),
+        ("https://ex.com/a?gclid=z&fbclid=y&keep=2",
+         "https://ex.com/a?keep=2"),
+        ("https://ex.com/a", "https://ex.com/a"),
+    ]
+
+    def test_cases(self, spark):
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(self.CASES)], ["i", "u"])
+        got = {r["i"]: r["n"] for r in
+               df.select("i", normalize_url("u").alias("n")).collect()}
+        for i, (_, want) in enumerate(self.CASES):
+            assert got[i] == want, self.CASES[i]
+
+
+class TestStratifiedSample:
+    def test_rate_bounds_and_determinism(self, spark):
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "de") for i in range(400)],
+            ["id", "lang"])
+        full = stratified_sample(df, "id", "lang", {"en": 1.0, "de": 0.0})
+        rows = full.collect()
+        assert all(r["lang"] == "en" for r in rows)
+        assert len(rows) == 200
+        half = stratified_sample(df, "id", "lang", {"en": 0.5, "de": 0.5})
+        n1, n2 = half.count(), half.count()
+        assert n1 == n2  # deterministic, no RNG
+        assert 120 <= n1 <= 280  # ~200 expected
+
+    def test_default_rate(self, spark):
+        df = spark.createDataFrame([(i, "xx") for i in range(100)],
+                                   ["id", "lang"])
+        assert stratified_sample(df, "id", "lang", {}, 1.0).count() == 100
+        assert stratified_sample(df, "id", "lang", {}, 0.0).count() == 0
+
+
+class TestPackedBins:
+    def test_bins_match_sequential_cumsum(self, spark):
+        data = [(i, (i * 37) % 90 + 10) for i in range(200)]
+        df = spark.createDataFrame(data, ["id", "nt"])
+        got = {r["id"]: r["bin"] for r in
+               packed_bins(df, "id", "nt", 512, num_parts=7).collect()}
+        cum = 0
+        for i, nt in data:
+            assert got[i] == cum // 512, f"id {i}"
+            cum += nt
+
+    def test_partition_count_invariance(self, spark):
+        data = [(i, 100) for i in range(50)]
+        df = spark.createDataFrame(data, ["id", "nt"])
+        a = sorted(packed_bins(df, "id", "nt", 256, num_parts=2).collect())
+        b = sorted(packed_bins(df, "id", "nt", 256, num_parts=13).collect())
+        assert a == b
