@@ -4,13 +4,16 @@
   Native zip_with/aggregate dot products (no Python), broadcast of the
   small query side, window rank per query.
 - ``ivf_topk``: the scale path — IVF-style inverted file: deterministic
-  centroids (first C vectors), assign every vector to its nearest
-  centroid (one broadcast join), probe only ``nprobe`` nearest clusters
-  per query. Search cost drops from O(N) to O(N·nprobe/C) per query.
+  centroids (first C vectors + optional minibatch Lloyd refinement),
+  assign every vector to its nearest centroid MAP-ONLY (centroids are
+  driver-materialized literals, C fused cosines + argmax per row — no
+  N×C crossJoin, no per-vector window sort), probe only ``nprobe``
+  nearest clusters per query. Search cost drops from O(N) to
+  O(N·nprobe/C) per query.
 
 At 100 TB the brute-force variant is only for verification subsets; the
-IVF bucket assignment is a single broadcast pass and the probe join
-shuffles on cluster id (bounded fan-in per bucket).
+IVF bucket assignment rides the scan and the probe join shuffles on
+cluster id (bounded fan-in per bucket).
 """
 
 from __future__ import annotations
@@ -59,18 +62,43 @@ def cosine_topk(embeddings: DataFrame, query_ids, k: int = 5,
     )
 
 
-def _assign_to(embeddings: DataFrame, cents: DataFrame,
-               id_col: str, vec_col: str) -> DataFrame:
-    """Each vector → its nearest centroid (one broadcast pass)."""
-    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+def _py_norm(vec) -> float:
+    """Driver-side mirror of :func:`norm`'s left fold — same operation
+    sequence in IEEE doubles, so the result is bit-identical to the
+    Spark expression on the same values."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _assign_local(embeddings: DataFrame, cent_rows, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """Each vector → its nearest centroid, MAP-ONLY: the C centroids
+    (driver-materialized ``(cid, cvec)`` tuples — control-plane size)
+    are inlined as array literals, each row computes C fused cosines
+    and takes an ``array_max`` argmax. Compared to the former
+    crossJoin + per-vid window: no N×C row blowup, no shuffle, no
+    sort — the assignment rides the scan. Tie-break (cos equal →
+    smaller cid) is preserved via a negated-cid struct field; cosine
+    bits are preserved exactly (same fold, python-side centroid norm
+    mirrors the Spark fold bit-for-bit)."""
+    nv = norm(F.col(vec_col))
+    structs = []
+    for cid, cvec in cent_rows:
+        clit = F.array(*[F.lit(float(x)).cast("double") for x in cvec])
+        nc = _py_norm(cvec)
+        structs.append(F.struct(
+            (dot(F.col(vec_col), clit) / (nv * F.lit(nc))).alias("cos"),
+            F.lit(-int(cid)).cast("long").alias("negcid"),
+            F.lit(int(cid)).cast("long").alias("cid"),
+        ))
+    best = F.array_max(F.array(*structs))
+    return embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vvec"),
-        "cid", cosine(F.col(vec_col), F.col("cvec")).alias("cos"),
-    )
-    w = Window.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cid"))
-    return (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("vid", "vvec", "cid")
+        best.getField("cid").alias("cid"),
     )
 
 
@@ -95,40 +123,52 @@ def refine_centroids(assigned: DataFrame, round_dp: int = 6) -> DataFrame:
     )
 
 
-def ivf_centroids(embeddings: DataFrame, n_centroids: int,
-                  id_col: str = "vec_id", vec_col: str = "embedding",
-                  n_iter: int = 0, train_modulus: int = 1) -> DataFrame:
+def ivf_centroid_rows(embeddings: DataFrame, n_centroids: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_iter: int = 0,
+                      train_modulus: int = 1) -> list[tuple[int, list]]:
     """IVF 'training': deterministic seed (the first C vectors by id)
-    plus ``n_iter`` Lloyd refinement steps. The seed alone gives poor
-    recall on real embedding distributions; one or two refinements
-    recover most of it while staying fully deterministic.
+    plus ``n_iter`` Lloyd refinement steps, returned as driver-side
+    ``(cid, cvec)`` tuples (C×dim doubles — control-plane size,
+    standard k-means practice; inlining them keeps every downstream
+    assignment map-only instead of re-executing the training plan).
 
-    ``train_modulus`` > 1 refines on the deterministic subset
-    ``id % modulus == 0`` (minibatch k-means): at 10^12 vectors a full
-    assignment pass per refinement is the dominant cost, and centroid
-    means converge on a fixed sample — the final assignment still
-    covers every vector."""
-    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
+    The seed alone gives poor recall on real embedding distributions;
+    one or two refinements recover most of it while staying fully
+    deterministic. ``train_modulus`` > 1 refines on the deterministic
+    subset ``id % modulus == 0`` (minibatch k-means): at 10^12 vectors
+    a full assignment pass per refinement is the dominant cost, and
+    centroid means converge on a fixed sample — the final assignment
+    still covers every vector."""
+    rows = [
+        (int(r["cid"]), list(r["cvec"]))
+        for r in embeddings.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        ).collect()
+    ]
     train = embeddings
     if train_modulus > 1:
         train = embeddings.filter(
             F.col(id_col) % train_modulus == 0
         )
-    spark = embeddings.sparkSession
     for _ in range(n_iter):
         refined = refine_centroids(
-            _assign_to(train, cents, id_col, vec_col)
+            _assign_local(train, rows, id_col, vec_col)
         )
-        # materialize at the driver: C×dim doubles is control-plane
-        # (standard k-means practice). Without this, every downstream
-        # reuse of the centroid frame (assignment AND query probes)
-        # re-executes the corpus-wide assignment pass embedded in the
-        # refinement plan — two extra full passes per reuse at 100 TB.
         rows = [(int(r["cid"]), list(r["cvec"])) for r in refined.collect()]
-        cents = spark.createDataFrame(rows, "cid long, cvec array<double>")
-    return cents
+    return rows
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  n_iter: int = 0, train_modulus: int = 1) -> DataFrame:
+    """DataFrame form of :func:`ivf_centroid_rows` (for joins that
+    want a centroid relation, e.g. per-query probe selection)."""
+    rows = ivf_centroid_rows(embeddings, n_centroids, id_col, vec_col,
+                             n_iter, train_modulus)
+    return embeddings.sparkSession.createDataFrame(
+        rows, "cid long, cvec array<double>"
+    )
 
 
 def assign_clusters(embeddings: DataFrame, n_centroids: int,
@@ -137,9 +177,11 @@ def assign_clusters(embeddings: DataFrame, n_centroids: int,
                     n_iter: int = 0) -> DataFrame:
     """IVF assignment: each vector joins its nearest centroid after
     ``n_iter`` Lloyd refinements of the first-C seed (n_iter=0 keeps
-    the round-1 deterministic-seed behavior)."""
-    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col, n_iter)
-    return _assign_to(embeddings, cents, id_col, vec_col)
+    the round-1 deterministic-seed behavior). Map-only: centroids are
+    inlined literals (see :func:`_assign_local`)."""
+    rows = ivf_centroid_rows(embeddings, n_centroids, id_col, vec_col,
+                             n_iter)
+    return _assign_local(embeddings, rows, id_col, vec_col)
 
 
 def numpy_dot_udf():
@@ -238,9 +280,12 @@ def ivf_topk(embeddings: DataFrame, query_ids, k: int = 5,
     """Approximate top-k: probe only the nprobe nearest clusters.
     ``n_iter`` Lloyd refinements sharpen the partition (recall);
     ``train_modulus`` subsamples the refinement pass (minibatch)."""
-    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col,
-                          n_iter, train_modulus)
-    assigned = _assign_to(embeddings, cents, id_col, vec_col)
+    rows = ivf_centroid_rows(embeddings, n_centroids, id_col, vec_col,
+                             n_iter, train_modulus)
+    cents = embeddings.sparkSession.createDataFrame(
+        rows, "cid long, cvec array<double>"
+    )
+    assigned = _assign_local(embeddings, rows, id_col, vec_col)
     q = embeddings.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
