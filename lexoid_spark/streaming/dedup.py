@@ -50,7 +50,7 @@ def dedup_stream(
 ):
     """Start the exact-once-ever dedup stream; returns the query."""
     pages = spark.readStream.schema(schema).parquet(input_dir)
-    cols = [f.split(":")[0].strip() for f in schema.split(",")]
+    cols = [f.strip().split()[0].strip("`") for f in schema.split(",")]
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         fp = batch_df.withColumn("_fp", _fingerprint(F.col(text_col)))
