@@ -128,3 +128,56 @@ def test_lsh_size_probe_is_broadcast(spark):
                                 num_hashes=8, bands=2)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_curation_map_ops_zero_shuffle(spark):
+    """pii_redact / normalize_url / stratified_sample are pure map
+    expressions — they must ride the scan with NO Exchange."""
+    from lexoid_spark.functions.curation import (
+        normalize_url,
+        pii_redact,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", f"https://Ex.com/{i}?utm_a=1", "en")
+         for i in range(20)],
+        "id long, text string, url string, lang string",
+    )
+    for out in (
+        df.select(pii_redact("text")),
+        df.select(normalize_url("url")),
+        stratified_sample(df, "id", "lang", {"en": 0.5}),
+    ):
+        assert "Exchange" not in _formatted(out)
+
+
+def test_ivf_assignment_is_map_only(spark):
+    """Nearest-centroid assignment inlines driver-materialized
+    centroids: no crossJoin row blowup, no per-vector window sort,
+    no Exchange."""
+    from lexoid_spark.functions.similarity import assign_clusters
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, float(i % 2)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _formatted(assign_clusters(emb, n_centroids=4))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_paragraph_dedup_keeper_partial_aggregates(spark):
+    """The keeper choice must be an aggregation (map-side combine:
+    HashAggregate appears in partial+final pairs), not a window over
+    the paragraph-hash partition — a boilerplate paragraph shared by
+    millions of docs would hot-spot a window partition."""
+    from lexoid_spark.functions.curation import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"shared para\n\nown {i}") for i in range(10)],
+        "id long, text string",
+    )
+    plan = _formatted(paragraph_dedup(df, "id", "text"))
+    assert "Window" not in plan
