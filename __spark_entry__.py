@@ -2551,6 +2551,73 @@ def _token_pack_bins(spark, sf):
     )
 
 
+def _stream_dedup(spark, sf):
+    """Streaming dedup-at-ingest END-TO-END: a pages-shaped stream
+    (synthesized from documents with injected cross-document duplicate
+    texts) runs through streaming/dedup.dedup_stream (AvailableNow,
+    sink-as-state, per-batch overwrite) and the SURVIVORS are returned.
+    The keeper is min(struct(url, ...)) per fingerprint, which the
+    oracle mirrors as a row_number window. Input is coalesced to one
+    file so the whole drop lands in one microbatch (cross-batch
+    keeper choice is by arrival order, which SQL cannot see)."""
+    import os
+    import shutil
+
+    from lexoid_spark.streaming.dedup import dedup_stream, read_deduped
+
+    tag = os.path.basename(sf.rstrip("/"))
+    base = f"/tmp/entry_stream_dedup_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ckpt = (os.path.join(base, d)
+                             for d in ("in", "out", "ckpt"))
+
+    docs = _t(spark, sf, "documents")
+    schema = "url string, warc_ts timestamp, text string, lang string"
+    (
+        docs.select(
+            F.concat(F.lit("u"),
+                     F.lpad(F.col("doc_id").cast("string"), 8, "0")
+                     ).alias("url"),
+            (F.lit("2024-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(secs=F.col("doc_id").cast("double"))
+             ).alias("warc_ts"),
+            F.concat(F.lit("shared text "),
+                     F.pmod(F.col("doc_id"), F.lit(50)).cast("string")
+                     ).alias("text"),
+            F.col("lang"),
+        )
+        .coalesce(1)
+        .write.parquet(in_dir)
+    )
+    dedup_stream(spark, in_dir, out_dir, ckpt, schema=schema)
+    return (
+        read_deduped(spark, out_dir)
+        .select("url", "text", "lang")
+        .orderBy("url")
+    )
+
+
+_STREAM_DEDUP_SQL = r"""
+WITH src AS (
+  SELECT 'u' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         'shared text ' || CAST(doc_id % 50 AS VARCHAR) AS text,
+         lang,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds(doc_id) AS warc_ts
+  FROM documents
+),
+k AS (
+  SELECT url, text, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(regexp_replace(trim(text), '\s+', ' ', 'g'))
+           ORDER BY url, warc_ts, text, lang
+         ) AS rn
+  FROM src
+)
+SELECT url, text, lang FROM k WHERE rn = 1 ORDER BY url
+"""
+
+
 _TOKEN_PACK_SQL = r"""
 WITH w AS (
   SELECT doc_id,
@@ -2646,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _url_normalize,
         "doc_sample_stratified": _doc_sample_stratified,
         "token_pack_bins": _token_pack_bins,
+        "stream_dedup": _stream_dedup,
     }
 
 
@@ -2720,4 +2788,5 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": _URL_NORMALIZE_SQL,
         "doc_sample_stratified": _DOC_SAMPLE_SQL,
         "token_pack_bins": _TOKEN_PACK_SQL,
+        "stream_dedup": _STREAM_DEDUP_SQL,
     }
