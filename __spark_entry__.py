@@ -2551,6 +2551,62 @@ def _token_pack_bins(spark, sf):
     )
 
 
+def _pdf_objstm_extract(spark, sf):
+    """PDF 1.5 object-stream dialect through the FULL extract() plan:
+    every dict object (catalog/pages/page/fonts) lives only inside a
+    Flate-compressed /Type /ObjStm container, so parsing requires the
+    container expansion (kernels/pdf_md._expand_object_streams). Word
+    layout is closed-form from doc_id so DuckDB predicts the final
+    markdown without touching a byte of PDF."""
+    from lexoid_spark.corpus.pdf_gen import build_pdf
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def objstm_pdf(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            k = d % 4 + 2
+            words = [
+                {"text": f"o{j}x{d % 7}", "x": 72.0 + 48.0 * j,
+                 "y": 700.0, "size": 12.0, "font": "F1"}
+                for j in range(k)
+            ]
+            out.append(build_pdf([{"words": words}], compress=True,
+                                 objstm=True))
+        return pd.Series(out)
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://opdf.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        objstm_pdf("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(pages, run_id="objstm_check")["extracted"]
+    return out.select("url", "raw", "n_chars").orderBy("url")
+
+
+_PDF_OBJSTM_SQL = """
+WITH base AS (
+  SELECT doc_id, doc_id % 4 + 2 AS k, CAST(doc_id % 7 AS VARCHAR) AS m
+  FROM documents
+),
+r AS (
+  SELECT 'http://opdf.test/' || CAST(doc_id AS VARCHAR) AS url,
+         'o0x' || m || ' o1x' || m
+         || CASE WHEN k >= 3 THEN ' o2x' || m ELSE '' END
+         || CASE WHEN k >= 4 THEN ' o3x' || m ELSE '' END
+         || CASE WHEN k >= 5 THEN ' o4x' || m ELSE '' END
+         || chr(10) || chr(10) AS raw
+  FROM base
+)
+SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
+"""
+
+
 def _stream_dedup(spark, sf):
     """Streaming dedup-at-ingest END-TO-END: a pages-shaped stream
     (synthesized from documents with injected cross-document duplicate
@@ -2714,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_stratified": _doc_sample_stratified,
         "token_pack_bins": _token_pack_bins,
         "stream_dedup": _stream_dedup,
+        "pdf_objstm_extract": _pdf_objstm_extract,
     }
 
 
@@ -2789,4 +2846,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_stratified": _DOC_SAMPLE_SQL,
         "token_pack_bins": _TOKEN_PACK_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
+        "pdf_objstm_extract": _PDF_OBJSTM_SQL,
     }

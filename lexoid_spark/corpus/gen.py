@@ -37,7 +37,7 @@ HTML_CLASSES = (
 PDF_CLASSES = (
     "pdf_plain", "pdf_headings", "pdf_styles", "pdf_indent",
     "pdf_rules_strike", "pdf_table", "pdf_links_emails", "pdf_multipage",
-    "pdf_flate", "pdf_compact",
+    "pdf_flate", "pdf_compact", "pdf_objstm",
 )
 ALL_CLASSES = HTML_CLASSES + PDF_CLASSES + (
     "csv_table", "txt_plain", "docx_doc", "xlsx_sheet",
@@ -230,6 +230,18 @@ def _pdf_flate(i: int, r: random.Random) -> bytes:
     return build_pdf([{"words": words}], compress=True)
 
 
+def _pdf_objstm(i: int, r: random.Random) -> bytes:
+    """PDF 1.5 object-stream layout: every dict object (catalog, pages,
+    page, fonts) lives inside one Flate-compressed /Type /ObjStm
+    container — the modern-writer dialect where a classic object scan
+    sees only the container (kernels/pdf_md._expand_object_streams)."""
+    words = words_line([f"ObjStm{i}", "doc"], y=720, size=20)
+    for y in (680, 660):
+        words += words_line([r.choice(_WORDS) for _ in range(5)], y=y,
+                            size=12)
+    return build_pdf([{"words": words}], compress=True, objstm=True)
+
+
 def _pdf_compact(i: int, r: random.Random) -> bytes:
     """Compressed compact-dialect PDF: ONE multi-op BT block, Tm line
     positioning, array-form TJ with kerning numbers — exercises the
@@ -378,6 +390,7 @@ _BUILDERS = {
     "pdf_multipage": _pdf_multipage,
     "pdf_flate": _pdf_flate,
     "pdf_compact": _pdf_compact,
+    "pdf_objstm": _pdf_objstm,
     "csv_table": _csv_table,
     "txt_plain": _txt_plain,
     "docx_doc": _docx_doc,

@@ -134,12 +134,20 @@ def _compact_text_stream(page: Dict) -> bytes:
     return _graphics_parts(page, parts)
 
 
-def build_pdf(pages: Sequence[Dict], compress: bool = False) -> bytes:
+def build_pdf(pages: Sequence[Dict], compress: bool = False,
+              objstm: bool = False) -> bytes:
     """Assemble a full PDF from page specs. Deterministic bytes.
 
     ``compress=True`` FlateDecode-compresses every content stream
     (zlib level 9 for deterministic output) — the near-universal
     wild-PDF encoding the kernel must decode.
+
+    ``objstm=True`` additionally packs every dict-only object (fonts,
+    page dicts, /Pages, /Catalog) into ONE Flate-compressed PDF 1.5
+    object stream (``/Type /ObjStm``) — the modern-writer layout where
+    a classic object scan sees only the container. Content streams and
+    image XObjects stay direct objects (streams are not allowed inside
+    an ObjStm per ISO 32000 §7.5.7).
     """
     objs: List[bytes] = []  # 1-indexed body objects, object i = objs[i-1]
 
@@ -234,10 +242,35 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False) -> bytes:
     assert pages_num == pages_obj_num_placeholder
     catalog_num = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
 
-    out = bytearray(b"%PDF-1.4\n")
+    packed_nums: set = set()
+    if objstm:
+        import zlib
+
+        dict_nums = [i for i, o in enumerate(objs, start=1)
+                     if b"stream" not in o]
+        if dict_nums:
+            packed_nums = set(dict_nums)
+            bodies, offs, pos = [], [], 0
+            for i in dict_nums:
+                body = objs[i - 1]
+                offs.append((i, pos))
+                bodies.append(body)
+                pos += len(body) + 1
+            header = (" ".join("%d %d" % p for p in offs) + "\n").encode()
+            payload = header + b"\n".join(bodies) + b"\n"
+            packed = zlib.compress(payload, 9)
+            objs.append(
+                b"<< /Type /ObjStm /N %d /First %d /Length %d "
+                b"/Filter /FlateDecode >>\nstream\n%s\nendstream"
+                % (len(dict_nums), len(header), len(packed), packed)
+            )
+
+    out = bytearray(b"%PDF-1.5\n" if objstm else b"%PDF-1.4\n")
     offsets = [0] * (len(objs) + 1)
     for i, obj in enumerate(objs, start=1):
         offsets[i] = len(out)
+        if i in packed_nums:
+            continue  # lives inside the ObjStm container only
         out += b"%d 0 obj\n" % i
         out += obj
         out += b"\nendobj\n"

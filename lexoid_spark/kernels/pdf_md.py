@@ -12,10 +12,15 @@ multi-op ``BT..ET`` blocks with ``Tf``/``Td``/``TD``/``Tm``/``TL``/
 applied as x-advances), literal and hex strings with the standard
 escape set — per-page ``/Resources /Font`` → ``/BaseFont`` resolution,
 and stroked path/rect graphics (``m``/``l``/``re``/``S``) for rules
-and table ruling. Out of scope (documented): cross-reference streams /
-object streams (PDF 1.5 ObjStm), CID/Type0 encodings, embedded font
-width tables (a deterministic per-font width model stands in), and
-rotated text matrices (``Tm`` is honored for translation).
+and table ruling, plus PDF 1.5 compressed object streams
+(``/Type /ObjStm`` containers are Flate-decoded and their embedded
+dict objects inlined — the modern-writer dialect a classic object
+scan alone never sees). Out of scope (documented): cross-reference
+streams as a lookup structure (objects are found by direct scan, so
+``/Type /XRef`` entries are ignored rather than followed), CID/Type0
+encodings, embedded font width tables (a deterministic per-font width
+model stands in), and rotated text matrices (``Tm`` is honored for
+translation).
 
 Reproduced behaviors (reference file:line):
 - word boxes ``{text, x0, x1, top, bottom, size, fontname}``
@@ -180,6 +185,53 @@ def _stream_bytes(obj: bytes) -> bytes:
         except zlib.error:
             return b""
     return data
+
+
+_INT_RE = re.compile(rb"\s*(\d+)")
+
+
+def _int_after(obj: bytes, key: bytes) -> Optional[int]:
+    tail = _dict_value(obj, key)
+    if tail is None:
+        return None
+    m = _INT_RE.match(tail)
+    return int(m.group(1)) if m else None
+
+
+def _expand_object_streams(objs: Dict[int, bytes]) -> Dict[int, bytes]:
+    """Inline PDF 1.5 compressed object streams (``/Type /ObjStm``).
+
+    Modern writers park most dict objects (catalog, pages, page,
+    font) inside a Flate-compressed container stream; a classic
+    object scan alone never sees them. Layout per spec (ISO 32000
+    §7.5.7): the decoded stream opens with ``/N`` pairs of
+    ``objnum offset`` integers, and the object bodies start at
+    ``/First`` + offset (no ``obj``/``endobj`` wrappers). Embedded
+    objects never override directly-scanned ones (a direct
+    definition outranks a stale container copy)."""
+    out = dict(objs)
+    for obj in objs.values():
+        s_idx = obj.find(b"stream")
+        head = obj[:s_idx] if s_idx != -1 else obj
+        if b"/ObjStm" not in head:
+            continue
+        n = _int_after(obj, b"/N")
+        first = _int_after(obj, b"/First")
+        if not n or first is None:
+            continue
+        data = _stream_bytes(obj)
+        if len(data) < first:
+            continue
+        try:
+            ints = [int(x) for x in data[:first].split()[:2 * n]]
+        except ValueError:
+            continue
+        pairs = list(zip(ints[0::2], ints[1::2]))
+        for i, (onum, off) in enumerate(pairs):
+            end = (first + pairs[i + 1][1]
+                   if i + 1 < len(pairs) else len(data))
+            out.setdefault(onum, data[first + off:end].strip())
+    return out
 
 
 def _dict_value(obj: bytes, key: bytes) -> Optional[bytes]:
@@ -489,7 +541,7 @@ def _page_fonts(pobj: bytes, objs: Dict[int, bytes]) -> Dict[str, str]:
 
 def parse_pdf(data: bytes) -> List[PdfPage]:
     """Tokenize PDF bytes into page objects with words/lines/rects/annots."""
-    objs = _parse_objects(data)
+    objs = _expand_object_streams(_parse_objects(data))
     # find catalog → pages → kids (fall back to document order of /Type /Page)
     page_nums: List[int] = []
     for num, obj in objs.items():

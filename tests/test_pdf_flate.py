@@ -273,3 +273,60 @@ def test_truncated_pdf_no_crash():
     for cut in (len(full) // 4, len(full) // 2, len(full) - 20):
         md = pdf_to_md(full[:cut])  # must not raise
         assert isinstance(md, str)
+
+
+# --- PDF 1.5 object streams (/Type /ObjStm) ---------------------------------
+
+
+def test_objstm_byte_identical_to_classic():
+    """Same document packed into a compressed object stream must parse
+    to byte-identical markdown (dict objects live ONLY in the
+    container)."""
+    from lexoid_spark.corpus.pdf_gen import build_pdf, words_line
+
+    pages = [
+        {"words": words_line(["Title", "words"], y=720, size=20)
+         + words_line(["alpha", "beta", "gamma"], y=680),
+         "lines": [(72, 650, 400, 650)]},
+        {"words": words_line(["second", "page"], y=700)},
+    ]
+    classic = build_pdf(pages)
+    packed = build_pdf(pages, compress=True, objstm=True)
+    assert b"/ObjStm" in packed
+    # the page dict must NOT be visible as a direct object
+    assert b"/Type /Page /Parent" not in packed
+    assert pdf_to_md(packed) == pdf_to_md(classic) != ""
+
+
+def test_objstm_direct_object_outranks_container_copy():
+    """A direct definition wins over a stale ObjStm copy (spec:
+    the xref decides; our scan prefers direct objects)."""
+    import zlib
+
+    from lexoid_spark.kernels.pdf_md import (
+        _expand_object_streams,
+        _parse_objects,
+    )
+
+    inner = b"<< /Type /Page /stale true >>"
+    header = b"5 0\n"
+    payload = header + inner + b"\n"
+    packed = zlib.compress(payload, 9)
+    doc = (
+        b"5 0 obj\n<< /direct true >>\nendobj\n"
+        b"9 0 obj\n<< /Type /ObjStm /N 1 /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(header), len(packed), packed)
+    )
+    objs = _expand_object_streams(_parse_objects(doc))
+    assert objs[5].strip() == b"<< /direct true >>"
+    assert b"stale" not in objs[5]
+
+
+def test_objstm_corrupt_container_ignored():
+    bad = (
+        b"9 0 obj\n<< /Type /ObjStm /N 2 /First 8 /Length 7 "
+        b"/Filter /FlateDecode >>\nstream\nnotzlib\nendstream\nendobj\n"
+    )
+    md = pdf_to_md(bad)
+    assert md == ""  # graceful
