@@ -2551,6 +2551,81 @@ def _token_pack_bins(spark, sf):
     )
 
 
+def _curation_pipeline(spark, sf):
+    """The composed end-to-end curation decision a training pipeline
+    ships: Gopher quality gate → exact-dedup keepers (within the
+    surviving set) → deterministic per-lang stratified sampling →
+    PII-redacted text + token count out. Every stage is an operator
+    with its own oracled query; this pins that they COMPOSE."""
+    from lexoid_spark.functions.curation import (
+        pii_redact,
+        stratified_sample,
+    )
+    from lexoid_spark.functions.dedup import exact_dedup
+    from lexoid_spark.functions.textstats import (
+        gopher_quality_flags,
+        token_count,
+    )
+
+    docs = _t(spark, sf, "documents")
+    quality = docs.filter(
+        gopher_quality_flags(F.col("text")).getField("passes")
+    )
+    keepers = exact_dedup(quality, "doc_id", "text").select("doc_id")
+    kept = docs.join(keepers, "doc_id")
+    sampled = stratified_sample(
+        kept, "doc_id", "lang", {"en": 1.0, "de": 1.0}, default_rate=0.5
+    )
+    return sampled.select(
+        "doc_id", "lang",
+        token_count("text").alias("n_tokens"),
+        pii_redact("text").alias("text_clean"),
+    ).orderBy("doc_id")
+
+
+_CURATION_PIPELINE_SQL = rf"""
+WITH q AS (
+  SELECT doc_id FROM ({_GOPHER_SQL.strip().rstrip()}) g WHERE passes
+),
+qd AS (SELECT d.* FROM documents d JOIN q USING (doc_id)),
+fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(regexp_replace(text,
+              '\\[a-zA-Z]+(\[[^\]]*\])?(\{{[^}}]*\}})?', ' ', 'g'),
+              '\s+', ' ', 'g'),
+              '[^a-zA-Z0-9 ]', ' ', 'g'))) AS f
+  FROM qd
+),
+keepers AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) rn
+    FROM fp
+  ) WHERE rn = 1
+),
+sampled AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d JOIN keepers USING (doc_id)
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':strat'),
+                        1, 15))::BIGINT % 10000
+        < CASE d.lang WHEN 'en' THEN 10000 WHEN 'de' THEN 10000
+                      ELSE 5000 END
+)
+SELECT doc_id, lang,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT)
+         AS n_tokens,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{{2,}}',
+             '<EMAIL>', 'g'),
+           '\b(?:\d{{1,3}}\.){{3}}\d{{1,3}}\b', '<IP>', 'g'),
+         '\+\d{{7,15}}\b|\b\d{{3}}[-.]\d{{3,4}}[-.]\d{{4}}\b',
+         '<PHONE>', 'g') AS text_clean
+FROM sampled ORDER BY doc_id
+"""
+
+
 def _pdf_objstm_extract(spark, sf):
     """PDF 1.5 object-stream dialect through the FULL extract() plan:
     every dict object (catalog/pages/page/fonts) lives only inside a
@@ -2771,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pack_bins": _token_pack_bins,
         "stream_dedup": _stream_dedup,
         "pdf_objstm_extract": _pdf_objstm_extract,
+        "curation_pipeline": _curation_pipeline,
     }
 
 
@@ -2847,4 +2923,5 @@ def oracle_sql() -> dict[str, str]:
         "token_pack_bins": _TOKEN_PACK_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
         "pdf_objstm_extract": _PDF_OBJSTM_SQL,
+        "curation_pipeline": _CURATION_PIPELINE_SQL,
     }
