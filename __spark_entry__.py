@@ -2551,6 +2551,58 @@ def _token_pack_bins(spark, sf):
     )
 
 
+def _decontaminate(spark, sf):
+    """Test-set decontamination (GPT-3-style n-gram rule, n=8 here so
+    the SQL mirror stays manageable; operator default is 13): flag
+    every document sharing a word 8-gram with a benchmark set — the
+    benchmark is synthesized as the first 120 chars of every 37th
+    document, so the flagged set is those sources plus any true
+    prefix collisions. Corpus side shuffles only (id, hash) pairs;
+    the tiny benchmark gram set broadcasts."""
+    from lexoid_spark.functions.curation import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(37)) == 0).select(
+        F.substring("text", 1, 120).alias("text")
+    )
+    return (
+        decontaminate(docs, bench, "doc_id", "text", n=8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_DECONTAMINATE_SQL = r"""
+WITH bsrc AS (
+  SELECT substr(text, 1, 120) AS text FROM documents WHERE doc_id % 37 = 0
+),
+bm AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM bsrc),
+bg AS (
+  SELECT DISTINCT ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h FROM (
+    SELECT unnest(list_transform(range(0, len(toks) - 7),
+                  i -> array_to_string(toks[i+1:i+8], ' '))) AS gram
+    FROM bm WHERE len(toks) >= 8
+    UNION ALL
+    SELECT array_to_string(toks, ' ') AS gram FROM bm WHERE len(toks) < 8
+  )
+),
+dm AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+       FROM documents),
+dg AS (
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h FROM (
+    SELECT doc_id, unnest(list_transform(range(0, len(toks) - 7),
+                   i -> array_to_string(toks[i+1:i+8], ' '))) AS gram
+    FROM dm WHERE len(toks) >= 8
+    UNION ALL
+    SELECT doc_id, array_to_string(toks, ' ') AS gram FROM dm
+    WHERE len(toks) < 8
+  )
+)
+SELECT DISTINCT doc_id FROM dg WHERE h IN (SELECT h FROM bg)
+ORDER BY doc_id
+"""
+
+
 def _curation_pipeline(spark, sf):
     """The composed end-to-end curation decision a training pipeline
     ships: Gopher quality gate → exact-dedup keepers (within the
@@ -2847,6 +2899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _stream_dedup,
         "pdf_objstm_extract": _pdf_objstm_extract,
         "curation_pipeline": _curation_pipeline,
+        "decontaminate": _decontaminate,
     }
 
 
@@ -2924,4 +2977,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": _STREAM_DEDUP_SQL,
         "pdf_objstm_extract": _PDF_OBJSTM_SQL,
         "curation_pipeline": _CURATION_PIPELINE_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
     }

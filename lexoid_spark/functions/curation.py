@@ -229,6 +229,38 @@ def normalize_url(col) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Test-set decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(df: DataFrame, bench: DataFrame, id_col: str,
+                  text_col: str, bench_text_col: str = "text",
+                  n: int = 13) -> DataFrame:
+    """Flag documents sharing any word ``n``-gram with a benchmark
+    set (the GPT-3-style 13-gram decontamination rule): a training
+    corpus must drop documents that quote eval data.
+
+    Shape: both sides explode to distinct n-gram hashes; the corpus
+    side semi-joins the benchmark side on the hash. The benchmark gram
+    set is tiny relative to the corpus (evals are KBs, corpora are
+    TBs), so the join broadcasts; the corpus side never shuffles its
+    text — only (id, hash) pairs. Returns the ids of CONTAMINATED
+    documents (drop-list; anti-join to keep)."""
+    from lexoid_spark.functions.dedup import shingles
+
+    doc_grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("_g"),
+    ).select("id", _md5_hash64(F.col("_g")).alias("_h"))
+    bench_grams = bench.select(
+        F.explode(shingles(F.col(bench_text_col), n)).alias("_g")
+    ).select(_md5_hash64(F.col("_g")).alias("_h")).distinct()
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "_h", "left_semi")
+        .select("id").distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic stratified sampling
 # ---------------------------------------------------------------------------
 

@@ -123,6 +123,36 @@ class TestNormalizeUrl:
             assert got[i] == want, self.CASES[i]
 
 
+class TestDecontaminate:
+    def test_flags_docs_quoting_benchmark(self, spark):
+        from lexoid_spark.functions.curation import decontaminate
+
+        bench = spark.createDataFrame(
+            [("the quick brown fox jumps over the lazy dog tonight",)],
+            ["text"])
+        docs = spark.createDataFrame(
+            [(1, "intro words then the quick brown fox jumps over the "
+                 "lazy dog tonight and more"),
+             (2, "completely unrelated text with no overlap at all here"),
+             (3, "the quick brown fox but then it diverges entirely "
+                 "from the benchmark wording")],
+            ["id", "text"])
+        flagged = {r["id"] for r in
+                   decontaminate(docs, bench, "id", "text", n=10).collect()}
+        assert flagged == {1}
+
+    def test_short_benchmark_full_text_rule(self, spark):
+        from lexoid_spark.functions.curation import decontaminate
+
+        bench = spark.createDataFrame([("secret eval answer",)], ["text"])
+        docs = spark.createDataFrame(
+            [(1, "secret eval answer"), (2, "secret eval question")],
+            ["id", "text"])
+        flagged = {r["id"] for r in
+                   decontaminate(docs, bench, "id", "text", n=13).collect()}
+        assert flagged == {1}
+
+
 class TestStratifiedSample:
     def test_rate_bounds_and_determinism(self, spark):
         df = spark.createDataFrame(
