@@ -2551,6 +2551,46 @@ def _token_pack_bins(spark, sf):
     )
 
 
+def _mixture_rebalance(spark, sf):
+    """Source-mixture rebalancing: char-weighted shares are pushed
+    toward a target mixture (every 4th source gets 20%, the rest
+    2%) by deterministic hash downsampling. Thresholds are exact
+    integer arithmetic from ONE control-plane aggregation, so the SQL
+    oracle reproduces them bit-for-bit."""
+    from lexoid_spark.functions.curation import rebalance_mixture
+
+    docs = _t(spark, sf, "documents")
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    targets = {
+        s: 2000 if int(s[3:]) % 4 == 0 else 200 for s in sources
+    }
+    return (
+        rebalance_mixture(docs, "doc_id", "source", "n_chars", targets)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_MIXTURE_REBALANCE_SQL = r"""
+WITH tot AS (
+  SELECT source, SUM(n_chars) AS ws FROM documents GROUP BY source
+),
+thr AS (
+  SELECT source,
+         LEAST(10000,
+               (CASE WHEN CAST(substr(source, 4) AS BIGINT) % 4 = 0
+                     THEN 2000 ELSE 200 END
+                * (SELECT SUM(ws) FROM tot)) // ws) AS th
+  FROM tot
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN thr USING (source)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15))
+        ::BIGINT % 10000 < th
+ORDER BY d.doc_id
+"""
+
+
 def _decontaminate(spark, sf):
     """Test-set decontamination (GPT-3-style n-gram rule, n=8 here so
     the SQL mirror stays manageable; operator default is 13): flag
@@ -2900,6 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_objstm_extract": _pdf_objstm_extract,
         "curation_pipeline": _curation_pipeline,
         "decontaminate": _decontaminate,
+        "mixture_rebalance": _mixture_rebalance,
     }
 
 
@@ -2978,4 +3019,5 @@ def oracle_sql() -> dict[str, str]:
         "pdf_objstm_extract": _PDF_OBJSTM_SQL,
         "curation_pipeline": _CURATION_PIPELINE_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "mixture_rebalance": _MIXTURE_REBALANCE_SQL,
     }

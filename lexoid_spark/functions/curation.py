@@ -286,6 +286,50 @@ def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,
 
 
 # ---------------------------------------------------------------------------
+# Source-mixture rebalancing
+# ---------------------------------------------------------------------------
+
+def rebalance_mixture(df: DataFrame, id_col: str, stratum_col: str,
+                      weight_col: str, targets_bp: dict[str, int],
+                      denom: int = 10_000,
+                      salt: str = "mix") -> DataFrame:
+    """Downsample overrepresented strata toward a target mixture
+    (``targets_bp``: stratum → target share in basis points of
+    ``denom``). Keep threshold per stratum =
+    ``min(denom, target_bp * total_weight // stratum_weight)`` — a
+    stratum already under its target keeps everything (no
+    upsampling/duplication); one over it is hash-sampled down.
+
+    Two passes: per-stratum weight totals are ONE aggregation
+    collected at the driver (#strata rows — control-plane), thresholds
+    are exact integer arithmetic (engine-portable: the oracle computes
+    the same integers in SQL), and the second pass is a pure
+    deterministic hash filter riding the scan."""
+    totals = {
+        r["s"]: int(r["w"])
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("w"))
+        .collect()
+    }
+    total = sum(totals.values())
+    thresholds = {
+        s: min(denom, targets_bp.get(s, 0) * total // w)
+        for s, w in totals.items() if w > 0
+    }
+    bucket = F.pmod(
+        _md5_hash64(F.concat(F.col(id_col).cast("string"),
+                             F.lit(":" + salt))),
+        F.lit(denom),
+    )
+    expr = None
+    for s, t in sorted(thresholds.items()):
+        cond = F.col(stratum_col) == s
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thr = expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
+    return df.filter(bucket < thr)
+
+
+# ---------------------------------------------------------------------------
 # Context-window packing
 # ---------------------------------------------------------------------------
 

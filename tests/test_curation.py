@@ -174,6 +174,36 @@ class TestStratifiedSample:
         assert stratified_sample(df, "id", "lang", {}, 0.0).count() == 0
 
 
+class TestRebalanceMixture:
+    def test_downsamples_overrepresented_stratum(self, spark):
+        from lexoid_spark.functions.curation import rebalance_mixture
+
+        # 90% of weight in "big", 10% in "small"; target 50/50
+        rows = [(i, "big", 10) for i in range(900)]
+        rows += [(900 + i, "small", 10) for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, s string, w long")
+        kept = rebalance_mixture(
+            df, "id", "s", "w", {"big": 5000, "small": 5000}
+        )
+        by = {r["s"]: r["n"] for r in
+              kept.groupBy("s").agg(F.count("*").alias("n")).collect()}
+        # small is under target → keeps all; big halves-ish (hash noise)
+        assert by["small"] == 100
+        assert 400 <= by["big"] <= 600
+
+    def test_deterministic(self, spark):
+        from lexoid_spark.functions.curation import rebalance_mixture
+
+        df = spark.createDataFrame(
+            [(i, "a" if i % 3 else "b", 5) for i in range(300)],
+            "id long, s string, w long")
+        a = sorted(r["id"] for r in rebalance_mixture(
+            df, "id", "s", "w", {"a": 3000, "b": 7000}).collect())
+        b = sorted(r["id"] for r in rebalance_mixture(
+            df, "id", "s", "w", {"a": 3000, "b": 7000}).collect())
+        assert a == b
+
+
 class TestPackedBins:
     def test_bins_match_sequential_cumsum(self, spark):
         data = [(i, (i * 37) % 90 + 10) for i in range(200)]
