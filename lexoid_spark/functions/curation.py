@@ -25,6 +25,10 @@ Scale shapes:
 - ``packed_bins``: two-phase distributed prefix sum (per-partition
   cumsum + driver-side partition offsets — a P-row control-plane
   collect), NOT a single-partition global window.
+- ``decontaminate``: corpus side shuffles only (id, n-gram hash)
+  pairs; the benchmark gram set (evals are KBs) broadcasts.
+- ``rebalance_mixture``: one aggregation collected (#strata rows),
+  integer-exact thresholds, then a pure hash filter.
 
 All hashes are md5-derived so DuckDB oracles can mirror them exactly
 (same trick as ``dedup._md5_hash64``).
