@@ -364,6 +364,28 @@ the reference per-process rate per core.
 
 Reproduce: `python tools/scaling_bench.py {n_docs}`
 (raw numbers in `BENCH/scaling.json`).
+
+## Per-round bench.py comparability
+
+Round-over-round per-query BENCH_r{{N}} deltas mix three
+non-regression effects with real ones:
+
+1. **Corpus mix** — the round-2 extraction corpus adds the heavier
+   fixture classes (Flate-compressed / compact-dialect / object-stream
+   PDFs, scanned PDFs → OCR arm, PPTX), so `extract_pipeline` per-doc
+   cost is not comparable to round 1's lighter mix.
+2. **Timing protocol** — round 2 reports min-of-2 executions after a
+   full-corpus warmup pass (round 1: single run after a 64-doc warmup
+   that left most of the 32 python workers cold). One-time plan costs
+   (Janino codegen of wide inlined-literal expressions, JIT) are
+   excluded, matching what a long-running job amortizes.
+3. **Host thermal drift** — sustained all-core load throttles this
+   package (same effect measured above); absolute seconds drift up to
+   ~2x between a cool and a hot host. The paired scaling protocol
+   controls for this; bench.py point numbers cannot.
+4. `ann_ivf_topk` additionally gained one minibatch Lloyd refinement
+   in round 2 (recall fix) — it does strictly more work than round
+   1's first-C-seed variant.
 """
     with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
