@@ -32,7 +32,7 @@ LANGS = ("en", "de", "fr", "es", "hi")
 
 HTML_CLASSES = (
     "html_headings", "html_lists_links", "html_table",
-    "html_boilerplate", "html_invalid_bytes",
+    "html_boilerplate", "html_invalid_bytes", "html_utf16",
 )
 PDF_CLASSES = (
     "pdf_plain", "pdf_headings", "pdf_styles", "pdf_indent",
@@ -119,6 +119,21 @@ def _html_invalid_bytes(i: int, r: random.Random) -> bytes:
     bad = b" \xff\xfe\xc3\x28 "
     tail = f"after {_sentence(r, 6)}</p></body></html>".encode()
     return good + bad + tail
+
+
+def _html_utf16(i: int, r: random.Random) -> bytes:
+    """UTF-16 (BOM'd) HTML — common wild encoding; decoded as
+    UTF-8-ignore it shreds every other byte, so both the sniff and
+    the kernel must honor the BOM (kernels/text_ops.decode_payload).
+    LE/BE alternate by index."""
+    doc = (
+        f"<html><head><title>UTF16 {i}</title></head><body>"
+        f"<h1>Wide {i}</h1><p>{_sentence(r, 10)} naïve café №{i}</p>"
+        f"</body></html>"
+    )
+    enc = "utf-16-le" if i % 2 == 0 else "utf-16-be"
+    bom = b"\xff\xfe" if i % 2 == 0 else b"\xfe\xff"
+    return bom + doc.encode(enc)
 
 
 def _html_giant(i: int, r: random.Random, repeat: int = 400) -> bytes:
@@ -380,6 +395,7 @@ _BUILDERS = {
     "html_table": _html_table,
     "html_boilerplate": _html_boilerplate,
     "html_invalid_bytes": _html_invalid_bytes,
+    "html_utf16": _html_utf16,
     "pdf_plain": _pdf_plain,
     "pdf_headings": _pdf_headings,
     "pdf_styles": _pdf_styles,

@@ -67,9 +67,9 @@ def csv_to_md_udf(payloads: pd.Series) -> pd.DataFrame:
 
 
 def _txt_decode(payload) -> str:
-    if payload is None:
-        return ""
-    return bytes(payload).decode("utf-8", errors="ignore")
+    from lexoid_spark.kernels.text_ops import decode_payload
+
+    return decode_payload(payload)
 
 
 @F.pandas_udf(RAW_ERR_TYPE)

@@ -527,9 +527,9 @@ def strip_boilerplate(root: Node) -> Node:
 def html_to_md(html, main_content: bool = False) -> str:
     """Convert an HTML payload (str or bytes) to markdown.
 
-    Bytes are decoded UTF-8 with ``errors="ignore"`` — the reference's
-    invalid-byte tolerance (``static_parser.py:90-92``,
-    ``tests/test_parser.py:177-212``).
+    Bytes are decoded BOM-aware (UTF-8/16/32 BOM honored), else UTF-8
+    with ``errors="ignore"`` — the reference's invalid-byte tolerance
+    (``static_parser.py:90-92``, ``tests/test_parser.py:177-212``).
 
     ``main_content=True`` additionally prunes navigation/ads/social
     chrome via :func:`strip_boilerplate` before emission (the
@@ -540,7 +540,9 @@ def html_to_md(html, main_content: bool = False) -> str:
     if html is None:
         return ""
     if isinstance(html, (bytes, bytearray, memoryview)):
-        html = bytes(html).decode("utf-8", errors="ignore")
+        from lexoid_spark.kernels.text_ops import decode_payload
+
+        html = decode_payload(html)
     root = parse_html(html)
     if main_content:
         root = strip_boilerplate(root)

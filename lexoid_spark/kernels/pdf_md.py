@@ -1102,6 +1102,18 @@ def sniff_doctype(payload) -> str:
         return "zip"
     if b.startswith((b"IMG!", b"\x89PNG", b"\xff\xd8\xff", b"GIF8")):
         return "image"
+    if b.startswith((b"\xff\xfe", b"\xfe\xff")):
+        # UTF-16 BOM: run the text probes on the DECODED head (the
+        # raw bytes interleave NULs, so byte-level probes can't fire)
+        s = b.decode("utf-16", errors="ignore")
+        slow = s.lstrip().lower()
+        if (slow.startswith(("<!doctype", "<html", "<head", "<body"))
+                or "<html" in slow):
+            return "html"
+        shead = s.split("\n", 1)[0]
+        if "," in shead and "<" not in shead:
+            return "csv"
+        return "txt"
     low = b.lstrip().lower()
     if low.startswith((b"<!doctype", b"<html", b"<head", b"<body")) or b"<html" in low:
         return "html"

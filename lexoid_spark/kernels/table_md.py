@@ -101,7 +101,9 @@ def csv_to_md(payload) -> str:
     if payload is None:
         return ""
     if isinstance(payload, (bytes, bytearray, memoryview)):
-        payload = bytes(payload).decode("utf-8", errors="ignore")
+        from lexoid_spark.kernels.text_ops import decode_payload
+
+        payload = decode_payload(payload)
     # bare \r inside an unquoted field raises _csv.Error (found by
     # hypothesis); web CSVs are dirty — normalize line endings first
     payload = payload.replace("\r\n", "\n").replace("\r", "\n")

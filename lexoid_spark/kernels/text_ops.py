@@ -16,8 +16,34 @@ Reference parity:
 
 from __future__ import annotations
 
+import codecs
 import re
 from typing import List
+
+# UTF-32 BOMs first: BOM_UTF32_LE starts with the UTF-16 LE BOM bytes
+_BOMS = (
+    (codecs.BOM_UTF32_LE, "utf-32-le"),
+    (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF8, "utf-8"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+)
+
+
+def decode_payload(payload) -> str:
+    """BOM-aware text decode: honor a UTF-8/16/32 byte-order mark
+    (stripped from the result), else UTF-8 with ``errors="ignore"``
+    (the reference's invalid-byte tolerance,
+    ``static_parser.py:90-92``). Wild web pages are routinely UTF-16
+    with BOM; decoding them as UTF-8-ignore would shred every other
+    byte."""
+    if payload is None:
+        return ""
+    b = bytes(payload)
+    for bom, enc in _BOMS:
+        if b.startswith(bom):
+            return b[len(bom):].decode(enc, errors="ignore")
+    return b.decode("utf-8", errors="ignore")
 
 EMAIL_PATTERN = re.compile(
     r"(?<![<\[])(\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b)(?![>\]])"

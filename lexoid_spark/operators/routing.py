@@ -29,6 +29,12 @@ def with_doctype(df: DataFrame, payload_col: str = "html") -> DataFrame:
     # use a regexp to match the kernel twin exactly
     low = F.lower(F.regexp_replace(head, r"^\s+", ""))
     first_line = F.split(head, "\n").getItem(0)
+    _u16bom = F.hex(F.substring(F.col(payload_col), 1, 2)).isin(
+        "FFFE", "FEFF"
+    )
+    _u16 = F.decode(F.substring(F.col(payload_col), 1, 512), "UTF-16")
+    _u16low = F.lower(F.regexp_replace(_u16, r"^\s+", ""))
+    _u16first = F.split(_u16, "\n").getItem(0)
     return df.withColumn(
         "doctype",
         F.when(
@@ -48,6 +54,21 @@ def with_doctype(df: DataFrame, payload_col: str = "html") -> DataFrame:
             | (F.hex(F.substring(F.col(payload_col), 1, 3)) == "FFD8FF"),
             F.lit("image"),  # → OCR arm (P5)
         )
+        # UTF-16 BOM: probe the UTF-16-decoded head (Java's UTF-16
+        # charset honors the BOM, matching python's "utf-16" codec)
+        .when(
+            _u16bom & (
+                _u16low.startswith("<!doctype") | _u16low.startswith("<html")
+                | _u16low.startswith("<head") | _u16low.startswith("<body")
+                | _u16low.contains("<html")
+            ),
+            F.lit("html"),
+        )
+        .when(
+            _u16bom & _u16first.contains(",") & ~_u16first.contains("<"),
+            F.lit("csv"),
+        )
+        .when(_u16bom, F.lit("txt"))
         .when(
             low.startswith("<!doctype") | low.startswith("<html")
             | low.startswith("<head") | low.startswith("<body")

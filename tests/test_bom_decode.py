@@ -1,0 +1,79 @@
+"""BOM-aware decode + routing: UTF-16 web pages must sniff, route,
+and extract identically to their UTF-8 twins (text_ops.decode_payload,
+the kernel sniff's BOM branch, and routing.with_doctype's native
+mirror)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lexoid_spark.kernels.html_md import html_to_md
+from lexoid_spark.kernels.pdf_md import sniff_doctype
+from lexoid_spark.kernels.text_ops import decode_payload
+
+HTML = "<html><body><h1>Wide</h1><p>naïve café text</p></body></html>"
+
+
+def _u16(s, be=False):
+    return ((b"\xfe\xff" + s.encode("utf-16-be")) if be
+            else (b"\xff\xfe" + s.encode("utf-16-le")))
+
+
+class TestDecodePayload:
+    def test_utf16_le_be_and_utf8_bom(self):
+        assert decode_payload(_u16(HTML)) == HTML
+        assert decode_payload(_u16(HTML, be=True)) == HTML
+        assert decode_payload(b"\xef\xbb\xbf" + HTML.encode()) == HTML
+
+    def test_plain_utf8_and_invalid_bytes(self):
+        assert decode_payload(HTML.encode()) == HTML
+        assert decode_payload(b"a\xff\xfeb" ) == "ab"  # mid-doc junk ignored
+
+    def test_utf32(self):
+        import codecs
+        assert decode_payload(
+            codecs.BOM_UTF32_LE + HTML.encode("utf-32-le")) == HTML
+
+    def test_none_and_empty(self):
+        assert decode_payload(None) == ""
+        assert decode_payload(b"") == ""
+
+
+class TestBomSniff:
+    CASES = [
+        (_u16(HTML), "html"),
+        (_u16(HTML, be=True), "html"),
+        (_u16("name,qty\na,1"), "csv"),
+        (_u16("just words here"), "txt"),
+        (HTML.encode(), "html"),
+    ]
+
+    def test_kernel_sniff(self):
+        for payload, want in self.CASES:
+            assert sniff_doctype(payload) == want, payload[:20]
+
+    def test_native_sniff_matches_kernel(self, spark):
+        from lexoid_spark.operators.routing import with_doctype
+
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, (p, _) in enumerate(self.CASES)],
+            "i long, html binary")
+        got = {r["i"]: r["doctype"] for r in with_doctype(df).collect()}
+        for i, (_, want) in enumerate(self.CASES):
+            assert got[i] == want, self.CASES[i][0][:20]
+
+
+class TestUtf16Extraction:
+    def test_kernel_output_matches_utf8_twin(self):
+        assert html_to_md(_u16(HTML)) == html_to_md(HTML.encode()) != ""
+
+    def test_pipeline_extracts_utf16_class(self, spark):
+        from lexoid_spark.corpus.gen import pages_df
+        from lexoid_spark.plans.extract import extract
+
+        pages = pages_df(spark, 60).filter(
+            F.col("url").contains("html_utf16"))
+        assert pages.count() >= 1
+        out = extract(pages, repartition=False)["extracted"].collect()
+        assert out and all("Wide" in r["raw"] for r in out)
+        errs = extract(pages, repartition=False)["errors"].count()
+        assert errs == 0

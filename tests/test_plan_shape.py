@@ -181,3 +181,18 @@ def test_paragraph_dedup_keeper_partial_aggregates(spark):
     )
     plan = _formatted(paragraph_dedup(df, "id", "text"))
     assert "Window" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark n-gram set must be the broadcast build side; the
+    corpus side must never shuffle its text (only id+hash pairs)."""
+    from lexoid_spark.functions.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in
+         range(10)], "id long, text string")
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta theta",)], ["text"])
+    plan = _formatted(decontaminate(docs, bench, "id", "text", n=5))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
