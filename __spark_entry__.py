@@ -2551,6 +2551,38 @@ def _token_pack_bins(spark, sf):
     )
 
 
+def _chunk_windows(spark, sf):
+    """Overlapping token-window chunking (64-token chunks, 16 overlap)
+    — the RAG/training windowing op. All-native sequence/posexplode/
+    slice over ONE tokenization; only the explode multiplies rows."""
+    from lexoid_spark.functions.curation import chunk_by_tokens
+
+    docs = _t(spark, sf, "documents")
+    return (
+        chunk_by_tokens(docs, "doc_id", "text", 64, overlap=16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_CHUNK_WINDOWS_SQL = r"""
+WITH m AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1), 48)) AS start
+  FROM m
+)
+SELECT doc_id,
+       CAST((start - 1) // 48 AS INT) AS chunk_id,
+       CAST(len(toks[start:start+63]) AS INT) AS n_tokens,
+       array_to_string(toks[start:start+63], ' ') AS chunk
+FROM s ORDER BY doc_id, chunk_id
+"""
+
+
 def _mixture_rebalance(spark, sf):
     """Source-mixture rebalancing: char-weighted shares are pushed
     toward a target mixture (every 4th source gets 20%, the rest
@@ -2941,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _curation_pipeline,
         "decontaminate": _decontaminate,
         "mixture_rebalance": _mixture_rebalance,
+        "chunk_windows": _chunk_windows,
     }
 
 
@@ -3020,4 +3053,5 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _CURATION_PIPELINE_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "mixture_rebalance": _MIXTURE_REBALANCE_SQL,
+        "chunk_windows": _CHUNK_WINDOWS_SQL,
     }

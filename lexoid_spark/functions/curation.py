@@ -290,6 +290,63 @@ def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,
 
 
 # ---------------------------------------------------------------------------
+# Chunking (RAG / training windowing)
+# ---------------------------------------------------------------------------
+
+def chunk_by_chars(df: DataFrame, id_col: str, text_col: str,
+                   chunk_chars: int, overlap: int = 0) -> DataFrame:
+    """Split documents into overlapping fixed-size character windows:
+    chunk i starts at ``1 + i*(chunk_chars - overlap)`` (1-based) and
+    spans ``chunk_chars``. All-native ``sequence``/``posexplode``/
+    ``substring`` — no UDF, rides the scan; only the explode's row
+    multiplication costs anything. Returns
+    ``(id, chunk_id, start, chunk)``."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    step = chunk_chars - overlap
+    txt = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(txt), F.lit(1)), F.lit(step)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(starts).alias("chunk_id", "start"),
+        txt.alias("_t"),
+    ).select(
+        "id", "chunk_id", "start",
+        F.substring(F.col("_t"), F.col("start"), chunk_chars).alias("chunk"),
+    )
+
+
+def chunk_by_tokens(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int, overlap: int = 0) -> DataFrame:
+    """Token-window variant: chunk i = tokens
+    ``[i*(chunk_tokens - overlap), +chunk_tokens)`` rejoined with a
+    single space (whitespace-normalizing, like any tokenizer round
+    trip). Native slice over one tokenization. Returns
+    ``(id, chunk_id, n_tokens, chunk)``."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(step)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+        toks.alias("_toks"),
+    ).select(
+        "id", "chunk_id",
+        F.size(F.slice(F.col("_toks"), F.col("_start"), chunk_tokens))
+         .alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("_start"), chunk_tokens), " "
+        ).alias("chunk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Source-mixture rebalancing
 # ---------------------------------------------------------------------------
 

@@ -174,6 +174,47 @@ class TestStratifiedSample:
         assert stratified_sample(df, "id", "lang", {}, 0.0).count() == 0
 
 
+class TestChunking:
+    def test_char_windows_cover_and_overlap(self, spark):
+        from lexoid_spark.functions.curation import chunk_by_chars
+
+        text = "abcdefghijklmnopqrstuvwxyz"  # 26 chars
+        df = spark.createDataFrame([(1, text)], ["id", "text"])
+        rows = sorted(chunk_by_chars(df, "id", "text", 10, 4).collect(),
+                      key=lambda r: r["chunk_id"])
+        chunks = [r["chunk"] for r in rows]
+        assert chunks == ["abcdefghij", "ghijklmnop", "mnopqrstuv",
+                          "stuvwxyz", "yz"]
+        # reconstruction: drop each chunk's overlap prefix after the first
+        rebuilt = chunks[0] + "".join(c[4:] for c in chunks[1:])
+        assert rebuilt == text
+
+    def test_token_windows(self, spark):
+        from lexoid_spark.functions.curation import chunk_by_tokens
+
+        text = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], ["id", "text"])
+        rows = sorted(chunk_by_tokens(df, "id", "text", 4, 1).collect(),
+                      key=lambda r: r["chunk_id"])
+        assert [r["chunk"] for r in rows] == [
+            "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9"]
+        assert [r["n_tokens"] for r in rows] == [4, 4, 4, 1]
+
+    def test_empty_text_single_empty_chunk(self, spark):
+        from lexoid_spark.functions.curation import chunk_by_tokens
+
+        df = spark.createDataFrame([(1, "")], ["id", "text"])
+        rows = chunk_by_tokens(df, "id", "text", 4).collect()
+        assert len(rows) == 1 and rows[0]["chunk"] == ""
+
+    def test_overlap_validation(self, spark):
+        from lexoid_spark.functions.curation import chunk_by_chars
+
+        df = spark.createDataFrame([(1, "x")], ["id", "text"])
+        with pytest.raises(ValueError):
+            chunk_by_chars(df, "id", "text", 5, 5)
+
+
 class TestRebalanceMixture:
     def test_downsamples_overrepresented_stratum(self, spark):
         from lexoid_spark.functions.curation import rebalance_mixture
