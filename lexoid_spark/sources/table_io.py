@@ -59,6 +59,60 @@ class TableIO:
             return self.spark.read.table(f"{self.catalog}.{name}")
         return self.spark.read.parquet(self._data_dir(name))
 
+    def merge_upsert(self, df: DataFrame, name: str,
+                     keys: list[str]) -> None:
+        """MERGE INTO semantics: rows whose ``keys`` match an existing
+        row replace it; the rest insert. Iceberg path: one SQL MERGE
+        (copy-on-write handled by the table format). Parquet fallback:
+        current ∖ matched-keys (left anti on the key columns only — the
+        join ships keys, not payloads) ∪ new, written to a fresh data
+        directory and atomically swapped in, so the read-then-overwrite
+        hazard (Spark cannot overwrite a path it is lazily reading)
+        never arises. The swap resets time travel, like overwrite."""
+        if self.catalog:
+            df.createOrReplaceTempView("_merge_src")
+            on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+            self.spark.sql(
+                f"MERGE INTO {self.catalog}.{name} t USING _merge_src s "
+                f"ON {on} WHEN MATCHED THEN UPDATE SET * "
+                f"WHEN NOT MATCHED THEN INSERT *"
+            )
+            return
+        import shutil
+
+        if not self._exists(name):
+            self._parquet_write(df, name, "overwrite", None)
+            return
+        data_dir = self._data_dir(name)
+        tmp_dir = data_dir + ".merge-tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        cur = self.read(name)
+        merged = cur.join(
+            df.select(*keys).distinct(), keys, "left_anti"
+        ).unionByName(df)
+        obs = Observation()
+        merged = merged.observe(obs, F.count(F.lit(1)).alias("rows"))
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        n = obs.get["rows"]
+        shutil.rmtree(data_dir)
+        os.rename(tmp_dir, data_dir)
+        m = self._manifest(name)
+        files = sorted(
+            os.path.relpath(os.path.join(root, fn), data_dir)
+            for root, _, fns in os.walk(data_dir)
+            for fn in fns if fn.endswith(".parquet")
+        )
+        m["snapshots"] = []
+        m["snapshots"].append({
+            "snapshot_id": 1,
+            "operation": "merge",
+            "rows": n,
+            "files": files,
+            "ts": int(time.time()),
+        })
+        with open(self._manifest_path(name), "w") as f:
+            json.dump(m, f, indent=2)
+
     def read_at(self, name: str, snapshot_id: int) -> DataFrame:
         """Time travel: the table as of ``snapshot_id`` (Iceberg's
         ``VERSION AS OF``). The parquet fallback replays the manifest's

@@ -68,3 +68,39 @@ def test_time_travel_read_at(spark, tmp_path):
     # overwrite resets the visible set for later snapshots
     io.write(spark.range(100, 102).selectExpr("id"), "tt", mode="overwrite")
     assert sorted(r["id"] for r in io.read_at("tt", 1).collect()) == [100, 101]
+
+
+def test_merge_upsert(spark, tmp_path):
+    from lexoid_spark.sources.table_io import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    io.write(base, "m", mode="overwrite")
+
+    # 2 updates in place, 4 inserts
+    io.merge_upsert(spark.createDataFrame(
+        [(2, "B"), (4, "d")], "id long, v string"), "m", keys=["id"])
+    got = {r["id"]: r["v"] for r in io.read("m").collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+    snaps = io.snapshots("m")
+    assert snaps[-1]["operation"] == "merge"
+    assert snaps[-1]["rows"] == 4
+
+    # merge into a missing table behaves like create
+    io.merge_upsert(base, "fresh", keys=["id"])
+    assert io.read("fresh").count() == 3
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    from lexoid_spark.sources.table_io import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    io.write(spark.createDataFrame([(1, "a")], "id long, v string"),
+             "m2", mode="overwrite")
+    up = spark.createDataFrame([(1, "z")], "id long, v string")
+    io.merge_upsert(up, "m2", keys=["id"])
+    io.merge_upsert(up, "m2", keys=["id"])  # replay: same end state
+    rows = io.read("m2").collect()
+    assert len(rows) == 1 and rows[0]["v"] == "z"
