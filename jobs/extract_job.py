@@ -31,6 +31,10 @@ def main() -> None:
                     help="PDF arm: full layout (default) or text-only fast")
     ap.add_argument("--html-main-content", action="store_true",
                     help="strip nav/ads/social chrome via tag/class blocklists")
+    ap.add_argument("--compact", action="store_true",
+                    help="after processing, compact small files in "
+                         "extracted/ (plans/compact.py)")
+    ap.add_argument("--compact-target-mb", type=int, default=128)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,11 +62,28 @@ def main() -> None:
         pdf_framework=args.pdf_framework,
         html_main_content=args.html_main_content,
     )
-    print(json.dumps({
+    out = {
         "buckets_done": res.buckets_done,
         "buckets_skipped": res.buckets_skipped,
         "n_docs": res.n_docs,
-    }))
+    }
+    if args.compact:
+        import os
+
+        from lexoid_spark.plans.compact import compact_buckets
+
+        ext_dir = os.path.join(args.output, "extracted")
+        if os.path.isdir(ext_dir):
+            c = compact_buckets(
+                spark, ext_dir,
+                target_bytes=args.compact_target_mb * 1024 * 1024,
+            )
+            out["compaction"] = {
+                "buckets_compacted": len(c.buckets_compacted),
+                "files_before": c.files_before,
+                "files_after": c.files_after,
+            }
+    print(json.dumps(out))
     spark.stop()
 
 
