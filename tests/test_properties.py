@@ -103,3 +103,41 @@ def test_content_lexer_total(data):
     _interpret_content(data, 792.0, {"F1": "Helvetica"}, page)
     for w in page.words:
         assert isinstance(w["text"], str)
+
+
+# --- curation invariants (pure-python mirrors of the regex chains) ---------
+
+import re as _re
+
+from lexoid_spark.kernels.text_ops import decode_payload
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=1024))
+def test_decode_payload_total_and_idempotent_cleanliness(payload):
+    """decode_payload is total over arbitrary bytes and its output
+    re-encodes to UTF-8 losslessly (no surrogates / undecodables)."""
+    s = decode_payload(payload)
+    assert isinstance(s, str)
+    s.encode("utf-8")  # must not raise
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=string.printable, max_size=400))
+def test_pii_redact_idempotent(text):
+    """Applying the PII regex chain twice equals applying it once —
+    placeholders must never themselves match a PII pattern."""
+    from lexoid_spark.functions.curation import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+    )
+
+    def scrub(t):
+        t = _re.sub(PII_EMAIL, "<EMAIL>", t)
+        t = _re.sub(PII_IPV4, "<IP>", t)
+        t = _re.sub(PII_PHONE, "<PHONE>", t)
+        return t
+
+    once = scrub(text)
+    assert scrub(once) == once
