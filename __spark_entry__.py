@@ -2551,6 +2551,62 @@ def _token_pack_bins(spark, sf):
     )
 
 
+def _link_pagerank(spark, sf):
+    """PageRank over a deterministic link graph (each doc links to
+    (id+3)%N and (id+7)%N — a bijective construction, so in-degree is
+    exactly 2 and per-node contribution sums are order-independent:
+    the SQL oracle replays the 4 rounded iterations bit-for-bit).
+    One shuffle per iteration, (node, double) pairs only."""
+    from lexoid_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf, "documents")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        (F.pmod(F.col("doc_id") + 3, F.lit(n))).alias("dst"),
+    ).unionByName(docs.select(
+        F.col("doc_id").alias("src"),
+        (F.pmod(F.col("doc_id") + 7, F.lit(n))).alias("dst"),
+    ))
+    return (
+        pagerank(edges, iterations=4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _pagerank_oracle_sql(iters: int = 4) -> str:
+    head = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id + 3) % (SELECT n FROM nn) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id + 7) % (SELECT n FROM nn) FROM documents
+),
+deg AS (SELECT src, COUNT(*) AS dg FROM e GROUP BY src),
+r0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS rank
+       FROM documents),
+"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""r{i} AS (
+  SELECT n0.id,
+         ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(SUM(p.rank / deg.dg), 0), 8) AS rank
+  FROM r0 n0
+  LEFT JOIN e ON e.dst = n0.id
+  LEFT JOIN r{i - 1} p ON p.id = e.src
+  LEFT JOIN deg ON deg.src = e.src
+  GROUP BY n0.id
+)""")
+    return (head + ",\n".join(steps)
+            + f"\nSELECT id AS doc_id, rank FROM r{iters} ORDER BY doc_id")
+
+
+_LINK_PAGERANK_SQL = _pagerank_oracle_sql(4)
+
+
 def _chunk_windows(spark, sf):
     """Overlapping token-window chunking (64-token chunks, 16 overlap)
     — the RAG/training windowing op. All-native sequence/posexplode/
@@ -2974,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _decontaminate,
         "mixture_rebalance": _mixture_rebalance,
         "chunk_windows": _chunk_windows,
+        "link_pagerank": _link_pagerank,
     }
 
 
@@ -3054,4 +3111,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_SQL,
         "mixture_rebalance": _MIXTURE_REBALANCE_SQL,
         "chunk_windows": _CHUNK_WINDOWS_SQL,
+        "link_pagerank": _LINK_PAGERANK_SQL,
     }
