@@ -106,6 +106,8 @@ def main() -> None:
         "ocr_scanned",
         "para_dedup", "doc_repetition", "pii_redact_docs",
         "token_pack_bins",
+        "decontaminate", "curation_pipeline", "chunk_windows",
+        "link_pagerank", "mixture_rebalance",
     ]
     for name in bench_names:
         bench(name, lambda n=name: _noop_write(queries[n](spark, SF_DIR)))

@@ -113,6 +113,50 @@ class TableIO:
         with open(self._manifest_path(name), "w") as f:
             json.dump(m, f, indent=2)
 
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> int:
+        """Iceberg ``expire_snapshots`` analogue for the parquet
+        fallback: drop all but the last ``keep_last`` snapshots from
+        the manifest and DELETE data files no surviving snapshot
+        references. Bounds the time-travel window (and disk) the way
+        any production table maintenance does. Returns the number of
+        files removed. Iceberg path: delegate to the procedure."""
+        if self.catalog:
+            self.spark.sql(
+                f"CALL {self.catalog}.system.expire_snapshots("
+                f"table => '{name}')"
+            )
+            return 0
+        m = self._manifest(name)
+        snaps = m.get("snapshots", [])
+        if len(snaps) <= keep_last:
+            return 0
+        kept = snaps[-keep_last:]
+        # visibility replay: the earliest kept snapshot must still see
+        # every file accumulated before it, so fold older snapshots'
+        # file lists into it (an overwrite/merge resets the set)
+        visible: list[str] = []
+        for snap in snaps[: len(snaps) - keep_last + 1]:
+            if snap["operation"] in ("overwrite", "merge"):
+                visible = list(snap.get("files", []))
+            else:
+                visible.extend(snap.get("files", []))
+        kept[0] = dict(kept[0], files=visible)
+        referenced = {f for s in kept for f in s.get("files", [])}
+        data_dir = self._data_dir(name)
+        removed = 0
+        for root, _, fns in os.walk(data_dir):
+            for fn in fns:
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, fn), data_dir)
+                if rel not in referenced:
+                    os.remove(os.path.join(root, fn))
+                    removed += 1
+        m["snapshots"] = kept
+        with open(self._manifest_path(name), "w") as f:
+            json.dump(m, f, indent=2)
+        return removed
+
     def read_at(self, name: str, snapshot_id: int) -> DataFrame:
         """Time travel: the table as of ``snapshot_id`` (Iceberg's
         ``VERSION AS OF``). The parquet fallback replays the manifest's

@@ -104,3 +104,52 @@ def test_merge_upsert_idempotent(spark, tmp_path):
     io.merge_upsert(up, "m2", keys=["id"])  # replay: same end state
     rows = io.read("m2").collect()
     assert len(rows) == 1 and rows[0]["v"] == "z"
+
+
+def test_expire_snapshots_trims_history_and_orphans(spark, tmp_path):
+    import os
+
+    from lexoid_spark.sources.table_io import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    io.write(spark.range(0, 3), "e", mode="overwrite")
+    io.write(spark.range(10, 12), "e", mode="append")
+    io.write(spark.range(20, 22), "e", mode="append")
+    assert len(io.snapshots("e")) == 3
+
+    # simulate a killed write's leftover: a parquet file no snapshot
+    # references (the remove_orphan_files case)
+    orphan = os.path.join(str(tmp_path), "e", "data", "orphan-000.parquet")
+    spark.range(100, 200).coalesce(1).write.mode("overwrite").parquet(
+        orphan + ".dir")
+    part = [f for f in os.listdir(orphan + ".dir")
+            if f.endswith(".parquet")][0]
+    os.rename(os.path.join(orphan + ".dir", part), orphan)
+    import shutil
+    shutil.rmtree(orphan + ".dir")
+
+    before = sorted(r["id"] for r in io.read("e").collect())
+    removed = io.expire_snapshots("e", keep_last=1)
+    assert removed >= 1  # at least the orphan went
+    assert not os.path.exists(orphan)
+
+    # latest state unchanged; history trimmed to one snapshot that
+    # still resolves via read_at
+    snaps = io.snapshots("e")
+    assert len(snaps) == 1
+    # note: read() scans the data dir, so orphan removal is what keeps
+    # it consistent with the manifest
+    after = sorted(r["id"] for r in io.read("e").collect())
+    assert after == [r for r in before if r < 100]
+    assert sorted(
+        r["id"] for r in io.read_at("e", snaps[0]["snapshot_id"]).collect()
+    ) == after
+
+
+def test_expire_noop_when_history_short(spark, tmp_path):
+    from lexoid_spark.sources.table_io import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    io.write(spark.range(3), "s", mode="overwrite")
+    assert io.expire_snapshots("s", keep_last=2) == 0
+    assert io.read("s").count() == 3
