@@ -581,6 +581,164 @@ ORDER BY s_name
 """
 
 
+def _q13_customer_distribution(spark, sf):
+    """TPC-H Q13 shape: order-count distribution over customers,
+    INCLUDING zero-order customers (the left join is the point),
+    with a priority-class exclusion standing in for the comment
+    filter."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def _q17_small_quantity_revenue(spark, sf):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of a
+    part class — lineitems under 50%% of their part's average
+    quantity (the correlated scalar subquery becomes a per-part agg
+    join; 0.5 instead of 0.2 so the -ish data keeps rows)."""
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size") < 15)
+    )
+    li = _t(spark, sf, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty.withColumnRenamed("l_partkey", "ak"),
+              F.col("l_partkey") == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+             .alias("avg_yearly"))
+    )
+
+
+_Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#2' AND p_size < 15
+  AND l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""
+
+
+def _q21_waiting_supplier(spark, sf):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): in
+    finished multi-supplier orders, blame the supplier whose items
+    alone carry the order's latest ship date (the exists/not-exists
+    pair becomes a per-order max + sole-supplier-at-max check)."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    fin = li.join(orders.select("o_orderkey"),
+                  li.l_orderkey == F.col("o_orderkey"))
+    per_order = fin.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    ).filter(F.col("n_supp") >= 2)
+    latest = (
+        fin.join(per_order, "l_orderkey")
+        .filter(F.col("l_shipdate") == F.col("max_ship"))
+    )
+    blame = (
+        latest.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"),
+             F.max("l_suppkey").alias("the_supp"))
+        .filter(F.col("ns") == 1)
+    )
+    supp = _t(spark, sf, "supplier")
+    return (
+        blame.join(F.broadcast(supp),
+                   blame.the_supp == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_Q21_SQL = """
+WITH fin AS (
+  SELECT l.* FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS max_ship,
+         COUNT(DISTINCT l_suppkey) AS n_supp
+  FROM fin GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) >= 2
+),
+blame AS (
+  SELECT f.l_orderkey, MAX(f.l_suppkey) AS the_supp
+  FROM fin f JOIN per_order p
+    ON f.l_orderkey = p.l_orderkey AND f.l_shipdate = p.max_ship
+  GROUP BY f.l_orderkey HAVING COUNT(DISTINCT f.l_suppkey) = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM blame JOIN supplier ON the_supp = s_suppkey
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+def _q22_global_sales_opportunity(spark, sf):
+    """TPC-H Q22 shape: rich-but-inactive customers per country code
+    (nation key stands in for the phone prefix): above-average
+    positive balance, zero orders, grouped by code."""
+    cust = _t(spark, sf, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("a"))
+        .collect()[0]["a"]
+    )
+    orders = _t(spark, sf, "orders").select("o_custkey").distinct()
+    return (
+        cust.filter(F.col("c_acctbal") > avg_bal)
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(F.count("*").alias("numcust"),
+             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("cntrycode")
+    )
+
+
+_Q22_SQL = """
+WITH c AS (
+  SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+),
+a AS (SELECT AVG(c_acctbal) AS ab FROM c WHERE c_acctbal > 0)
+SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM c, a
+WHERE c_acctbal > a.ab
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey ORDER BY cntrycode
+"""
+
+
 def _top_customers(spark, sf):
     orders = _t(spark, sf, "orders")
     cust = _t(spark, sf, "customer")
@@ -2969,6 +3127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": _q8_market_share,
         "q16_supplier_cnt": _q16_supplier_cnt,
         "q20_small_part_suppliers": _q20_small_part_suppliers,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
+        "q21_waiting_supplier": _q21_waiting_supplier,
+        "q22_global_sales_opportunity": _q22_global_sales_opportunity,
         "top_customers": _top_customers,
         "supplier_rank": _supplier_rank,
         "events_daily": _events_daily,
@@ -3050,6 +3212,10 @@ def oracle_sql() -> dict[str, str]:
         "q8_market_share": _Q8_SQL,
         "q16_supplier_cnt": _Q16_SQL,
         "q20_small_part_suppliers": _Q20_SQL,
+        "q13_customer_distribution": _Q13_SQL,
+        "q17_small_quantity_revenue": _Q17_SQL,
+        "q21_waiting_supplier": _Q21_SQL,
+        "q22_global_sales_opportunity": _Q22_SQL,
         "top_customers": _TOP_CUST_SQL,
         "supplier_rank": _SUPPLIER_RANK_SQL,
         "events_daily": _EVENTS_DAILY_SQL,
