@@ -31,8 +31,13 @@ _ZERO_USAGE = {"input": 0, "output": 0, "llm_page_count": 0, "total": 0}
 
 
 def parse(source: Union[str, bytes], parser_type: str = "STATIC_PARSE",
-          title: str | None = None) -> dict:
-    """Parse one document (path or raw bytes) → parsed-document dict."""
+          title: str | None = None, pdf_framework: str = "pdfplumber",
+          html_main_content: bool = False) -> dict:
+    """Parse one document (path or raw bytes) → parsed-document dict.
+
+    ``pdf_framework``/``html_main_content`` mirror the corpus
+    pipeline's knobs (``extract()``): the text-only fast PDF arm and
+    the boilerplate-stripping HTML mode."""
     if parser_type not in ("STATIC_PARSE", "AUTO"):
         raise ValueError(
             f"parser_type={parser_type!r}: only STATIC_PARSE/AUTO are "
@@ -47,7 +52,10 @@ def parse(source: Union[str, bytes], parser_type: str = "STATIC_PARSE",
         name = title or os.path.basename(source)
 
     doctype = sniff_doctype(payload)
-    raw, segs, parser_used = _extract_one(doctype, payload)
+    raw, segs, parser_used = _extract_one(
+        doctype, payload, pdf_framework=pdf_framework,
+        html_main_content=html_main_content,
+    )
     segments = [
         {
             "metadata": {

@@ -90,3 +90,17 @@ def test_cli_missing_file_errors_to_stderr(tmp_path):
     assert r.returncode == 1
     assert r.stdout == ""
     assert "error" in r.stderr.lower()
+
+
+def test_parse_knob_passthrough():
+    from lexoid_spark.api import parse
+    from lexoid_spark.corpus.pdf_gen import build_pdf, words_line
+
+    pdf = build_pdf([{"words": words_line(["fast", "arm"], 700)}],
+                    compress=True)
+    assert parse(pdf)["raw"] == "fast arm\n\n"
+    assert parse(pdf, pdf_framework="pdfminer")["raw"] == "fast arm"
+
+    html = b"<html><body><nav>chrome</nav><p>body text</p></body></html>"
+    assert "chrome" in parse(html)["raw"]
+    assert "chrome" not in parse(html, html_main_content=True)["raw"]
