@@ -78,26 +78,37 @@ def _assign_local(embeddings: DataFrame, cent_rows, id_col: str,
                   vec_col: str) -> DataFrame:
     """Each vector → its nearest centroid, MAP-ONLY: the C centroids
     (driver-materialized ``(cid, cvec)`` tuples — control-plane size)
-    are inlined as array literals, each row computes C fused cosines
-    and takes an ``array_max`` argmax. Compared to the former
-    crossJoin + per-vid window: no N×C row blowup, no shuffle, no
-    sort — the assignment rides the scan. Tie-break (cos equal →
-    smaller cid) is preserved via a negated-cid struct field; cosine
-    bits are preserved exactly (same fold, python-side centroid norm
-    mirrors the Spark fold bit-for-bit)."""
+    travel as ONE broadcast row holding an array of centroid structs
+    (with norms precomputed in-engine); each vector computes C fused
+    cosines via a higher-order ``transform`` and takes an
+    ``array_max`` argmax. Compared to the former crossJoin + per-vid
+    window: no N×C row blowup, no shuffle, no sort — the assignment
+    rides the scan. Compared to inlining centroids as LITERALS: the
+    generated code is value-independent, so Janino compiles once ever
+    instead of once per centroid set (~3 s each at refinement time).
+    Tie-break (cos equal → smaller cid) via a negated-cid field;
+    cosine bits unchanged (same folds, same operand order)."""
+    spark = embeddings.sparkSession
+    cents_one = (
+        spark.createDataFrame(cent_rows, "cid long, cvec array<double>")
+        .select(F.struct(
+            "cid", "cvec", norm(F.col("cvec")).alias("nc")
+        ).alias("c"))
+        .agg(F.sort_array(F.collect_list("c")).alias("_cents"))
+    )
     nv = norm(F.col(vec_col))
-    structs = []
-    for cid, cvec in cent_rows:
-        clit = F.array(*[F.lit(float(x)).cast("double") for x in cvec])
-        nc = _py_norm(cvec)
-        structs.append(F.struct(
-            (dot(F.col(vec_col), clit) / (nv * F.lit(nc))).alias("cos"),
-            F.lit(-int(cid)).cast("long").alias("negcid"),
-            F.lit(int(cid)).cast("long").alias("cid"),
-        ))
-    best = F.array_max(F.array(*structs))
-    return embeddings.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vvec"),
+    vec = F.col(vec_col)
+    best = F.array_max(F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (dot(vec, c.getField("cvec"))
+             / (nv * c.getField("nc"))).alias("cos"),
+            (-c.getField("cid")).alias("negcid"),
+            c.getField("cid").alias("cid"),
+        ),
+    ))
+    return embeddings.crossJoin(F.broadcast(cents_one)).select(
+        F.col(id_col).alias("vid"), vec.alias("vvec"),
         best.getField("cid").alias("cid"),
     )
 

@@ -153,9 +153,11 @@ def test_curation_map_ops_zero_shuffle(spark):
 
 
 def test_ivf_assignment_is_map_only(spark):
-    """Nearest-centroid assignment inlines driver-materialized
-    centroids: no crossJoin row blowup, no per-vector window sort,
-    no Exchange."""
+    """Nearest-centroid assignment broadcasts ONE row of centroid
+    structs: the vector side sees no Exchange, no per-vector window
+    sort, no N×C row blowup (the only join is the broadcast of the
+    single centroid-array row; the only Exchange is the C-row
+    centroid-side aggregation)."""
     from lexoid_spark.functions.similarity import assign_clusters
 
     emb = spark.createDataFrame(
@@ -163,9 +165,14 @@ def test_ivf_assignment_is_map_only(spark):
         "vec_id long, embedding array<float>",
     )
     plan = _formatted(assign_clusters(emb, n_centroids=4))
-    assert "Exchange" not in plan
     assert "Window" not in plan
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row centroid side
+    # the big (vector) side must not shuffle: the only hash Exchange
+    # allowed is the tiny C-row centroid aggregation under the
+    # broadcast build side
+    assert plan.count("Exchange hashpartitioning") <= 1
 
 
 def test_paragraph_dedup_keeper_partial_aggregates(spark):
