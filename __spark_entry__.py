@@ -2709,6 +2709,36 @@ def _token_pack_bins(spark, sf):
     )
 
 
+def _corpus_percentiles(spark, sf):
+    """Per-language document-length percentiles (exact interpolated
+    percentile — the corpus-analytics pass that sizes Arrow batches,
+    skew thresholds, and chunk lengths). Native percentile(): one
+    shuffle on lang. At 10^12 rows you'd switch to percentile_approx
+    (t-digest) — kept exact here so DuckDB's quantile_cont mirrors it
+    bit-for-bit."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.percentile("n_chars", 0.5).alias("p50"),
+            F.percentile("n_chars", 0.9).alias("p90"),
+            F.percentile("n_chars", 0.99).alias("p99"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CORPUS_PERCENTILES_SQL = """
+SELECT lang,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90,
+       quantile_cont(n_chars, 0.99) AS p99,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def _link_pagerank(spark, sf):
     """PageRank over a deterministic link graph (each doc links to
     (id+3)%N and (id+7)%N — a bijective construction, so in-degree is
@@ -3193,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_rebalance": _mixture_rebalance,
         "chunk_windows": _chunk_windows,
         "link_pagerank": _link_pagerank,
+        "corpus_percentiles": _corpus_percentiles,
     }
 
 
@@ -3278,4 +3309,5 @@ def oracle_sql() -> dict[str, str]:
         "mixture_rebalance": _MIXTURE_REBALANCE_SQL,
         "chunk_windows": _CHUNK_WINDOWS_SQL,
         "link_pagerank": _LINK_PAGERANK_SQL,
+        "corpus_percentiles": _CORPUS_PERCENTILES_SQL,
     }
