@@ -244,12 +244,13 @@ def main() -> None:
 
     # idle-host single-JVM sweep: secondary evidence, adds two more
     # full-corpus JVM runs — opt in via SCALING_FULL=1. Defaults are
-    # the last full measurement (2026-08-16, this corpus/commit).
+    # the last full measurement (2026-08-16, final round-2 corpus mix
+    # incl. ObjStm PDFs + UTF-16 HTML).
     single = {
-        8: {"times_sec": [59.524, 61.574], "best_sec": 59.524,
-            "median_sec": 60.549, "docs_per_sec": 6720.03},
-        32: {"times_sec": [19.075, 18.989], "best_sec": 18.989,
-             "median_sec": 19.032, "docs_per_sec": 21065.26},
+        8: {"times_sec": [80.227, 77.877], "best_sec": 77.877,
+            "median_sec": 79.052, "docs_per_sec": 5136.32},
+        32: {"times_sec": [25.958, 25.129], "best_sec": 25.129,
+             "median_sec": 25.544, "docs_per_sec": 15917.79},
     }
     if os.environ.get("SCALING_FULL"):
         single = {}
