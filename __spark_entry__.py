@@ -2709,6 +2709,54 @@ def _token_pack_bins(spark, sf):
     )
 
 
+def _events_session_window(spark, sf):
+    """Native session windows (F.session_window, the built-in Spark
+    sessionization the window/lag variant `events_sessions` hand-rolls
+    and `streaming/sessionize.py` does statefully): per-(user,
+    session) aggregates with 30-min gap semantics — an event merges
+    iff it falls strictly inside the previous event's ts + gap, and
+    window end = last ts + gap. The oracle replays that as
+    gaps-and-islands."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_EVENTS_SESSION_WINDOW_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
 def _corpus_percentiles(spark, sf):
     """Per-language document-length percentiles (exact interpolated
     percentile — the corpus-analytics pass that sizes Arrow batches,
@@ -3224,6 +3272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": _chunk_windows,
         "link_pagerank": _link_pagerank,
         "corpus_percentiles": _corpus_percentiles,
+        "events_session_window": _events_session_window,
     }
 
 
@@ -3310,4 +3359,5 @@ def oracle_sql() -> dict[str, str]:
         "chunk_windows": _CHUNK_WINDOWS_SQL,
         "link_pagerank": _LINK_PAGERANK_SQL,
         "corpus_percentiles": _CORPUS_PERCENTILES_SQL,
+        "events_session_window": _EVENTS_SESSION_WINDOW_SQL,
     }
