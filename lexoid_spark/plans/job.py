@@ -55,6 +55,7 @@ def run_extract_job(
     repartition: bool = True,
     pdf_framework: str = "pdfplumber",
     html_main_content: bool = False,
+    codec: str | None = None,
 ) -> JobResult:
     """Process pending buckets; ``max_buckets`` simulates a mid-run kill.
 
@@ -78,8 +79,13 @@ def run_extract_job(
     # ONE write job per group per table via dynamic partition overwrite
     # (a per-bucket filter+write loop is thousands of sequential jobs at
     # the 4096-bucket design point); only the bucket partitions present
-    # in the group are replaced, so re-running a bucket stays idempotent
+    # in the group are replaced, so re-running a bucket stays idempotent.
+    # codec: extracted text compresses ~30-40% smaller under zstd than
+    # the snappy default — at the 100 TB design point that's the
+    # difference worth a CLI knob (CPU cost rides the already-hot write)
     dyn = {"partitionOverwriteMode": "dynamic"}
+    if codec:
+        dyn["compression"] = codec
 
     for i in range(0, len(todo), group_size):
         group = todo[i : i + group_size]
