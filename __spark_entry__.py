@@ -2709,6 +2709,104 @@ def _token_pack_bins(spark, sf):
     )
 
 
+def _events_funnel(spark, sf):
+    """Funnel conversion (signup → purchase): per user, first signup
+    and the first purchase AFTER it; conversion flag + days-to-convert.
+    One conditional aggregation per user — no self-join of the events
+    table (the naive funnel join is quadratic in events-per-user)."""
+    ev = _t(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+         .alias("signup_ts"),
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(per_user, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        per_user.filter(F.col("signup_ts").isNotNull())
+        .join(purch, "user_id", "left")
+        .select(
+            "user_id", "signup_ts",
+            F.col("purchase_ts").isNotNull().alias("converted"),
+            F.when(
+                F.col("purchase_ts").isNotNull(),
+                F.round(
+                    (F.unix_timestamp("purchase_ts")
+                     - F.unix_timestamp("signup_ts")) / 86400.0, 4),
+            ).alias("days_to_convert"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_EVENTS_FUNNEL_SQL = """
+WITH su AS (
+  SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'signup')
+           AS signup_ts
+  FROM events GROUP BY user_id
+),
+pu AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+  GROUP BY e.user_id
+)
+SELECT su.user_id, su.signup_ts,
+       pu.purchase_ts IS NOT NULL AS converted,
+       CASE WHEN pu.purchase_ts IS NOT NULL THEN
+         ROUND(date_diff('second', su.signup_ts, pu.purchase_ts)
+               / 86400.0, 4)
+       END AS days_to_convert
+FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+WHERE su.signup_ts IS NOT NULL
+ORDER BY su.user_id
+"""
+
+
+def _events_rolling_7d(spark, sf):
+    """Rolling 7-day event-count and value-sum per event_type over
+    daily buckets — the RANGE-frame window shape (prior windows here
+    are rank/lag ROWS frames). Aggregate to days first so the window
+    slides over ~365 rows per type, not raw events."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            "event_type", "day",
+            F.sum("n").over(w).alias("n_7d"),
+            F.round(F.sum("v").over(w), 2).alias("v_7d"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_EVENTS_ROLLING_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+         ROUND(SUM(value), 2) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, day,
+       CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+       ROUND(SUM(v) OVER w, 2) AS v_7d
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day
+"""
+
+
 def _events_session_window(spark, sf):
     """Native session windows (F.session_window, the built-in Spark
     sessionization the window/lag variant `events_sessions` hand-rolls
@@ -3273,6 +3371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": _link_pagerank,
         "corpus_percentiles": _corpus_percentiles,
         "events_session_window": _events_session_window,
+        "events_funnel": _events_funnel,
+        "events_rolling_7d": _events_rolling_7d,
     }
 
 
@@ -3360,4 +3460,6 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": _LINK_PAGERANK_SQL,
         "corpus_percentiles": _CORPUS_PERCENTILES_SQL,
         "events_session_window": _EVENTS_SESSION_WINDOW_SQL,
+        "events_funnel": _EVENTS_FUNNEL_SQL,
+        "events_rolling_7d": _EVENTS_ROLLING_SQL,
     }
