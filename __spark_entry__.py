@@ -2709,6 +2709,67 @@ def _token_pack_bins(spark, sf):
     )
 
 
+def _sales_rollup(spark, sf):
+    """ROLLUP aggregation (nation → grand total) over customer orders
+    — the grouping-sets shape: subtotal rows carry NULL group keys and
+    a grouping id, exactly as the SQL ROLLUP the oracle runs."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+    )
+    return (
+        joined.rollup("n_name", "o_year")
+        .agg(F.grouping_id("n_name", "o_year").alias("gid"),
+             F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select("n_name", "o_year", "gid", "n_orders", "total")
+        .orderBy("gid", "n_name", "o_year")
+    )
+
+
+_SALES_ROLLUP_SQL = """
+SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+       GROUPING(n_name, EXTRACT(year FROM o_orderdate)) AS gid,
+       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, EXTRACT(year FROM o_orderdate))
+ORDER BY gid, n_name, o_year
+"""
+
+
+def _orders_pivot(spark, sf):
+    """PIVOT: order counts by year × priority class, priorities as
+    columns (explicit value list so the schema is deterministic);
+    the oracle mirrors with conditional aggregation."""
+    orders = _t(spark, sf, "orders")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .pivot("o_orderpriority", pris)
+        .count()
+        .withColumnsRenamed({p: f"p{p[0]}" for p in pris})
+        .orderBy("o_year")
+    )
+
+
+_ORDERS_PIVOT_SQL = """
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+FROM orders GROUP BY o_year ORDER BY o_year
+"""
+
+
 def _events_funnel(spark, sf):
     """Funnel conversion (signup → purchase): per user, first signup
     and the first purchase AFTER it; conversion flag + days-to-convert.
@@ -3373,6 +3434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": _events_session_window,
         "events_funnel": _events_funnel,
         "events_rolling_7d": _events_rolling_7d,
+        "sales_rollup": _sales_rollup,
+        "orders_pivot": _orders_pivot,
     }
 
 
@@ -3462,4 +3525,6 @@ def oracle_sql() -> dict[str, str]:
         "events_session_window": _EVENTS_SESSION_WINDOW_SQL,
         "events_funnel": _EVENTS_FUNNEL_SQL,
         "events_rolling_7d": _EVENTS_ROLLING_SQL,
+        "sales_rollup": _SALES_ROLLUP_SQL,
+        "orders_pivot": _ORDERS_PIVOT_SQL,
     }
