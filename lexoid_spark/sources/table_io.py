@@ -54,10 +54,19 @@ class TableIO:
             return
         self._parquet_write(df, name, mode, partition_by)
 
-    def read(self, name: str) -> DataFrame:
+    def read(self, name: str, merge_schema: bool = False) -> DataFrame:
+        """``merge_schema=True`` reconciles files written under evolved
+        schemas (added columns read as NULL for old files) — Iceberg
+        gives this from its metadata; the parquet fallback pays a
+        per-file footer read, so it stays opt-in (at 10^6 files the
+        footer sweep is a real cost; the default trusts the manifest's
+        single recorded schema)."""
         if self.catalog:
             return self.spark.read.table(f"{self.catalog}.{name}")
-        return self.spark.read.parquet(self._data_dir(name))
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self._data_dir(name))
 
     def merge_upsert(self, df: DataFrame, name: str,
                      keys: list[str]) -> None:

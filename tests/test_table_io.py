@@ -153,3 +153,19 @@ def test_expire_noop_when_history_short(spark, tmp_path):
     io.write(spark.range(3), "s", mode="overwrite")
     assert io.expire_snapshots("s", keep_last=2) == 0
     assert io.read("s").count() == 3
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    from lexoid_spark.sources.table_io import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    io.write(spark.createDataFrame([(1, "a")], "id long, v string"),
+             "ev", mode="overwrite")
+    # evolved writer adds a column
+    io.write(spark.createDataFrame([(2, "b", 9.5)],
+                                   "id long, v string, score double"),
+             "ev", mode="append")
+    merged = io.read("ev", merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "score"}
+    got = {r["id"]: r["score"] for r in merged.collect()}
+    assert got[1] is None and got[2] == 9.5
