@@ -2709,6 +2709,94 @@ def _token_pack_bins(spark, sf):
     )
 
 
+def _word_count_top(spark, sf):
+    """The canonical corpus frequency query: global top-20 tokens
+    (explode → groupBy with map-side combine → top-k). Deterministic
+    tie-break on the token."""
+    from lexoid_spark.functions.textstats import tokens
+
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+_WORD_COUNT_SQL = r"""
+SELECT tok, COUNT(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+) GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+"""
+
+
+def _cms_token_freq(spark, sf):
+    """Count-Min sketch point estimates vs exact counts for a fixed
+    probe set (incl. an absent token → estimate 0..collision bound).
+    The sketch is depth×width relational cells built with portable
+    md5 hashing, so the oracle reproduces every cell — the mergeable
+    frequency sketch for corpora too big to groupBy every token."""
+    from lexoid_spark.functions.textstats import (
+        cms_estimate,
+        count_min_sketch,
+        tokens,
+    )
+
+    docs = _t(spark, sf, "documents")
+    sk = count_min_sketch(docs, "text", depth=4, width=256)
+    probes = ["the", "scan", "merge", "window", "zzz_absent"]
+    est = cms_estimate(sk, probes, depth=4, width=256)
+    exact = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isin(probes))
+        .groupBy("tok").agg(F.count("*").alias("exact_n"))
+    )
+    return (
+        est.join(exact, "tok", "left")
+        .select("tok", "est",
+                F.coalesce("exact_n", F.lit(0)).alias("exact_n"))
+        .orderBy("tok")
+    )
+
+
+_CMS_TOKEN_FREQ_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+rs AS (SELECT unnest(range(0, 4)) AS r),
+cells AS (
+  SELECT r,
+         ('0x' || substr(md5(tok || ':cms' || r), 1, 15))::BIGINT % 256
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM toks, rs GROUP BY r, bucket
+),
+probes(tok) AS (
+  VALUES ('the'), ('scan'), ('merge'), ('window'), ('zzz_absent')
+),
+pk AS (
+  SELECT tok, r,
+         ('0x' || substr(md5(tok || ':cms' || r), 1, 15))::BIGINT % 256
+           AS bucket
+  FROM probes, rs
+),
+est AS (
+  SELECT tok, MIN(COALESCE(cnt, 0)) AS est
+  FROM pk LEFT JOIN cells USING (r, bucket) GROUP BY tok
+),
+exact AS (
+  SELECT tok, COUNT(*) AS exact_n FROM toks
+  WHERE tok IN ('the', 'scan', 'merge', 'window', 'zzz_absent')
+  GROUP BY tok
+)
+SELECT est.tok, est.est, COALESCE(exact_n, 0) AS exact_n
+FROM est LEFT JOIN exact USING (tok) ORDER BY tok
+"""
+
+
 def _sales_rollup(spark, sf):
     """ROLLUP aggregation (nation → grand total) over customer orders
     — the grouping-sets shape: subtotal rows carry NULL group keys and
@@ -3436,6 +3524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_7d": _events_rolling_7d,
         "sales_rollup": _sales_rollup,
         "orders_pivot": _orders_pivot,
+        "word_count_top": _word_count_top,
+        "cms_token_freq": _cms_token_freq,
     }
 
 
@@ -3527,4 +3617,6 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_7d": _EVENTS_ROLLING_SQL,
         "sales_rollup": _SALES_ROLLUP_SQL,
         "orders_pivot": _ORDERS_PIVOT_SQL,
+        "word_count_top": _WORD_COUNT_SQL,
+        "cms_token_freq": _CMS_TOKEN_FREQ_SQL,
     }

@@ -205,6 +205,71 @@ def langid_table(df, id_col: str, text_col: str):
     return base.select("id", expr.alias("lang_pred"))
 
 
+def count_min_sketch(df, text_col: str, depth: int = 4,
+                     width: int = 256):
+    """Count-Min sketch of token frequencies: ``depth`` hash rows ×
+    ``width`` buckets; estimate(token) = min over rows of its bucket
+    count (never under-counts, over-counts bounded by n/width per
+    row). THE streaming/mergeable frequency sketch for corpora too
+    large to groupBy every distinct token — sketches from partitions
+    or days merge by cell-wise addition.
+
+    Hashing is the engine-portable md5 trick (row r uses
+    ``md5(token || ':cmsr')``), so a SQL oracle reproduces every cell.
+    Returns a DataFrame of (row, bucket, cnt) cells — the sketch in
+    relational form (depth×width rows, tiny).
+    """
+    from lexoid_spark.functions.dedup import _md5_hash64
+
+    ex = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    cells = []
+    for r in range(depth):
+        cells.append(
+            ex.select(
+                F.lit(r).alias("row"),
+                F.pmod(
+                    _md5_hash64(F.concat(F.col("tok"), F.lit(f":cms{r}"))),
+                    F.lit(width),
+                ).alias("bucket"),
+            )
+        )
+    allc = cells[0]
+    for c in cells[1:]:
+        allc = allc.unionByName(c)
+    return allc.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(sketch_df, tokens_list, depth: int = 4,
+                 width: int = 256):
+    """Point-estimate token frequencies from a relational CM sketch:
+    min over the token's ``depth`` cells. The probe set is tiny and
+    broadcasts; the sketch itself is depth×width rows."""
+    from lexoid_spark.functions.dedup import _md5_hash64
+
+    spark = sketch_df.sparkSession
+    probes = spark.createDataFrame(
+        [(t,) for t in tokens_list], "tok string"
+    )
+    keyed = probes.select(
+        "tok",
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row"),
+    ).select(
+        "tok", "row",
+        F.pmod(
+            _md5_hash64(F.concat(
+                F.col("tok"),
+                F.concat(F.lit(":cms"), F.col("row").cast("string")),
+            )),
+            F.lit(width),
+        ).alias("bucket"),
+    )
+    return (
+        keyed.join(sketch_df, ["row", "bucket"], "left")
+        .groupBy("tok")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
 def fingerprint(col) -> Column:
     """Document fingerprint: md5 of the normalized text (F16 + F26)."""
     from lexoid_spark.functions.columns import clean_text

@@ -262,3 +262,42 @@ class TestPackedBins:
         a = sorted(packed_bins(df, "id", "nt", 256, num_parts=2).collect())
         b = sorted(packed_bins(df, "id", "nt", 256, num_parts=13).collect())
         assert a == b
+
+
+class TestCountMinSketch:
+    def test_estimate_never_undercounts_and_absent_small(self, spark):
+        from lexoid_spark.functions.textstats import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "alpha beta " * (i % 3 + 1) + "gamma") for i in range(50)],
+            "id long, text string")
+        sk = count_min_sketch(df, "text", depth=4, width=64)
+        est = {r["tok"]: r["est"] for r in cms_estimate(
+            sk, ["alpha", "gamma", "absent"], depth=4, width=64).collect()}
+        n_alpha = sum(i % 3 + 1 for i in range(50))
+        assert est["alpha"] >= n_alpha       # CMS never undercounts
+        assert est["gamma"] >= 50
+        assert est["absent"] <= est["alpha"]  # collision bound, small
+
+    def test_sketch_is_mergeable(self, spark):
+        from pyspark.sql import functions as F
+        from lexoid_spark.functions.textstats import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        a = spark.createDataFrame([(1, "x y z")], "id long, text string")
+        b = spark.createDataFrame([(2, "x x w")], "id long, text string")
+        both = a.unionByName(b)
+        merged = (
+            count_min_sketch(a, "text").unionByName(
+                count_min_sketch(b, "text"))
+            .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+        )
+        direct = count_min_sketch(both, "text")
+        ma = sorted(map(tuple, merged.collect()))
+        da = sorted(map(tuple, direct.collect()))
+        assert ma == da  # cell-wise addition == sketch of the union
