@@ -2797,6 +2797,65 @@ FROM est LEFT JOIN exact USING (tok) ORDER BY tok
 """
 
 
+def _bloom_url_filter(spark, sf):
+    """Portable Bloom-filter membership: build over the 'seen' URL set
+    (even doc_ids), probe a mixed set — no false negatives, bounded
+    false positives. The relational bit set broadcasts (the structure
+    behind semi-join pruning at scale); md5-derived positions so the
+    oracle reproduces every bit."""
+    from lexoid_spark.functions.textstats import bloom_build, bloom_probe
+
+    docs = _t(spark, sf, "documents")
+    url = F.concat(F.lit("u://"), F.col("doc_id").cast("string"))
+    seen = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select(
+        url.alias("u")
+    )
+    bloom = bloom_build(seen, "u")
+    probes = docs.filter(F.col("doc_id") < 40).select(url.alias("u"))
+    res = bloom_probe(bloom, probes, "u").withColumnRenamed("key", "u")
+    return (
+        res.join(seen.withColumn("_a", F.lit(True)), "u", "left")
+        .select("u", "maybe_present",
+                F.coalesce("_a", F.lit(False)).alias("actually_present"))
+        .orderBy("u")
+    )
+
+
+_BLOOM_URL_SQL = r"""
+WITH seen AS (
+  SELECT 'u://' || CAST(doc_id AS VARCHAR) AS u FROM documents
+  WHERE doc_id % 2 = 0
+),
+rs AS (SELECT unnest(range(0, 4)) AS r),
+bloom AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(u || ':bl' || r), 1, 15))::BIGINT % 4096
+           AS bit
+  FROM seen, rs
+),
+probes AS (
+  SELECT 'u://' || CAST(doc_id AS VARCHAR) AS u FROM documents
+  WHERE doc_id < 40
+),
+pk AS (
+  SELECT u,
+         ('0x' || substr(md5(u || ':bl' || r), 1, 15))::BIGINT % 4096
+           AS bit
+  FROM probes, rs
+),
+hits AS (
+  SELECT u, COUNT(*) AS nh FROM pk
+  WHERE bit IN (SELECT bit FROM bloom) GROUP BY u
+)
+SELECT p.u, COALESCE(nh, 0) = 4 AS maybe_present,
+       s.u IS NOT NULL AS actually_present
+FROM (SELECT DISTINCT u FROM probes) p
+LEFT JOIN hits USING (u)
+LEFT JOIN seen s USING (u)
+ORDER BY p.u
+"""
+
+
 def _sales_rollup(spark, sf):
     """ROLLUP aggregation (nation → grand total) over customer orders
     — the grouping-sets shape: subtotal rows carry NULL group keys and
@@ -3526,6 +3585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_pivot": _orders_pivot,
         "word_count_top": _word_count_top,
         "cms_token_freq": _cms_token_freq,
+        "bloom_url_filter": _bloom_url_filter,
     }
 
 
@@ -3619,4 +3679,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_pivot": _ORDERS_PIVOT_SQL,
         "word_count_top": _WORD_COUNT_SQL,
         "cms_token_freq": _CMS_TOKEN_FREQ_SQL,
+        "bloom_url_filter": _BLOOM_URL_SQL,
     }

@@ -270,6 +270,69 @@ def cms_estimate(sketch_df, tokens_list, depth: int = 4,
     )
 
 
+def bloom_build(df, key_col: str, n_hashes: int = 4,
+                n_bits: int = 4096):
+    """Bloom filter in relational form: the DISTINCT set of set bit
+    positions (``k`` md5-derived positions per key). Membership
+    semantics: no false negatives, false positives bounded by the
+    usual (1-e^{-kn/m})^k. The relational form is mergeable (union of
+    position sets) and broadcastable — the structure behind semi-join
+    pruning when the build side's keys fit in bits but not in rows.
+    Portable hashing (row r: ``md5(key || ':blr')``) so a SQL oracle
+    reproduces every bit."""
+    from lexoid_spark.functions.dedup import _md5_hash64
+
+    k = df.select(F.col(key_col).cast("string").alias("key"))
+    parts = [
+        k.select(
+            F.pmod(
+                _md5_hash64(F.concat(F.col("key"), F.lit(f":bl{r}"))),
+                F.lit(n_bits),
+            ).alias("bit")
+        )
+        for r in range(n_hashes)
+    ]
+    allb = parts[0]
+    for p in parts[1:]:
+        allb = allb.unionByName(p)
+    return allb.distinct()
+
+
+def bloom_probe(bloom_df, probe_df, key_col: str, n_hashes: int = 4,
+                n_bits: int = 4096):
+    """Probe keys against a relational Bloom filter: a key is
+    (maybe-)present iff ALL its ``k`` bit positions are set — checked
+    as a count-matching semi-join against the (broadcast) bit set.
+    Returns (key, maybe_present)."""
+    from lexoid_spark.functions.dedup import _md5_hash64
+
+    keyed = probe_df.select(
+        F.col(key_col).cast("string").alias("key")
+    ).distinct().select(
+        "key",
+        F.explode(F.array(*[
+            F.pmod(
+                _md5_hash64(F.concat(F.col("key"), F.lit(f":bl{r}"))),
+                F.lit(n_bits),
+            )
+            for r in range(n_hashes)
+        ])).alias("bit"),
+    )
+    hits = (
+        keyed.join(F.broadcast(bloom_df), "bit", "left_semi")
+        .groupBy("key").agg(F.count("*").alias("nhit"))
+    )
+    return (
+        keyed.select("key").distinct()
+        .join(hits, "key", "left")
+        .select(
+            "key",
+            (F.coalesce("nhit", F.lit(0)) == n_hashes)
+            .alias("maybe_present"),
+        )
+    )
+
+
 def fingerprint(col) -> Column:
     """Document fingerprint: md5 of the normalized text (F16 + F26)."""
     from lexoid_spark.functions.columns import clean_text

@@ -301,3 +301,36 @@ class TestCountMinSketch:
         ma = sorted(map(tuple, merged.collect()))
         da = sorted(map(tuple, direct.collect()))
         assert ma == da  # cell-wise addition == sketch of the union
+
+
+class TestBloomFilter:
+    def test_no_false_negatives(self, spark):
+        from lexoid_spark.functions.textstats import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        seen = spark.createDataFrame(
+            [(f"key{i}",) for i in range(100)], ["k"])
+        bloom = bloom_build(seen, "k", n_hashes=4, n_bits=2048)
+        probes = spark.createDataFrame(
+            [(f"key{i}",) for i in range(150)], ["k"])
+        res = {r["key"]: r["maybe_present"] for r in
+               bloom_probe(bloom, probes, "k", n_hashes=4,
+                           n_bits=2048).collect()}
+        for i in range(100):
+            assert res[f"key{i}"]  # NEVER a false negative
+        fps = sum(res[f"key{i}"] for i in range(100, 150))
+        assert fps <= 10  # 4 hashes / 2048 bits / 100 keys → tiny FP rate
+
+    def test_mergeable(self, spark):
+        from lexoid_spark.functions.textstats import bloom_build
+
+        a = spark.createDataFrame([("x",), ("y",)], ["k"])
+        b = spark.createDataFrame([("y",), ("z",)], ["k"])
+        both = a.unionByName(b)
+        merged = bloom_build(a, "k").unionByName(
+            bloom_build(b, "k")).distinct()
+        direct = bloom_build(both, "k")
+        assert sorted(r["bit"] for r in merged.collect()) == \
+            sorted(r["bit"] for r in direct.collect())
