@@ -2797,6 +2797,32 @@ FROM est LEFT JOIN exact USING (tok) ORDER BY tok
 """
 
 
+def _hll_doc_registers(spark, sf):
+    """HyperLogLog distinct-count registers over document texts — the
+    third canonical sketch (CMS = frequency, Bloom = membership,
+    HLL = cardinality). Exact integer rho via binary-string bit
+    length (no float log2), so every register mirrors in SQL; merge
+    across shards/days is cell-wise MAX."""
+    from lexoid_spark.functions.textstats import hll_registers
+
+    docs = _t(spark, sf, "documents")
+    return hll_registers(docs, "text", n_buckets=256).orderBy("bucket")
+
+
+_HLL_REGISTERS_SQL = r"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS v FROM documents
+),
+b AS (
+  SELECT v % 256 AS bucket,
+         53 - length(regexp_replace(bin(v // 256), '^0+', '')) AS rho
+  FROM h
+)
+SELECT bucket, MAX(rho) AS max_rho FROM b GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 def _bloom_url_filter(spark, sf):
     """Portable Bloom-filter membership: build over the 'seen' URL set
     (even doc_ids), probe a mixed set — no false negatives, bounded
@@ -3586,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_count_top": _word_count_top,
         "cms_token_freq": _cms_token_freq,
         "bloom_url_filter": _bloom_url_filter,
+        "hll_doc_registers": _hll_doc_registers,
     }
 
 
@@ -3680,4 +3707,5 @@ def oracle_sql() -> dict[str, str]:
         "word_count_top": _WORD_COUNT_SQL,
         "cms_token_freq": _CMS_TOKEN_FREQ_SQL,
         "bloom_url_filter": _BLOOM_URL_SQL,
+        "hll_doc_registers": _HLL_REGISTERS_SQL,
     }

@@ -333,6 +333,49 @@ def bloom_probe(bloom_df, probe_df, key_col: str, n_hashes: int = 4,
     )
 
 
+def hll_registers(df, key_col: str, n_buckets: int = 256):
+    """HyperLogLog registers in relational form: per bucket, the max
+    leading-zero rank (rho) of the keys' md5-derived 60-bit hashes —
+    the mergeable distinct-count sketch (merge = cell-wise MAX).
+
+    Everything is EXACT integer arithmetic (rho via the binary-string
+    bit length, not float log2, so a SQL oracle reproduces every
+    register): bucket = v % m; w = v div m (exact: w·m is a multiple
+    of m ≤ 2^60, representable); rho = 53 - bitlen(w) with w = 0
+    capped at 53. Returns (bucket, max_rho)."""
+    from lexoid_spark.functions.dedup import _md5_hash64
+
+    v = _md5_hash64(F.col(key_col).cast("string"))
+    bucket = F.pmod(v, F.lit(n_buckets))
+    w = ((v - bucket) / n_buckets).cast("long")
+    bitlen = F.length(F.regexp_replace(F.conv(w, 10, 2), "^0+", ""))
+    rho = F.lit(53) - bitlen
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers, n_buckets: int = 256) -> float:
+    """Driver-side cardinality estimate from collected registers
+    (standard HLL harmonic mean with the small-range linear-counting
+    correction). The registers table is control-plane sized (m rows);
+    the estimate is a diagnostic — the exact compare in the oracle is
+    over the registers themselves."""
+    import math
+
+    regs = {r["bucket"]: r["max_rho"] for r in registers.collect()}
+    m = n_buckets
+    alpha = 0.7213 / (1 + 1.079 / m)
+    z = sum(2.0 ** -regs.get(b, 0) for b in range(m))
+    est = alpha * m * m / z
+    zeros = m - len(regs)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est
+
+
 def fingerprint(col) -> Column:
     """Document fingerprint: md5 of the normalized text (F16 + F26)."""
     from lexoid_spark.functions.columns import clean_text

@@ -334,3 +334,32 @@ class TestBloomFilter:
         direct = bloom_build(both, "k")
         assert sorted(r["bit"] for r in merged.collect()) == \
             sorted(r["bit"] for r in direct.collect())
+
+
+class TestHyperLogLog:
+    def test_estimate_accuracy(self, spark):
+        from lexoid_spark.functions.textstats import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        n = 5000
+        df = spark.createDataFrame(
+            [(f"unique-key-{i}",) for i in range(n)], ["k"])
+        regs = hll_registers(df, "k", n_buckets=256)
+        est = hll_estimate(regs, n_buckets=256)
+        assert abs(est - n) / n < 0.15  # ~1.04/sqrt(256) = 6.5% stderr
+
+    def test_merge_is_cellwise_max(self, spark):
+        from pyspark.sql import functions as F
+        from lexoid_spark.functions.textstats import hll_registers
+
+        a = spark.createDataFrame([(f"a{i}",) for i in range(200)], ["k"])
+        b = spark.createDataFrame([(f"b{i}",) for i in range(200)], ["k"])
+        merged = (
+            hll_registers(a, "k").unionByName(hll_registers(b, "k"))
+            .groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+        )
+        direct = hll_registers(a.unionByName(b), "k")
+        assert sorted(map(tuple, merged.collect())) == \
+            sorted(map(tuple, direct.collect()))
