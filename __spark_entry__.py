@@ -2797,6 +2797,38 @@ FROM est LEFT JOIN exact USING (tok) ORDER BY tok
 """
 
 
+def _z_order_layout(spark, sf):
+    """Morton (Z-order) clustering keys over (doc length, lang hash) —
+    the data-layout key behind OPTIMIZE ZORDER: sorting files by it
+    makes min/max stats selective for filters on EITHER dimension.
+    Pure bit arithmetic, bit-identical in SQL."""
+    from lexoid_spark.functions.dedup import _md5_hash64
+    from lexoid_spark.operators.partitioning import z_order_key
+
+    docs = _t(spark, sf, "documents")
+    a = F.least(F.col("n_chars"), F.lit(65535))
+    b = F.pmod(_md5_hash64(F.col("lang")), F.lit(65536))
+    return docs.select(
+        "doc_id", z_order_key(a, b).alias("zkey")
+    ).orderBy("doc_id")
+
+
+def _z_order_sql(bits: int = 16) -> str:
+    a = "LEAST(n_chars, 65535)"
+    b = "(('0x' || substr(md5(lang), 1, 15))::BIGINT % 65536)"
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return (
+        "SELECT doc_id, " + " + ".join(terms)
+        + " AS zkey FROM documents ORDER BY doc_id"
+    )
+
+
+_Z_ORDER_SQL = _z_order_sql(16)
+
+
 def _hll_doc_registers(spark, sf):
     """HyperLogLog distinct-count registers over document texts — the
     third canonical sketch (CMS = frequency, Bloom = membership,
@@ -3613,6 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_freq": _cms_token_freq,
         "bloom_url_filter": _bloom_url_filter,
         "hll_doc_registers": _hll_doc_registers,
+        "z_order_layout": _z_order_layout,
     }
 
 
@@ -3708,4 +3741,5 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_freq": _CMS_TOKEN_FREQ_SQL,
         "bloom_url_filter": _BLOOM_URL_SQL,
         "hll_doc_registers": _HLL_REGISTERS_SQL,
+        "z_order_layout": _Z_ORDER_SQL,
     }
