@@ -70,6 +70,13 @@ def register_views(spark: SparkSession, sf_dir: str,
             "doc_id", pii_redact(F.col("text")).alias("text_clean")
         ),
     }
+    from lexoid_spark.functions.textstats import (
+        count_min_sketch,
+        hll_registers,
+    )
+
+    views["v_cms_tokens"] = count_min_sketch(docs, "text")
+    views["v_hll_registers"] = hll_registers(docs, "text")
     for name, df in views.items():
         df.createOrReplaceTempView(name)
     return sorted(views)
