@@ -2797,6 +2797,66 @@ FROM est LEFT JOIN exact USING (tok) ORDER BY tok
 """
 
 
+def _customer_setops(spark, sf):
+    """Explicit set operators (the U-family as a query): BUILDING-
+    segment customers INTERSECT customers with orders, EXCEPT the
+    bottom balance decile — distinct-set semantics end to end."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey")
+    with_orders = orders.select(
+        F.col("o_custkey").alias("c_custkey")).distinct()
+    low = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return (
+        building.intersect(with_orders).exceptAll(low)
+        .orderBy("c_custkey")
+    )
+
+
+_CUSTOMER_SETOPS_SQL = """
+SELECT c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_acctbal < 0
+) ORDER BY c_custkey
+"""
+
+
+def _price_quantity_corr(spark, sf):
+    """Correlation / covariance / stddev aggregates per return flag —
+    rounded to 6 dp because the two engines' running-moment updates
+    differ in the last ulp (both are numerically-stable single-pass
+    forms; the statistic is identical to far beyond 6 dp)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+             .alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4)
+             .alias("covar_qty_price"),
+            F.round(F.stddev_samp("l_discount"), 6)
+             .alias("stddev_discount"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_PRICE_QTY_CORR_SQL = """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4)
+         AS covar_qty_price,
+       ROUND(stddev_samp(l_discount), 6) AS stddev_discount,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def _z_order_layout(spark, sf):
     """Morton (Z-order) clustering keys over (doc length, lang hash) —
     the data-layout key behind OPTIMIZE ZORDER: sorting files by it
@@ -3646,6 +3706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_url_filter": _bloom_url_filter,
         "hll_doc_registers": _hll_doc_registers,
         "z_order_layout": _z_order_layout,
+        "customer_setops": _customer_setops,
+        "price_quantity_corr": _price_quantity_corr,
     }
 
 
@@ -3742,4 +3804,6 @@ def oracle_sql() -> dict[str, str]:
         "bloom_url_filter": _BLOOM_URL_SQL,
         "hll_doc_registers": _HLL_REGISTERS_SQL,
         "z_order_layout": _Z_ORDER_SQL,
+        "customer_setops": _CUSTOMER_SETOPS_SQL,
+        "price_quantity_corr": _PRICE_QTY_CORR_SQL,
     }
