@@ -2797,6 +2797,36 @@ FROM est LEFT JOIN exact USING (tok) ORDER BY tok
 """
 
 
+def _customer_balance_deciles(spark, sf):
+    """ntile(10) balance deciles per market segment (the bucketing
+    window family beyond row_number/rank/lag) with per-decile
+    aggregates — deterministic total order via the key tiebreak."""
+    cust = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("c_mktsegment", "decile")
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+        .orderBy("c_mktsegment", "decile")
+    )
+
+
+_CUSTOMER_DECILES_SQL = """
+SELECT c_mktsegment, decile, COUNT(*) AS n,
+       ROUND(AVG(c_acctbal), 2) AS avg_bal
+FROM (
+  SELECT c_mktsegment, c_acctbal,
+         NTILE(10) OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal DESC, c_custkey ASC) AS decile
+  FROM customer
+)
+GROUP BY c_mktsegment, decile ORDER BY c_mktsegment, decile
+"""
+
+
 def _customer_setops(spark, sf):
     """Explicit set operators (the U-family as a query): BUILDING-
     segment customers INTERSECT customers with orders, EXCEPT the
@@ -3708,6 +3738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z_order_layout": _z_order_layout,
         "customer_setops": _customer_setops,
         "price_quantity_corr": _price_quantity_corr,
+        "customer_balance_deciles": _customer_balance_deciles,
     }
 
 
@@ -3806,4 +3837,5 @@ def oracle_sql() -> dict[str, str]:
         "z_order_layout": _Z_ORDER_SQL,
         "customer_setops": _CUSTOMER_SETOPS_SQL,
         "price_quantity_corr": _PRICE_QTY_CORR_SQL,
+        "customer_balance_deciles": _CUSTOMER_DECILES_SQL,
     }
