@@ -1552,6 +1552,12 @@ SELECT qid, nid, rank FROM (
 
 
 def _emb_near_dup(spark, sf):
+    """Embedding-cosine near-dup pairs, default (GEMM) impl: per-cluster
+    applyInPandas, S = X·Xᵀ per IVF bucket, upper triangle vs
+    tau·‖x_i‖‖x_j‖ — ~4× the interpreted HOF fold at sf0.1 and the
+    correct shape for wide embeddings at scale (O(b²·d) inside BLAS).
+    BLAS and the fold agree to ~1e-15, and no synthetic cosine sits
+    that close to tau, so the same DuckDB oracle covers both."""
     from lexoid_spark.functions.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf, "embeddings")
@@ -1560,18 +1566,15 @@ def _emb_near_dup(spark, sf):
     )
 
 
-def _emb_near_dup_fast(spark, sf):
-    """Per-cluster GEMM variant of the near-dup pair filter
-    (applyInPandas: S = X·Xᵀ per IVF bucket, upper triangle vs
-    tau·‖x_i‖‖x_j‖) — 2.6× the HOF fold at sf0.1 and the correct shape
-    for wide embeddings at scale (O(b²·d) inside BLAS). Same oracle as
-    emb_near_dup: BLAS and the fold agree to ~1e-15, and no synthetic
-    cosine sits that close to tau."""
+def _emb_near_dup_hof(spark, sf):
+    """Bit-exact oracle cross-check variant: the native higher-order
+    fold mirrors the DuckDB oracle's summation order exactly (the GEMM
+    default trades that for BLAS throughput)."""
     from lexoid_spark.functions.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf, "embeddings")
     return embedding_near_dup_pairs(
-        emb, tau=0.35, n_centroids=8, impl="gemm"
+        emb, tau=0.35, n_centroids=8, impl="hof"
     ).orderBy("id_a", "id_b")
 
 
@@ -1684,9 +1687,12 @@ def _audio_meta(spark, sf):
 
 
 _AUDIO_META_SQL = """
+-- duration: exact integer half-up microseconds, then /1e6 — float
+-- ROUND diverges between engines on the exact decimal ties n/sr hits
 SELECT doc_id, 16000 AS sample_rate,
        CAST(n_chars % 100000 + 16000 AS BIGINT) AS n_samples,
-       ROUND((n_chars % 100000 + 16000) / 16000.0, 6) AS duration_sec
+       ((2 * CAST(n_chars % 100000 + 16000 AS BIGINT) * 1000000 + 16000)
+        // (2 * 16000)) / 1000000.0 AS duration_sec
 FROM documents ORDER BY doc_id
 """
 
@@ -3689,7 +3695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "emb_near_dup": _emb_near_dup,
-        "emb_near_dup_fast": _emb_near_dup_fast,
+        "emb_near_dup_hof": _emb_near_dup_hof,
         "image_meta": _image_meta,
         "image_resize": _image_resize,
         "video_frames": _video_frames,
@@ -3788,7 +3794,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
-        "emb_near_dup_fast": _EMB_NEAR_DUP_SQL,
+        "emb_near_dup_hof": _EMB_NEAR_DUP_SQL,
         "image_meta": _IMAGE_META_SQL,
         "image_resize": _IMAGE_RESIZE_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,

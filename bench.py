@@ -98,7 +98,7 @@ def main() -> None:
         "docs_by_lang", "doc_quality", "doc_langid", "doc_fingerprint",
         "ngram_jaccard_adjacent", "minhash_band_pairs", "simhash_pairs",
         "ann_cosine_topk", "ann_ivf_topk", "emb_near_dup",
-        "emb_near_dup_fast",
+        "emb_near_dup_hof",
         "image_meta", "video_frames", "audio_chunks",
         "parse_quality_metrics",
         "bbox_range_join", "crawl_reachable", "extract_html_h1",

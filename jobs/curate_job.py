@@ -67,7 +67,9 @@ def main() -> None:
     ).persist()
     n_quality = quality.count()
 
-    keepers = exact_dedup(quality, ic, tc).drop("n_dups")
+    exact_keepers = exact_dedup(quality, ic, tc).drop("n_dups")
+    keepers = exact_keepers
+    nd_drop = None
     if args.near_dup:
         pairs = lsh_candidate_pairs(keepers, ic, tc,
                                     num_hashes=8, bands=4)
@@ -87,12 +89,28 @@ def main() -> None:
     n_kept = kept.count()
 
     kept.write.mode("overwrite").parquet(args.output + "/kept")
-    (
-        docs.select(ic)
-        .join(kept.select(ic), ic, "left_anti")
-        .write.mode("overwrite")
-        .parquet(args.output + "/dropped")
+    # dropped/: (id, stage) — each anti-join ships only the id column;
+    # stages are attributed at the boundary where the row left the
+    # pipeline, so a corpus release can audit every exclusion.
+    q_drop = (
+        docs.select(ic).join(quality.select(ic), ic, "left_anti")
+        .withColumn("stage", F.lit("quality"))
     )
+    dd_drop = (
+        quality.select(ic).join(exact_keepers.select(ic), ic, "left_anti")
+        .withColumn("stage", F.lit("exact_dedup"))
+    )
+    s_drop = (
+        keepers.select(ic).join(kept.select(ic), ic, "left_anti")
+        .withColumn("stage", F.lit("sample"))
+    )
+    dropped = q_drop.unionByName(dd_drop).unionByName(s_drop)
+    if nd_drop is not None:
+        dropped = dropped.unionByName(
+            exact_keepers.select(ic).join(nd_drop, ic, "left_semi")
+            .withColumn("stage", F.lit("near_dup"))
+        )
+    dropped.write.mode("overwrite").parquet(args.output + "/dropped")
 
     print(json.dumps({
         "n_in": n_in, "n_quality": n_quality,

@@ -435,9 +435,15 @@ def packed_bins(df: DataFrame, id_col: str, n_tokens_col: str,
         c = F.col("_p") == p
         expr = F.when(c, o) if expr is None else expr.when(c, o)
     off_col = expr.otherwise(F.lit(0)) if expr is not None else off_col
+    # Materialize the (small: id, n_tokens, bin) output eagerly, then
+    # drop the cached full-corpus cumsum frame — leaving it persisted
+    # for the session lifetime is the session-degradation pattern the
+    # project notes flag (one leaked cache per call). localCheckpoint
+    # blocks are freed by the ContextCleaner when `out` is collected.
     out = local.select(
         "id",
         F.col("_n").alias("n_tokens"),
         F.floor((F.col("_cum") + off_col) / context_len).alias("bin"),
-    )
+    ).localCheckpoint(eager=True)
+    local.unpersist(blocking=False)
     return out

@@ -192,7 +192,6 @@ AUDIO_META_SCHEMA = T.StructType([
     T.StructField("id", T.LongType()),
     T.StructField("sample_rate", T.IntegerType()),
     T.StructField("n_samples", T.LongType()),
-    T.StructField("duration_sec", T.DoubleType()),
     T.StructField("error", T.StringType()),
 ])
 
@@ -200,7 +199,18 @@ AUDIO_META_SCHEMA = T.StructType([
 def audio_meta(df: DataFrame, id_col: str = "id",
                bin_col: str = "payload") -> DataFrame:
     """Decode typed metadata from an opaque audio binary column
-    (duration derived, bad magic → error row, never a task failure)."""
+    (bad magic → error row, never a task failure).
+
+    The kernel emits only the raw integers it decodes; ``duration_sec``
+    is derived IN-ENGINE in exact integer arithmetic: microseconds =
+    half-up(n·10⁶ / sr) via ``(2·n·10⁶ + sr) div (2·sr)``, then one
+    double division by 10⁶. Float ``round`` is NOT portable here —
+    n/sr has exact decimal ties (…5 at the 7th place), where Spark's
+    F.round (decimal-string HALF_UP) rounds up but DuckDB ROUND (on
+    the binary double, slightly below the tie) rounds down; python
+    ``round()`` is banker's and wrong a third way (CLAUDE.md's
+    engine-portable-float rule). Integer half-up on the exact rational
+    agrees with any engine's integer ``//``."""
     src = df.select(F.col(id_col).cast("long").alias("id"),
                     F.col(bin_col).alias("payload"))
 
@@ -210,16 +220,27 @@ def audio_meta(df: DataFrame, id_col: str = "id",
             for i, payload in zip(b["id"], b["payload"]):
                 hdr = decode_audio_header(payload)
                 if hdr is None:
-                    rows.append((i, None, None, None, "bad_magic"))
+                    rows.append((i, None, None, "bad_magic"))
                 else:
                     sr, n = hdr
-                    rows.append((i, sr, n, round(n / sr, 6) if sr else None,
-                                 None))
+                    rows.append((i, sr, n, None))
             yield pd.DataFrame(
-                rows, columns=["id", "sample_rate", "n_samples",
-                               "duration_sec", "error"])
+                rows, columns=["id", "sample_rate", "n_samples", "error"])
 
-    return src.mapInPandas(kernel, AUDIO_META_SCHEMA)
+    return (
+        src.mapInPandas(kernel, AUDIO_META_SCHEMA)
+        .withColumn(
+            "duration_sec",
+            F.when(
+                F.col("sample_rate") > 0,
+                F.expr(
+                    "(2 * n_samples * 1000000 + sample_rate) "
+                    "div (2 * sample_rate)"
+                ) / F.lit(1000000.0),
+            ),
+        )
+        .select("id", "sample_rate", "n_samples", "duration_sec", "error")
+    )
 
 
 AUDIO_CHUNK_SCHEMA = T.StructType([

@@ -217,7 +217,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.9,
                              n_centroids: int = 8,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             impl: str = "hof") -> DataFrame:
+                             impl: str = "gemm") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= tau).
 
     Scale path: candidates are generated ONLY within IVF clusters (same
@@ -226,7 +226,8 @@ def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.9,
     bounded by cluster granularity, the standard ANN near-dup
     trade-off; raise ``n_centroids`` at scale so buckets stay small.
 
-    ``impl``:
+    ``impl`` (default "gemm" — the scale-correct shape; "hof" exists
+    for the bit-exact oracle cross-check query):
       * "hof"   — native fold, bit-exact vs the DuckDB oracle;
       * "numpy" — Arrow-batched einsum per candidate pair;
       * "gemm"  — ONE BLAS matrix product per cluster

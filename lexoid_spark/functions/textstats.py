@@ -340,14 +340,24 @@ def hll_registers(df, key_col: str, n_buckets: int = 256):
 
     Everything is EXACT integer arithmetic (rho via the binary-string
     bit length, not float log2, so a SQL oracle reproduces every
-    register): bucket = v % m; w = v div m (exact: w·m is a multiple
-    of m ≤ 2^60, representable); rho = 53 - bitlen(w) with w = 0
-    capped at 53. Returns (bucket, max_rho)."""
+    register): bucket = v % m; w = v >> log2(m) via ``F.shiftright`` —
+    a float '/' would round the 60-bit value through double's 53-bit
+    mantissa and drift by one for m that isn't a power of two >= 128,
+    silently breaking register parity vs DuckDB's integer '//'; rho =
+    53 - bitlen(w) with w = 0 capped at 53. Returns (bucket, max_rho).
+
+    ``n_buckets`` must be a power of two >= 128 (the standard HLL
+    register widths) so the shift is exact and rho is non-negative."""
     from lexoid_spark.functions.dedup import _md5_hash64
 
+    if n_buckets < 128 or (n_buckets & (n_buckets - 1)) != 0:
+        raise ValueError(
+            "hll_registers: n_buckets must be a power of two >= 128, "
+            f"got {n_buckets}"
+        )
     v = _md5_hash64(F.col(key_col).cast("string"))
     bucket = F.pmod(v, F.lit(n_buckets))
-    w = ((v - bucket) / n_buckets).cast("long")
+    w = F.shiftright(v, n_buckets.bit_length() - 1)
     bitlen = F.length(F.regexp_replace(F.conv(w, 10, 2), "^0+", ""))
     rho = F.lit(53) - bitlen
     return (

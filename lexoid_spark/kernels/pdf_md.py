@@ -962,45 +962,50 @@ def process_page(page: PdfPage, uri_rects: Dict[str, List[float]],
 
 
 def _embed_links_in_text(page: PdfPage, text: str, links) -> str:
-    """Inline [span](uri) splice by rect/word position (spec: :178-237)."""
-    words = sorted(page.words, key=lambda w: (w["top"], w["x0"]))
-    words_with_positions = []
-    cur = 0
-    for w in words:
-        try:
-            pos = text.index(w["text"], cur)
-        except ValueError:
-            continue
-        words_with_positions.append(
-            (w["text"], w["x0"], page.height - w["top"], pos)
-        )
-        cur = pos + len(w["text"])
+    """Splice inline ``[span](uri)`` markdown around the words each
+    link rect covers (behavior parity with the reference's link
+    embedding, static_parser.py:178-237 — reimplemented, not copied).
 
-    offset = 0
-    for rect, uri in links:
-        rect_left, rect_top, rect_right, rect_bottom = rect
-        text_span = []
-        start_pos = end_pos = None
-        for word, x0, word_top, word_pos in words_with_positions:
-            if (rect_left - 1 <= x0 <= rect_right + 1
-                    and rect_top - 1 <= word_top <= rect_bottom + 1):
-                if not start_pos:
-                    start_pos = word_pos + offset
-                end_pos = word_pos + len(word) + offset
-                text_span.append(word)
-        if start_pos is None:
+    Word→char offsets come from ONE sequential scan of ``text`` in
+    reading order; every splice grows the string by ``len(uri) + 4``
+    (the ``[]()`` wrapper), so later spans carry that growth.
+    Quirk-compat for byte identity: a hit whose running offset is 0 is
+    falsy and does not anchor the span start (the reference tests the
+    position truthily), and rect containment uses a ±1pt tolerance in
+    bottom-up page coordinates.
+    """
+    located: List[Tuple[str, float, float, int]] = []
+    scan = 0
+    for w in sorted(page.words, key=lambda d: (d["top"], d["x0"])):
+        token = w["text"]
+        hit = text.find(token, scan)
+        if hit < 0:
             continue
-        if start_pos > 0 and text[start_pos - 1] != " ":
-            start_pos = start_pos - len(text[:start_pos].split(" ")[-1])
-        if end_pos < len(text) and text[end_pos:end_pos + 1] != " ":
-            end_pos = end_pos + len(text[end_pos:].split(" ")[0])
-        if text_span:
-            text = (
-                text[:start_pos]
-                + f"[{text[start_pos:end_pos]}]({uri})"
-                + text[end_pos:]
-            )
-            offset += len(uri) + 4
+        located.append((token, w["x0"], page.height - w["top"], hit))
+        scan = hit + len(token)
+
+    grown = 0
+    for (x_lo, y_lo, x_hi, y_hi), uri in links:
+        lo = hi = None
+        for token, x, y, at in located:
+            inside = (x_lo - 1 <= x <= x_hi + 1
+                      and y_lo - 1 <= y <= y_hi + 1)
+            if not inside:
+                continue
+            if not lo:  # quirk-compat: a 0 offset never anchors
+                lo = at + grown
+            hi = at + len(token) + grown
+        if lo is None:
+            continue
+        # widen both ends to whitespace-delimited token boundaries
+        if lo > 0 and text[lo - 1] != " ":
+            lo -= len(text[:lo].rsplit(" ", 1)[-1])
+        if hi < len(text) and text[hi:hi + 1] != " ":
+            hi += len(text[hi:].split(" ", 1)[0])
+        text = "".join(
+            (text[:lo], "[", text[lo:hi], "](", uri, ")", text[hi:])
+        )
+        grown += len(uri) + 4
     return text
 
 
@@ -1102,10 +1107,16 @@ def sniff_doctype(payload) -> str:
         return "zip"
     if b.startswith((b"IMG!", b"\x89PNG", b"\xff\xd8\xff", b"GIF8")):
         return "image"
-    if b.startswith((b"\xff\xfe", b"\xfe\xff")):
-        # UTF-16 BOM: run the text probes on the DECODED head (the
-        # raw bytes interleave NULs, so byte-level probes can't fire)
-        s = b.decode("utf-16", errors="ignore")
+    if b.startswith((b"\xff\xfe", b"\xfe\xff", b"\x00\x00\xfe\xff")):
+        # UTF-16/32 BOM: run the text probes on the DECODED head (the
+        # raw bytes interleave NULs, so byte-level probes can't fire).
+        # The 4-byte UTF-32 BOMs must win over the 2-byte UTF-16 ones
+        # (FF FE 00 00 starts with FF FE) — same ordering as
+        # text_ops.decode_payload's _BOMS table.
+        if b.startswith((b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff")):
+            s = b.decode("utf-32", errors="ignore")
+        else:
+            s = b.decode("utf-16", errors="ignore")
         slow = s.lstrip().lower()
         if (slow.startswith(("<!doctype", "<html", "<head", "<body"))
                 or "<html" in slow):

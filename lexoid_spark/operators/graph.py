@@ -16,7 +16,10 @@ Spark-first shape (the canonical iterative-DataFrame algorithm):
   lesson as ``dedup.connected_components``; on a cluster with flaky
   executors swap for reliable ``checkpoint(dir)``);
 - dangling mass (nodes with no out-edges) is redistributed uniformly —
-  its total is ONE scalar aggregation per round (control-plane);
+  its total rides the SAME job as the rank update (a one-row aggregated
+  frame broadcast into the update), so each iteration is exactly ONE
+  action, and the mass never becomes a per-iteration Python literal
+  (distinct literals would trigger a fresh Janino compile per round);
 - ranks are rounded in-engine each iteration (``F.round`` HALF_UP ==
   DuckDB ``ROUND`` for positives), so a SQL oracle can replay the
   iteration in lockstep without float-drift accumulation.
@@ -44,15 +47,24 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ed = edges.join(deg, "src").localCheckpoint(eager=True)
     base = (1.0 - damping) / n
+    # dangling node set, computed ONCE (nodes that never appear as src)
+    dang_ids = (
+        nodes.join(deg.select(F.col("src").alias("id")), "id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0) / F.lit(float(n)))
     for _ in range(iterations):
-        dangling = 0.0
         if handle_dangling:
-            dangling = (
-                ranks.join(deg.select(F.col("src").alias("id")),
-                           "id", "left_anti")
-                .agg(F.sum("rank")).collect()[0][0] or 0.0
+            # one-row frame; rides the same action as the rank update
+            # (ranks is checkpointed, so this branch re-reads cached
+            # blocks, not the lineage)
+            dm = (
+                ranks.join(dang_ids, "id", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
             )
+        else:
+            dm = ranks.sparkSession.range(1).select(
+                F.lit(0.0).alias("_dm"))
         sums = (
             ed.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
             .select(F.col("dst").alias("id"),
@@ -62,13 +74,14 @@ def pagerank(edges: DataFrame, iterations: int = 10,
         )
         ranks = (
             nodes.join(sums, "id", "left")
+            .crossJoin(F.broadcast(dm))
             .select(
                 "id",
                 F.round(
                     F.lit(base)
                     + F.lit(damping)
                     * (F.coalesce(F.col("s"), F.lit(0.0))
-                       + F.lit(dangling / n)),
+                       + F.col("_dm") / F.lit(float(n))),
                     round_dp,
                 ).alias("rank"),
             )

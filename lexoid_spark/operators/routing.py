@@ -29,6 +29,15 @@ def with_doctype(df: DataFrame, payload_col: str = "html") -> DataFrame:
     # use a regexp to match the kernel twin exactly
     low = F.lower(F.regexp_replace(head, r"^\s+", ""))
     first_line = F.split(head, "\n").getItem(0)
+    # 4-byte UTF-32 BOMs must be probed BEFORE the 2-byte UTF-16 ones
+    # (the UTF-32-LE BOM FF FE 00 00 *starts with* the UTF-16-LE BOM
+    # FF FE) — same ordering as text_ops.decode_payload's _BOMS table.
+    _u32bom = F.hex(F.substring(F.col(payload_col), 1, 4)).isin(
+        "FFFE0000", "0000FEFF"
+    )
+    _u32 = F.decode(F.substring(F.col(payload_col), 1, 512), "UTF-32")
+    _u32low = F.lower(F.regexp_replace(_u32, r"^\s+", ""))
+    _u32first = F.split(_u32, "\n").getItem(0)
     _u16bom = F.hex(F.substring(F.col(payload_col), 1, 2)).isin(
         "FFFE", "FEFF"
     )
@@ -54,8 +63,22 @@ def with_doctype(df: DataFrame, payload_col: str = "html") -> DataFrame:
             | (F.hex(F.substring(F.col(payload_col), 1, 3)) == "FFD8FF"),
             F.lit("image"),  # → OCR arm (P5)
         )
-        # UTF-16 BOM: probe the UTF-16-decoded head (Java's UTF-16
-        # charset honors the BOM, matching python's "utf-16" codec)
+        # UTF-32 BOM first (see _u32bom comment), then UTF-16: probe
+        # the decoded head (Java's UTF-16/UTF-32 charsets honor the
+        # BOM, matching python's "utf-16"/"utf-32" codecs)
+        .when(
+            _u32bom & (
+                _u32low.startswith("<!doctype") | _u32low.startswith("<html")
+                | _u32low.startswith("<head") | _u32low.startswith("<body")
+                | _u32low.contains("<html")
+            ),
+            F.lit("html"),
+        )
+        .when(
+            _u32bom & _u32first.contains(",") & ~_u32first.contains("<"),
+            F.lit("csv"),
+        )
+        .when(_u32bom, F.lit("txt"))
         .when(
             _u16bom & (
                 _u16low.startswith("<!doctype") | _u16low.startswith("<html")

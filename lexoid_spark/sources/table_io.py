@@ -77,7 +77,23 @@ class TableIO:
         join ships keys, not payloads) ∪ new, written to a fresh data
         directory and atomically swapped in, so the read-then-overwrite
         hazard (Spark cannot overwrite a path it is lazily reading)
-        never arises. The swap resets time travel, like overwrite."""
+        never arises. The swap resets time travel, like overwrite.
+
+        The incoming batch is deduped on ``keys`` first (deterministic
+        min-struct keeper, the engine's standard keeper semantics):
+        without it the two backends diverge on duplicate-key batches —
+        SQL MERGE fails on multiple source matches while the parquet
+        anti-join would insert every duplicate."""
+        non_keys = [c for c in df.columns if c not in keys]
+        if non_keys:
+            df = (
+                df.groupBy(*keys)
+                .agg(F.min(F.struct(*non_keys)).alias("_keep"))
+                .select(*keys, *[F.col(f"_keep.{c}").alias(c)
+                                 for c in non_keys])
+            )
+        else:
+            df = df.distinct()
         if self.catalog:
             df.createOrReplaceTempView("_merge_src")
             on = " AND ".join(f"t.{k} = s.{k}" for k in keys)

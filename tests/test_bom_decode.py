@@ -18,6 +18,12 @@ def _u16(s, be=False):
             else (b"\xff\xfe" + s.encode("utf-16-le")))
 
 
+def _u32(s, be=False):
+    import codecs
+    return ((codecs.BOM_UTF32_BE + s.encode("utf-32-be")) if be
+            else (codecs.BOM_UTF32_LE + s.encode("utf-32-le")))
+
+
 class TestDecodePayload:
     def test_utf16_le_be_and_utf8_bom(self):
         assert decode_payload(_u16(HTML)) == HTML
@@ -45,6 +51,13 @@ class TestBomSniff:
         (_u16("name,qty\na,1"), "csv"),
         (_u16("just words here"), "txt"),
         (HTML.encode(), "html"),
+        # UTF-32 BOMs: the LE one (FF FE 00 00) starts with the
+        # UTF-16-LE BOM, so the 4-byte probe must win or the page
+        # decodes to NUL-interleaved garbage and routes to txt
+        (_u32(HTML), "html"),
+        (_u32(HTML, be=True), "html"),
+        (_u32("name,qty\na,1"), "csv"),
+        (_u32("just words here", be=True), "txt"),
     ]
 
     def test_kernel_sniff(self):

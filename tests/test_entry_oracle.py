@@ -31,7 +31,10 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # Full-precision shortest-roundtrip repr — driver-strength.
+        # A 6-sig-fig canon hid the audio_meta banker's-rounding bug
+        # for all of round 2 (VERDICT r02 "What's wrong" #2).
+        return repr(v)
     return str(v)
 
 

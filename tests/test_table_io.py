@@ -106,6 +106,22 @@ def test_merge_upsert_idempotent(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["v"] == "z"
 
 
+def test_merge_upsert_duplicate_key_batch(spark, tmp_path):
+    """A batch carrying the same key twice must upsert exactly ONE row
+    (deterministic min-struct keeper) — the parquet fallback must not
+    insert both where SQL MERGE would fail."""
+    from lexoid_spark.sources.table_io import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    io.write(spark.createDataFrame([(1, "a")], "id long, v string"),
+             "dup", mode="overwrite")
+    batch = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "m"), (2, "k")], "id long, v string")
+    io.merge_upsert(batch, "dup", keys=["id"])
+    got = {r["id"]: r["v"] for r in io.read("dup").collect()}
+    assert got == {1: "x", 2: "k"}  # min-struct keeper per key
+
+
 def test_expire_snapshots_trims_history_and_orphans(spark, tmp_path):
     import os
 

@@ -32,7 +32,11 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # Full-precision shortest-roundtrip repr: the driver's value
+        # hash detects last-ulp drift, so the local gate must too (a
+        # 6-sig-fig canon hid the audio_meta banker's-rounding bug for
+        # a whole round — VERDICT r02 "What's wrong" #2).
+        return repr(v)
     return str(v)
 
 
