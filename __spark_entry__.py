@@ -1668,6 +1668,94 @@ FROM m ORDER BY doc_id
 """
 
 
+def _png_images(spark, sf):
+    """Documents → REAL PNG payloads (stdlib encoder, deterministic
+    pixels from (w, h, seed)) — dims kept small so the codec work is
+    bounded per row."""
+    from lexoid_spark.functions.multimodal import png_image_udf
+
+    docs = _t(spark, sf, "documents")
+    w = (F.col("n_chars") % 120 + 8).cast("int")
+    h = ((F.col("n_chars") * 7) % 90 + 8).cast("int")
+    return docs.select(
+        "doc_id", png_image_udf(w, h, (F.col("doc_id") % 256).cast("int")
+                                ).alias("payload")
+    )
+
+
+def _png_meta(spark, sf):
+    """image_meta over REAL PNG bytes: the kernel walks IHDR via the
+    stdlib codec (kernels/png_codec.py), so a hash match proves the
+    encode→parse round trip, not just arithmetic."""
+    from lexoid_spark.functions.multimodal import image_meta
+
+    imgs = _png_images(spark, sf)
+    return (
+        image_meta(imgs, id_col="doc_id", bin_col="payload")
+        .select(F.col("id").alias("doc_id"), "width", "height",
+                "channels", "error")
+        .orderBy("doc_id")
+    )
+
+
+_PNG_META_SQL = """
+SELECT doc_id,
+       CAST(n_chars % 120 + 8 AS INT) AS width,
+       CAST((n_chars * 7) % 90 + 8 AS INT) AS height,
+       3 AS channels,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents ORDER BY doc_id
+"""
+
+
+def _png_resize(spark, sf):
+    """Real-pixel resize round trip: resize_image_meta decodes the PNG,
+    nearest-resamples, re-encodes; the output payload is then decoded
+    AGAIN by image_meta — dec_width/dec_height equal the rule's new
+    dims only if both codec directions actually work."""
+    from lexoid_spark.functions.multimodal import image_meta, resize_image_meta
+
+    resized = resize_image_meta(
+        _png_images(spark, sf), max_size=64, id_col="doc_id",
+        bin_col="payload",
+    )
+    dec = (
+        image_meta(resized, id_col="id", bin_col="payload")
+        .select(F.col("id"), F.col("width").alias("dec_width"),
+                F.col("height").alias("dec_height"))
+    )
+    return (
+        resized.select("id", "new_width", "new_height", "resized")
+        .join(dec, "id")
+        .select(F.col("id").alias("doc_id"), "new_width", "new_height",
+                "resized", "dec_width", "dec_height")
+        .orderBy("doc_id")
+    )
+
+
+_PNG_RESIZE_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(n_chars % 120 + 8 AS INT) AS w,
+         CAST((n_chars * 7) % 90 + 8 AS INT) AS h
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    CASE WHEN GREATEST(w, h) > 64
+         THEN CAST(floor(w * (64.0 / GREATEST(w, h))) AS INT) ELSE w END
+    AS new_width,
+    CASE WHEN GREATEST(w, h) > 64
+         THEN CAST(floor(h * (64.0 / GREATEST(w, h))) AS INT) ELSE h END
+    AS new_height,
+    GREATEST(w, h) > 64 AS resized
+  FROM m
+)
+SELECT doc_id, new_width, new_height, resized,
+       new_width AS dec_width, new_height AS dec_height
+FROM r ORDER BY doc_id
+"""
+
+
 def _audio_meta(spark, sf):
     from lexoid_spark.functions.multimodal import audio_meta, fake_audio_udf
 
@@ -2296,6 +2384,77 @@ r AS (
          || CASE WHEN k >= 3 THEN ' f2x' || m ELSE '' END
          || CASE WHEN k >= 4 THEN ' f3x' || m ELSE '' END
          || CASE WHEN k >= 5 THEN ' f4x' || m ELSE '' END
+         || chr(10) || chr(10) AS raw
+  FROM base
+)
+SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
+"""
+
+
+_CID_ALPHABET = "数据表查询流分组合并批处理文档页面索引"
+
+
+def _pdf_cid_extract(spark, sf):
+    """CID/Type0 (Identity-H) PDFs built closed-form from doc_id —
+    2-byte hex CID strings decoded through a generated /ToUnicode CMap
+    (kernels/pdf_md._parse_tounicode) inside the FULL extract() plan,
+    so DuckDB predicts the final CJK markdown without touching a byte
+    of PDF. Reference reads such fonts via pdfplumber's CMap support
+    (static_parser.py:700-727)."""
+    from lexoid_spark.corpus.pdf_gen import build_pdf
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def cid_pdf(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        A = _CID_ALPHABET
+        for d in doc_ids:
+            d = int(d)
+            k = d % 3 + 2
+            words = [
+                {"text": A[(d + 5 * j) % 18] + A[(d + 5 * j + 7) % 18],
+                 "x": 72.0 + 100.0 * j, "y": 700.0, "size": 12.0,
+                 "font": "C1"}
+                for j in range(k)
+            ]
+            words.append({"text": f"cid{d}", "x": 72.0, "y": 660.0,
+                          "size": 12.0, "font": "F1"})
+            words.append({"text": "doc", "x": 120.0, "y": 660.0,
+                          "size": 12.0, "font": "F1"})
+            out.append(build_pdf([{"words": words}], compress=True))
+        return pd.Series(out)
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://cid.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        cid_pdf("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(pages, run_id="cid_check")["extracted"]
+    return out.select("url", "raw", "n_chars").orderBy("url")
+
+
+_PDF_CID_SQL = """
+WITH a AS (
+  SELECT ['数','据','表','查','询','流','分','组','合','并','批','处',
+          '理','文','档','页','面','索'] AS A
+),
+base AS (
+  SELECT doc_id AS d, doc_id % 3 + 2 AS k, A FROM documents, a
+),
+r AS (
+  SELECT 'http://cid.test/' || CAST(d AS VARCHAR) AS url,
+         A[1 + (d % 18)] || A[1 + ((d + 7) % 18)]
+         || ' ' || A[1 + ((d + 5) % 18)] || A[1 + ((d + 12) % 18)]
+         || CASE WHEN k >= 3 THEN ' ' || A[1 + ((d + 10) % 18)]
+                 || A[1 + ((d + 17) % 18)] ELSE '' END
+         || CASE WHEN k >= 4 THEN ' ' || A[1 + ((d + 15) % 18)]
+                 || A[1 + ((d + 22) % 18)] ELSE '' END
+         || chr(10) || chr(10)
+         || ' cid' || CAST(d AS VARCHAR) || ' doc'
          || chr(10) || chr(10) AS raw
   FROM base
 )
@@ -3697,6 +3856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _emb_near_dup,
         "emb_near_dup_hof": _emb_near_dup_hof,
         "image_meta": _image_meta,
+        "png_meta": _png_meta,
+        "png_resize": _png_resize,
         "image_resize": _image_resize,
         "video_frames": _video_frames,
         "audio_meta": _audio_meta,
@@ -3716,6 +3877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_word_boxes": _pdf_word_boxes,
         "pipeline_extract": _pipeline_extract,
         "pdf_flate_extract": _pdf_flate_extract,
+        "pdf_cid_extract": _pdf_cid_extract,
         "ocr_scanned": _ocr_scanned,
         "pdf_speed_arm": _pdf_speed_arm,
         "pii_redact_docs": _pii_redact_docs,
@@ -3796,6 +3958,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
         "emb_near_dup_hof": _EMB_NEAR_DUP_SQL,
         "image_meta": _IMAGE_META_SQL,
+        "png_meta": _PNG_META_SQL,
+        "png_resize": _PNG_RESIZE_SQL,
         "image_resize": _IMAGE_RESIZE_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "audio_meta": _AUDIO_META_SQL,
@@ -3815,6 +3979,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_word_boxes": _PDF_WORD_BOXES_SQL,
         "pipeline_extract": _PIPELINE_EXTRACT_SQL,
         "pdf_flate_extract": _PDF_FLATE_SQL,
+        "pdf_cid_extract": _PDF_CID_SQL,
         "ocr_scanned": _OCR_SCANNED_SQL,
         "pdf_speed_arm": _PDF_SPEED_SQL,
         "pii_redact_docs": _PII_REDACT_SQL,

@@ -42,6 +42,8 @@ PDF_CLASSES = (
 ALL_CLASSES = HTML_CLASSES + PDF_CLASSES + (
     "csv_table", "txt_plain", "docx_doc", "xlsx_sheet",
     "pptx_deck", "img_scan", "pdf_scanned",
+    # appended last so earlier class→index assignments shift minimally
+    "pdf_cid", "pdf_xrefstm",
 )
 
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
@@ -257,6 +259,49 @@ def _pdf_objstm(i: int, r: random.Random) -> bytes:
     return build_pdf([{"words": words}], compress=True, objstm=True)
 
 
+_CJK_ALPHABET = "数据表查询流分组合并批处理文档页面索引"
+
+
+def _pdf_cid(i: int, r: random.Random) -> bytes:
+    """CID/Type0 (Identity-H) PDF: CJK-style text shown as 2-byte hex
+    CID strings, decoded through a /ToUnicode CMap with a /W width
+    table — the structure most non-Latin web PDFs carry (reference
+    reads these via pdfplumber's CMap support, static_parser.py:700-727;
+    here kernels/pdf_md._parse_tounicode + the Type0 emit path)."""
+    k = 3 + i % 3
+    words = []
+    for j in range(k):
+        txt = "".join(
+            _CJK_ALPHABET[(i + j * 3 + t) % len(_CJK_ALPHABET)]
+            for t in range(2 + (i + j) % 2)
+        )
+        words.append({"text": txt, "x": 72.0 + 100.0 * j, "y": 700.0,
+                      "size": 12.0, "font": "C1"})
+    # a latin line below keeps the body-font-size mode deterministic
+    words += words_line([f"cid{i}", "doc"], y=660, size=12.0)
+    return build_pdf([{"words": words}], compress=True)
+
+
+def _pdf_xrefstm(i: int, r: random.Random) -> bytes:
+    """PDF 1.5 xref-STREAM layout (predictor-12 Up-filtered index,
+    type-2 ObjStm entries, indirect /Length on every content stream)
+    AND a literal string spanning a raw newline onto an 'endstream'
+    line in the UNCOMPRESSED content bytes — with /Length indirect the
+    sequential scan's endstream-search truncates the stream at the
+    embedded marker; only the xref index bounds such files correctly
+    (pinned by test_pdf_xref.py)."""
+    words = words_line([f"Xref{i}", "doc"], y=720, size=20)
+    # PDF literal strings may contain raw newlines: this one puts the
+    # byte sequences b"\nendstream" AND b"endobj" INSIDE the stream
+    # body, so a sequential scan truncates the object mid-string
+    words += [{"text": "trap\nendstream endobj marker", "x": 72.0,
+               "y": 700.0, "size": 12.0, "font": "F1"}]
+    words += words_line([r.choice(_WORDS) for _ in range(5)], y=680,
+                        size=12)
+    return build_pdf([{"words": words}], objstm=True,
+                     xrefstream=True, indirect_length=True)
+
+
 def _pdf_compact(i: int, r: random.Random) -> bytes:
     """Compressed compact-dialect PDF: ONE multi-op BT block, Tm line
     positioning, array-form TJ with kerning numbers — exercises the
@@ -414,6 +459,8 @@ _BUILDERS = {
     "pptx_deck": _pptx_deck,
     "img_scan": _img_scan,
     "pdf_scanned": _pdf_scanned,
+    "pdf_cid": _pdf_cid,
+    "pdf_xrefstm": _pdf_xrefstm,
 }
 
 

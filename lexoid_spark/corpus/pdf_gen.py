@@ -48,6 +48,11 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _cid_hex(s: str, cidmap: Dict[str, int]) -> str:
+    """Text → Identity-H hex string of 2-byte CIDs (``<00010002…>``)."""
+    return "<%s>" % "".join("%04X" % cidmap[ch] for ch in s)
+
+
 def _fmt(x: float) -> str:
     # stable numeric formatting: integer-valued floats print bare
     if float(x) == int(x):
@@ -73,11 +78,17 @@ def page_content_stream(page: Dict) -> bytes:
     if page.get("style") == "compact":
         return _compact_text_stream(page)
     parts: List[str] = []
+    cidmap = page.get("_cidmap") or {}
     for w in page.get("words", []):
+        font = w.get("font", "F1")
+        if font.startswith("C") and cidmap:
+            shown = _cid_hex(w["text"], cidmap)
+        else:
+            shown = "(%s)" % _esc(w["text"])
         parts.append(
-            "BT /%s %s Tf %s %s Td (%s) Tj ET"
-            % (w.get("font", "F1"), _fmt(w.get("size", 12)),
-               _fmt(w["x"]), _fmt(w["y"]), _esc(w["text"]))
+            "BT /%s %s Tf %s %s Td %s Tj ET"
+            % (font, _fmt(w.get("size", 12)),
+               _fmt(w["x"]), _fmt(w["y"]), shown)
         )
     return _graphics_parts(page, parts)
 
@@ -135,7 +146,8 @@ def _compact_text_stream(page: Dict) -> bytes:
 
 
 def build_pdf(pages: Sequence[Dict], compress: bool = False,
-              objstm: bool = False) -> bytes:
+              objstm: bool = False, xrefstream: bool = False,
+              indirect_length: bool = False) -> bytes:
     """Assemble a full PDF from page specs. Deterministic bytes.
 
     ``compress=True`` FlateDecode-compresses every content stream
@@ -148,7 +160,24 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
     a classic object scan sees only the container. Content streams and
     image XObjects stay direct objects (streams are not allowed inside
     an ObjStm per ISO 32000 §7.5.7).
+
+    ``xrefstream=True`` replaces the classic xref table + trailer with
+    a PDF 1.5 cross-reference STREAM (/Type /XRef, /W [1 4 2],
+    /Predictor 12 Up-filtered rows) — type-1 entries for direct
+    objects, type-2 for ObjStm members. ``indirect_length=True``
+    (requires xrefstream) gives every content stream an indirect
+    ``/Length N 0 R`` — the wild layout where exact object boundaries
+    must come from the xref index, not a sequential scan.
+
+    CID text: words whose font key starts with "C" are emitted as
+    Identity-H 2-byte hex strings through a generated /Type0 font
+    (descendant CIDFontType2 with a /W width table, /ToUnicode CMap
+    with bfchar entries for every char used) — the structure most
+    non-Latin web PDFs carry.
     """
+    if indirect_length and not xrefstream:
+        raise ValueError("indirect_length requires xrefstream (the "
+                         "sequential scan cannot bound such objects)")
     objs: List[bytes] = []  # 1-indexed body objects, object i = objs[i-1]
 
     def add(obj: bytes) -> int:
@@ -161,6 +190,57 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
             b"<< /Type /Font /Subtype /Type1 /BaseFont /%s >>" % fname.encode()
         )
         font_objs[fkey] = num
+
+    # CID font graph for any "C*" font keys used by page words
+    cid_chars = sorted({
+        ch
+        for page in pages
+        for w in page.get("words", [])
+        if w.get("font", "F1").startswith("C")
+        for ch in w["text"]
+    })
+    cidmap: Dict[str, int] = {}
+    if cid_chars:
+        cidmap = {ch: i + 1 for i, ch in enumerate(cid_chars)}
+        pages = [dict(p, _cidmap=cidmap) for p in pages]
+        bfchars = "\n".join(
+            "<%04X> <%s>" % (cid, ch.encode("utf-16-be").hex().upper())
+            for ch, cid in cidmap.items()
+        )
+        cmap_body = (
+            "/CIDInit /ProcSet findresource begin\n"
+            "12 dict begin\nbegincmap\n"
+            "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+            "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            "%d beginbfchar\n%s\nendbfchar\n"
+            "endcmap\nCMapName currentdict /CMap defineresource pop\n"
+            "end\nend" % (len(cidmap), bfchars)
+        ).encode("latin-1")
+        if compress:
+            import zlib
+
+            packed_cmap = zlib.compress(cmap_body, 9)
+            tounicode_num = add(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                % (len(packed_cmap), packed_cmap))
+        else:
+            tounicode_num = add(
+                b"<< /Length %d >>\nstream\n%s\nendstream"
+                % (len(cmap_body), cmap_body))
+        # /W: explicit widths for every CID (600 + 50·(cid % 4)); DW
+        # covers anything beyond the table
+        w_arr = " ".join(str(600 + 50 * (c % 4))
+                         for c in range(1, len(cidmap) + 1))
+        desc_num = add((
+            "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /LexoidCJK "
+            "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            "/Supplement 0 >> /DW 1000 /W [1 [%s]] >>" % w_arr
+        ).encode("latin-1"))
+        font_objs["C1"] = add((
+            "<< /Type /Font /Subtype /Type0 /BaseFont /LexoidCJK "
+            "/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+            "/ToUnicode %d 0 R >>" % (desc_num, tounicode_num)
+        ).encode("latin-1"))
     font_dict = " ".join("/%s %d 0 R" % (k, n) for k, n in font_objs.items())
 
     page_obj_nums: List[int] = []
@@ -186,17 +266,25 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
             ))
         image_nums.append(img_nums_page)
         stream = page_content_stream(page)
+        filt = b""
         if compress:
             import zlib
 
             stream = zlib.compress(stream, 9)
+            filt = b" /Filter /FlateDecode"
+        if indirect_length:
+            # /Length as an indirect ref to the NEXT object number —
+            # the layout where only the xref index bounds the stream
+            lnum = len(objs) + 2
             cnum = add(
-                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
-                % (len(stream), stream)
+                b"<< /Length %d 0 R%s >>\nstream\n%s\nendstream"
+                % (lnum, filt, stream)
             )
+            assert add(b"%d" % len(stream)) == lnum
         else:
             cnum = add(
-                b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+                b"<< /Length %d%s >>\nstream\n%s\nendstream"
+                % (len(stream), filt, stream)
             )
         content_nums.append(cnum)
         a_nums = []
@@ -265,7 +353,12 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
                 % (len(dict_nums), len(header), len(packed), packed)
             )
 
-    out = bytearray(b"%PDF-1.5\n" if objstm else b"%PDF-1.4\n")
+    out = bytearray(b"%PDF-1.5\n" if (objstm or xrefstream) else b"%PDF-1.4\n")
+    # ObjStm member index (for type-2 xref entries): obj num → position
+    packed_order = sorted(packed_nums)
+    packed_idx = {n: i for i, n in enumerate(packed_order)}
+    objstm_num = len(objs) if objstm and packed_nums else None
+
     offsets = [0] * (len(objs) + 1)
     for i, obj in enumerate(objs, start=1):
         offsets[i] = len(out)
@@ -275,6 +368,42 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
         out += obj
         out += b"\nendobj\n"
     xref_pos = len(out)
+
+    if xrefstream:
+        import zlib
+
+        xref_obj_num = len(objs) + 1
+        # W = [1 4 2]: type byte, 4-byte offset/container, 2-byte
+        # gen/index — entry rows Up-filtered (/Predictor 12)
+        rows = [bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")]
+        for i in range(1, len(objs) + 1):
+            if i in packed_nums:
+                rows.append(bytes([2]) + objstm_num.to_bytes(4, "big")
+                            + packed_idx[i].to_bytes(2, "big"))
+            else:
+                rows.append(bytes([1]) + offsets[i].to_bytes(4, "big")
+                            + (0).to_bytes(2, "big"))
+        rows.append(bytes([1]) + xref_pos.to_bytes(4, "big")
+                    + (0).to_bytes(2, "big"))
+        cols = 7
+        filtered = bytearray()
+        prev = bytes(cols)
+        for row in rows:
+            filtered.append(2)  # Up
+            filtered += bytes((row[i] - prev[i]) & 0xFF for i in range(cols))
+            prev = row
+        packed = zlib.compress(bytes(filtered), 9)
+        out += b"%d 0 obj\n" % xref_obj_num
+        out += (
+            b"<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R "
+            b"/Filter /FlateDecode /DecodeParms << /Predictor 12 "
+            b"/Columns 7 >> /Length %d >>\nstream\n%s\nendstream"
+            % (len(objs) + 2, catalog_num, len(packed), packed)
+        )
+        out += b"\nendobj\n"
+        out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
+        return bytes(out)
+
     out += b"xref\n0 %d\n" % (len(objs) + 1)
     out += b"0000000000 65535 f \n"
     for i in range(1, len(objs) + 1):

@@ -59,7 +59,13 @@ def decode_audio_header(b: bytes) -> tuple[int, int] | None:
 
 
 def decode_image_header(b: bytes) -> tuple[int, int, int] | None:
-    if b is None or len(b) < 9 or b[:4] != IMG_MAGIC:
+    if b is None:
+        return None
+    b = bytes(b)
+    if b[:4] == b"\x89PNG":
+        from lexoid_spark.kernels.png_codec import png_header
+        return png_header(b)
+    if len(b) < 9 or b[:4] != IMG_MAGIC:
         return None
     w, h, c = struct.unpack(">HHB", b[4:9])
     return w, h, c
@@ -72,11 +78,18 @@ def decode_video_header(b: bytes) -> tuple[int, int, int] | None:
 
 
 def decode_image_pixels(b: bytes) -> "np.ndarray":
-    """Real-codec seam: a PIL/pyarrow decode would live here."""
+    """Real pixel decode. PNG is fully implemented on the stdlib
+    (``kernels/png_codec.py``: IDAT inflate + per-scanline unfilter);
+    JPEG/GIF remain behind the real-codec seam (no image libraries in
+    this environment), and the FAKE container has no pixels."""
+    b = bytes(b)
+    if b[:4] == b"\x89PNG":
+        from lexoid_spark.kernels.png_codec import png_decode
+        return png_decode(b)
     raise NotImplementedError(
-        "real image decoding requires an image library not present in "
-        "this environment; metadata/resize/frame plumbing is fully "
-        "functional on the FAKE container"
+        "only PNG has a real stdlib decode here; JPEG/GIF need an "
+        "image library not present in this environment, and the FAKE "
+        "container carries no pixel payload"
     )
 
 
@@ -120,8 +133,10 @@ def resize_image_meta(df: DataFrame, max_size: int = 1000,
                       id_col: str = "id",
                       bin_col: str = "payload") -> DataFrame:
     """Reference resize rule (utils.py:65-89): if max(w,h) > max_size,
-    scale both dims by max_size/max(w,h) (trunc toward zero); emits the
-    new header (fake re-encode) + dims."""
+    scale both dims by max_size/max(w,h) (trunc toward zero). PNG
+    payloads get a REAL pixel resample (nearest-neighbor) and are
+    re-encoded as PNG; FAKE-container payloads get the header rewrite
+    (no pixels to resample)."""
     src = df.select(F.col(id_col).cast("long").alias("id"),
                     F.col(bin_col).alias("payload"))
     schema = T.StructType([
@@ -143,8 +158,15 @@ def resize_image_meta(df: DataFrame, max_size: int = 1000,
                 if max(w, h) > max_size:
                     ratio = max_size / max(w, h)
                     nw, nh = int(w * ratio), int(h * ratio)
-                    rows.append((i, nw, nh, True,
-                                 encode_fake_image(nw, nh, c)))
+                    if bytes(payload)[:4] == b"\x89PNG":
+                        from lexoid_spark.kernels.png_codec import (
+                            png_decode, png_encode, resample_nearest)
+                        px = resample_nearest(
+                            png_decode(bytes(payload)), nw, nh)
+                        rows.append((i, nw, nh, True, png_encode(px)))
+                    else:
+                        rows.append((i, nw, nh, True,
+                                     encode_fake_image(nw, nh, c)))
                 else:
                     rows.append((i, w, h, False, payload))
             yield pd.DataFrame(
@@ -288,6 +310,18 @@ def fake_image_udf(width: pd.Series, height: pd.Series,
     return pd.Series([
         encode_fake_image(int(w), int(h), int(c))
         for w, h, c in zip(width, height, channels)
+    ])
+
+
+@F.pandas_udf(T.BinaryType())
+def png_image_udf(width: pd.Series, height: pd.Series,
+                  seed: pd.Series) -> pd.Series:
+    """REAL PNG bytes (stdlib encoder, deterministic pixels) — the
+    corpus builder for oracled queries that exercise the real codec."""
+    from lexoid_spark.kernels.png_codec import make_test_png
+    return pd.Series([
+        make_test_png(int(w), int(h), 3, int(s))
+        for w, h, s in zip(width, height, seed)
     ])
 
 

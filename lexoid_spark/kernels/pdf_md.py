@@ -177,8 +177,16 @@ def _stream_bytes(obj: bytes) -> bytes:
     if lm:
         data = obj[body:body + int(lm.group(1))]
     else:
-        m = _STREAM_RE.search(obj)
-        data = m.group(1) if m else b""
+        # indirect /Length: the object bytes end at ITS endstream, so
+        # the LAST marker is the right bound (a first-match search
+        # truncates at stream content that embeds b"endstream" — e.g.
+        # a literal string spanning a newline onto that word)
+        e = obj.rfind(b"endstream")
+        data = obj[body:e] if e > body else b""
+        if data.endswith(b"\r\n"):
+            data = data[:-2]
+        elif data.endswith(b"\n"):
+            data = data[:-1]
     if b"/FlateDecode" in header:
         try:
             data = zlib.decompress(data)
@@ -232,6 +240,187 @@ def _expand_object_streams(objs: Dict[int, bytes]) -> Dict[int, bytes]:
                    if i + 1 < len(pairs) else len(data))
             out.setdefault(onum, data[first + off:end].strip())
     return out
+
+
+def _object_at(data: bytes, off: int) -> Optional[bytes]:
+    """Parse the single object starting at byte ``off`` (header
+    stripped, ``endobj`` excluded), stream-body aware like
+    :func:`_parse_objects`."""
+    m = _OBJ_HEAD_RE.search(data, off, off + 64)
+    if not m or m.start() > off + 8:
+        return None
+    start = m.end()
+    s_idx = data.find(b"stream", start)
+    e_idx = data.find(b"endobj", start)
+    if s_idx != -1 and (e_idx == -1 or s_idx < e_idx):
+        lm = _LENGTH_RE.search(data, start, s_idx)
+        body = s_idx + len(b"stream")
+        if data[body:body + 2] == b"\r\n":
+            body += 2
+        elif data[body:body + 1] == b"\n":
+            body += 1
+        if lm:
+            body_end = body + int(lm.group(1))
+        else:
+            body_end = data.find(b"endstream", body)
+            if body_end == -1:
+                body_end = body
+        e_idx = data.find(b"endobj", body_end)
+    if e_idx == -1:
+        return data[start:]
+    return data[start:e_idx]
+
+
+def _apply_png_predictor(raw: bytes, columns: int) -> bytes:
+    """Undo PNG row predictors (/Predictor >= 10) on a decoded xref
+    stream: rows of ``columns`` bytes each prefixed by a filter byte,
+    bytes-per-pixel 1 (the spec's setup for xref streams)."""
+    stride = columns + 1
+    out = bytearray()
+    prev = bytearray(columns)
+    for r0 in range(0, len(raw) - stride + 1, stride):
+        f = raw[r0]
+        row = bytearray(raw[r0 + 1:r0 + stride])
+        if f == 1:  # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+
+
+def _parse_xref_index(data: bytes) -> Dict[int, tuple]:
+    """PDF 1.5 cross-reference STREAMS as the object index
+    (ISO 32000 §7.5.8): obj num → ``('d', offset)`` for direct objects
+    or ``('c', container, idx)`` for ObjStm members, following /Prev
+    chains (newest subsection wins, as incremental update requires).
+    Returns {} for classic ``xref`` tables — the sequential scan stays
+    the fallback path."""
+    pos = data.rfind(b"startxref")
+    if pos < 0:
+        return {}
+    m = _STARTXREF_RE.match(data, pos)
+    if not m:
+        return {}
+    off = int(m.group(1))
+    index: Dict[int, tuple] = {}
+    seen = set()
+    while 0 <= off < len(data) and off not in seen:
+        seen.add(off)
+        obj = _object_at(data, off)
+        if obj is None:
+            break
+        s_idx = obj.find(b"stream")
+        head = obj[:s_idx] if s_idx != -1 else obj
+        if b"/XRef" not in head:
+            break  # classic table or foreign object
+        ws = _numbers_in_brackets(obj, b"/W")
+        if len(ws) < 3:
+            break
+        w1, w2, w3 = (int(v) for v in ws[:3])
+        ent_w = w1 + w2 + w3
+        if ent_w <= 0:
+            break
+        size = _int_after(obj, b"/Size") or 0
+        idx_nums = [int(v) for v in _numbers_in_brackets(obj, b"/Index")]
+        if not idx_nums:
+            idx_nums = [0, size]
+        raw = _stream_bytes(obj)
+        pred = _int_after(obj, b"/Predictor")
+        if pred and pred >= 10:
+            cols = _int_after(obj, b"/Columns") or ent_w
+            raw = _apply_png_predictor(raw, cols)
+        pos2 = 0
+        for first, count in zip(idx_nums[0::2], idx_nums[1::2]):
+            for k in range(count):
+                if pos2 + ent_w > len(raw):
+                    break
+                e = raw[pos2:pos2 + ent_w]
+                pos2 += ent_w
+                f1 = int.from_bytes(e[:w1], "big") if w1 else 1
+                f2 = int.from_bytes(e[w1:w1 + w2], "big")
+                f3 = int.from_bytes(e[w1 + w2:], "big")
+                onum = first + k
+                if onum in index:
+                    continue  # a newer xref section already claimed it
+                if f1 == 1:
+                    index[onum] = ("d", f2)
+                elif f1 == 2:
+                    index[onum] = ("c", f2, f3)
+        prev = _int_after(obj, b"/Prev")
+        off = prev if prev is not None else -1
+    return index
+
+
+def _objects_via_xref(data: bytes) -> Dict[int, bytes]:
+    """Object bodies located through the xref-stream index. Direct
+    objects are bounded by the NEXT indexed offset (exact file-layout
+    boundaries — immune to indirect /Length and to stream bytes that
+    happen to contain ``endobj``, where the sequential scan guesses);
+    type-2 entries are pulled from their ObjStm container by index."""
+    index = _parse_xref_index(data)
+    if not index:
+        return {}
+    objs: Dict[int, bytes] = {}
+    doffs = sorted(v[1] for v in index.values() if v[0] == "d")
+    nxt = {off: n for off, n in zip(doffs, doffs[1:] + [len(data)])}
+    for num, ent in index.items():
+        if ent[0] != "d":
+            continue
+        off = ent[1]
+        m = _OBJ_HEAD_RE.search(data, off, off + 64)
+        if not m or m.start() > off + 8:
+            continue
+        body = data[m.end():nxt.get(off, len(data))]
+        e = body.rfind(b"endobj")
+        if e != -1:
+            body = body[:e]
+        objs[num] = body
+    containers: Dict[int, list] = {}
+    for num, ent in index.items():
+        if ent[0] == "c":
+            containers.setdefault(ent[1], []).append((ent[2], num))
+    for cnum, members in containers.items():
+        cobj = objs.get(cnum)
+        if cobj is None:
+            continue
+        n = _int_after(cobj, b"/N")
+        first = _int_after(cobj, b"/First")
+        if not n or first is None:
+            continue
+        cdata = _stream_bytes(cobj)
+        try:
+            ints = [int(x) for x in cdata[:first].split()[:2 * n]]
+        except ValueError:
+            continue
+        pairs = list(zip(ints[0::2], ints[1::2]))
+        for idx_in, num in members:
+            if idx_in >= len(pairs):
+                continue
+            _onum, off2 = pairs[idx_in]
+            end2 = (first + pairs[idx_in + 1][1]
+                    if idx_in + 1 < len(pairs) else len(cdata))
+            objs[num] = cdata[first + off2:end2].strip()
+    return objs
 
 
 def _dict_value(obj: bytes, key: bytes) -> Optional[bytes]:
@@ -368,6 +557,9 @@ def _interpret_content(stream: bytes, height: float,
     Path ops: ``m``/``l`` segments and ``re`` rects collected until
     ``S`` strokes them into page.lines / page.rects.
     """
+    # accept plain {key: BaseFont-name} maps (test/back-compat shape)
+    fonts = {k: (_font_info(v) if isinstance(v, str) else v)
+             for k, v in fonts.items()}
     font_key: Optional[str] = None
     size = 12.0
     leading = 0.0
@@ -383,10 +575,32 @@ def _interpret_content(stream: bytes, height: float,
 
     def emit(raw: bytes, hex_: bool = False) -> None:
         nonlocal x
-        text = raw.decode("latin-1") if hex_ else _unesc(raw)
-        fontname = fonts.get(font_key or "", "Helvetica")
-        cw = _CHAR_W.get(fontname, _DEFAULT_CHAR_W)
-        w = cw * size * len(text)
+        finfo = fonts.get(font_key or "", _DEFAULT_FONT)
+        fontname = finfo["name"]
+        if finfo["cid"]:
+            # Type0/Identity-H: raw bytes are big-endian 2-byte CIDs,
+            # decoded through the /ToUnicode cmap; widths from the
+            # descendant's /W table (default /DW)
+            codes = [(raw[i] << 8) | raw[i + 1]
+                     for i in range(0, len(raw) - 1, 2)]
+            cmap = finfo["cmap"] or {}
+            text = "".join(cmap.get(c, "�") for c in codes)
+            wtab = finfo["widths"] or {}
+            w = sum(wtab.get(c, finfo["dw"])
+                    for c in codes) / 1000.0 * size
+        else:
+            text = raw.decode("latin-1") if hex_ else _unesc(raw)
+            if finfo["simple_widths"] is not None:
+                fc = finfo["first_char"]
+                ws = finfo["simple_widths"]
+                fb = _CHAR_W.get(fontname, _DEFAULT_CHAR_W) * 1000.0
+                w = sum(
+                    (ws[o - fc] if 0 <= o - fc < len(ws) else fb)
+                    for o in (ord(ch) for ch in text)
+                ) / 1000.0 * size
+            else:
+                cw = _CHAR_W.get(fontname, _DEFAULT_CHAR_W)
+                w = cw * size * len(text)
         page.words.append({
             "text": text,
             "x0": x,
@@ -513,12 +727,122 @@ _FONT_REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
 _BASEFONT_RE = re.compile(rb"/BaseFont\s*/([^\s/<>\]]+)")
 
 
-def _page_fonts(pobj: bytes, objs: Dict[int, bytes]) -> Dict[str, str]:
-    """Resolve the page's /Resources /Font dict: key → BaseFont name.
+def _font_info(name: str) -> Dict:
+    """Mutable per-font record: simple fonts keep only ``name`` (width
+    via the heuristic char table, or a /Widths array when present);
+    Type0/CID fonts carry a ToUnicode cmap and a /W width table."""
+    return {"name": name, "cid": False, "cmap": None, "widths": None,
+            "dw": 1000.0, "first_char": None, "simple_widths": None}
+
+
+_DEFAULT_FONT = _font_info("Helvetica")
+
+_BF_CHAR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_BF_RANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_BF_RANGE_ARR_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\]")
+
+
+def _hex_to_text(h: bytes) -> str:
+    hx = h if len(h) % 4 == 0 else h + b"0" * (4 - len(h) % 4)
+    return bytes.fromhex(hx.decode("latin-1")).decode(
+        "utf-16-be", errors="ignore")
+
+
+def _parse_tounicode(data: bytes) -> Dict[int, str]:
+    """/ToUnicode CMap → {CID: text} from bfchar and bfrange sections
+    (ISO 32000 §9.10.3; the structure non-Latin web PDFs rely on)."""
+    cmap: Dict[int, str] = {}
+    for sec in re.findall(rb"beginbfrange(.*?)endbfrange", data, re.DOTALL):
+        for lo, hi, dsts in _BF_RANGE_ARR_RE.findall(sec):
+            lo_i = int(lo, 16)
+            targets = re.findall(rb"<([0-9A-Fa-f]+)>", dsts)
+            for k, dst in enumerate(targets):
+                cmap[lo_i + k] = _hex_to_text(dst)
+        for lo, hi, dst in _BF_RANGE_RE.findall(sec):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            base = int(dst, 16)
+            if len(dst) > 4:
+                continue  # multi-unit increment: rare, skip cleanly
+            for k in range(min(hi_i - lo_i, 0xFFFF) + 1):
+                cmap.setdefault(lo_i + k, chr(base + k))
+    for sec in re.findall(rb"beginbfchar(.*?)endbfchar", data, re.DOTALL):
+        for src, dst in _BF_CHAR_RE.findall(sec):
+            cmap[int(src, 16)] = _hex_to_text(dst)
+    return cmap
+
+
+_W_ARRAY_RE = re.compile(rb"/W\s*\[((?:[^][]|\[[^]]*\])*)\]", re.DOTALL)
+
+
+def _parse_cid_widths(dobj: bytes) -> Dict[int, float]:
+    """CID /W array → {CID: width/1000-em}: mixed ``c [w…]`` and
+    ``c1 c2 w`` forms (ISO 32000 §9.7.4.3)."""
+    m = _W_ARRAY_RE.search(dobj)
+    if not m:
+        return {}
+    widths: Dict[int, float] = {}
+    toks = re.findall(rb"\[[^]]*\]|[-\d.]+", m.group(1))
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.startswith(b"["):
+            i += 1
+            continue
+        if i + 1 < len(toks) and toks[i + 1].startswith(b"["):
+            start = int(float(t))
+            arr = [float(x) for x in re.findall(rb"[-\d.]+", toks[i + 1])]
+            for j, wv in enumerate(arr):
+                widths[start + j] = wv
+            i += 2
+        elif i + 2 < len(toks):
+            c1, c2 = int(float(t)), int(float(toks[i + 1]))
+            wv = float(toks[i + 2])
+            for c in range(c1, min(c2, c1 + 0xFFFF) + 1):
+                widths[c] = wv
+            i += 3
+        else:
+            break
+    return widths
+
+
+def _parse_font_obj(fobj: bytes, objs: Dict[int, bytes]) -> Dict:
+    bm = _BASEFONT_RE.search(fobj)
+    # strip subset prefix "ABCDEF+Name"
+    name = (bm.group(1).decode("latin-1").split("+")[-1]
+            if bm else "Helvetica")
+    info = _font_info(name)
+    if b"/Type0" in fobj:
+        info["cid"] = True
+        drefs = _refs_in_brackets(fobj, b"/DescendantFonts")
+        dobj = objs.get(drefs[0]) if drefs else fobj
+        if dobj is None:
+            dobj = fobj
+        dw = _int_after(dobj, b"/DW")
+        if dw is not None:
+            info["dw"] = float(dw)
+        info["widths"] = _parse_cid_widths(dobj)
+        tref = _ref_after(fobj, b"/ToUnicode")
+        tobj = objs.get(tref) if tref is not None else None
+        info["cmap"] = _parse_tounicode(_stream_bytes(tobj)) if tobj else {}
+    else:
+        fc = _int_after(fobj, b"/FirstChar")
+        ws = _numbers_in_brackets(fobj, b"/Widths")
+        if fc is not None and ws:
+            info["first_char"] = fc
+            info["simple_widths"] = ws
+    return info
+
+
+def _page_fonts(pobj: bytes, objs: Dict[int, bytes]) -> Dict[str, Dict]:
+    """Resolve the page's /Resources /Font dict: key → font info
+    (BaseFont name; CID decode tables for Type0 fonts; /Widths for
+    simple fonts that carry one).
 
     Falls back to the fixture-dialect F1–F5 map for keys that cannot
     be resolved (missing resources, inline font dicts)."""
-    fonts = dict(_FONT_NAMES)
+    fonts = {k: _font_info(v) for k, v in _FONT_NAMES.items()}
     f_idx = pobj.find(b"/Font")
     if f_idx == -1:
         return fonts
@@ -531,17 +855,18 @@ def _page_fonts(pobj: bytes, objs: Dict[int, bytes]) -> Dict[str, str]:
         fobj = objs.get(int(m.group(2)))
         if fobj is None:
             continue
-        bm = _BASEFONT_RE.search(fobj)
-        if bm:
-            name = bm.group(1).decode("latin-1")
-            # strip subset prefix "ABCDEF+Name"
-            fonts[m.group(1).decode("latin-1")] = name.split("+")[-1]
+        fonts[m.group(1).decode("latin-1")] = _parse_font_obj(fobj, objs)
     return fonts
 
 
 def parse_pdf(data: bytes) -> List[PdfPage]:
     """Tokenize PDF bytes into page objects with words/lines/rects/annots."""
-    objs = _expand_object_streams(_parse_objects(data))
+    scanned = _parse_objects(data)
+    # xref-stream index (PDF 1.5): exact boundaries beat the scan's
+    # guesses (indirect /Length, 'endobj' inside stream bytes); classic
+    # xref tables return {} and the scan stands alone
+    scanned.update(_objects_via_xref(data))
+    objs = _expand_object_streams(scanned)
     # find catalog → pages → kids (fall back to document order of /Type /Page)
     page_nums: List[int] = []
     for num, obj in objs.items():
