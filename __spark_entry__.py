@@ -1708,6 +1708,72 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _gif_meta(spark, sf):
+    """image_meta over REAL GIF bytes: the kernel reads the logical
+    screen descriptor via the stdlib LZW codec (kernels/gif_codec.py),
+    so a hash match proves the encode→parse round trip."""
+    from lexoid_spark.functions.multimodal import gif_image_udf, image_meta
+
+    docs = _t(spark, sf, "documents")
+    w = (F.col("n_chars") % 80 + 8).cast("int")
+    h = ((F.col("n_chars") * 3) % 60 + 8).cast("int")
+    gifs = docs.select(
+        "doc_id", gif_image_udf(w, h, (F.col("doc_id") % 64).cast("int")
+                                ).alias("payload")
+    )
+    return (
+        image_meta(gifs, id_col="doc_id", bin_col="payload")
+        .select(F.col("id").alias("doc_id"), "width", "height",
+                "channels", "error")
+        .orderBy("doc_id")
+    )
+
+
+_GIF_META_SQL = """
+SELECT doc_id,
+       CAST(n_chars % 80 + 8 AS INT) AS width,
+       CAST((n_chars * 3) % 60 + 8 AS INT) AS height,
+       3 AS channels,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents ORDER BY doc_id
+"""
+
+
+def _jpeg_meta(spark, sf):
+    """image_meta over real JPEG marker streams: dims/components read
+    from the SOF frame header (kernels/jpeg_meta.py) — the wild
+    format's metadata path; pixel decode stays behind the codec seam."""
+    from lexoid_spark.functions.multimodal import image_meta
+
+    @F.pandas_udf("binary")
+    def jpg(doc_ids: pd.Series) -> pd.Series:
+        from lexoid_spark.kernels.jpeg_meta import make_test_jpeg_header
+        return pd.Series([
+            make_test_jpeg_header(int(d) % 1600 + 16, (int(d) * 3) % 900 + 16,
+                                  int(d) % 3 + 1)
+            for d in doc_ids
+        ])
+
+    docs = _t(spark, sf, "documents")
+    jpgs = docs.select("doc_id", jpg("doc_id").alias("payload"))
+    return (
+        image_meta(jpgs, id_col="doc_id", bin_col="payload")
+        .select(F.col("id").alias("doc_id"), "width", "height",
+                "channels", "error")
+        .orderBy("doc_id")
+    )
+
+
+_JPEG_META_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 1600 + 16 AS INT) AS width,
+       CAST((doc_id * 3) % 900 + 16 AS INT) AS height,
+       CAST(doc_id % 3 + 1 AS INT) AS channels,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents ORDER BY doc_id
+"""
+
+
 def _png_resize(spark, sf):
     """Real-pixel resize round trip: resize_image_meta decodes the PNG,
     nearest-resamples, re-encodes; the output payload is then decoded
@@ -3858,6 +3924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": _image_meta,
         "png_meta": _png_meta,
         "png_resize": _png_resize,
+        "gif_meta": _gif_meta,
+        "jpeg_meta": _jpeg_meta,
         "image_resize": _image_resize,
         "video_frames": _video_frames,
         "audio_meta": _audio_meta,
@@ -3960,6 +4028,8 @@ def oracle_sql() -> dict[str, str]:
         "image_meta": _IMAGE_META_SQL,
         "png_meta": _PNG_META_SQL,
         "png_resize": _PNG_RESIZE_SQL,
+        "gif_meta": _GIF_META_SQL,
+        "jpeg_meta": _JPEG_META_SQL,
         "image_resize": _IMAGE_RESIZE_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "audio_meta": _AUDIO_META_SQL,

@@ -103,7 +103,7 @@ def main() -> None:
         "parse_quality_metrics",
         "bbox_range_join", "crawl_reachable", "extract_html_h1",
         "extract_html_main", "pdf_flate_extract", "pdf_speed_arm",
-        "ocr_scanned",
+        "pdf_cid_extract", "ocr_scanned", "png_meta", "png_resize",
         "para_dedup", "doc_repetition", "pii_redact_docs",
         "token_pack_bins",
         "decontaminate", "curation_pipeline", "chunk_windows",
@@ -111,6 +111,23 @@ def main() -> None:
     ]
     for name in bench_names:
         bench(name, lambda n=name: _noop_write(queries[n](spark, SF_DIR)))
+
+    # --- per-query budget check (fail LOUD on >2x drift vs the pinned
+    # numbers in BENCH/budgets.json, so a real regression can't hide
+    # behind host-thermal noise; refresh pins with
+    # tools/pin_bench_budgets.py after an intentional change) ---
+    violations: list[str] = []
+    budgets_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "budgets.json")
+    if os.path.exists(budgets_path) and abs(_SF_GUESS - 0.1) < 1e-9:
+        with open(budgets_path) as f:
+            budgets = json.load(f).get("queries", {})
+        for name, sec in timings.items():
+            pinned = budgets.get(name)
+            if pinned and sec > 2.0 * pinned:
+                violations.append(f"{name}: {sec}s > 2x pinned {pinned}s")
+        for v in violations:
+            print(f"BUDGET VIOLATION: {v}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -123,8 +140,11 @@ def main() -> None:
         "extract_docs_per_sec": extract_docs_per_sec,
         "cpus": int(CPUS),
         "timing": "min_of_2_runs_after_full_warmup",
+        "budget_violations": violations,
     }))
     spark.stop()
+    if violations and os.environ.get("BENCH_STRICT"):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

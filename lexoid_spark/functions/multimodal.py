@@ -65,6 +65,13 @@ def decode_image_header(b: bytes) -> tuple[int, int, int] | None:
     if b[:4] == b"\x89PNG":
         from lexoid_spark.kernels.png_codec import png_header
         return png_header(b)
+    if b[:4] == b"GIF8":
+        from lexoid_spark.kernels.gif_codec import gif_header
+        hdr = gif_header(b)
+        return (hdr[0], hdr[1], 3) if hdr else None
+    if b[:3] == b"\xff\xd8\xff":
+        from lexoid_spark.kernels.jpeg_meta import jpeg_header
+        return jpeg_header(b)
     if len(b) < 9 or b[:4] != IMG_MAGIC:
         return None
     w, h, c = struct.unpack(">HHB", b[4:9])
@@ -78,16 +85,21 @@ def decode_video_header(b: bytes) -> tuple[int, int, int] | None:
 
 
 def decode_image_pixels(b: bytes) -> "np.ndarray":
-    """Real pixel decode. PNG is fully implemented on the stdlib
-    (``kernels/png_codec.py``: IDAT inflate + per-scanline unfilter);
-    JPEG/GIF remain behind the real-codec seam (no image libraries in
-    this environment), and the FAKE container has no pixels."""
+    """Real pixel decode. PNG and GIF are fully implemented on the
+    stdlib (``kernels/png_codec.py``: IDAT inflate + scanline
+    unfilter; ``kernels/gif_codec.py``: variable-width LZW + palette);
+    JPEG remains behind the real-codec seam (DCT needs an image
+    library not present in this environment), and the FAKE container
+    has no pixels."""
     b = bytes(b)
     if b[:4] == b"\x89PNG":
         from lexoid_spark.kernels.png_codec import png_decode
         return png_decode(b)
+    if b[:4] == b"GIF8":
+        from lexoid_spark.kernels.gif_codec import gif_decode
+        return gif_decode(b)
     raise NotImplementedError(
-        "only PNG has a real stdlib decode here; JPEG/GIF need an "
+        "only PNG/GIF have real stdlib decodes here; JPEG needs an "
         "image library not present in this environment, and the FAKE "
         "container carries no pixel payload"
     )
@@ -158,12 +170,26 @@ def resize_image_meta(df: DataFrame, max_size: int = 1000,
                 if max(w, h) > max_size:
                     ratio = max_size / max(w, h)
                     nw, nh = int(w * ratio), int(h * ratio)
-                    if bytes(payload)[:4] == b"\x89PNG":
+                    head = bytes(payload)[:4]
+                    if head == b"\x89PNG":
                         from lexoid_spark.kernels.png_codec import (
                             png_decode, png_encode, resample_nearest)
                         px = resample_nearest(
                             png_decode(bytes(payload)), nw, nh)
                         rows.append((i, nw, nh, True, png_encode(px)))
+                    elif head == b"GIF8":
+                        from lexoid_spark.kernels.gif_codec import (
+                            gif_decode, gif_encode)
+                        from lexoid_spark.kernels.png_codec import (
+                            resample_nearest)
+                        px = resample_nearest(
+                            gif_decode(bytes(payload))[:, :, :3], nw, nh)
+                        rows.append((i, nw, nh, True, gif_encode(px)))
+                    elif head[:3] == b"\xff\xd8\xff":
+                        # JPEG: dims rule applies, but pixel re-encode
+                        # sits behind the real-codec seam (no DCT
+                        # here) — null payload marks "needs codec"
+                        rows.append((i, nw, nh, True, None))
                     else:
                         rows.append((i, nw, nh, True,
                                      encode_fake_image(nw, nh, c)))
@@ -321,6 +347,18 @@ def png_image_udf(width: pd.Series, height: pd.Series,
     from lexoid_spark.kernels.png_codec import make_test_png
     return pd.Series([
         make_test_png(int(w), int(h), 3, int(s))
+        for w, h, s in zip(width, height, seed)
+    ])
+
+
+@F.pandas_udf(T.BinaryType())
+def gif_image_udf(width: pd.Series, height: pd.Series,
+                  seed: pd.Series) -> pd.Series:
+    """REAL GIF bytes (stdlib LZW encoder, deterministic 16-color
+    pattern) — corpus builder for oracled real-GIF queries."""
+    from lexoid_spark.kernels.gif_codec import make_test_gif
+    return pd.Series([
+        make_test_gif(int(w), int(h), int(s))
         for w, h, s in zip(width, height, seed)
     ])
 

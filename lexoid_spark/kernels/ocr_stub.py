@@ -31,12 +31,18 @@ def _recognize_fake(payload: bytes) -> Tuple[str, List[WordBox]]:
     normalized boxes — the exact output shape PaddleOCR's rec_texts /
     dt_polys produce after the reference's normalization
     (static_parser.py:778-800)."""
-    hdr = decode_image_header(payload)
-    if hdr is None:
+    if not payload.startswith(IMG_MAGIC):
+        # real formats (PNG/GIF/JPEG) now DECODE here (png_codec /
+        # gif_codec / jpeg_meta), but text RECOGNITION still needs an
+        # OCR model — keep the seam honest for anything but the FAKE
+        # container the stand-in recognizer is defined over
         raise NotImplementedError(
             "real OCR requires an OCR library not present in this "
             "environment; the FAKE image container is fully supported"
         )
+    hdr = decode_image_header(payload)
+    if hdr is None:
+        raise ValueError("undecodable FAKE image payload")
     w, h, c = hdr
     words = [f"scan{w}x{h}", f"ch{c}", "ocr"]
     boxes: List[WordBox] = []

@@ -56,11 +56,15 @@ def png_header(b: bytes) -> tuple[int, int, int] | None:
     if b is None or len(b) < 33 or bytes(b[:8]) != PNG_MAGIC:
         return None
     b = bytes(b)
+    if b[12:16] != b"IHDR":
+        return None
     try:
         w, h, depth, ctype = struct.unpack(">IIBB", b[16:26])
     except struct.error:
         return None
-    if ctype not in _CHANNELS:
+    if ctype not in _CHANNELS or depth not in (1, 2, 4, 8, 16):
+        return None
+    if w == 0 or h == 0:
         return None
     ch = 3 if ctype == 3 else _CHANNELS[ctype]
     return w, h, ch
