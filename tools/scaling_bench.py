@@ -244,13 +244,13 @@ def main() -> None:
 
     # idle-host single-JVM sweep: secondary evidence, adds two more
     # full-corpus JVM runs — opt in via SCALING_FULL=1. Defaults are
-    # the last full measurement (2026-08-16, final round-2 corpus mix
-    # incl. ObjStm PDFs + UTF-16 HTML).
+    # the last full measurement (2026-08-17, round-3 corpus mix incl.
+    # CID/Type0 + xref-stream PDF classes).
     single = {
-        8: {"times_sec": [80.227, 77.877], "best_sec": 77.877,
-            "median_sec": 79.052, "docs_per_sec": 5136.32},
-        32: {"times_sec": [25.958, 25.129], "best_sec": 25.129,
-             "median_sec": 25.544, "docs_per_sec": 15917.79},
+        8: {"times_sec": [79.42, 67.138], "best_sec": 67.138,
+            "median_sec": 73.279, "docs_per_sec": 5957.91},
+        32: {"times_sec": [26.711, 25.22], "best_sec": 25.22,
+             "median_sec": 25.965, "docs_per_sec": 15860.38},
     }
     if os.environ.get("SCALING_FULL"):
         single = {}
