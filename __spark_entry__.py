@@ -1905,6 +1905,73 @@ FROM documents ORDER BY doc_id, frame_idx
 """
 
 
+def _wav_meta(spark, sf):
+    """audio_meta over REAL RIFF/WAVE bytes: sample rate and frame
+    count come out of the stdlib chunk walk (kernels/wav_meta.py), so
+    a hash match proves the encode→parse round trip; duration derives
+    in-engine (same exact-integer half-up as audio_meta)."""
+    from lexoid_spark.functions.multimodal import audio_meta
+
+    @F.pandas_udf("binary")
+    def wav(doc_ids: pd.Series) -> pd.Series:
+        from lexoid_spark.kernels.wav_meta import make_test_wav
+        return pd.Series([
+            make_test_wav(16000, int(d) % 8000 + 1600, seed=int(d) % 32)
+            for d in doc_ids
+        ])
+
+    docs = _t(spark, sf, "documents")
+    wavs = docs.select("doc_id", wav("doc_id").alias("payload"))
+    return (
+        audio_meta(wavs, id_col="doc_id")
+        .select(F.col("id").alias("doc_id"), "sample_rate", "n_samples",
+                "duration_sec")
+        .orderBy("doc_id")
+    )
+
+
+_WAV_META_SQL = """
+SELECT doc_id, 16000 AS sample_rate,
+       CAST(doc_id % 8000 + 1600 AS BIGINT) AS n_samples,
+       ((2 * CAST(doc_id % 8000 + 1600 AS BIGINT) * 1000000 + 16000)
+        // (2 * 16000)) / 1000000.0 AS duration_sec
+FROM documents ORDER BY doc_id
+"""
+
+
+def _mp4_frames(spark, sf):
+    """frame_sample over REAL MP4 box trees: dims from tkhd (16.16
+    fixed point), frame count from stts — the stdlib ISO-BMFF walk
+    (kernels/mp4_meta.py) driving the UDTF-shaped sampler."""
+    from lexoid_spark.functions.multimodal import frame_sample
+
+    @F.pandas_udf("binary")
+    def mp4(doc_ids: pd.Series) -> pd.Series:
+        from lexoid_spark.kernels.mp4_meta import make_test_mp4
+        return pd.Series([
+            make_test_mp4(int(d) % 640 + 16, (int(d) * 3) % 360 + 16,
+                          int(d) % 40 + 5)
+            for d in doc_ids
+        ])
+
+    docs = _t(spark, sf, "documents")
+    vids = docs.select("doc_id", mp4("doc_id").alias("payload"))
+    return (
+        frame_sample(vids, every_n=7, id_col="doc_id", bin_col="payload")
+        .select(F.col("id").alias("doc_id"), "frame_idx", "width", "height")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+_MP4_FRAMES_SQL = """
+SELECT doc_id,
+       CAST(UNNEST(range(0, doc_id % 40 + 5, 7)) AS INT) AS frame_idx,
+       CAST(doc_id % 640 + 16 AS INT) AS width,
+       CAST((doc_id * 3) % 360 + 16 AS INT) AS height
+FROM documents ORDER BY doc_id, frame_idx
+"""
+
+
 # ---- extraction kernels with SQL-constructible ground truth ----
 
 def _extract_html_h1(spark, sf):
@@ -3652,6 +3719,41 @@ ORDER BY doc_id
 """
 
 
+def _charlm_familiarity(spark, sf):
+    """CCNet-shaped LM filter analogue: per-language char-bigram table
+    trained on the corpus itself (top-512, broadcast), each doc scored
+    by the mean corpus count of its bigrams — exact integer arithmetic
+    end to end, so the DuckDB oracle reproduces every score."""
+    from lexoid_spark.functions.curation import charlm_familiarity
+
+    docs = _t(spark, sf, "documents")
+    return charlm_familiarity(docs, "doc_id", "text", "lang",
+                              top_k=512).orderBy("doc_id")
+
+
+_CHARLM_SQL = """
+WITH bg AS (
+  SELECT doc_id AS id, lang, substring(text, CAST(i AS INT), 2) AS bg
+  FROM documents, UNNEST(range(1, length(text))) AS t(i)
+  WHERE length(text) >= 2
+),
+cnts AS (SELECT lang, bg, count(*) AS cnt FROM bg GROUP BY lang, bg),
+tab AS (
+  SELECT lang, bg, cnt FROM (
+    SELECT lang, bg, cnt,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, bg ASC) AS rk
+    FROM cnts) WHERE rk <= 512
+)
+SELECT b.id AS doc_id, SUM(COALESCE(t.cnt, 0)) AS fam_sum,
+       COUNT(*) AS n_bigrams,
+       ((2 * SUM(COALESCE(t.cnt, 0)) * 1000000 + COUNT(*))
+        // (2 * COUNT(*))) / 1000000.0 AS familiarity
+FROM bg b LEFT JOIN tab t ON b.lang = t.lang AND b.bg = t.bg
+GROUP BY b.id ORDER BY doc_id
+"""
+
+
 def _curation_pipeline(spark, sf):
     """The composed end-to-end curation decision a training pipeline
     ships: Gopher quality gate → exact-dedup keepers (within the
@@ -3926,6 +4028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_resize": _png_resize,
         "gif_meta": _gif_meta,
         "jpeg_meta": _jpeg_meta,
+        "wav_meta": _wav_meta,
+        "mp4_frames": _mp4_frames,
         "image_resize": _image_resize,
         "video_frames": _video_frames,
         "audio_meta": _audio_meta,
@@ -3957,6 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _stream_dedup,
         "pdf_objstm_extract": _pdf_objstm_extract,
         "curation_pipeline": _curation_pipeline,
+        "charlm_familiarity": _charlm_familiarity,
         "decontaminate": _decontaminate,
         "mixture_rebalance": _mixture_rebalance,
         "chunk_windows": _chunk_windows,
@@ -4030,6 +4135,8 @@ def oracle_sql() -> dict[str, str]:
         "png_resize": _PNG_RESIZE_SQL,
         "gif_meta": _GIF_META_SQL,
         "jpeg_meta": _JPEG_META_SQL,
+        "wav_meta": _WAV_META_SQL,
+        "mp4_frames": _MP4_FRAMES_SQL,
         "image_resize": _IMAGE_RESIZE_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "audio_meta": _AUDIO_META_SQL,
@@ -4061,6 +4168,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": _STREAM_DEDUP_SQL,
         "pdf_objstm_extract": _PDF_OBJSTM_SQL,
         "curation_pipeline": _CURATION_PIPELINE_SQL,
+        "charlm_familiarity": _CHARLM_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "mixture_rebalance": _MIXTURE_REBALANCE_SQL,
         "chunk_windows": _CHUNK_WINDOWS_SQL,

@@ -447,3 +447,63 @@ def packed_bins(df: DataFrame, id_col: str, n_tokens_col: str,
     ).localCheckpoint(eager=True)
     local.unpersist(blocking=False)
     return out
+
+
+# ---------------------------------------------------------------------------
+# corpus-trained familiarity score (CCNet-style LM filter analogue)
+# ---------------------------------------------------------------------------
+
+def charlm_familiarity(df: DataFrame, id_col: str, text_col: str,
+                       lang_col: str, top_k: int = 512) -> DataFrame:
+    """Per-document character-bigram familiarity against a per-language
+    table trained on the corpus itself — the shape of CCNet's KenLM
+    perplexity filter (train a per-lang LM, score each doc, drop the
+    unusual tail), with EXACT integer arithmetic instead of float
+    logprobs so a SQL oracle reproduces every score bit-for-bit: the
+    familiarity is ``mean corpus count of the doc's bigrams`` (counting
+    only the language's ``top_k`` bigrams), rounded half-up at 6 dp via
+    the engine-portable integer formula.
+
+    Scale shape: one explode over the corpus feeds BOTH the training
+    aggregation (map-side-combinable groupBy(lang, bigram)) and the
+    scoring join; the per-language top-k table is control-plane sized
+    (#langs x top_k rows) and BROADCAST; per-doc scoring is one shuffle
+    keyed by id. The ranking window partitions by lang over the counts
+    table only — never over corpus rows. Ties rank (count desc, bigram
+    asc) on both engines for determinism.
+    """
+    bigrams = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.when(
+                F.length(text_col) >= 2,
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - 1), "
+                    f"i -> substring({text_col}, i, 2))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("lang", "bg").agg(F.count("*").alias("cnt"))
+    rk = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bg"))
+    table = (
+        counts.withColumn("_rk", F.row_number().over(rk))
+        .filter(F.col("_rk") <= top_k)
+        .drop("_rk")
+    )
+    return (
+        bigrams.join(F.broadcast(table), ["lang", "bg"], "left")
+        .groupBy("id")
+        .agg(
+            F.sum(F.coalesce("cnt", F.lit(0))).alias("fam_sum"),
+            F.count("*").alias("n_bigrams"),
+        )
+        .withColumn(
+            "familiarity",
+            F.expr("(2 * fam_sum * 1000000 + n_bigrams) div (2 * n_bigrams)")
+            / F.lit(1000000.0),
+        )
+        .select(F.col("id").alias(id_col), "fam_sum", "n_bigrams",
+                "familiarity")
+    )

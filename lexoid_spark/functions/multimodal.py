@@ -53,7 +53,15 @@ def encode_fake_audio(sample_rate: int, n_samples: int) -> bytes:
 
 
 def decode_audio_header(b: bytes) -> tuple[int, int] | None:
-    if b is None or len(b) < 12 or b[:4] != AUD_MAGIC:
+    if b is None or len(b) < 12:
+        return None
+    b = bytes(b)
+    if b[:4] == b"RIFF":
+        # real WAV: stdlib RIFF chunk walk (kernels/wav_meta.py)
+        from lexoid_spark.kernels.wav_meta import wav_header
+        hdr = wav_header(b)
+        return (hdr[0], hdr[3]) if hdr else None
+    if b[:4] != AUD_MAGIC:
         return None
     return struct.unpack(">II", b[4:12])
 
@@ -79,7 +87,14 @@ def decode_image_header(b: bytes) -> tuple[int, int, int] | None:
 
 
 def decode_video_header(b: bytes) -> tuple[int, int, int] | None:
-    if b is None or len(b) < 10 or b[:4] != VID_MAGIC:
+    if b is None or len(b) < 10:
+        return None
+    b = bytes(b)
+    if b[4:8] in (b"ftyp", b"moov", b"styp"):
+        # real MP4/ISO-BMFF: stdlib box walk (kernels/mp4_meta.py)
+        from lexoid_spark.kernels.mp4_meta import mp4_header
+        return mp4_header(b)
+    if b[:4] != VID_MAGIC:
         return None
     return struct.unpack(">HHH", b[4:10])
 

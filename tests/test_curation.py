@@ -363,3 +363,35 @@ class TestHyperLogLog:
         direct = hll_registers(a.unionByName(b), "k")
         assert sorted(map(tuple, merged.collect())) == \
             sorted(map(tuple, direct.collect()))
+
+
+class TestCharlmFamiliarity:
+    def test_scores_orderable_and_exact(self, spark):
+        from lexoid_spark.functions.curation import charlm_familiarity
+
+        rows = [
+            (0, "the cat sat on the mat", "en"),
+            (1, "the cat sat on the hat", "en"),
+            (2, "zq xv jk qq zz", "en"),       # unusual bigrams
+            (3, "der hund lief schnell", "de"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = {r["doc_id"]: r for r in
+               charlm_familiarity(df, "doc_id", "text", "lang").collect()}
+        assert set(got) == {0, 1, 2, 3}
+        # the common-English docs score far above the junk doc
+        assert got[0]["familiarity"] > got[2]["familiarity"]
+        assert got[1]["familiarity"] > got[2]["familiarity"]
+        # n_bigrams = len(text) - 1
+        for i, (_, txt, _l) in ((r[0], r) for r in rows):
+            assert got[i]["n_bigrams"] == len(txt) - 1
+
+    def test_short_text_excluded(self, spark):
+        from lexoid_spark.functions.curation import charlm_familiarity
+
+        df = spark.createDataFrame(
+            [(0, "x", "en"), (1, "long enough text", "en")],
+            "doc_id long, text string, lang string")
+        ids = {r["doc_id"] for r in
+               charlm_familiarity(df, "doc_id", "text", "lang").collect()}
+        assert ids == {1}  # 1-char doc has no bigrams -> no score row

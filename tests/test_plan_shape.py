@@ -203,3 +203,17 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     plan = _formatted(decontaminate(docs, bench, "id", "text", n=5))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_charlm_table_is_broadcast(spark):
+    """charlm_familiarity's per-lang top-k table must broadcast into
+    the scoring join (the exploded corpus side never shuffles for it),
+    and nothing in the plan may be a cartesian product."""
+    from lexoid_spark.functions.curation import charlm_familiarity
+
+    docs = spark.createDataFrame(
+        [(i, "spark data " * 20, "en") for i in range(30)],
+        "doc_id long, text string, lang string")
+    plan = _formatted(charlm_familiarity(docs, "doc_id", "text", "lang"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
