@@ -3973,6 +3973,245 @@ FROM c GROUP BY 1 ORDER BY bin
 """
 
 
+def _c4_filter(spark, sf):
+    """C4-style line+page cleaning (Raffel et al. 2020 §2.2 public
+    rules) over deterministically re-lined pages: the one-line corpus
+    docs are split into 10-word lines with a (doc_id+line)%3-driven
+    terminal-punctuation pattern, plus an injected javascript line and
+    a 'lorem ipsum' page-killer for doc_id%53==0 — so every rule
+    (terminal punct, >=5 words, javascript, lorem-ipsum page drop,
+    >=3 surviving lines) demonstrably fires. Zero-shuffle plan: split +
+    higher-order filter + array_join ride the scan."""
+    from lexoid_spark.functions.curation import c4_line_filter
+
+    docs = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    body = F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.size(toks) - 1) / 10).cast("int")
+        ),
+        lambda j: F.concat(
+            F.array_join(F.slice(toks, j * 10 + 1, 10), " "),
+            F.when((F.col("doc_id") + j) % 3 == 0, F.lit(""))
+            .when((F.col("doc_id") + j) % 3 == 1, F.lit("."))
+            .otherwise(F.lit("?")),
+        ),
+    )
+    page = F.concat(
+        F.array_join(body, "\n"),
+        F.lit("\nPlease enable javascript to continue viewing."),
+        F.when(F.col("doc_id") % 53 == 0,
+               F.lit("\nmore lorem ipsum filler here."))
+        .otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", page.alias("page"))
+    out = c4_line_filter(pages, "doc_id", "page")
+    return out.select(
+        F.col("id").alias("doc_id"), "n_lines", "n_kept", "text_clean"
+    ).orderBy("doc_id")
+
+
+_C4_FILTER_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+),
+pages AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(range(0, (len(t) - 1) // 10 + 1),
+        j -> array_to_string(t[j*10+1 : j*10+10], ' ') ||
+             CASE (doc_id + j) % 3
+               WHEN 0 THEN '' WHEN 1 THEN '.' ELSE '?' END),
+      chr(10))
+    || chr(10) || 'Please enable javascript to continue viewing.'
+    || CASE WHEN doc_id % 53 = 0
+            THEN chr(10) || 'more lorem ipsum filler here.'
+            ELSE '' END AS page
+  FROM tk
+),
+f AS (
+  SELECT doc_id,
+    len(string_split(page, chr(10))) AS n_lines,
+    list_filter(string_split(page, chr(10)),
+      L -> regexp_matches(trim(L), '[.!?"]$')
+        AND len(regexp_split_to_array(trim(L), '\s+')) >= 5
+        AND NOT contains(lower(L), 'javascript')) AS kept,
+    lower(page) AS lo
+  FROM pages
+)
+SELECT doc_id, n_lines, len(kept) AS n_kept,
+       array_to_string(kept, chr(10)) AS text_clean
+FROM f
+WHERE NOT contains(lo, 'lorem ipsum') AND NOT contains(lo, '{')
+  AND len(kept) >= 3
+ORDER BY doc_id
+"""
+
+
+def _dsir_importance(spark, sf):
+    """DSIR-shaped hashed importance weights: target = English docs,
+    raw = whole corpus; both 1024-bucket count tables BROADCAST, the
+    word explode feeds training and scoring in one pass, and the
+    importance ratio is an exact half-up-6dp rational so the oracle
+    matches bit-for-bit."""
+    from lexoid_spark.functions.curation import dsir_weights
+
+    docs = _t(spark, sf, "documents")
+    return dsir_weights(
+        docs, "doc_id", "text", F.col("lang") == "en", n_buckets=1024
+    ).orderBy("doc_id")
+
+
+_DSIR_SQL = r"""
+WITH words AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS h
+  FROM (SELECT doc_id, lang,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0)
+),
+tc AS (SELECT h, count(*) AS nt FROM words WHERE is_t GROUP BY h),
+rc AS (SELECT h, count(*) AS nr FROM words GROUP BY h)
+SELECT w.doc_id,
+       SUM(COALESCE(t.nt, 0)) AS sum_t,
+       SUM(r.nr) AS sum_r,
+       ((2 * SUM(COALESCE(t.nt, 0)) * 1000000 + SUM(r.nr))
+        // (2 * SUM(r.nr))) / 1000000.0 AS importance
+FROM words w
+LEFT JOIN tc t ON w.h = t.h
+JOIN rc r ON w.h = r.h
+GROUP BY w.doc_id ORDER BY doc_id
+"""
+
+
+_UNIMAX_ALLOC_CTE = """
+WITH caps AS (
+  SELECT lang AS stratum, count(*) AS cap FROM documents GROUP BY lang
+),
+o AS (
+  SELECT stratum, cap,
+         ROW_NUMBER() OVER (ORDER BY cap ASC, stratum ASC) AS i,
+         COUNT(*) OVER () AS k,
+         SUM(cap) OVER () AS total,
+         COALESCE(SUM(cap) OVER (ORDER BY cap ASC, stratum ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_prev
+  FROM caps
+),
+o2 AS (SELECT *, total * 80 // 100 AS b FROM o),
+o3 AS (
+  SELECT *,
+    MIN(CASE WHEN cap * (k - i + 1) > b - cum_prev THEN i END)
+      OVER () AS uncapped_i
+  FROM o2
+),
+o4 AS (
+  SELECT *,
+    MAX(CASE WHEN i = uncapped_i THEN b - cum_prev END)
+      OVER () AS rem_at_i0
+  FROM o3
+),
+alloc AS (
+  SELECT stratum, cap,
+    CAST(CASE WHEN uncapped_i IS NULL OR i < uncapped_i THEN cap
+         ELSE rem_at_i0 // (k - uncapped_i + 1)
+              + CASE WHEN i - uncapped_i
+                          < rem_at_i0 % (k - uncapped_i + 1)
+                     THEN 1 ELSE 0 END
+         END AS BIGINT) AS alloc
+  FROM o4
+)
+"""
+
+
+def _unimax_alloc(spark, sf):
+    """UniMax waterfilled budget per language (80% of the corpus):
+    exact-integer closed-form allocation — capped prefix takes its
+    capacity, the first uncapped index fixes the equal share and
+    remainder. Control-plane windows over the #langs-row aggregate."""
+    from lexoid_spark.functions.curation import unimax_allocation
+
+    docs = _t(spark, sf, "documents")
+    return unimax_allocation(docs, "doc_id", "lang",
+                             budget_pct=80).orderBy("stratum")
+
+
+_UNIMAX_ALLOC_SQL = (
+    _UNIMAX_ALLOC_CTE
+    + "SELECT stratum, cap, alloc FROM alloc ORDER BY stratum"
+)
+
+
+def _unimax_sample(spark, sf):
+    """Exact-quota selection under the UniMax allocation: first
+    ``alloc`` docs per language by (md5(doc_id), doc_id) — the
+    deterministic exact complement to the zero-shuffle approximate
+    ``stratified_sample``."""
+    from lexoid_spark.functions.curation import unimax_sample
+
+    docs = _t(spark, sf, "documents")
+    return unimax_sample(docs, "doc_id", "lang",
+                         budget_pct=80).orderBy("doc_id")
+
+
+_UNIMAX_SAMPLE_SQL = (
+    _UNIMAX_ALLOC_CTE
+    + """,
+ranked AS (
+  SELECT doc_id, lang AS stratum,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                                    15))::BIGINT ASC,
+                    doc_id ASC) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.stratum
+FROM ranked r JOIN alloc a ON r.stratum = a.stratum
+WHERE r.rk <= a.alloc
+ORDER BY doc_id
+"""
+)
+
+
+def _semdedup_keep(spark, sf):
+    """SemDeDup-shaped keep list: within each IVF cluster drop every
+    vector within cosine tau of ANY lower-id vector (greedy keep-first
+    over the bucket-local near-dup pairs), then LEFT ANTI join back.
+    Same tau/centroids as emb_near_dup, so the float-noise caveat
+    there covers this composition too."""
+    from lexoid_spark.functions.similarity import semdedup_keepers
+
+    emb = _t(spark, sf, "embeddings")
+    return semdedup_keepers(emb, tau=0.35, n_centroids=8).orderBy("vec_id")
+
+
+_SEMDEDUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vid, vv, cid FROM (
+    SELECT e.vec_id AS vid, e.v AS vv, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+           ) AS r
+    FROM e CROSS JOIN cents c
+  ) t WHERE r = 1
+),
+pairs AS (
+  SELECT a.vid AS id_a, b.vid AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vid < b.vid
+  WHERE list_cosine_similarity(a.vv, b.vv) >= 0.35
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+ORDER BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4062,6 +4301,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_objstm_extract": _pdf_objstm_extract,
         "curation_pipeline": _curation_pipeline,
         "charlm_familiarity": _charlm_familiarity,
+        "c4_filter": _c4_filter,
+        "dsir_importance": _dsir_importance,
+        "unimax_alloc": _unimax_alloc,
+        "unimax_sample": _unimax_sample,
+        "semdedup_keep": _semdedup_keep,
         "decontaminate": _decontaminate,
         "mixture_rebalance": _mixture_rebalance,
         "chunk_windows": _chunk_windows,
@@ -4169,6 +4413,11 @@ def oracle_sql() -> dict[str, str]:
         "pdf_objstm_extract": _PDF_OBJSTM_SQL,
         "curation_pipeline": _CURATION_PIPELINE_SQL,
         "charlm_familiarity": _CHARLM_SQL,
+        "c4_filter": _C4_FILTER_SQL,
+        "dsir_importance": _DSIR_SQL,
+        "unimax_alloc": _UNIMAX_ALLOC_SQL,
+        "unimax_sample": _UNIMAX_SAMPLE_SQL,
+        "semdedup_keep": _SEMDEDUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "mixture_rebalance": _MIXTURE_REBALANCE_SQL,
         "chunk_windows": _CHUNK_WINDOWS_SQL,

@@ -507,3 +507,210 @@ def charlm_familiarity(df: DataFrame, id_col: str, text_col: str,
         .select(F.col("id").alias(id_col), "fam_sum", "n_bigrams",
                 "familiarity")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line + page filtering
+# ---------------------------------------------------------------------------
+
+def c4_line_filter(df: DataFrame, id_col: str, text_col: str,
+                   min_words: int = 5, min_lines: int = 3) -> DataFrame:
+    """C4's public cleaning rules (Raffel et al. 2020 §2.2, behavior
+    analogue): keep only lines that end in terminal punctuation
+    (``. ! ? "``), contain at least ``min_words`` words, and do not
+    mention "javascript"; drop whole pages that contain "lorem ipsum"
+    or a ``{`` (code), or end up with fewer than ``min_lines``
+    surviving lines. Returns ``(id, n_lines, n_kept, text_clean)`` for
+    surviving pages only.
+
+    Scale shape: ZERO shuffle — split + higher-order ``filter`` +
+    ``array_join`` all ride the scan as native JVM expressions; the
+    page-level predicates are plain filters that push into the same
+    stage. No explode, so no row blowup for giant pages.
+
+    Regexes are Java/RE2-portable; the DuckDB oracle mirrors each rule
+    with ``list_filter`` over ``string_split``.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda L: F.trim(L).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(L), r"\s+")) >= min_words)
+        & ~F.contains(F.lower(L), F.lit("javascript")),
+    )
+    lo = F.lower(F.col(text_col))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(lines).alias("n_lines"),
+            F.size(kept).alias("n_kept"),
+            F.array_join(kept, "\n").alias("text_clean"),
+            lo.alias("_lo"),
+        )
+        .filter(
+            ~F.contains(F.col("_lo"), F.lit("lorem ipsum"))
+            & ~F.contains(F.col("_lo"), F.lit("{"))
+            & (F.col("n_kept") >= min_lines)
+        )
+        .drop("_lo")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-shaped hashed importance weights
+# ---------------------------------------------------------------------------
+
+def dsir_weights(df: DataFrame, id_col: str, text_col: str,
+                 target: Column, n_buckets: int = 1024) -> DataFrame:
+    """Data Selection via Importance Resampling, hashed-feature shape
+    (Xie et al. 2023 behavior analogue): every word hashes into one of
+    ``n_buckets`` buckets; bucket counts over the TARGET subset
+    (``target`` boolean column) vs the RAW corpus estimate the two
+    distributions, and each document is scored by the ratio of its
+    summed target-bucket counts to its summed raw-bucket counts. The
+    float log-ratio of the paper is collapsed to one exact rational —
+    ``importance = half_up_6dp(sum_t / sum_r)`` via the engine-portable
+    integer formula — so the SQL oracle reproduces every score
+    bit-for-bit.
+
+    Scale shape: the corpus explodes to words ONCE and feeds both
+    count aggregations (map-side combinable groupBy on <= n_buckets
+    keys — no skew, bucket domain is fixed) AND the scoring join; both
+    bucket tables are control-plane sized (<= n_buckets rows) and
+    BROADCAST, so scoring adds no shuffle beyond the final
+    groupBy(id).
+
+    Returns ``(id, sum_t, sum_r, importance)``.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        target.alias("_is_target"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    ).withColumn("h", _md5_hash64(F.col("w")) % n_buckets)
+    raw_counts = words.groupBy("h").agg(F.count("*").alias("nr"))
+    tgt_counts = (
+        words.filter(F.col("_is_target"))
+        .groupBy("h")
+        .agg(F.count("*").alias("nt"))
+    )
+    return (
+        words.join(F.broadcast(tgt_counts), "h", "left")
+        .join(F.broadcast(raw_counts), "h")
+        .groupBy("id")
+        .agg(
+            F.sum(F.coalesce("nt", F.lit(0))).alias("sum_t"),
+            F.sum("nr").alias("sum_r"),
+        )
+        .withColumn(
+            "importance",
+            F.expr("(2 * sum_t * 1000000 + sum_r) div (2 * sum_r)")
+            / F.lit(1000000.0),
+        )
+        .select(F.col("id").alias(id_col), "sum_t", "sum_r", "importance")
+    )
+
+
+# ---------------------------------------------------------------------------
+# UniMax budget allocation across strata
+# ---------------------------------------------------------------------------
+
+def unimax_allocation(df: DataFrame, id_col: str, stratum_col: str,
+                      budget_pct: int = 80) -> DataFrame:
+    """UniMax-style budget waterfilling across strata (Chung et al.
+    2023 behavior analogue): spread a document budget (``budget_pct``
+    percent of the corpus, integer-exact) as uniformly as possible
+    across strata, capping each stratum at its capacity and
+    redistributing the slack to the rest — EXACT integer arithmetic
+    end-to-end via the closed-form prefix test: sorted ascending by
+    (capacity, stratum), stratum i (of K) is fully taken iff
+    ``cap_i * (K - i + 1) <= B - cumsum_prev_caps``; the first index
+    failing that test fixes the equal share ``(B - cumsum_prev) div
+    (K - i0 + 1)`` and its remainder goes to the first strata after
+    i0 in the same order. No floats anywhere, so the DuckDB oracle is
+    bit-for-bit.
+
+    Returns the allocation table ``(stratum, cap, alloc)`` — K rows.
+    Scale shape: one map-side-combinable count aggregation; the window
+    functions run over the K-row aggregate only (control plane), never
+    over corpus rows.
+    """
+    caps = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("cap")
+    )
+    w_ord = Window.orderBy(F.asc("cap"), F.asc("stratum"))
+    w_all = Window.partitionBy()
+    a = (
+        caps.withColumn("i", F.row_number().over(w_ord))
+        .withColumn("k", F.count("*").over(w_all))
+        .withColumn("total", F.sum("cap").over(w_all))
+        .withColumn(
+            "cum_prev",
+            F.coalesce(
+                F.sum("cap").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("b", F.expr(f"total * {int(budget_pct)} div 100"))
+        .withColumn(
+            "uncapped_i",
+            F.min(
+                F.when(
+                    F.col("cap") * (F.col("k") - F.col("i") + 1)
+                    > F.col("b") - F.col("cum_prev"),
+                    F.col("i"),
+                )
+            ).over(w_all),
+        )
+        .withColumn(
+            "rem_at_i0",
+            F.max(
+                F.when(F.col("i") == F.col("uncapped_i"),
+                       F.col("b") - F.col("cum_prev"))
+            ).over(w_all),
+        )
+    )
+    share = F.expr("rem_at_i0 div (k - uncapped_i + 1)")
+    extra = F.expr("rem_at_i0 % (k - uncapped_i + 1)")
+    alloc = F.when(
+        F.col("uncapped_i").isNull() | (F.col("i") < F.col("uncapped_i")),
+        F.col("cap"),
+    ).otherwise(
+        share + F.when(F.col("i") - F.col("uncapped_i") < extra, 1)
+        .otherwise(0)
+    )
+    return a.select("stratum", "cap", alloc.cast("long").alias("alloc"))
+
+
+def unimax_sample(df: DataFrame, id_col: str, stratum_col: str,
+                  budget_pct: int = 80) -> DataFrame:
+    """Select exactly ``alloc`` documents per stratum under the
+    :func:`unimax_allocation` budget — the first ``alloc`` ids per
+    stratum ranked by ``(md5-hash(id), id)``, deterministic and
+    engine-portable. Returns the selected ``(id, stratum)`` rows.
+
+    Scale note: exact-count selection needs a rank per stratum (one
+    shuffle + sort, and the biggest stratum is the biggest partition —
+    skew rides on the stratum distribution). At 10^12 rows the
+    approximate variant (:func:`stratified_sample`'s pure hash-bucket
+    filter, zero shuffle) is the production path; this operator is the
+    exact-quota complement for when the budget must bind exactly.
+    """
+    alloc = unimax_allocation(df, id_col, stratum_col, budget_pct)
+    ranked = df.select(
+        F.col(id_col).alias("id"),
+        F.col(stratum_col).alias("stratum"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("stratum").orderBy(
+                F.asc(_md5_hash64(F.col("id").cast("string"))), F.asc("id")
+            )
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "stratum")
+        .filter(F.col("rk") <= F.col("alloc"))
+        .select(F.col("id").alias(id_col), "stratum")
+    )

@@ -324,3 +324,28 @@ def ivf_topk(embeddings: DataFrame, query_ids, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank")
     )
+
+
+def semdedup_keepers(embeddings: DataFrame, tau: float = 0.9,
+                     n_centroids: int = 8, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     impl: str = "gemm") -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023
+    behavior analogue): cluster the embeddings (same deterministic IVF
+    assignment as :func:`ivf_topk`), and within each cluster drop
+    every vector that lies within cosine ``tau`` of ANY lower-id
+    vector — the greedy keep-first policy over the near-dup pair set.
+    Returns the keep list ``(id_col,)``.
+
+    Built as a composition: :func:`embedding_near_dup_pairs` generates
+    the bucket-local pair set (O(sum b_i²), GEMM inner loop), the drop
+    set is ``distinct(id_b)``, and the keep list is one LEFT ANTI
+    equi-join — every stage map-side-combinable or broadcast-bounded,
+    nothing all-pairs across clusters.
+    """
+    pairs = embedding_near_dup_pairs(
+        embeddings, tau=tau, n_centroids=n_centroids,
+        id_col=id_col, vec_col=vec_col, impl=impl,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return embeddings.select(id_col).join(dropped, id_col, "left_anti")

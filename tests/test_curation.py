@@ -395,3 +395,158 @@ class TestCharlmFamiliarity:
         ids = {r["doc_id"] for r in
                charlm_familiarity(df, "doc_id", "text", "lang").collect()}
         assert ids == {1}  # 1-char doc has no bigrams -> no score row
+
+
+class TestC4LineFilter:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, text string")
+
+    def test_line_rules(self, spark):
+        from lexoid_spark.functions.curation import c4_line_filter
+
+        page = "\n".join([
+            "this line ends with a terminal period.",     # kept
+            "this one has no terminal punctuation at all",  # dropped
+            "short line.",                                  # dropped <5 words
+            "please enable Javascript to view content.",    # dropped js
+            'a quoted line with five words here"',          # kept
+            "does this question line survive the filter?",  # kept
+        ])
+        out = c4_line_filter(self._df(spark, [(1, page)]), "id", "text")
+        r = out.collect()[0]
+        assert r["n_lines"] == 6 and r["n_kept"] == 3
+        assert "Javascript" not in r["text_clean"]
+        assert r["text_clean"].count("\n") == 2
+
+    def test_page_rules(self, spark):
+        from lexoid_spark.functions.curation import c4_line_filter
+
+        good = "\n".join(
+            [f"good line number {i} has enough words here." for i in range(4)]
+        )
+        rows = [
+            (1, good),
+            (2, good + "\nsome Lorem Ipsum placeholder."),   # page drop
+            (3, good + "\nfunction f() { return 1; }"),      # brace drop
+            (4, "only one surviving line is not enough here."),  # < 3 lines
+        ]
+        ids = {r["id"] for r in
+               c4_line_filter(self._df(spark, rows), "id", "text").collect()}
+        assert ids == {1}
+
+
+class TestDsirWeights:
+    def test_exact_ratio(self, spark):
+        from pyspark.sql import functions as F
+
+        from lexoid_spark.functions.curation import dsir_weights
+
+        # 2 target docs + 1 raw-only doc over a tiny vocabulary.
+        rows = [(0, "aa bb", "en"), (1, "aa aa", "en"), (2, "aa cc", "de")]
+        df = spark.createDataFrame(rows, "id long, text string, lang string")
+        out = {r["id"]: r for r in
+               dsir_weights(df, "id", "text", F.col("lang") == "en",
+                            n_buckets=1024).collect()}
+        # corpus counts: aa=4 bb=1 cc=1; target counts: aa=3 bb=1
+        # (bucket collisions impossible to rule out a priori, but with
+        # 3 distinct words in 1024 buckets a collision would break the
+        # hand numbers below loudly, not silently)
+        assert out[0]["sum_t"] == 3 + 1 and out[0]["sum_r"] == 4 + 1
+        assert out[1]["sum_t"] == 6 and out[1]["sum_r"] == 8
+        assert out[2]["sum_t"] == 3 + 0 and out[2]["sum_r"] == 4 + 1
+        assert out[1]["importance"] == 0.75
+        assert out[0]["importance"] == 0.8
+        assert out[2]["importance"] == 0.6
+
+    def test_empty_text_excluded(self, spark):
+        from pyspark.sql import functions as F
+
+        from lexoid_spark.functions.curation import dsir_weights
+
+        df = spark.createDataFrame(
+            [(0, "  ", "en"), (1, "word", "en")],
+            "id long, text string, lang string")
+        ids = {r["id"] for r in
+               dsir_weights(df, "id", "text",
+                            F.col("lang") == "en").collect()}
+        assert ids == {1}
+
+
+class TestUnimax:
+    def _alloc(self, spark, caps, pct):
+        from lexoid_spark.functions.curation import unimax_allocation
+
+        rows = [(f"{s}-{i}", s) for s, c in caps.items() for i in range(c)]
+        df = spark.createDataFrame(rows, "id string, stratum string")
+        return {r["stratum"]: (r["cap"], r["alloc"]) for r in
+                unimax_allocation(df, "id", "stratum",
+                                  budget_pct=pct).collect()}
+
+    def test_waterfill_mixed(self, spark):
+        # caps 64/70/73/75/218 at 80% budget (B=400): the four small
+        # strata are fully taken, the big one gets the remaining 118.
+        got = self._alloc(
+            spark, {"fr": 64, "de": 70, "es": 73, "zh": 75, "en": 218}, 80)
+        assert got == {"fr": (64, 64), "de": (70, 70), "es": (73, 73),
+                       "zh": (75, 75), "en": (218, 118)}
+
+    def test_uniform_when_budget_small(self, spark):
+        # B = 500*45//100 = 225 -> nobody capped, share 45 each.
+        got = self._alloc(
+            spark, {"fr": 64, "de": 70, "es": 73, "zh": 75, "en": 218}, 45)
+        assert all(a == 45 for _c, a in got.values())
+
+    def test_remainder_distribution(self, spark):
+        # caps 10/10/10, B = 30*90//100 = 27 -> share 9 each, rem 0;
+        # caps 2/10/10, B = 22*90//100 = 19 -> a capped at 2,
+        # share (19-2)//2 = 8 rem 1 -> first uncapped gets 9.
+        got = self._alloc(spark, {"a": 2, "b": 10, "c": 10}, 90)
+        assert got["a"] == (2, 2)
+        assert sorted([got["b"][1], got["c"][1]]) == [8, 9]
+        # +1 goes to the FIRST uncapped stratum in (cap, name) order
+        assert got["b"][1] == 9
+
+    def test_all_capped(self, spark):
+        # 100% budget: everything fits, alloc == cap everywhere.
+        got = self._alloc(spark, {"a": 3, "b": 5}, 100)
+        assert got == {"a": (3, 3), "b": (5, 5)}
+
+    def test_sample_counts_match_alloc(self, spark):
+        from lexoid_spark.functions.curation import (
+            unimax_allocation,
+            unimax_sample,
+        )
+
+        rows = [(s * 100 + i, lang)
+                for s, (lang, c) in enumerate([("en", 40), ("de", 7)])
+                for i in range(c)]
+        df = spark.createDataFrame(rows, "id long, lang string")
+        alloc = {r["stratum"]: r["alloc"] for r in
+                 unimax_allocation(df, "id", "lang", 50).collect()}
+        picked = unimax_sample(df, "id", "lang", 50).collect()
+        by_lang = {}
+        for r in picked:
+            by_lang[r["stratum"]] = by_lang.get(r["stratum"], 0) + 1
+        assert by_lang == {k: v for k, v in alloc.items() if v}
+        # deterministic across runs
+        again = unimax_sample(df, "id", "lang", 50).collect()
+        assert sorted(map(tuple, picked)) == sorted(map(tuple, again))
+
+
+class TestSemDedupKeepers:
+    def test_greedy_keep_first(self, spark):
+        from lexoid_spark.functions.similarity import semdedup_keepers
+
+        # two tight clusters of near-identical vectors + one outlier;
+        # n_centroids=2 -> centroids are vec 0 and 1 (first ids).
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),   # dup of 0
+            (3, [0.0, 0.998, 0.02]),   # dup of 1
+            (4, [0.0, 0.6, 0.8]),      # same cluster as 1, not a dup
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        kept = {r["vec_id"] for r in
+                semdedup_keepers(df, tau=0.95, n_centroids=2).collect()}
+        assert kept == {0, 1, 4}

@@ -217,3 +217,45 @@ def test_charlm_table_is_broadcast(spark):
     plan = _formatted(charlm_familiarity(docs, "doc_id", "text", "lang"))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_c4_filter_zero_shuffle(spark):
+    """c4_line_filter is split + higher-order filter + array_join —
+    pure map expressions that must ride the scan with NO Exchange."""
+    from lexoid_spark.functions.curation import c4_line_filter
+
+    df = spark.createDataFrame(
+        [(i, "a line with plenty of words here.\nshort.") for i in
+         range(20)], "id long, text string")
+    assert "Exchange" not in _formatted(c4_line_filter(df, "id", "text"))
+
+
+def test_dsir_bucket_tables_broadcast(spark):
+    """Both DSIR bucket-count tables (<= n_buckets rows) must be
+    broadcast build sides; the exploded corpus never shuffles for the
+    scoring joins (only the final groupBy(id) exchanges), and nothing
+    goes cartesian."""
+    from pyspark.sql import functions as F
+
+    from lexoid_spark.functions.curation import dsir_weights
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "en" if i % 2 else "de")
+         for i in range(30)], "id long, text string, lang string")
+    plan = _formatted(
+        dsir_weights(df, "id", "text", F.col("lang") == "en"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_unimax_no_cartesian_alloc_broadcast(spark):
+    """unimax_sample: the K-row allocation table must broadcast into
+    the rank filter; no cartesian products anywhere."""
+    from lexoid_spark.functions.curation import unimax_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(30)],
+        "id long, lang string")
+    plan = _formatted(unimax_sample(df, "id", "lang", 50))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
