@@ -4212,6 +4212,128 @@ ORDER BY vec_id
 """
 
 
+def _dup_span_removal(spark, sf):
+    """Exact-substring-dedup shape (Lee et al. 2022) over injected
+    cross-document boilerplate: a shared 8-word header and a per-lang
+    9-word footer guarantee duplicated 8-gram windows; every covered
+    word is removed from every doc. The dup-gram set is a two-level
+    map-side-combinable aggregation; masking is per-row native HOFs."""
+    from lexoid_spark.functions.curation import duplicate_span_removal
+
+    docs = _t(spark, sf, "documents")
+    body = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.lit("shared warc boilerplate navigation header menu "
+                  "links copyright"),
+            F.col("text"),
+            F.lit("footer"), F.col("lang"),
+            F.lit("contact about privacy terms sitemap rss feed"),
+        ).alias("body"),
+    )
+    return duplicate_span_removal(body, "doc_id", "body",
+                                  n=8).orderBy("doc_id")
+
+
+_DUP_SPAN_SQL = r"""
+WITH base AS (
+  SELECT doc_id AS id,
+         regexp_split_to_array(trim(
+           'shared warc boilerplate navigation header menu links copyright '
+           || text || ' footer ' || lang
+           || ' contact about privacy terms sitemap rss feed'), '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT id, i AS pos,
+         ('0x' || substr(md5(array_to_string(t[i+1:i+8], ' ')),
+                         1, 15))::BIGINT AS h
+  FROM base, UNNEST(range(0, len(t) - 8 + 1)) AS u(i)
+  WHERE len(t) >= 8
+),
+dup AS (
+  SELECT h FROM (
+    SELECT h, count(DISTINCT id) AS nd FROM grams GROUP BY h
+  ) WHERE nd >= 2
+),
+starts AS (
+  SELECT id, list_sort(list(pos)) AS st
+  FROM grams JOIN dup USING (h) GROUP BY id
+),
+j AS (
+  SELECT b.id, b.t, COALESCE(s.st, CAST([] AS BIGINT[])) AS st
+  FROM base b LEFT JOIN starts s ON b.id = s.id
+)
+SELECT id AS doc_id,
+       len(t) AS n_words,
+       len(st) AS n_dup_starts,
+       COALESCE(array_to_string(
+         list_transform(
+           list_filter(range(0, len(t)),
+             i -> len(list_filter(st, s -> s <= i AND i <= s + 7)) = 0),
+           i -> t[i + 1]),
+         ' '), '') AS text_clean
+FROM j ORDER BY doc_id
+"""
+
+
+def _tfidf_topk(spark, sf):
+    """Top-5 characteristic terms per doc by exact-integer tf-idf
+    (tf * ((N*10^6) div df)) — no float logs, rank ties broken (score
+    desc, term asc) identically on both engines."""
+    from lexoid_spark.functions.textstats import tfidf_topk
+
+    docs = _t(spark, sf, "documents")
+    return tfidf_topk(docs, "doc_id", "text", k=5).orderBy(
+        "doc_id", "rank"
+    )
+
+
+_TFIDF_SQL = r"""
+WITH words AS (
+  SELECT doc_id AS id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+tf AS (SELECT id, w, count(*) AS tf FROM words GROUP BY id, w),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+SELECT id AS doc_id, w AS term, tf, df, score_micros, rank FROM (
+  SELECT t.id, t.w, t.tf, d.df,
+         t.tf * ((n.n * 1000000) // d.df) AS score_micros,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.id
+           ORDER BY t.tf * ((n.n * 1000000) // d.df) DESC, t.w ASC
+         ) AS rank
+  FROM tf t JOIN dfreq d ON t.w = d.w CROSS JOIN n
+) WHERE rank <= 5 ORDER BY doc_id, rank
+"""
+
+
+def _inverted_postings(spark, sf):
+    """Inverted-index build: term -> exact df + first 20 sorted doc
+    ids (comma-joined for engine-identical hashing). The cap bounds
+    stop-word posting rows; df stays exact via map-side combine."""
+    from lexoid_spark.functions.textstats import inverted_postings
+
+    docs = _t(spark, sf, "documents")
+    return inverted_postings(docs, "doc_id", "text",
+                             max_postings=20).orderBy("term")
+
+
+_INVERTED_SQL = r"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT w AS term, count(*) AS df,
+       array_to_string(list_sort(list(id))[1:20], ',') AS postings
+FROM pairs GROUP BY w ORDER BY term
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4306,6 +4428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_alloc": _unimax_alloc,
         "unimax_sample": _unimax_sample,
         "semdedup_keep": _semdedup_keep,
+        "dup_span_removal": _dup_span_removal,
+        "tfidf_topk": _tfidf_topk,
+        "inverted_postings": _inverted_postings,
         "decontaminate": _decontaminate,
         "mixture_rebalance": _mixture_rebalance,
         "chunk_windows": _chunk_windows,
@@ -4418,6 +4543,9 @@ def oracle_sql() -> dict[str, str]:
         "unimax_alloc": _UNIMAX_ALLOC_SQL,
         "unimax_sample": _UNIMAX_SAMPLE_SQL,
         "semdedup_keep": _SEMDEDUP_SQL,
+        "dup_span_removal": _DUP_SPAN_SQL,
+        "tfidf_topk": _TFIDF_SQL,
+        "inverted_postings": _INVERTED_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "mixture_rebalance": _MIXTURE_REBALANCE_SQL,
         "chunk_windows": _CHUNK_WINDOWS_SQL,

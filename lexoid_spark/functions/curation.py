@@ -714,3 +714,73 @@ def unimax_sample(df: DataFrame, id_col: str, stratum_col: str,
         .filter(F.col("rk") <= F.col("alloc"))
         .select(F.col("id").alias(id_col), "stratum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span removal (exact substring dedup shape)
+# ---------------------------------------------------------------------------
+
+def duplicate_span_removal(df: DataFrame, id_col: str, text_col: str,
+                           n: int = 8) -> DataFrame:
+    """Remove text spans that are exact word-level ``n``-gram
+    duplicates across documents — the shape of exact substring
+    deduplication (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"), word-tokenized instead of
+    suffix-array character ranges: any window of ``n`` words that
+    occurs in two or more DISTINCT documents is dropped from every
+    document (all words covered by any duplicated window go).
+
+    Scale shape: one explode produces (id, pos, gram-hash) rows; the
+    duplicated-gram set is a map-side-combinable two-level aggregation
+    (count distinct ids per hash — a boilerplate gram shared by 10^9
+    pages partially aggregates, no hot keys); covered-position masking
+    is per-row native higher-order functions over the doc's own starts
+    array (no second explode). Two shuffles on bounded keys total.
+
+    Returns ``(id, n_words, n_dup_starts, text_clean)``.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+    )
+    grams = base.filter(F.size("t") >= n).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: _md5_hash64(
+                    F.array_join(F.slice("t", i + 1, n), " ")
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    starts = (
+        grams.join(dup, "h")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    j = base.join(starts, "id", "left").withColumn(
+        "starts", F.coalesce("starts", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("t"), lambda w, i: F.struct(w.alias("w"), i.alias("i"))
+        ),
+        lambda st: ~F.exists(
+            F.col("starts"),
+            lambda s: (s <= st["i"]) & (st["i"] <= s + (n - 1)),
+        ),
+    )
+    return j.select(
+        F.col("id").alias(id_col),
+        F.size("t").alias("n_words"),
+        F.size("starts").alias("n_dup_starts"),
+        F.array_join(
+            F.transform(kept, lambda st: st["w"]), " "
+        ).alias("text_clean"),
+    )

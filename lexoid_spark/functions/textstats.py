@@ -442,3 +442,87 @@ def winnow_fingerprints(df, id_col: str, text_col: str,
         .select("id", "fp")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term ranking + inverted postings (search-index shapes)
+# ---------------------------------------------------------------------------
+
+def tfidf_topk(df, id_col: str, text_col: str, k: int = 5):
+    """Top-``k`` characteristic terms per document by an exact-integer
+    tf-idf variant: ``score_micros = tf * ((N * 10^6) div df)`` — term
+    frequency times the integer-scaled inverse document frequency, no
+    float logs, so the DuckDB oracle reproduces every score and every
+    tie-break (score desc, term asc) bit-for-bit.
+
+    Scale shape: one explode feeds a (id, term) tf aggregation
+    (map-side combinable); df is a second combine-friendly aggregation
+    over distinct (id, term) pairs — both shuffle on bounded keys. The
+    corpus size N is a scalar broadcast. The rank window partitions by
+    document over its DISTINCT terms only (bounded by doc length),
+    never over corpus-wide partitions. Returns
+    ``(id, term, tf, df, score_micros, rank)``.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    tf = words.groupBy("id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("n")
+    )
+    from pyspark.sql import Window as _W
+
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score_micros",
+                    F.expr("tf * ((n * 1000000) div df)"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                _W.partitionBy("id").orderBy(
+                    F.desc("score_micros"), F.asc("w"))
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return scored.select(
+        F.col("id").alias(id_col), F.col("w").alias("term"),
+        "tf", "df", "score_micros", "rank",
+    )
+
+
+def inverted_postings(df, id_col: str, text_col: str,
+                      max_postings: int = 20):
+    """Inverted index build: term → document frequency + the first
+    ``max_postings`` doc ids (sorted ascending, comma-joined so the
+    row hashes identically across engines). The posting-list cap is
+    the standard defense against stop-word rows: a term in 10^9 docs
+    aggregates its df exactly (map-side combinable count) but ships
+    only a bounded prefix of ids.
+
+    Scale note: ``collect_set`` per term is bounded by the cap only
+    after the fact — at true scale the prefix would be selected with a
+    rank-filter before aggregation; here df stays exact and the
+    capped list is deterministic. Returns ``(term, df, postings)``.
+    """
+    pairs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("w")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("id")), 1,
+                        max_postings),
+                ",",
+            ).alias("postings"),
+        )
+        .select(F.col("w").alias("term"), "df", "postings")
+    )

@@ -550,3 +550,88 @@ class TestSemDedupKeepers:
         kept = {r["vec_id"] for r in
                 semdedup_keepers(df, tau=0.95, n_centroids=2).collect()}
         assert kept == {0, 1, 4}
+
+
+class TestDuplicateSpanRemoval:
+    def test_cross_doc_spans_removed(self, spark):
+        from lexoid_spark.functions.curation import duplicate_span_removal
+
+        shared = "one two three four five six seven eight"  # 8 words
+        rows = [
+            (0, shared + " alpha beta gamma"),
+            (1, shared + " delta epsilon zeta"),
+            (2, "totally different words that never repeat anywhere else"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {r["id"]: r for r in
+               duplicate_span_removal(df, "id", "text", n=8).collect()}
+        # the shared 8-gram occurs in docs 0 and 1 -> removed from both
+        assert got[0]["text_clean"] == "alpha beta gamma"
+        assert got[1]["text_clean"] == "delta epsilon zeta"
+        assert got[0]["n_dup_starts"] == 1 and got[1]["n_dup_starts"] == 1
+        # doc 2 untouched
+        assert got[2]["text_clean"] == rows[2][1]
+        assert got[2]["n_dup_starts"] == 0
+
+    def test_within_doc_repeat_not_removed(self, spark):
+        from lexoid_spark.functions.curation import duplicate_span_removal
+
+        # the same 8-gram twice in ONE doc: count(DISTINCT id) == 1,
+        # so nothing is removed (within-doc repetition is Gopher's job)
+        span = "a b c d e f g h"
+        df = spark.createDataFrame([(0, span + " x " + span)],
+                                   "id long, text string")
+        r = duplicate_span_removal(df, "id", "text", n=8).collect()[0]
+        assert r["n_dup_starts"] == 0
+        assert r["text_clean"] == span + " x " + span
+
+    def test_overlapping_spans_merge(self, spark):
+        from lexoid_spark.functions.curation import duplicate_span_removal
+
+        # 9 shared words -> two overlapping dup 8-grams; coverage is
+        # the union, so all 9 go and the unique tail stays
+        shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+        df = spark.createDataFrame(
+            [(0, shared + " unique0 tail0"), (1, shared + " unique1 tail1")],
+            "id long, text string")
+        got = {r["id"]: r for r in
+               duplicate_span_removal(df, "id", "text", n=8).collect()}
+        assert got[0]["text_clean"] == "unique0 tail0"
+        assert got[0]["n_dup_starts"] == 2
+
+
+class TestTfidfInverted:
+    def test_tfidf_ranks(self, spark):
+        from lexoid_spark.functions.textstats import tfidf_topk
+
+        rows = [(0, "apple apple banana"), (1, "banana cherry"),
+                (2, "cherry cherry cherry durian")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = tfidf_topk(df, "id", "text", k=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["id"], []).append(r)
+        # doc 0: apple tf=2 df=1 -> 2*3e6; banana tf=1 df=2 -> 1.5e6
+        top0 = sorted(by_doc[0], key=lambda r: r["rank"])
+        assert top0[0]["term"] == "apple"
+        assert top0[0]["score_micros"] == 2 * 3_000_000
+        assert top0[1]["term"] == "banana"
+        assert top0[1]["score_micros"] == 1_500_000
+        # doc 2: cherry tf=3 df=2 -> 4.5e6 beats durian 3e6
+        top2 = sorted(by_doc[2], key=lambda r: r["rank"])
+        assert [r["term"] for r in top2] == ["cherry", "durian"]
+
+    def test_inverted_postings_capped(self, spark):
+        from lexoid_spark.functions.textstats import inverted_postings
+
+        df = spark.createDataFrame(
+            [(i, "stopword unique%d" % i) for i in range(30)],
+            "id long, text string")
+        got = {r["term"]: r for r in
+               inverted_postings(df, "id", "text",
+                                 max_postings=5).collect()}
+        # df stays exact; posting list caps at 5 sorted ids
+        assert got["stopword"]["df"] == 30
+        assert got["stopword"]["postings"] == "0,1,2,3,4"
+        assert got["unique7"]["df"] == 1
+        assert got["unique7"]["postings"] == "7"

@@ -259,3 +259,32 @@ def test_unimax_no_cartesian_alloc_broadcast(spark):
     plan = _formatted(unimax_sample(df, "id", "lang", 50))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dup_span_removal_no_window_no_cartesian(spark):
+    """duplicate_span_removal's dup-gram detection must be a two-level
+    aggregation (map-side combinable — a boilerplate gram in 10^9 docs
+    partially aggregates), never a window over the gram-hash
+    partition, and nothing may go cartesian."""
+    from lexoid_spark.functions.curation import duplicate_span_removal
+
+    df = spark.createDataFrame(
+        [(i, "one two three four five six seven eight tail%d" % i)
+         for i in range(10)], "id long, text string")
+    plan = _formatted(duplicate_span_removal(df, "id", "text", n=8))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_scalar_broadcast(spark):
+    """tfidf_topk's corpus-size N is a one-row broadcast (nested-loop
+    broadcast join is fine for 1 row); no CartesianProduct; the rank
+    window partitions by doc id only."""
+    from lexoid_spark.functions.textstats import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)],
+        "id long, text string")
+    plan = _formatted(tfidf_topk(df, "id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
