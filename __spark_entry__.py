@@ -4334,6 +4334,67 @@ FROM pairs GROUP BY w ORDER BY term
 """
 
 
+def _warc_ingest(spark, sf):
+    """Common-Crawl-shaped ingestion round trip: per-source WARC
+    archives are framed natively (Content-Length in BYTES via
+    octet_length, HTTP response envelope included), then the WARC
+    kernel explodes each blob back into records with the envelope
+    stripped — one mapInPandas, map-only, quarantine-not-fail. The
+    oracle recomputes every record's url/index/byte-count straight
+    from the documents table."""
+    from lexoid_spark.sources.warc import read_warc_blobs
+
+    docs = _t(spark, sf, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/doc/"),
+                   F.col("doc_id").cast("string"))
+    html = F.concat(F.lit("<html><body>"), F.col("text"),
+                    F.lit("</body></html>"))
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        html,
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
+    )
+    blobs = (
+        docs.select("source", F.struct("doc_id", rec.alias("rec")).alias("s"))
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")),
+                            lambda s: s["rec"]),
+                "",
+            ).alias("blob_str")
+        )
+        .select(
+            F.regexp_extract("source", r"(\d+)", 1).cast("long").alias("id"),
+            F.encode("blob_str", "UTF-8").alias("data"),
+        )
+    )
+    out = read_warc_blobs(blobs, "id", "data", strip_http=True)
+    return out.select(
+        "url", "rec_idx", "warc_type", "warc_date", "n_bytes", "error"
+    ).orderBy("url")
+
+
+_WARC_INGEST_SQL = """
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+            - 1 AS INT) AS rec_idx,
+       'response' AS warc_type,
+       '2024-01-01T00:00:00Z' AS warc_date,
+       octet_length(encode('<html><body>' || text || '</body></html>'))
+         AS n_bytes,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents ORDER BY url
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4431,6 +4492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": _dup_span_removal,
         "tfidf_topk": _tfidf_topk,
         "inverted_postings": _inverted_postings,
+        "warc_ingest": _warc_ingest,
         "decontaminate": _decontaminate,
         "mixture_rebalance": _mixture_rebalance,
         "chunk_windows": _chunk_windows,
@@ -4546,6 +4608,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_removal": _DUP_SPAN_SQL,
         "tfidf_topk": _TFIDF_SQL,
         "inverted_postings": _INVERTED_SQL,
+        "warc_ingest": _WARC_INGEST_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "mixture_rebalance": _MIXTURE_REBALANCE_SQL,
         "chunk_windows": _CHUNK_WINDOWS_SQL,

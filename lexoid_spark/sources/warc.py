@@ -1,0 +1,70 @@
+"""WARC ingestion source: explode concatenated-WARC blobs into the
+(url, warc_ts, html) rows the extraction pipeline consumes.
+
+The Spark seam over :mod:`lexoid_spark.kernels.warc` — a row-expanding
+``mapInPandas`` (UDTF shape, same pattern as the video frame sampler):
+one input row per archive blob, one output row per contained record.
+
+Scale shape: map-only — no shuffle, no collect; an archive shard is
+parsed entirely inside its partition, and a bad blob quarantines as an
+error row instead of failing the stage. Downstream the rows join the
+normal extraction path (doctype sniff → kernel dispatch), so a crawl
+dump goes archive → markdown without leaving the DataFrame plan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lexoid_spark.kernels.warc import WarcError, http_body, warc_records
+
+WARC_ROWS_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("rec_idx", T.IntegerType()),
+    T.StructField("warc_type", T.StringType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_date", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def read_warc_blobs(df: DataFrame, id_col: str = "id",
+                    bin_col: str = "data",
+                    strip_http: bool = True) -> DataFrame:
+    """Explode each WARC blob row into its records. Response payloads
+    lose their HTTP envelope when ``strip_http`` (the html the
+    extraction kernels want); a malformed blob yields ONE quarantine
+    row (rec_idx NULL, error set) — isolation, not stage failure."""
+    src = df.select(F.col(id_col).cast("long").alias("id"),
+                    F.col(bin_col).alias("data"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i, blob in zip(b["id"], b["data"]):
+                try:
+                    recs = warc_records(blob)
+                except WarcError as e:
+                    rows.append((i, None, None, None, None, None,
+                                 len(blob or b""), str(e)[:200]))
+                    continue
+                for k, r in enumerate(recs):
+                    payload = r["payload"]
+                    if strip_http and r["warc_type"] == "response":
+                        payload = http_body(payload)
+                    rows.append((i, k, r["warc_type"], r["url"],
+                                 r["warc_date"], payload,
+                                 len(payload), None))
+            yield pd.DataFrame(
+                rows, columns=["id", "rec_idx", "warc_type", "url",
+                               "warc_date", "payload", "n_bytes",
+                               "error"])
+
+    return src.mapInPandas(kernel, WARC_ROWS_SCHEMA)

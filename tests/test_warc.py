@@ -1,0 +1,99 @@
+"""WARC kernel + source seam: framing round trips, envelope strip,
+quarantine-not-fail (the Common-Crawl-style ingestion path)."""
+
+import pytest
+
+from lexoid_spark.kernels.warc import (
+    WarcError,
+    build_record,
+    http_body,
+    warc_records,
+)
+
+
+class TestWarcKernel:
+    def test_round_trip_single(self):
+        blob = build_record("response", "https://a.example/x",
+                            "2024-01-01T00:00:00Z", b"<html>hi</html>")
+        recs = warc_records(blob)
+        assert len(recs) == 1
+        r = recs[0]
+        assert r["warc_type"] == "response"
+        assert r["url"] == "https://a.example/x"
+        assert r["warc_date"] == "2024-01-01T00:00:00Z"
+        assert r["payload"] == b"<html>hi</html>"
+
+    def test_concatenated_records(self):
+        blob = b"".join(
+            build_record("response", f"https://e/{i}", "2024-01-01",
+                         b"x" * i)
+            for i in range(1, 5)
+        )
+        recs = warc_records(blob)
+        assert [len(r["payload"]) for r in recs] == [1, 2, 3, 4]
+
+    def test_payload_may_contain_crlf_crlf(self):
+        # Content-Length framing, not delimiter scanning: a payload
+        # containing the header terminator must not split the record
+        payload = b"HTTP/1.1 200 OK\r\nX: y\r\n\r\n<body>\r\n\r\n</body>"
+        blob = build_record("response", "u", "d", payload)
+        recs = warc_records(blob)
+        assert len(recs) == 1
+        assert recs[0]["payload"] == payload
+        assert http_body(recs[0]["payload"]) == b"<body>\r\n\r\n</body>"
+
+    def test_header_names_case_insensitive(self):
+        raw = (b"WARC/1.0\r\nwarc-type: request\r\n"
+               b"WARC-TARGET-URI: u\r\ncontent-length: 2\r\n\r\nok")
+        recs = warc_records(raw)
+        assert recs[0]["warc_type"] == "request"
+        assert recs[0]["payload"] == b"ok"
+
+    def test_truncated_payload_raises(self):
+        blob = build_record("response", "u", "d", b"full payload")
+        with pytest.raises(WarcError):
+            warc_records(blob[:-10])
+
+    def test_bad_version_line_raises(self):
+        with pytest.raises(WarcError):
+            warc_records(b"NOPE/1.0\r\nContent-Length: 0\r\n\r\n")
+
+    def test_http_body_passthrough_for_raw(self):
+        assert http_body(b"<html>no envelope</html>") == \
+            b"<html>no envelope</html>"
+
+    def test_empty_blob(self):
+        assert warc_records(b"") == []
+        assert warc_records(None) == []
+
+
+class TestWarcSource:
+    def test_explode_and_quarantine(self, spark):
+        from lexoid_spark.sources.warc import read_warc_blobs
+
+        good = b"".join(
+            build_record(
+                "response", f"https://e/{i}", "2024-01-01",
+                b"HTTP/1.1 200 OK\r\n\r\n<html>%d</html>" % i)
+            for i in range(3)
+        )
+        bad = b"WARC/1.0\r\nContent-Length: 99\r\n\r\nshort"
+        df = spark.createDataFrame([(0, good), (1, bad)],
+                                   "id long, data binary")
+        rows = read_warc_blobs(df, "id", "data").collect()
+        ok = [r for r in rows if r["error"] is None]
+        err = [r for r in rows if r["error"] is not None]
+        assert len(ok) == 3 and len(err) == 1
+        # HTTP envelope stripped from response payloads
+        assert sorted(bytes(r["payload"]) for r in ok) == [
+            b"<html>0</html>", b"<html>1</html>", b"<html>2</html>"]
+        assert err[0]["id"] == 1 and err[0]["rec_idx"] is None
+
+    def test_no_strip_keeps_envelope(self, spark):
+        from lexoid_spark.sources.warc import read_warc_blobs
+
+        payload = b"HTTP/1.1 200 OK\r\n\r\nbody"
+        blob = build_record("response", "u", "d", payload)
+        df = spark.createDataFrame([(0, blob)], "id long, data binary")
+        r = read_warc_blobs(df, "id", "data", strip_http=False).collect()[0]
+        assert bytes(r["payload"]) == payload
