@@ -108,6 +108,8 @@ def main() -> None:
         "token_pack_bins",
         "decontaminate", "curation_pipeline", "chunk_windows",
         "link_pagerank", "mixture_rebalance",
+        "c4_filter", "dsir_importance", "dup_span_removal",
+        "semdedup_keep", "tfidf_topk", "warc_ingest",
     ]
     for name in bench_names:
         bench(name, lambda n=name: _noop_write(queries[n](spark, SF_DIR)))

@@ -26,6 +26,11 @@ def main() -> None:
     ap.add_argument("--max-buckets", type=int, default=None,
                     help="stop after N buckets (kill simulation / sharding)")
     ap.add_argument("--no-repartition", action="store_true")
+    ap.add_argument("--input-format", default="pages",
+                    choices=["pages", "warc"],
+                    help="pages: parquet of (url, warc_ts, html, text, "
+                         "lang); warc: parquet of (id, data) WARC "
+                         "archive blobs, exploded to pages rows first")
     ap.add_argument("--pdf-framework", default="pdfplumber",
                     choices=["pdfplumber", "pdfminer"],
                     help="PDF arm: full layout (default) or text-only fast")
@@ -66,6 +71,7 @@ def main() -> None:
         pdf_framework=args.pdf_framework,
         html_main_content=args.html_main_content,
         codec=args.codec,
+        input_format=args.input_format,
     )
     out = {
         "buckets_done": res.buckets_done,

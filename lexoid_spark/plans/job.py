@@ -44,6 +44,35 @@ class JobResult:
     n_docs: int
 
 
+def warc_pages(spark: SparkSession, input_path: str):
+    """Read a parquet table of WARC archive blobs ``(id, data)`` and
+    explode it into the pages schema the extraction plan consumes.
+    Response records become ``(url, warc_ts, html, text, lang)`` rows
+    (HTTP envelope stripped, WARC-Date cast to timestamp); malformed
+    blobs come back as quarantine rows ``(url='warc:<id>', error)`` —
+    isolation, not stage failure. Map-only on the archive shards."""
+    from lexoid_spark.sources.warc import read_warc_blobs
+
+    blobs = spark.read.parquet(input_path)
+    rows = read_warc_blobs(blobs, "id", "data")
+    pages = (
+        rows.filter(F.col("error").isNull()
+                    & (F.col("warc_type") == "response"))
+        .select(
+            "url",
+            F.col("warc_date").cast("timestamp").alias("warc_ts"),
+            F.col("payload").alias("html"),
+            F.lit("").alias("text"),
+            F.lit("").alias("lang"),
+        )
+    )
+    bad = rows.filter(F.col("error").isNotNull()).select(
+        F.concat(F.lit("warc:"), F.col("id").cast("string")).alias("url"),
+        "error",
+    )
+    return pages, bad
+
+
 def run_extract_job(
     spark: SparkSession,
     input_path: str,
@@ -56,6 +85,7 @@ def run_extract_job(
     pdf_framework: str = "pdfplumber",
     html_main_content: bool = False,
     codec: str | None = None,
+    input_format: str = "pages",
 ) -> JobResult:
     """Process pending buckets; ``max_buckets`` simulates a mid-run kill.
 
@@ -72,7 +102,13 @@ def run_extract_job(
     skipped = n_buckets - len(all_pending)
     todo = all_pending if max_buckets is None else all_pending[:max_buckets]
 
-    pages = with_bucket(spark.read.parquet(input_path), n_buckets)
+    if input_format == "warc":
+        raw_pages, warc_bad = warc_pages(spark, input_path)
+        pages = with_bucket(raw_pages, n_buckets)
+        warc_bad = with_bucket(warc_bad, n_buckets)
+    else:
+        pages = with_bucket(spark.read.parquet(input_path), n_buckets)
+        warc_bad = None
     done: list[int] = []
     total_docs = 0
 
@@ -95,6 +131,14 @@ def run_extract_job(
                       html_main_content=html_main_content)
         ext = with_bucket(out["extracted"], n_buckets).persist()
         err = with_bucket(out["errors"], n_buckets)
+        if warc_bad is not None:
+            err = err.unionByName(
+                warc_bad.filter(F.col("bucket").isin(group))
+                .select(
+                    "url", F.lit("warc_ingest").alias("stage"),
+                    "error", F.lit(run_id).alias("run_id"), "bucket",
+                )
+            )
 
         counts = {
             r["bucket"]: r["n"]

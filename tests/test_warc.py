@@ -97,3 +97,38 @@ class TestWarcSource:
         df = spark.createDataFrame([(0, blob)], "id long, data binary")
         r = read_warc_blobs(df, "id", "data", strip_http=False).collect()[0]
         assert bytes(r["payload"]) == payload
+
+
+class TestWarcExtractJob:
+    def test_warc_input_end_to_end(self, spark, tmp_path):
+        """WARC blobs parquet → run_extract_job(input_format='warc')
+        → extracted markdown + malformed-blob quarantine rows."""
+        from lexoid_spark.plans.job import read_extracted, run_extract_job
+
+        html = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                b"<html><body><h1>Title %d</h1><p>body text</p>"
+                b"</body></html>")
+        good = b"".join(
+            build_record("response", f"https://w.test/{i}",
+                         "2024-01-01T00:00:00Z", html % i)
+            for i in range(4)
+        )
+        bad = b"WARC/1.0\r\nContent-Length: 999\r\n\r\nshort"
+        blobs = spark.createDataFrame(
+            [(0, good), (1, bad)], "id long, data binary")
+        inp = str(tmp_path / "warc_blobs")
+        blobs.write.parquet(inp)
+
+        out_dir = str(tmp_path / "out")
+        res = run_extract_job(
+            spark, inp, out_dir, run_id="w1", n_buckets=2,
+            group_size=2, input_format="warc")
+        assert res.n_docs == 4
+        ext = read_extracted(spark, out_dir)
+        rows = {r["url"]: r for r in ext.collect()}
+        assert set(rows) == {f"https://w.test/{i}" for i in range(4)}
+        assert "Title 2\n=======" in rows["https://w.test/2"]["raw"]
+        assert "body text" in rows["https://w.test/2"]["raw"]
+        errs = spark.read.parquet(out_dir + "/errors/bucket=*").collect()
+        assert [e["url"] for e in errs] == ["warc:1"]
+        assert errs[0]["stage"] == "warc_ingest"
