@@ -1248,6 +1248,8 @@ def _gopher_filters(spark, sf):
         f.getField("bullet_ratio_ok").alias("bullet_ratio_ok"),
         f.getField("ellipsis_ratio_ok").alias("ellipsis_ratio_ok"),
         f.getField("passes").alias("passes"),
+        f.getField("stopword_ok").alias("stopword_ok"),
+        f.getField("passes_strict").alias("passes_strict"),
     ).orderBy("doc_id")
 
 
@@ -1261,7 +1263,7 @@ WITH m AS (
   FROM documents
 ),
 c AS (
-  SELECT doc_id, len(toks) AS n, lines, n_symbols,
+  SELECT doc_id, toks, len(toks) AS n, lines, n_symbols,
          CASE WHEN len(toks) > 0 THEN
            list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
          ELSE 0.0 END AS mean_len,
@@ -1289,7 +1291,19 @@ SELECT doc_id,
        AND (CASE WHEN n_lines > 0 THEN bullet_lines / n_lines <= 0.9
                  ELSE TRUE END)
        AND (CASE WHEN n_lines > 0 THEN ellipsis_lines / n_lines <= 0.3
-                 ELSE TRUE END) AS passes
+                 ELSE TRUE END) AS passes,
+       len(list_intersect(toks, ['the','be','to','of','and','that',
+                                 'have','with'])) >= 2 AS stopword_ok,
+       ((n >= 50 AND n <= 100000)
+        AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        AND (CASE WHEN n > 0 THEN n_symbols / n <= 0.1 ELSE FALSE END)
+        AND (CASE WHEN n_lines > 0 THEN bullet_lines / n_lines <= 0.9
+                  ELSE TRUE END)
+        AND (CASE WHEN n_lines > 0 THEN ellipsis_lines / n_lines <= 0.3
+                  ELSE TRUE END)
+        AND len(list_intersect(toks, ['the','be','to','of','and','that',
+                                      'have','with'])) >= 2)
+         AS passes_strict
 FROM c ORDER BY doc_id
 """
 

@@ -103,6 +103,14 @@ def gopher_quality_flags(col) -> Column:
       bullet_ratio_ok   ≤ 90% of lines start with a bullet
       ellipsis_ratio_ok ≤ 30% of lines end with '...'
       passes            all of the above
+      stopword_ok       ≥ 2 distinct required stopwords present
+                        (Gopher's "the be to of and that have with")
+      passes_strict     passes AND stopword_ok — the full Gopher gate
+
+    ``passes`` keeps the five structural rules so corpora in other
+    languages (or synthetic fixtures without English function words)
+    aren't zeroed out by default; pipelines wanting Gopher's complete
+    English filter gate on ``passes_strict``.
     """
     toks = tokens(col)
     n = F.size(toks)
@@ -134,16 +142,25 @@ def gopher_quality_flags(col) -> Column:
     ellipsis_ratio_ok = F.when(
         n_lines > 0, ellipsis_lines / n_lines <= 0.3
     ).otherwise(F.lit(True))
+    stopword_ok = F.size(F.array_intersect(
+        toks,
+        F.array(*[F.lit(w) for w in
+                  ("the", "be", "to", "of", "and", "that", "have",
+                   "with")]),
+    )) >= 2
+    passes = (
+        word_count_ok & mean_word_len_ok & symbol_ratio_ok
+        & bullet_ratio_ok & ellipsis_ratio_ok
+    )
     return F.struct(
         word_count_ok.alias("word_count_ok"),
         mean_word_len_ok.alias("mean_word_len_ok"),
         symbol_ratio_ok.alias("symbol_ratio_ok"),
         bullet_ratio_ok.alias("bullet_ratio_ok"),
         ellipsis_ratio_ok.alias("ellipsis_ratio_ok"),
-        (
-            word_count_ok & mean_word_len_ok & symbol_ratio_ok
-            & bullet_ratio_ok & ellipsis_ratio_ok
-        ).alias("passes"),
+        passes.alias("passes"),
+        stopword_ok.alias("stopword_ok"),
+        (passes & stopword_ok).alias("passes_strict"),
     )
 
 

@@ -260,3 +260,24 @@ def test_gopher_flags_rule_behavior(spark):
     assert not got[2]["wc"] and not got[2]["passes"]
     assert not got[3]["sym"] and not got[3]["passes"]
     assert not got[4]["bul"] and not got[4]["passes"]
+
+
+def test_gopher_stopword_rule(spark):
+    """The sixth Gopher rule: >= 2 distinct required English stopwords.
+    Reported as stopword_ok / passes_strict; the structural `passes`
+    gate is unchanged so non-English corpora aren't zeroed out."""
+    from lexoid_spark.functions.textstats import gopher_quality_flags
+
+    with_sw = " ".join(["the data flows to here"] * 15)     # the + to
+    without = " ".join(f"word{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, with_sw), (2, without)], "doc_id long, text string")
+    f = gopher_quality_flags(F.col("text"))
+    got = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        f.getField("passes").alias("p"),
+        f.getField("stopword_ok").alias("sw"),
+        f.getField("passes_strict").alias("ps"),
+    ).collect()}
+    assert got[1]["sw"] and got[1]["ps"] and got[1]["p"]
+    assert got[2]["p"] and not got[2]["sw"] and not got[2]["ps"]
