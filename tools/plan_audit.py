@@ -100,6 +100,32 @@ def main() -> None:
         "BroadcastHashJoin" in pd_, "broadcast build side",
     ))
 
+    from lexoid_spark.functions.curation import (
+        c4_line_filter,
+        dsir_weights,
+        duplicate_span_removal,
+    )
+
+    pc4 = _fmt(c4_line_filter(docs, "doc_id", "text"))
+    checks.append((
+        "c4_line_filter: ZERO shuffle", "Exchange" not in pc4,
+        "split+HOF filter ride the scan",
+    ))
+    pdsir = _fmt(dsir_weights(docs, "doc_id", "text",
+                              F.col("doc_id") % 2 == 0))
+    checks.append((
+        "dsir_weights: both bucket tables broadcast",
+        pdsir.count("BroadcastHashJoin") >= 2
+        and "CartesianProduct" not in pdsir,
+        "corpus side never shuffles for scoring",
+    ))
+    pspan = _fmt(duplicate_span_removal(docs, "doc_id", "text", n=4))
+    checks.append((
+        "duplicate_span_removal: aggregation not window",
+        "Window" not in pspan and "CartesianProduct" not in pspan,
+        "map-side-combinable dup-gram detection",
+    ))
+
     width = max(len(c[0]) for c in checks) + 2
     failures = 0
     for name, ok, why in checks:
