@@ -46,31 +46,11 @@ class JobResult:
 
 def warc_pages(spark: SparkSession, input_path: str):
     """Read a parquet table of WARC archive blobs ``(id, data)`` and
-    explode it into the pages schema the extraction plan consumes.
-    Response records become ``(url, warc_ts, html, text, lang)`` rows
-    (HTTP envelope stripped, WARC-Date cast to timestamp); malformed
-    blobs come back as quarantine rows ``(url='warc:<id>', error)`` —
-    isolation, not stage failure. Map-only on the archive shards."""
-    from lexoid_spark.sources.warc import read_warc_blobs
+    explode it into the pages schema the extraction plan consumes —
+    see :func:`lexoid_spark.sources.warc.warc_blobs_to_pages`."""
+    from lexoid_spark.sources.warc import warc_blobs_to_pages
 
-    blobs = spark.read.parquet(input_path)
-    rows = read_warc_blobs(blobs, "id", "data")
-    pages = (
-        rows.filter(F.col("error").isNull()
-                    & (F.col("warc_type") == "response"))
-        .select(
-            "url",
-            F.col("warc_date").cast("timestamp").alias("warc_ts"),
-            F.col("payload").alias("html"),
-            F.lit("").alias("text"),
-            F.lit("").alias("lang"),
-        )
-    )
-    bad = rows.filter(F.col("error").isNotNull()).select(
-        F.concat(F.lit("warc:"), F.col("id").cast("string")).alias("url"),
-        "error",
-    )
-    return pages, bad
+    return warc_blobs_to_pages(spark.read.parquet(input_path))
 
 
 def run_extract_job(

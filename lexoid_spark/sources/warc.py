@@ -68,3 +68,30 @@ def read_warc_blobs(df: DataFrame, id_col: str = "id",
                                "error"])
 
     return src.mapInPandas(kernel, WARC_ROWS_SCHEMA)
+
+
+WARC_BLOBS_SCHEMA_DDL = "id long, data binary"
+
+
+def warc_blobs_to_pages(blobs: DataFrame):
+    """WARC archive blobs ``(id, data)`` → (pages, bad): response
+    records in the pages schema the extraction plan consumes (HTTP
+    envelope stripped, WARC-Date cast to timestamp) plus quarantine
+    rows ``(url='warc:<id>', error)`` for malformed blobs. Map-only."""
+    rows = read_warc_blobs(blobs, "id", "data")
+    pages = (
+        rows.filter(F.col("error").isNull()
+                    & (F.col("warc_type") == "response"))
+        .select(
+            "url",
+            F.col("warc_date").cast("timestamp").alias("warc_ts"),
+            F.col("payload").alias("html"),
+            F.lit("").alias("text"),
+            F.lit("").alias("lang"),
+        )
+    )
+    bad = rows.filter(F.col("error").isNotNull()).select(
+        F.concat(F.lit("warc:"), F.col("id").cast("string")).alias("url"),
+        "error",
+    )
+    return pages, bad

@@ -40,10 +40,25 @@ def incremental_extract(
     errors_dir: str | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = 64,
-    schema: str = PAGES_SCHEMA_DDL,
+    schema: str | None = None,
+    input_format: str = "pages",
 ):
     """Start (and for available_now=True, run to completion) the
-    incremental extraction stream. Returns the StreamingQuery."""
+    incremental extraction stream. Returns the StreamingQuery.
+
+    ``input_format="warc"``: the landing directory holds parquet of
+    raw WARC archive blobs ``(id, data)``; each microbatch explodes
+    its blobs to pages rows first (map-only) and malformed blobs join
+    the errors sink with stage ``warc_ingest`` — continuous crawl
+    ingestion with the same quarantine contract as the batch job."""
+    from pyspark.sql import functions as F
+
+    if schema is None:
+        if input_format == "warc":
+            from lexoid_spark.sources.warc import WARC_BLOBS_SCHEMA_DDL
+            schema = WARC_BLOBS_SCHEMA_DDL
+        else:
+            schema = PAGES_SCHEMA_DDL
     errors_dir = errors_dir or output_dir.rstrip("/") + "_errors"
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -53,14 +68,27 @@ def incremental_extract(
     def sink_batch(batch_df, batch_id: int) -> None:
         # streaming plans cannot shuffle-repartition a file source
         # safely; microbatch size already bounds per-task bytes
-        out = extract(batch_df, run_id=f"stream-{batch_id}",
+        run_id = f"stream-{batch_id}"
+        warc_bad = None
+        if input_format == "warc":
+            from lexoid_spark.sources.warc import warc_blobs_to_pages
+            batch_df, warc_bad = warc_blobs_to_pages(batch_df)
+        out = extract(batch_df, run_id=run_id,
                       repartition=False, return_docs=True)
         docs = out["docs"].persist()
+        errors = out["errors"]
+        if warc_bad is not None:
+            errors = errors.unionByName(
+                warc_bad.select(
+                    "url", F.lit("warc_ingest").alias("stage"),
+                    "error", F.lit(run_id).alias("run_id"),
+                )
+            )
         try:
             out["extracted"].write.mode("overwrite").parquet(
                 os.path.join(output_dir, f"batch={batch_id}")
             )
-            out["errors"].write.mode("overwrite").parquet(
+            errors.write.mode("overwrite").parquet(
                 os.path.join(errors_dir, f"batch={batch_id}")
             )
         finally:

@@ -132,3 +132,37 @@ class TestWarcExtractJob:
         errs = spark.read.parquet(out_dir + "/errors/bucket=*").collect()
         assert [e["url"] for e in errs] == ["warc:1"]
         assert errs[0]["stage"] == "warc_ingest"
+
+
+class TestWarcStreaming:
+    def test_incremental_warc_ingest(self, spark, tmp_path):
+        """Continuous crawl ingestion: WARC blobs land incrementally,
+        each microbatch explodes + extracts, malformed blobs reach the
+        errors sink with stage warc_ingest."""
+        from lexoid_spark.streaming.incremental import incremental_extract
+
+        good = b"".join(
+            build_record(
+                "response", f"https://s.test/{i}", "2024-01-01T00:00:00Z",
+                b"HTTP/1.1 200 OK\r\n\r\n<html><body><p>p %d</p></body>"
+                b"</html>" % i)
+            for i in range(3)
+        )
+        bad = b"WARC/1.0\r\nContent-Length: 77\r\n\r\nnope"
+        inp = tmp_path / "landing"
+        inp.mkdir()
+        spark.createDataFrame([(0, good), (1, bad)],
+                              "id long, data binary").write.parquet(
+            str(inp / "f1"))
+        out = str(tmp_path / "out")
+        errs = str(tmp_path / "errs")
+        incremental_extract(
+            spark, str(inp) + "/*", out, str(tmp_path / "ckpt"),
+            errors_dir=errs, input_format="warc")
+        ext = spark.read.parquet(out + "/batch=*")
+        assert ext.count() == 3
+        assert {r["url"] for r in ext.select("url").collect()} == {
+            f"https://s.test/{i}" for i in range(3)}
+        er = spark.read.parquet(errs + "/batch=*").collect()
+        assert [(e["url"], e["stage"]) for e in er] == [
+            ("warc:1", "warc_ingest")]
