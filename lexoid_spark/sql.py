@@ -39,6 +39,11 @@ def register_views(spark: SparkSession, sf_dir: str,
       v_gopher           doc_id, <flag columns>, passes
       v_dedup_keepers    exact-dedup surviving rows + n_dups
       v_pii_clean        doc_id, text_clean
+      v_cms_tokens / v_hll_registers   mergeable sketch cells
+      v_tfidf_topk       doc_id, term, tf, df, score_micros, rank
+      v_inverted_postings  term, df, postings (capped, sorted)
+      v_dsir_weights     doc_id, sum_t, sum_r, importance
+      v_unimax_alloc     stratum, cap, alloc
     """
     from lexoid_spark.functions.curation import pii_redact
     from lexoid_spark.functions.dedup import exact_dedup
@@ -73,10 +78,24 @@ def register_views(spark: SparkSession, sf_dir: str,
     from lexoid_spark.functions.textstats import (
         count_min_sketch,
         hll_registers,
+        inverted_postings,
+        tfidf_topk,
     )
 
     views["v_cms_tokens"] = count_min_sketch(docs, "text")
     views["v_hll_registers"] = hll_registers(docs, "text")
+
+    from lexoid_spark.functions.curation import (
+        dsir_weights,
+        unimax_allocation,
+    )
+
+    views["v_tfidf_topk"] = tfidf_topk(docs, "doc_id", "text", k=5)
+    views["v_inverted_postings"] = inverted_postings(docs, "doc_id", "text")
+    views["v_dsir_weights"] = dsir_weights(
+        docs, "doc_id", "text", F.col("lang") == "en"
+    )
+    views["v_unimax_alloc"] = unimax_allocation(docs, "doc_id", "lang")
     for name, df in views.items():
         df.createOrReplaceTempView(name)
     return sorted(views)

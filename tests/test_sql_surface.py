@@ -42,3 +42,21 @@ def test_view_plan_prunes_scan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     # the filter reaches the parquet scan through the view
     assert "doc_id" in plan and "PushedFilters: [" in plan
+
+
+def test_round3_views_present_and_queryable(spark):
+    from lexoid_spark.sql import register_views
+
+    names = register_views(spark, SF)
+    for v in ("v_tfidf_topk", "v_inverted_postings", "v_dsir_weights",
+              "v_unimax_alloc"):
+        assert v in names
+    top = spark.sql("""
+        SELECT doc_id, term FROM v_tfidf_topk
+        WHERE rank = 1 ORDER BY doc_id LIMIT 5
+    """).collect()
+    assert len(top) == 5
+    alloc = spark.sql(
+        "SELECT sum(alloc) AS a, sum(cap) AS c FROM v_unimax_alloc"
+    ).collect()[0]
+    assert 0 < alloc["a"] <= alloc["c"]
