@@ -4409,6 +4409,62 @@ FROM documents ORDER BY url
 """
 
 
+def _robots_check(spark, sf):
+    """RFC 9309 crawl-permission check, fully relational: per-host
+    robots.txt (a specific lexoidbot group with a digit-prefix
+    Disallow + a longer Allow carve-out, plus a blanket wildcard
+    group the named bot must IGNORE) is parsed with the lag/running-sum
+    window grouping and enforced via the longest-match max(struct)
+    aggregation. The oracle predicts every decision closed-form from
+    the digit arithmetic — parser and enforcer both checked."""
+    from lexoid_spark.operators.robots import crawl_allowed
+
+    docs = _t(spark, sf, "documents")
+    k = F.regexp_extract("source", r"(\d+)", 1).cast("long") % 10
+    robots = docs.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("# synthetic robots\nUser-agent: lexoidbot\n"
+                  "Disallow: /doc/"),
+            k.cast("string"),
+            F.lit("\nAllow: /doc/"),
+            k.cast("string"), k.cast("string"),
+            F.lit("\n\nUser-agent: *\nDisallow: /\n"),
+        ).alias("robots_txt"),
+    )
+    urls = docs.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url")
+    )
+    return crawl_allowed(urls, robots,
+                         agent="lexoidbot").orderBy("url")
+
+
+_ROBOTS_CHECK_SQL = r"""
+WITH u AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+         source || '.example.com' AS host,
+         '/doc/' || doc_id AS path,
+         CAST(doc_id AS VARCHAR) AS ds,
+         CAST(CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 10
+              AS VARCHAR) AS k
+  FROM documents
+)
+SELECT url, host, path,
+       CASE WHEN starts_with(ds, k || k) THEN TRUE
+            WHEN starts_with(ds, k) THEN FALSE
+            ELSE TRUE END AS allowed,
+       CASE WHEN starts_with(ds, k || k) THEN '/doc/' || k || k
+            WHEN starts_with(ds, k) THEN '/doc/' || k
+            ELSE NULL END AS matched_rule,
+       CASE WHEN starts_with(ds, k || k) THEN 'allow'
+            WHEN starts_with(ds, k) THEN 'disallow'
+            ELSE NULL END AS matched_type
+FROM u ORDER BY url
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4507,6 +4563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _tfidf_topk,
         "inverted_postings": _inverted_postings,
         "warc_ingest": _warc_ingest,
+        "robots_check": _robots_check,
         "decontaminate": _decontaminate,
         "mixture_rebalance": _mixture_rebalance,
         "chunk_windows": _chunk_windows,
@@ -4623,6 +4680,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _TFIDF_SQL,
         "inverted_postings": _INVERTED_SQL,
         "warc_ingest": _WARC_INGEST_SQL,
+        "robots_check": _ROBOTS_CHECK_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "mixture_rebalance": _MIXTURE_REBALANCE_SQL,
         "chunk_windows": _CHUNK_WINDOWS_SQL,

@@ -1,0 +1,149 @@
+"""robots.txt (RFC 9309 Robots Exclusion Protocol) — parsed and
+enforced relationally, with ZERO Python in the plan.
+
+A crawl pipeline needs per-URL permission checks before fetching; the
+reference has no crawler-politeness layer (Lexoid's recursive URL
+walk, ``utils.py:425-461``, fetches unconditionally), so this is scale
+infrastructure the web tier adds, not behavior parity.
+
+The parse is deliberately *relational*: robots.txt is a line format
+whose grouping rule ("consecutive User-agent lines open a group; the
+group's rules run until the next User-agent line that follows a
+rule") is exactly a lag + running-sum window over (host, line_no) —
+no stateful kernel needed, and the whole thing mirrors into the
+DuckDB oracle line for line.
+
+Semantics implemented (the RFC core):
+  * groups = consecutive ``User-agent`` lines + following
+    ``Allow``/``Disallow`` rules;
+  * the crawler uses the groups naming it specifically if any exist,
+    else the ``*`` groups;
+  * decision per URL path = longest-prefix-matching rule wins;
+    ``Allow`` wins length ties; no matching rule → allowed;
+  * empty ``Disallow:`` is a no-op (allow-all), comments (#) and
+    unknown fields ignored. Wildcards/$ anchors are out of scope
+    (documented subset — literal path prefixes only).
+
+Scale shape: parsing windows partition by host over robots LINES
+(bounded by file length, never by corpus size); the URL check is one
+equi-join on host (robots tables are tiny per host — broadcastable
+when the host set is) followed by a per-URL max(struct) AGGREGATION
+over the handful of matching rules (map-side combinable — no per-URL
+window sort). Nothing is all-pairs, nothing collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """robots.txt text per host → one row per (host, group, agent-set,
+    rule): ``(host, gid, agents, rule_type, path)``. Groups with no
+    rules emit a single ``(rule_type=NULL)`` row so allow-all groups
+    still exist for agent selection."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "clean", F.trim(F.regexp_replace("line", "#.*", ""))
+    ).withColumn(
+        "key",
+        F.lower(F.regexp_extract("clean", r"^([A-Za-z-]+)\s*:", 1)),
+    ).withColumn(
+        "value", F.trim(F.regexp_extract("clean", r"^[A-Za-z-]+\s*:(.*)$", 1))
+    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = (
+        lines.withColumn("is_ua", F.col("key") == "user-agent")
+        .withColumn(
+            "prev_ua", F.coalesce(F.lag("is_ua").over(w), F.lit(False))
+        )
+        .withColumn("gstart", F.col("is_ua") & ~F.col("prev_ua"))
+        .withColumn(
+            "gid",
+            F.sum(F.col("gstart").cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("gid") > 0)  # rules before any UA line: ignored
+    )
+    agents = (
+        grouped.filter("is_ua")
+        .groupBy("host", "gid")
+        .agg(F.array_sort(F.collect_set(F.lower("value"))).alias("agents"))
+    )
+    rules = grouped.filter(
+        ~F.col("is_ua") & (F.length("value") > 0)
+    ).select("host", "gid", F.col("key").alias("rule_type"),
+             F.col("value").alias("path"))
+    return (
+        agents.join(rules, ["host", "gid"], "left")
+        .select("host", "gid", "agents", "rule_type", "path")
+    )
+
+
+def crawl_allowed(urls: DataFrame, robots: DataFrame,
+                  agent: str = "lexoidbot",
+                  url_col: str = "url") -> DataFrame:
+    """Per-URL RFC 9309 decision for ``agent``: returns
+    ``(url, host, path, allowed, matched_rule, matched_type)``.
+
+    Group selection: specific-agent groups if the host has any, else
+    ``*`` groups; decision: longest matching path prefix, Allow wins
+    ties, no match → allowed. A host with no robots row allows all.
+    """
+    agent = agent.lower()
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        F.lower(F.regexp_extract(url_col, r"^[a-zA-Z]+://([^/]+)", 1))
+        .alias("host"),
+        F.coalesce(
+            F.nullif(F.regexp_extract(url_col, r"^[a-zA-Z]+://[^/]+(/.*)$", 1),
+                     F.lit("")),
+            F.lit("/"),
+        ).alias("path"),
+    )
+    parsed = parse_robots(robots)
+    gsel = parsed.withColumn(
+        "specific", F.array_contains("agents", agent)
+    ).withColumn("wild", F.array_contains("agents", "*"))
+    host_has_specific = gsel.groupBy("host").agg(
+        F.max(F.col("specific").cast("int")).alias("has_spec")
+    )
+    applicable = (
+        gsel.join(host_has_specific, "host")
+        .filter(
+            (F.col("has_spec") == 1) & F.col("specific")
+            | (F.col("has_spec") == 0) & F.col("wild")
+        )
+        .filter(F.col("rule_type").isNotNull())
+        .select("host", "rule_type", "path")
+    )
+    cand = u.join(
+        F.broadcast(applicable).withColumnRenamed("path", "rule_path"),
+        "host",
+    ).filter(F.col("path").startswith(F.col("rule_path")))
+    # top-1 as an AGGREGATION, not a window: max(struct) compares
+    # (length, allow-beats-disallow, path) lexicographically, partially
+    # aggregates map-side, and never sorts a per-URL partition — the
+    # RFC's longest-match decision as a combinable reduce.
+    best = cand.groupBy("url").agg(
+        F.max(
+            F.struct(
+                F.length("rule_path").alias("l"),
+                (F.col("rule_type") == "allow").alias("a"),
+                F.col("rule_path").alias("p"),
+                F.col("rule_type").alias("t"),
+            )
+        ).alias("b")
+    )
+    return u.join(best, "url", "left").select(
+        "url", "host", "path",
+        F.coalesce(F.col("b.a"), F.lit(True)).alias("allowed"),
+        F.col("b.p").alias("matched_rule"),
+        F.col("b.t").alias("matched_type"),
+    )

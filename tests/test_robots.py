@@ -1,0 +1,127 @@
+"""robots.txt relational parser + RFC 9309 decision semantics."""
+
+from pyspark.sql import functions as F
+
+ROBOTS_A = """# comment line
+User-agent: lexoidbot
+Disallow: /private/
+Allow: /private/ok/
+
+User-agent: *
+Disallow: /
+"""
+
+ROBOTS_B = """User-agent: *
+User-agent: otherbot
+Disallow: /tmp/
+Disallow:
+Allow: /tmp/keep
+"""
+
+ROBOTS_EMPTY_GROUP = """User-agent: *
+"""
+
+
+def _robots(spark, rows):
+    return spark.createDataFrame(rows, "host string, robots_txt string")
+
+
+def _urls(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], ["url"])
+
+
+class TestParseRobots:
+    def test_groups_and_rules(self, spark):
+        from lexoid_spark.operators.robots import parse_robots
+
+        out = parse_robots(_robots(spark, [("a.test", ROBOTS_A)])).collect()
+        by_gid = {}
+        for r in out:
+            by_gid.setdefault(r["gid"], []).append(r)
+        assert set(by_gid) == {1, 2}
+        g1 = by_gid[1]
+        assert g1[0]["agents"] == ["lexoidbot"]
+        assert sorted((r["rule_type"], r["path"]) for r in g1) == [
+            ("allow", "/private/ok/"), ("disallow", "/private/")]
+        g2 = by_gid[2]
+        assert g2[0]["agents"] == ["*"]
+        assert [(r["rule_type"], r["path"]) for r in g2] == [
+            ("disallow", "/")]
+
+    def test_consecutive_ua_lines_one_group(self, spark):
+        from lexoid_spark.operators.robots import parse_robots
+
+        out = parse_robots(_robots(spark, [("b.test", ROBOTS_B)])).collect()
+        assert {r["gid"] for r in out} == {1}
+        assert out[0]["agents"] == ["*", "otherbot"]
+        # empty Disallow: dropped; two real rules remain
+        assert sorted((r["rule_type"], r["path"]) for r in out) == [
+            ("allow", "/tmp/keep"), ("disallow", "/tmp/")]
+
+    def test_ruleless_group_survives(self, spark):
+        from lexoid_spark.operators.robots import parse_robots
+
+        out = parse_robots(
+            _robots(spark, [("c.test", ROBOTS_EMPTY_GROUP)])).collect()
+        assert len(out) == 1
+        assert out[0]["agents"] == ["*"] and out[0]["rule_type"] is None
+
+
+class TestCrawlAllowed:
+    def test_longest_match_and_allow_tiebreak(self, spark):
+        from lexoid_spark.operators.robots import crawl_allowed
+
+        robots = _robots(spark, [("a.test", ROBOTS_A)])
+        urls = _urls(spark, [
+            "https://a.test/public/x",        # no match -> allowed
+            "https://a.test/private/secret",  # disallow /private/
+            "https://a.test/private/ok/y",    # allow (longer prefix)
+            "https://b.test/anything",        # no robots row -> allowed
+        ])
+        got = {r["url"]: r for r in
+               crawl_allowed(urls, robots, agent="lexoidbot").collect()}
+        assert got["https://a.test/public/x"]["allowed"]
+        assert got["https://a.test/public/x"]["matched_rule"] is None
+        assert not got["https://a.test/private/secret"]["allowed"]
+        assert got["https://a.test/private/secret"]["matched_rule"] == \
+            "/private/"
+        assert got["https://a.test/private/ok/y"]["allowed"]
+        assert got["https://a.test/private/ok/y"]["matched_type"] == "allow"
+        assert got["https://b.test/anything"]["allowed"]
+
+    def test_specific_agent_beats_wildcard(self, spark):
+        from lexoid_spark.operators.robots import crawl_allowed
+
+        robots = _robots(spark, [("a.test", ROBOTS_A)])
+        urls = _urls(spark, ["https://a.test/public/x"])
+        # lexoidbot: no matching rule in ITS group -> allowed (the
+        # wildcard group's Disallow: / does NOT apply to it)
+        assert crawl_allowed(urls, robots,
+                             agent="lexoidbot").collect()[0]["allowed"]
+        # an unnamed bot falls to the * group -> blocked by Disallow: /
+        assert not crawl_allowed(urls, robots,
+                                 agent="strangerbot").collect()[0]["allowed"]
+
+    def test_root_path_default(self, spark):
+        from lexoid_spark.operators.robots import crawl_allowed
+
+        robots = _robots(spark, [("b.test", ROBOTS_B)])
+        got = crawl_allowed(
+            _urls(spark, ["https://b.test"]), robots).collect()[0]
+        assert got["path"] == "/" and got["allowed"]
+
+    def test_decision_is_aggregation_not_window(self, spark):
+        from lexoid_spark.operators.robots import crawl_allowed
+
+        robots = _robots(spark, [("a.test", ROBOTS_A)])
+        plan = crawl_allowed(
+            _urls(spark, ["https://a.test/x"]), robots
+        )._sc._jvm.PythonSQLUtils.explainString(
+            crawl_allowed(_urls(spark, ["https://a.test/x"]),
+                          robots)._jdf.queryExecution(), "formatted")
+        # the per-URL top-1 must be HashAggregate (map-side combinable),
+        # never a Window sort over url partitions
+        url_windows = [ln for ln in plan.split("\n")
+                       if "Window" in ln and "url" in ln]
+        assert not url_windows
+        assert "CartesianProduct" not in plan
