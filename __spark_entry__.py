@@ -4465,6 +4465,77 @@ FROM u ORDER BY url
 """
 
 
+def _sitemap_frontier(spark, sf):
+    """Crawl-seed composition: per-host sitemap.xml (every doc url,
+    lastmod only for even ids) parsed natively, intersected with the
+    robots_check permission rules — the frontier a polite crawler may
+    actually fetch. The oracle predicts the surviving set closed-form
+    from the same digit arithmetic."""
+    from lexoid_spark.operators.robots import sitemap_frontier
+
+    docs = _t(spark, sf, "documents")
+    entry = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"),
+        F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+        F.lit("</loc>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("<lastmod>2024-01-"),
+                     F.lpad((F.col("doc_id") % 28 + 1).cast("string"),
+                            2, "0"),
+                     F.lit("</lastmod>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    sitemaps = (
+        docs.select("source", F.struct("doc_id", entry.alias("e")).alias("s"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list("s")),
+                                lambda s: s["e"]), ""),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            "sitemap_xml",
+        )
+    )
+    k = F.regexp_extract("source", r"(\d+)", 1).cast("long") % 10
+    robots = docs.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: lexoidbot\nDisallow: /doc/"),
+            k.cast("string"),
+            F.lit("\nAllow: /doc/"), k.cast("string"), k.cast("string"),
+            F.lit("\n\nUser-agent: *\nDisallow: /\n"),
+        ).alias("robots_txt"),
+    )
+    return sitemap_frontier(sitemaps, robots,
+                            agent="lexoidbot").orderBy("url")
+
+
+_SITEMAP_FRONTIER_SQL = r"""
+SELECT url, host, lastmod FROM (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+         source || '.example.com' AS host,
+         CASE WHEN doc_id % 2 = 0
+              THEN '2024-01-'
+                   || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         END AS lastmod,
+         CAST(doc_id AS VARCHAR) AS ds,
+         CAST(CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 10
+              AS VARCHAR) AS k
+  FROM documents
+)
+WHERE NOT (starts_with(ds, k) AND NOT starts_with(ds, k || k))
+ORDER BY url
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4564,6 +4635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": _inverted_postings,
         "warc_ingest": _warc_ingest,
         "robots_check": _robots_check,
+        "sitemap_frontier": _sitemap_frontier,
         "decontaminate": _decontaminate,
         "mixture_rebalance": _mixture_rebalance,
         "chunk_windows": _chunk_windows,
@@ -4681,6 +4753,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_postings": _INVERTED_SQL,
         "warc_ingest": _WARC_INGEST_SQL,
         "robots_check": _ROBOTS_CHECK_SQL,
+        "sitemap_frontier": _SITEMAP_FRONTIER_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "mixture_rebalance": _MIXTURE_REBALANCE_SQL,
         "chunk_windows": _CHUNK_WINDOWS_SQL,

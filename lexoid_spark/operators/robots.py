@@ -147,3 +147,51 @@ def crawl_allowed(urls: DataFrame, robots: DataFrame,
         F.col("b.p").alias("matched_rule"),
         F.col("b.t").alias("matched_type"),
     )
+
+
+def parse_sitemap(sitemaps: DataFrame, host_col: str = "host",
+                  xml_col: str = "sitemap_xml") -> DataFrame:
+    """sitemap.xml → one row per ``<url>`` entry: ``(host, url,
+    lastmod)`` (lastmod NULL when absent). The crawl-discovery
+    companion to :func:`crawl_allowed`.
+
+    Native parse, no XML library in the plan: the document splits on
+    ``</url>`` block closers (a higher-order transform over the split
+    array), and each block yields its ``<loc>`` / ``<lastmod>`` by
+    anchored regexp — the regexes are Java/RE2-portable so a SQL
+    oracle mirrors the parse exactly. Zero shuffle: split + transform
+    + filter + posexplode of per-row blocks only.
+
+    Subset by design: ``<sitemapindex>`` nesting is the caller's loop
+    (fetch the child sitemaps, re-apply); CDATA and entity escapes
+    beyond ``&amp;`` are out of scope.
+    """
+    blocks = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(xml_col), "</url>")).alias("block"),
+    )
+    loc = F.regexp_extract("block", r"<loc>\s*([^<]+?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(
+        "block", r"<lastmod>\s*([^<]+?)\s*</lastmod>", 1
+    )
+    return (
+        blocks.select(
+            "host",
+            F.regexp_replace(loc, "&amp;", "&").alias("url"),
+            F.nullif(lastmod, F.lit("")).alias("lastmod"),
+        )
+        .filter(F.length("url") > 0)
+    )
+
+
+def sitemap_frontier(sitemaps: DataFrame, robots: DataFrame,
+                     agent: str = "lexoidbot") -> DataFrame:
+    """Compose discovery with politeness: sitemap URLs that the
+    host's robots.txt permits for ``agent`` — the seed frontier a
+    crawler may actually fetch. Returns ``(url, host, lastmod)``."""
+    found = parse_sitemap(sitemaps)
+    decisions = crawl_allowed(found.select("url"), robots, agent=agent)
+    return (
+        found.join(decisions.filter("allowed").select("url"), "url")
+        .select("url", "host", "lastmod")
+    )

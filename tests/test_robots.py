@@ -125,3 +125,47 @@ class TestCrawlAllowed:
                        if "Window" in ln and "url" in ln]
         assert not url_windows
         assert "CartesianProduct" not in plan
+
+
+SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>https://a.test/page1</loc>
+    <lastmod>2024-03-01</lastmod>
+  </url>
+  <url><loc> https://a.test/page2?x=1&amp;y=2 </loc></url>
+  <url><lastmod>2024-01-01</lastmod></url>
+</urlset>
+"""
+
+
+class TestSitemap:
+    def test_parse_blocks(self, spark):
+        from lexoid_spark.operators.robots import parse_sitemap
+
+        df = spark.createDataFrame([("a.test", SITEMAP)],
+                                   "host string, sitemap_xml string")
+        rows = sorted(parse_sitemap(df).collect(), key=lambda r: r["url"])
+        assert len(rows) == 2  # loc-less block dropped
+        assert rows[0]["url"] == "https://a.test/page1"
+        assert rows[0]["lastmod"] == "2024-03-01"
+        # whitespace trimmed, &amp; unescaped, lastmod absent -> NULL
+        assert rows[1]["url"] == "https://a.test/page2?x=1&y=2"
+        assert rows[1]["lastmod"] is None
+
+    def test_frontier_respects_robots(self, spark):
+        from lexoid_spark.operators.robots import sitemap_frontier
+
+        xml = ("<urlset>"
+               "<url><loc>https://a.test/private/x</loc></url>"
+               "<url><loc>https://a.test/private/ok/y</loc></url>"
+               "<url><loc>https://a.test/public/z</loc></url>"
+               "</urlset>")
+        sitemaps = spark.createDataFrame(
+            [("a.test", xml)], "host string, sitemap_xml string")
+        robots = _robots(spark, [("a.test", ROBOTS_A)])
+        got = {r["url"] for r in
+               sitemap_frontier(sitemaps, robots,
+                                agent="lexoidbot").collect()}
+        assert got == {"https://a.test/private/ok/y",
+                       "https://a.test/public/z"}
