@@ -4536,6 +4536,146 @@ ORDER BY url
 """
 
 
+def _train_val_split(spark, sf):
+    """Deterministic hash-based train/val/test assignment (90/5/5 by
+    md5 bucket, salt ':split') — the standard leak-proof corpus split:
+    stable across runs and engines, zero shuffle (pure projection)."""
+    docs = _t(spark, sf, "documents")
+    b = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":split"))), 1, 15),
+        16, 10,
+    ).cast("long") % 100
+    return docs.select(
+        "doc_id", "lang",
+        F.when(b < 90, "train").when(b < 95, "val")
+        .otherwise("test").alias("split"),
+    ).orderBy("doc_id")
+
+
+_TRAIN_VAL_SPLIT_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN b < 90 THEN 'train'
+            WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                         1, 15))::BIGINT % 100 AS b
+  FROM documents
+) ORDER BY doc_id
+"""
+
+
+def _corpus_report(spark, sf):
+    """The per-language release report a corpus ships with: doc count,
+    exact token totals, half-up mean tokens/doc, and how many docs
+    clear the structural vs strict Gopher gates — one map-side
+    combinable aggregation over flags computed in the scan."""
+    from lexoid_spark.functions.textstats import (
+        gopher_quality_flags,
+        token_count,
+    )
+
+    docs = _t(spark, sf, "documents")
+    g = gopher_quality_flags(F.col("text"))
+    per = docs.select(
+        "lang",
+        token_count("text").alias("nt"),
+        g.getField("passes").cast("int").alias("p"),
+        g.getField("passes_strict").cast("int").alias("ps"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("sum_tokens"),
+            F.sum("p").alias("n_pass"),
+            F.sum("ps").alias("n_pass_strict"),
+        )
+        .withColumn(
+            "mean_tokens",
+            F.expr("(2 * sum_tokens * 1000000 + n_docs) div (2 * n_docs)")
+            / F.lit(1000000.0),
+        )
+        .orderBy("lang")
+    )
+
+
+_CORPUS_REPORT_SQL = rf"""
+WITH g AS ({_GOPHER_SQL.strip().rstrip()}),
+per AS (
+  SELECT d.lang,
+         CASE WHEN length(trim(d.text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(d.text), '\s+'))
+         END AS nt,
+         CASE WHEN g.passes THEN 1 ELSE 0 END AS p,
+         CASE WHEN g.passes_strict THEN 1 ELSE 0 END AS ps
+  FROM documents d JOIN g ON d.doc_id = g.doc_id
+)
+SELECT lang, count(*) AS n_docs, SUM(nt) AS sum_tokens,
+       SUM(p) AS n_pass, SUM(ps) AS n_pass_strict,
+       ((2 * SUM(nt) * 1000000 + count(*)) // (2 * count(*)))
+         / 1000000.0 AS mean_tokens
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
+def _phrase_merges(spark, sf):
+    """Word-level BPE training loop: 3 corpus-wide merge iterations
+    (count adjacent pairs map-side-combinably, collect ONE top-pair
+    row, broadcast it back, rewrite via mark/filter/transform HOFs).
+    Self pairs excluded so the relational mark equals the greedy
+    scan. The oracle replays the identical 3 stages in SQL."""
+    from lexoid_spark.functions.tokenizer import phrase_merges
+
+    docs = _t(spark, sf, "documents")
+    return phrase_merges(docs, "doc_id", "text",
+                         n_merges=3).orderBy("doc_id")
+
+
+def _phrase_sql() -> str:
+    head = r"""
+WITH t0 AS (
+  SELECT doc_id AS id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+)"""
+    stages = []
+    for s in (1, 2, 3):
+        p = s - 1
+        stages.append(f""",
+p{s} AS (
+  SELECT t[i] AS a, t[i+1] AS b, count(*) AS c
+  FROM t{p}, UNNEST(range(1, len(t))) AS u(i)
+  WHERE t[i] != t[i+1]
+  GROUP BY 1, 2
+),
+m{s} AS (SELECT a, b, a || '_' || b AS mm FROM p{s}
+         ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+t{s} AS (
+  SELECT id,
+    list_transform(
+      list_filter(range(1, len(t) + 1),
+        i -> i = 1 OR NOT (t[i-1] = m{s}.a AND t[i] = m{s}.b)),
+      i -> CASE WHEN i <= len(t) - 1 AND t[i] = m{s}.a
+                     AND t[i+1] = m{s}.b
+                THEN m{s}.mm ELSE t[i] END) AS t
+  FROM t{p} CROSS JOIN m{s}
+)""")
+    tail = """
+SELECT b.id AS doc_id, len(b.t) AS n_tokens_in,
+       len(f.t) AS n_tokens_out,
+       COALESCE(array_to_string(f.t, ' '), '') AS text_merged
+FROM t0 b JOIN t3 f ON b.id = f.id ORDER BY doc_id
+"""
+    return head + "".join(stages) + tail
+
+
+_PHRASE_MERGES_SQL = _phrase_sql()
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4636,6 +4776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": _warc_ingest,
         "robots_check": _robots_check,
         "sitemap_frontier": _sitemap_frontier,
+        "train_val_split": _train_val_split,
+        "corpus_report": _corpus_report,
+        "phrase_merges": _phrase_merges,
         "decontaminate": _decontaminate,
         "mixture_rebalance": _mixture_rebalance,
         "chunk_windows": _chunk_windows,
@@ -4754,6 +4897,9 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": _WARC_INGEST_SQL,
         "robots_check": _ROBOTS_CHECK_SQL,
         "sitemap_frontier": _SITEMAP_FRONTIER_SQL,
+        "train_val_split": _TRAIN_VAL_SPLIT_SQL,
+        "corpus_report": _CORPUS_REPORT_SQL,
+        "phrase_merges": _PHRASE_MERGES_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "mixture_rebalance": _MIXTURE_REBALANCE_SQL,
         "chunk_windows": _CHUNK_WINDOWS_SQL,

@@ -1,0 +1,65 @@
+"""phrase_merges: BPE-style corpus merge training (word level)."""
+
+
+class TestPhraseMerges:
+    def test_learns_and_applies_top_pairs(self, spark):
+        from lexoid_spark.functions.tokenizer import phrase_merges
+
+        rows = [
+            (0, "new york is a big city"),
+            (1, "i love new york and new jersey"),
+            (2, "york new is reversed new york here"),
+            (3, ""),
+            (4, "solo"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = phrase_merges(df, "id", "text", n_merges=2)
+        res = {r["id"]: r for r in out.collect()}
+        # most frequent adjacent pair corpus-wide is (new, york) x3
+        assert out.merges[0] == ("new", "york", 3)
+        assert res[0]["text_merged"].startswith("new_york is")
+        assert res[1]["text_merged"] == "i love new_york and new jersey"
+        # order matters: "york new" is NOT the learned pair
+        assert res[2]["text_merged"] == \
+            "york new is reversed new_york here"
+        # second merge is the deterministic (count, a, b) tie-break
+        assert out.merges[1][2] == 1
+        # degenerate docs survive
+        assert res[3]["text_merged"] == "" and res[3]["n_tokens_out"] == 0
+        assert res[4]["text_merged"] == "solo"
+
+    def test_greedy_nonoverlap(self, spark):
+        from lexoid_spark.functions.tokenizer import phrase_merges
+
+        # a b a b: marks at 1 and 3 don't overlap -> both merge
+        df = spark.createDataFrame(
+            [(0, "a b a b"), (1, "a b a b")], "id long, text string")
+        out = phrase_merges(df, "id", "text", n_merges=1)
+        r = out.collect()[0]
+        assert r["text_merged"] == "a_b a_b"
+        assert r["n_tokens_in"] == 4 and r["n_tokens_out"] == 2
+
+    def test_self_pairs_excluded(self, spark):
+        from lexoid_spark.functions.tokenizer import phrase_merges
+
+        # 'x x' dominates by count but is a self pair -> skipped;
+        # (a, b) with 2 occurrences wins instead
+        df = spark.createDataFrame(
+            [(0, "x x x x x a b"), (1, "a b")], "id long, text string")
+        out = phrase_merges(df, "id", "text", n_merges=1)
+        assert out.merges[0][:2] == ("a", "b")
+        got = {r["id"]: r["text_merged"] for r in out.collect()}
+        assert got[0] == "x x x x x a_b"
+
+    def test_plan_pair_row_broadcast(self, spark):
+        from lexoid_spark.functions.tokenizer import phrase_merges
+
+        df = spark.createDataFrame(
+            [(i, "p q r") for i in range(10)], "id long, text string")
+        out = phrase_merges(df, "id", "text", n_merges=1)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted")
+        # the learned pair joins back as a one-row broadcast, never a
+        # cartesian against the corpus
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan
