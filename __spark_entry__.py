@@ -4676,6 +4676,52 @@ FROM t0 b JOIN t3 f ON b.id = f.id ORDER BY doc_id
 _PHRASE_MERGES_SQL = _phrase_sql()
 
 
+def _ccnet_buckets(spark, sf):
+    """CCNet's head/middle/tail split: per-language terciles of the
+    charlm familiarity score (most-familiar third = head). NTILE(3)
+    over (familiarity desc, doc_id asc) is deterministic and mirrors
+    engine-for-engine; the window partitions by language over the
+    scored aggregate, not raw corpus rows."""
+    from pyspark.sql import Window
+
+    from lexoid_spark.functions.curation import charlm_familiarity
+
+    docs = _t(spark, sf, "documents")
+    scored = charlm_familiarity(docs, "doc_id", "text", "lang",
+                                top_k=512).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("familiarity"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("tercile", F.ntile(3).over(w))
+        .select(
+            "doc_id", "lang", "familiarity",
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail").alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CCNET_BUCKETS_SQL = rf"""
+WITH scored AS ({_CHARLM_SQL.strip().rstrip()}),
+t AS (
+  SELECT s.doc_id, d.lang, s.familiarity,
+         NTILE(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.familiarity DESC, s.doc_id ASC)
+           AS tercile
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, lang, familiarity,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM t ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4779,6 +4825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": _train_val_split,
         "corpus_report": _corpus_report,
         "phrase_merges": _phrase_merges,
+        "ccnet_buckets": _ccnet_buckets,
         "decontaminate": _decontaminate,
         "mixture_rebalance": _mixture_rebalance,
         "chunk_windows": _chunk_windows,
@@ -4900,6 +4947,7 @@ def oracle_sql() -> dict[str, str]:
         "train_val_split": _TRAIN_VAL_SPLIT_SQL,
         "corpus_report": _CORPUS_REPORT_SQL,
         "phrase_merges": _PHRASE_MERGES_SQL,
+        "ccnet_buckets": _CCNET_BUCKETS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "mixture_rebalance": _MIXTURE_REBALANCE_SQL,
         "chunk_windows": _CHUNK_WINDOWS_SQL,
