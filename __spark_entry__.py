@@ -4722,6 +4722,47 @@ FROM t ORDER BY doc_id
 """
 
 
+def _anchor_index(spark, sf):
+    """Anchor-text index over synthesized markdown links: 50 shared
+    targets, anchors varying by (lang, doc_id%5) — each target
+    aggregates exact ref/doc counts and a capped sorted-distinct
+    anchor list (map-side combinable; link farms stay bounded)."""
+    from lexoid_spark.functions.columns import anchor_text_index
+
+    docs = _t(spark, sf, "documents")
+    md = F.concat(
+        F.lit("intro [go "), F.col("lang"),
+        F.lit(" "), (F.col("doc_id") % 5).cast("string"),
+        F.lit("](http://t.test/p"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(") mid [again "), F.col("lang"),
+        F.lit("](http://t.test/p"),
+        ((F.col("doc_id") + 7) % 50).cast("string"),
+        F.lit(") end"),
+    )
+    return anchor_text_index(
+        docs.select("doc_id", md.alias("md")), "doc_id", "md",
+        max_anchors=10,
+    ).orderBy("url")
+
+
+_ANCHOR_INDEX_SQL = """
+WITH pairs AS (
+  SELECT doc_id,
+         'go ' || lang || ' ' || CAST(doc_id % 5 AS VARCHAR) AS anchor,
+         'http://t.test/p' || CAST(doc_id % 50 AS VARCHAR) AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'again ' || lang AS anchor,
+         'http://t.test/p' || CAST((doc_id + 7) % 50 AS VARCHAR) AS url
+  FROM documents
+)
+SELECT url, count(*) AS n_refs, count(DISTINCT doc_id) AS n_docs,
+       array_to_string(list_sort(list(DISTINCT anchor))[1:10], '|')
+         AS anchors
+FROM pairs GROUP BY url ORDER BY url
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4826,6 +4867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _corpus_report,
         "phrase_merges": _phrase_merges,
         "ccnet_buckets": _ccnet_buckets,
+        "anchor_index": _anchor_index,
         "decontaminate": _decontaminate,
         "mixture_rebalance": _mixture_rebalance,
         "chunk_windows": _chunk_windows,
@@ -4948,6 +4990,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _CORPUS_REPORT_SQL,
         "phrase_merges": _PHRASE_MERGES_SQL,
         "ccnet_buckets": _CCNET_BUCKETS_SQL,
+        "anchor_index": _ANCHOR_INDEX_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "mixture_rebalance": _MIXTURE_REBALANCE_SQL,
         "chunk_windows": _CHUNK_WINDOWS_SQL,

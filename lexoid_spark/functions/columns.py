@@ -71,3 +71,52 @@ def doc_title(url_col) -> Column:
 def salt(col, buckets: int) -> Column:
     """Deterministic salt for hot keys: pmod(xxhash64(k), buckets)."""
     return F.pmod(F.xxhash64(col), F.lit(buckets))
+
+
+MD_ANCHOR_LINK_REGEX = r"\[([^\]]+)\]\((https?://[^\s\)]+)\)"
+
+
+def anchor_text_index(df, id_col: str, md_col: str,
+                      max_anchors: int = 10):
+    """Corpus-wide anchor-text index: for every link TARGET, how many
+    documents reference it and with which visible anchor texts — the
+    classic web-search signal (anchor text describes the target better
+    than the target describes itself).
+
+    ``[anchor](url)`` pairs come from two parallel
+    ``regexp_extract_all`` group extractions zipped positionally
+    (inputs aliased first — computed-expression ``arrays_zip`` names
+    fields "0"/"1" otherwise); aggregation is groupBy(url) with exact
+    ref/doc counts (map-side combinable) and a capped, sorted,
+    distinct anchor list so a link farm can't blow up a row. Returns
+    ``(url, n_refs, n_docs, anchors)``.
+    """
+    pairs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.regexp_extract_all(
+                F.col(md_col), F.lit(MD_ANCHOR_LINK_REGEX), F.lit(1)
+            ).alias("txts"),
+            F.regexp_extract_all(
+                F.col(md_col), F.lit(MD_ANCHOR_LINK_REGEX), F.lit(2)
+            ).alias("urls"),
+        )
+        .select("id", F.explode(F.arrays_zip("txts", "urls")).alias("z"))
+        .select(
+            "id",
+            F.col("z.txts").alias("anchor"),
+            F.col("z.urls").alias("url"),
+        )
+    )
+    return (
+        pairs.groupBy("url")
+        .agg(
+            F.count("*").alias("n_refs"),
+            F.countDistinct("id").alias("n_docs"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_set("anchor")), 1,
+                        max_anchors),
+                "|",
+            ).alias("anchors"),
+        )
+    )

@@ -635,3 +635,25 @@ class TestTfidfInverted:
         assert got["stopword"]["postings"] == "0,1,2,3,4"
         assert got["unique7"]["df"] == 1
         assert got["unique7"]["postings"] == "7"
+
+
+class TestAnchorTextIndex:
+    def test_aggregates_and_caps(self, spark):
+        from lexoid_spark.functions.columns import anchor_text_index
+
+        rows = [
+            (0, "see [home page](http://x.test/) and [docs](http://x.test/d)"),
+            (1, "go [homepage](http://x.test/) now"),
+            (2, "again [home page](http://x.test/) twice "
+                "[home page](http://x.test/)"),
+            (3, "no links here"),
+        ]
+        df = spark.createDataFrame(rows, "id long, md string")
+        got = {r["url"]: r for r in
+               anchor_text_index(df, "id", "md", max_anchors=2).collect()}
+        root = got["http://x.test/"]
+        assert root["n_refs"] == 4 and root["n_docs"] == 3
+        # distinct anchors sorted, capped at 2
+        assert root["anchors"] == "home page|homepage"
+        assert got["http://x.test/d"]["n_refs"] == 1
+        assert "no links here" not in got
