@@ -110,6 +110,8 @@ def main() -> None:
         "link_pagerank", "mixture_rebalance",
         "c4_filter", "dsir_importance", "dup_span_removal",
         "semdedup_keep", "tfidf_topk", "warc_ingest",
+        "robots_check", "sitemap_frontier", "phrase_merges",
+        "corpus_report", "ccnet_buckets", "train_val_split",
     ]
     for name in bench_names:
         bench(name, lambda n=name: _noop_write(queries[n](spark, SF_DIR)))
