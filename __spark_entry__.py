@@ -4191,10 +4191,11 @@ ORDER BY doc_id
 
 def _semdedup_keep(spark, sf):
     """SemDeDup-shaped keep list: within each IVF cluster drop every
-    vector within cosine tau of ANY lower-id vector (greedy keep-first
-    over the bucket-local near-dup pairs), then LEFT ANTI join back.
-    Same tau/centroids as emb_near_dup, so the float-noise caveat
-    there covers this composition too."""
+    vector within cosine tau of ANY lower-id vector (dominated-by-
+    lower-id — stricter than sequential greedy on similarity chains,
+    see semdedup_keepers docstring), then LEFT ANTI join back. Same
+    tau/centroids as emb_near_dup, so the float-noise caveat there
+    covers this composition too."""
     from lexoid_spark.functions.similarity import semdedup_keepers
 
     emb = _t(spark, sf, "embeddings")
@@ -4655,14 +4656,18 @@ p{s} AS (
 m{s} AS (SELECT a, b, a || '_' || b AS mm FROM p{s}
          ORDER BY c DESC, a ASC, b ASC LIMIT 1),
 t{s} AS (
+  -- LEFT JOIN ON TRUE, not CROSS JOIN: a merge round that learns
+  -- nothing (m{s} empty) must be a NO-OP, mirroring the Spark
+  -- loop's early break — a cross join would empty every later stage
   SELECT id,
     list_transform(
       list_filter(range(1, len(t) + 1),
-        i -> i = 1 OR NOT (t[i-1] = m{s}.a AND t[i] = m{s}.b)),
-      i -> CASE WHEN i <= len(t) - 1 AND t[i] = m{s}.a
-                     AND t[i+1] = m{s}.b
+        i -> i = 1 OR m{s}.a IS NULL
+             OR NOT (t[i-1] = m{s}.a AND t[i] = m{s}.b)),
+      i -> CASE WHEN m{s}.a IS NOT NULL AND i <= len(t) - 1
+                     AND t[i] = m{s}.a AND t[i+1] = m{s}.b
                 THEN m{s}.mm ELSE t[i] END) AS t
-  FROM t{p} CROSS JOIN m{s}
+  FROM t{p} LEFT JOIN m{s} ON TRUE
 )""")
     tail = """
 SELECT b.id AS doc_id, len(b.t) AS n_tokens_in,

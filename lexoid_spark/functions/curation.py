@@ -573,12 +573,14 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
     integer formula — so the SQL oracle reproduces every score
     bit-for-bit.
 
-    Scale shape: the corpus explodes to words ONCE and feeds both
-    count aggregations (map-side combinable groupBy on <= n_buckets
-    keys — no skew, bucket domain is fixed) AND the scoring join; both
-    bucket tables are control-plane sized (<= n_buckets rows) and
-    BROADCAST, so scoring adds no shuffle beyond the final
-    groupBy(id).
+    Scale shape: raw and target bucket counts come out of ONE
+    combined aggregation (``count(*)`` + a conditional sum in the
+    same map-side-combinable groupBy over <= n_buckets keys — no
+    skew, bucket domain is fixed), so the corpus traverses the word
+    explode twice total (once to train, once to score) instead of
+    three times; the single bucket table is control-plane sized
+    (<= n_buckets rows) and BROADCAST, so scoring adds no shuffle
+    beyond the final groupBy(id).
 
     Returns ``(id, sum_t, sum_r, importance)``.
     """
@@ -587,18 +589,15 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
         target.alias("_is_target"),
         F.explode(tokens(F.col(text_col))).alias("w"),
     ).withColumn("h", _md5_hash64(F.col("w")) % n_buckets)
-    raw_counts = words.groupBy("h").agg(F.count("*").alias("nr"))
-    tgt_counts = (
-        words.filter(F.col("_is_target"))
-        .groupBy("h")
-        .agg(F.count("*").alias("nt"))
+    counts = words.groupBy("h").agg(
+        F.count("*").alias("nr"),
+        F.sum(F.col("_is_target").cast("long")).alias("nt"),
     )
     return (
-        words.join(F.broadcast(tgt_counts), "h", "left")
-        .join(F.broadcast(raw_counts), "h")
+        words.join(F.broadcast(counts), "h")
         .groupBy("id")
         .agg(
-            F.sum(F.coalesce("nt", F.lit(0))).alias("sum_t"),
+            F.sum("nt").alias("sum_t"),
             F.sum("nr").alias("sum_r"),
         )
         .withColumn(

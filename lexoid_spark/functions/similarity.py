@@ -334,8 +334,14 @@ def semdedup_keepers(embeddings: DataFrame, tau: float = 0.9,
     behavior analogue): cluster the embeddings (same deterministic IVF
     assignment as :func:`ivf_topk`), and within each cluster drop
     every vector that lies within cosine ``tau`` of ANY lower-id
-    vector — the greedy keep-first policy over the near-dup pair set.
-    Returns the keep list ``(id_col,)``.
+    vector — the dominated-by-lower-id policy. NOTE this is stricter
+    than sequential greedy keep-first on similarity CHAINS: for
+    a<b<c with cos(a,b)>=tau, cos(b,c)>=tau, cos(a,c)<tau, greedy
+    would keep {a,c} (c compares only against kept vectors) while
+    this policy keeps {a} (c is near the already-dropped b). The
+    trade is deliberate: dominance is a single relational pass with
+    no sequential dependency, and over-dropping chained near-dups is
+    the conservative direction for dedup. Returns ``(id_col,)``.
 
     Built as a composition: :func:`embedding_near_dup_pairs` generates
     the bucket-local pair set (O(sum b_i²), GEMM inner loop), the drop

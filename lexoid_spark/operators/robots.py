@@ -88,13 +88,23 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
 
 def crawl_allowed(urls: DataFrame, robots: DataFrame,
                   agent: str = "lexoidbot",
-                  url_col: str = "url") -> DataFrame:
+                  url_col: str = "url",
+                  broadcast_rules: bool | None = None) -> DataFrame:
     """Per-URL RFC 9309 decision for ``agent``: returns
     ``(url, host, path, allowed, matched_rule, matched_type)``.
 
     Group selection: specific-agent groups if the host has any, else
     ``*`` groups; decision: longest matching path prefix, Allow wins
     ties, no match → allowed. A host with no robots row allows all.
+
+    ``broadcast_rules``: the rules table is one row per (host, rule)
+    — corpus-UNBOUNDED in the host count, so a forced broadcast of a
+    web-scale host set would blow the broadcast limit. ``None``
+    (default) broadcasts only when the robots INPUT row count (an
+    upper bound on hosts, known before the wide parse) is under 100k
+    rows — one cheap control-plane count against the narrow source;
+    past that the join falls back to a plain shuffle on host (AQE may
+    still re-plan it). Pass True/False to force either way.
     """
     agent = agent.lower()
     u = urls.select(
@@ -123,10 +133,14 @@ def crawl_allowed(urls: DataFrame, robots: DataFrame,
         .filter(F.col("rule_type").isNotNull())
         .select("host", "rule_type", "path")
     )
-    cand = u.join(
-        F.broadcast(applicable).withColumnRenamed("path", "rule_path"),
-        "host",
-    ).filter(F.col("path").startswith(F.col("rule_path")))
+    if broadcast_rules is None:
+        broadcast_rules = robots.limit(100_001).count() <= 100_000
+    rules_side = applicable.withColumnRenamed("path", "rule_path")
+    if broadcast_rules:
+        rules_side = F.broadcast(rules_side)
+    cand = u.join(rules_side, "host").filter(
+        F.col("path").startswith(F.col("rule_path"))
+    )
     # top-1 as an AGGREGATION, not a window: max(struct) compares
     # (length, allow-beats-disallow, path) lexicographically, partially
     # aggregates map-side, and never sorts a per-URL partition — the

@@ -84,7 +84,10 @@ def warc_blobs_to_pages(blobs: DataFrame):
                     & (F.col("warc_type") == "response"))
         .select(
             "url",
-            F.col("warc_date").cast("timestamp").alias("warc_ts"),
+            # try_cast, NOT cast: under ANSI mode a missing or
+            # malformed WARC-Date would throw and kill the stage —
+            # the quarantine-not-fail contract demands NULL instead
+            F.try_to_timestamp(F.col("warc_date")).alias("warc_ts"),
             F.col("payload").alias("html"),
             F.lit("").alias("text"),
             F.lit("").alias("lang"),

@@ -70,9 +70,13 @@ def incremental_extract(
         # safely; microbatch size already bounds per-task bytes
         run_id = f"stream-{batch_id}"
         warc_bad = None
+        warc_pages_cache = None
         if input_format == "warc":
             from lexoid_spark.sources.warc import warc_blobs_to_pages
             batch_df, warc_bad = warc_blobs_to_pages(batch_df)
+            # cache the exploded rows so the blob parse runs once per
+            # microbatch, not once per sink branch
+            warc_pages_cache = batch_df = batch_df.persist()
         out = extract(batch_df, run_id=run_id,
                       repartition=False, return_docs=True)
         docs = out["docs"].persist()
@@ -93,6 +97,8 @@ def incremental_extract(
             )
         finally:
             docs.unpersist()
+            if warc_pages_cache is not None:
+                warc_pages_cache.unpersist()
 
     writer = (
         pages.writeStream.foreachBatch(sink_batch)

@@ -534,9 +534,10 @@ class TestUnimax:
 
 
 class TestSemDedupKeepers:
-    def test_greedy_keep_first(self, spark):
+    def test_dominated_by_lower_id(self, spark):
         from lexoid_spark.functions.similarity import semdedup_keepers
 
+        # dominance policy: drop anything within tau of a lower id;
         # two tight clusters of near-identical vectors + one outlier;
         # n_centroids=2 -> centroids are vec 0 and 1 (first ids).
         rows = [

@@ -231,10 +231,11 @@ def test_c4_filter_zero_shuffle(spark):
 
 
 def test_dsir_bucket_tables_broadcast(spark):
-    """Both DSIR bucket-count tables (<= n_buckets rows) must be
-    broadcast build sides; the exploded corpus never shuffles for the
-    scoring joins (only the final groupBy(id) exchanges), and nothing
-    goes cartesian."""
+    """DSIR's raw+target bucket counts come from ONE combined
+    aggregation whose <= n_buckets-row result is the broadcast build
+    side of the scoring join; the exploded corpus never shuffles for
+    it (only the final groupBy(id) exchanges), and nothing goes
+    cartesian."""
     from pyspark.sql import functions as F
 
     from lexoid_spark.functions.curation import dsir_weights
@@ -244,7 +245,8 @@ def test_dsir_bucket_tables_broadcast(spark):
          for i in range(30)], "id long, text string, lang string")
     plan = _formatted(
         dsir_weights(df, "id", "text", F.col("lang") == "en"))
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # corpus never shuffles to score
     assert "CartesianProduct" not in plan
 
 

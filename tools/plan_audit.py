@@ -114,10 +114,10 @@ def main() -> None:
     pdsir = _fmt(dsir_weights(docs, "doc_id", "text",
                               F.col("doc_id") % 2 == 0))
     checks.append((
-        "dsir_weights: both bucket tables broadcast",
-        pdsir.count("BroadcastHashJoin") >= 2
+        "dsir_weights: combined bucket table broadcast",
+        "BroadcastHashJoin" in pdsir and "SortMergeJoin" not in pdsir
         and "CartesianProduct" not in pdsir,
-        "corpus side never shuffles for scoring",
+        "one count pass, corpus never shuffles for scoring",
     ))
     pspan = _fmt(duplicate_span_removal(docs, "doc_id", "text", n=4))
     checks.append((
