@@ -4537,6 +4537,55 @@ ORDER BY url
 """
 
 
+def _crawl_schedule(spark, sf):
+    """Politeness scheduling: per-host Crawl-delay (specific-agent
+    group = digit+1 seconds, wildcard = 9 — the named bot must get
+    the specific value) ranked into a deterministic fetch plan with
+    exact integer offsets. The oracle recomputes delay and rank
+    closed-form."""
+    from lexoid_spark.operators.robots import crawl_schedule
+
+    docs = _t(spark, sf, "documents")
+    k = F.regexp_extract("source", r"(\d+)", 1).cast("long") % 10
+    robots = docs.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: lexoidbot\nCrawl-delay: "),
+            (k + 1).cast("string"),
+            F.lit("\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 9\n"),
+        ).alias("robots_txt"),
+    )
+    urls = docs.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url")
+    )
+    return crawl_schedule(urls, robots, agent="lexoidbot",
+                          default_delay_s=1).orderBy("url")
+
+
+_CRAWL_SCHEDULE_SQL = r"""
+WITH u AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+         source || '.example.com' AS host,
+         CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 10 + 1
+           AS delay_s
+  FROM documents
+),
+r AS (
+  SELECT url, host, delay_s,
+         ROW_NUMBER() OVER (
+           PARTITION BY host
+           ORDER BY ('0x' || substr(md5(url), 1, 15))::BIGINT ASC,
+                    url ASC) AS fetch_rank
+  FROM u
+)
+SELECT url, host, delay_s, fetch_rank,
+       (fetch_rank - 1) * delay_s AS offset_s
+FROM r ORDER BY url
+"""
+
+
 def _train_val_split(spark, sf):
     """Deterministic hash-based train/val/test assignment (90/5/5 by
     md5 bucket, salt ':split') — the standard leak-proof corpus split:
@@ -4868,6 +4917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": _warc_ingest,
         "robots_check": _robots_check,
         "sitemap_frontier": _sitemap_frontier,
+        "crawl_schedule": _crawl_schedule,
         "train_val_split": _train_val_split,
         "corpus_report": _corpus_report,
         "phrase_merges": _phrase_merges,
@@ -4991,6 +5041,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": _WARC_INGEST_SQL,
         "robots_check": _ROBOTS_CHECK_SQL,
         "sitemap_frontier": _SITEMAP_FRONTIER_SQL,
+        "crawl_schedule": _CRAWL_SCHEDULE_SQL,
         "train_val_split": _TRAIN_VAL_SPLIT_SQL,
         "corpus_report": _CORPUS_REPORT_SQL,
         "phrase_merges": _PHRASE_MERGES_SQL,

@@ -209,3 +209,98 @@ def sitemap_frontier(sitemaps: DataFrame, robots: DataFrame,
         found.join(decisions.filter("allowed").select("url"), "url")
         .select("url", "host", "lastmod")
     )
+
+
+def crawl_schedule(urls: DataFrame, robots: DataFrame,
+                   agent: str = "lexoidbot",
+                   default_delay_s: int = 1,
+                   url_col: str = "url") -> DataFrame:
+    """Politeness scheduling: robots.txt ``Crawl-delay`` per host
+    (the de-facto extension many crawlers honor; integer seconds,
+    specific-agent group wins over ``*``, missing → ``default_delay_s``)
+    turned into a deterministic fetch plan — URLs rank within their
+    host by ``(md5(url), url)`` and fetch at ``(rank-1) * delay``
+    seconds. Exact integer arithmetic; returns
+    ``(url, host, delay_s, fetch_rank, offset_s)``.
+
+    Scale note: the rank is one window per host — the biggest host is
+    the biggest partition (same caveat as ``unimax_sample``'s exact
+    variant); a production frontier shards giant hosts into per-day
+    buckets first. The delay table is K-hosts-row and broadcasts.
+    """
+    agent = agent.lower()
+    lines = robots.select(
+        F.col("host").alias("host"),
+        F.posexplode(F.split(F.col("robots_txt"), "\n")).alias(
+            "pos", "line"),
+    ).withColumn(
+        "clean", F.trim(F.regexp_replace("line", "#.*", ""))
+    ).withColumn(
+        "key", F.lower(F.regexp_extract("clean", r"^([A-Za-z-]+)\s*:", 1))
+    ).withColumn(
+        "value",
+        F.trim(F.regexp_extract("clean", r"^[A-Za-z-]+\s*:(.*)$", 1)),
+    ).filter(F.col("key").isin("user-agent", "crawl-delay"))
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = (
+        lines.withColumn("is_ua", F.col("key") == "user-agent")
+        .withColumn("prev_ua",
+                    F.coalesce(F.lag("is_ua").over(w), F.lit(False)))
+        .withColumn("gstart", F.col("is_ua") & ~F.col("prev_ua"))
+        .withColumn(
+            "gid",
+            F.sum(F.col("gstart").cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("gid") > 0)
+    )
+    agents = grouped.filter("is_ua").groupBy("host", "gid").agg(
+        F.collect_set(F.lower("value")).alias("agents"))
+    delays = (
+        grouped.filter(
+            (F.col("key") == "crawl-delay")
+            & F.col("value").rlike(r"^\d+$")
+        )
+        .groupBy("host", "gid")
+        .agg(F.min(F.col("value").cast("long")).alias("delay_s"))
+    )
+    cand = (
+        agents.join(delays, ["host", "gid"])
+        .select(
+            "host",
+            F.array_contains("agents", agent).alias("specific"),
+            "delay_s",
+        )
+    )
+    # specific group's delay wins over wildcard: max(struct) keeper
+    per_host = cand.groupBy("host").agg(
+        F.max(F.struct(
+            F.col("specific").alias("s"), F.col("delay_s").alias("d")
+        )).alias("b")
+    ).select("host", F.col("b.d").alias("delay_s"))
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        F.lower(F.regexp_extract(url_col, r"^[a-zA-Z]+://([^/]+)", 1))
+        .alias("host"),
+    )
+    from lexoid_spark.functions.dedup import _md5_hash64
+
+    ranked = u.withColumn(
+        "fetch_rank",
+        F.row_number().over(
+            Window.partitionBy("host").orderBy(
+                F.asc(_md5_hash64(F.col("url"))), F.asc("url"))
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(per_host), "host", "left")
+        .withColumn(
+            "delay_s",
+            F.coalesce("delay_s", F.lit(int(default_delay_s))),
+        )
+        .select(
+            "url", "host", "delay_s", "fetch_rank",
+            ((F.col("fetch_rank") - 1) * F.col("delay_s"))
+            .alias("offset_s"),
+        )
+    )

@@ -169,3 +169,43 @@ class TestSitemap:
                                 agent="lexoidbot").collect()}
         assert got == {"https://a.test/private/ok/y",
                        "https://a.test/public/z"}
+
+
+ROBOTS_DELAY = """User-agent: lexoidbot
+Crawl-delay: 2
+Disallow: /x
+
+User-agent: *
+Crawl-delay: 9
+"""
+
+
+class TestCrawlSchedule:
+    def test_specific_delay_wins_and_offsets(self, spark):
+        from lexoid_spark.operators.robots import crawl_schedule
+
+        robots = _robots(spark, [("a.test", ROBOTS_DELAY)])
+        urls = _urls(spark, [f"https://a.test/p{i}" for i in range(4)]
+                     + ["https://nodelaly.test/q"])
+        rows = crawl_schedule(urls, robots, agent="lexoidbot",
+                              default_delay_s=1).collect()
+        a = sorted((r for r in rows if r["host"] == "a.test"),
+                   key=lambda r: r["fetch_rank"])
+        # specific group's 2s wins over wildcard 9s
+        assert all(r["delay_s"] == 2 for r in a)
+        assert [r["offset_s"] for r in a] == [0, 2, 4, 6]
+        # ranks deterministic: re-run produces identical order
+        again = crawl_schedule(urls, robots, agent="lexoidbot",
+                               default_delay_s=1).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+        # host without robots -> default delay
+        other = [r for r in rows if r["host"] == "nodelaly.test"][0]
+        assert other["delay_s"] == 1 and other["offset_s"] == 0
+
+    def test_wildcard_fallback(self, spark):
+        from lexoid_spark.operators.robots import crawl_schedule
+
+        robots = _robots(spark, [("a.test", ROBOTS_DELAY)])
+        r = crawl_schedule(_urls(spark, ["https://a.test/z"]),
+                           robots, agent="otherbot").collect()[0]
+        assert r["delay_s"] == 9
