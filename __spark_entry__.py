@@ -4586,6 +4586,116 @@ FROM r ORDER BY url
 """
 
 
+def _corpus_diff(spark, sf):
+    """Release-to-release corpus diff: v2 is derived deterministically
+    (doc_id%97==0 removed, %13==0 edited, ids+100000 added), then a
+    full outer join on id + md5 compare classifies every row as
+    added / removed / changed / unchanged — the audit table a corpus
+    release ships next to its data."""
+    docs = _t(spark, sf, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("h1"))
+    v2_base = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(F.col("doc_id") % 13 == 0,
+                       F.concat(F.col("text"), F.lit(" [edited]")))
+                .otherwise(F.col("text"))
+            ).alias("h2"),
+        )
+    )
+    v2_new = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.md5(F.concat(F.lit("new "), F.col("text"))).alias("h2"),
+    ).filter(F.col("doc_id") % 3 == 0)
+    v2 = v2_base.unionByName(v2_new)
+    return (
+        v1.join(v2, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("h1").isNull(), "added")
+            .when(F.col("h2").isNull(), "removed")
+            .when(F.col("h1") != F.col("h2"), "changed")
+            .otherwise("unchanged").alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CORPUS_DIFF_SQL = """
+WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [edited]'
+                  ELSE text END) AS h2
+  FROM documents WHERE doc_id % 97 != 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, md5('new ' || text) AS h2
+  FROM documents WHERE (doc_id + 100000) % 3 = 0
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.h1 IS NULL THEN 'added'
+            WHEN v2.h2 IS NULL THEN 'removed'
+            WHEN v1.h1 != v2.h2 THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+ORDER BY doc_id
+"""
+
+
+def _langid_confusion(spark, sf):
+    """Language-ID evaluation: predicted vs labeled language counts —
+    the confusion matrix that tells you whether the n-gram heuristic
+    is safe to gate on. One map-side-combinable aggregation."""
+    from lexoid_spark.functions.textstats import langid
+
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.select("lang", langid(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+_LANGID_CONFUSION_SQL = r"""
+WITH c AS (
+  SELECT lang,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    t -> t = 'the')) AS c_en,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    t -> t = 'der')) AS c_de,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    t -> t = 'le'))  AS c_fr,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    t -> t = 'el'))  AS c_es,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                    t -> t = 'ka'))  AS c_hi
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+    CASE
+      WHEN c_en = GREATEST(c_en, c_de, c_fr, c_es, c_hi) AND c_en > 0
+        THEN 'en'
+      WHEN c_de = GREATEST(c_en, c_de, c_fr, c_es, c_hi) AND c_de > 0
+        THEN 'de'
+      WHEN c_fr = GREATEST(c_en, c_de, c_fr, c_es, c_hi) AND c_fr > 0
+        THEN 'fr'
+      WHEN c_es = GREATEST(c_en, c_de, c_fr, c_es, c_hi) AND c_es > 0
+        THEN 'es'
+      WHEN c_hi = GREATEST(c_en, c_de, c_fr, c_es, c_hi) AND c_hi > 0
+        THEN 'hi'
+      ELSE 'und'
+    END AS lang_pred
+  FROM c
+)
+SELECT lang, lang_pred, count(*) AS n
+FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+
 def _train_val_split(spark, sf):
     """Deterministic hash-based train/val/test assignment (90/5/5 by
     md5 bucket, salt ':split') — the standard leak-proof corpus split:
@@ -4918,6 +5028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_check": _robots_check,
         "sitemap_frontier": _sitemap_frontier,
         "crawl_schedule": _crawl_schedule,
+        "corpus_diff": _corpus_diff,
+        "langid_confusion": _langid_confusion,
         "train_val_split": _train_val_split,
         "corpus_report": _corpus_report,
         "phrase_merges": _phrase_merges,
@@ -5042,6 +5154,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_check": _ROBOTS_CHECK_SQL,
         "sitemap_frontier": _SITEMAP_FRONTIER_SQL,
         "crawl_schedule": _CRAWL_SCHEDULE_SQL,
+        "corpus_diff": _CORPUS_DIFF_SQL,
+        "langid_confusion": _LANGID_CONFUSION_SQL,
         "train_val_split": _TRAIN_VAL_SPLIT_SQL,
         "corpus_report": _CORPUS_REPORT_SQL,
         "phrase_merges": _PHRASE_MERGES_SQL,
