@@ -2538,6 +2538,61 @@ SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
 """
 
 
+def _pdf_rc4_extract(spark, sf):
+    """RC4-encrypted (standard security handler V1/R2, empty
+    password — the silent-open default) Flate PDFs built closed-form
+    from doc_id and pushed through the FULL extract() plan: per-object
+    key derivation + RC4 + zlib + layout, with DuckDB predicting the
+    final markdown. Reference opens these via pdfplumber's standard
+    handler; kernel scope in kernels/pdf_crypt.py."""
+    from lexoid_spark.corpus.pdf_gen import build_pdf
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def rc4_pdf(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            k = d % 3 + 2
+            words = [
+                {"text": f"e{j}y{d % 5}", "x": 72.0 + 48.0 * j,
+                 "y": 700.0, "size": 12.0, "font": "F1"}
+                for j in range(k)
+            ]
+            out.append(build_pdf([{"words": words}], compress=True,
+                                 encrypt=True))
+        return pd.Series(out)
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://rc4.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        rc4_pdf("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(pages, run_id="rc4_check")["extracted"]
+    return out.select("url", "raw", "n_chars").orderBy("url")
+
+
+_PDF_RC4_SQL = """
+WITH base AS (
+  SELECT doc_id, doc_id % 3 + 2 AS k, CAST(doc_id % 5 AS VARCHAR) AS m
+  FROM documents
+),
+r AS (
+  SELECT 'http://rc4.test/' || CAST(doc_id AS VARCHAR) AS url,
+         'e0y' || m || ' e1y' || m
+         || CASE WHEN k >= 3 THEN ' e2y' || m ELSE '' END
+         || CASE WHEN k >= 4 THEN ' e3y' || m ELSE '' END
+         || chr(10) || chr(10) AS raw
+  FROM base
+)
+SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
+"""
+
+
 _CID_ALPHABET = "数据表查询流分组合并批处理文档页面索引"
 
 
@@ -5003,6 +5058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_word_boxes": _pdf_word_boxes,
         "pipeline_extract": _pipeline_extract,
         "pdf_flate_extract": _pdf_flate_extract,
+        "pdf_rc4_extract": _pdf_rc4_extract,
         "pdf_cid_extract": _pdf_cid_extract,
         "ocr_scanned": _ocr_scanned,
         "pdf_speed_arm": _pdf_speed_arm,
@@ -5129,6 +5185,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_word_boxes": _PDF_WORD_BOXES_SQL,
         "pipeline_extract": _PIPELINE_EXTRACT_SQL,
         "pdf_flate_extract": _PDF_FLATE_SQL,
+        "pdf_rc4_extract": _PDF_RC4_SQL,
         "pdf_cid_extract": _PDF_CID_SQL,
         "ocr_scanned": _OCR_SCANNED_SQL,
         "pdf_speed_arm": _PDF_SPEED_SQL,

@@ -147,7 +147,8 @@ def _compact_text_stream(page: Dict) -> bytes:
 
 def build_pdf(pages: Sequence[Dict], compress: bool = False,
               objstm: bool = False, xrefstream: bool = False,
-              indirect_length: bool = False) -> bytes:
+              indirect_length: bool = False,
+              encrypt: bool = False) -> bytes:
     """Assemble a full PDF from page specs. Deterministic bytes.
 
     ``compress=True`` FlateDecode-compresses every content stream
@@ -330,6 +331,50 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
     assert pages_num == pages_obj_num_placeholder
     catalog_num = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
 
+    encrypt_num = None
+    file_id_hex = b""
+    if encrypt:
+        # standard security handler V1/R2 (40-bit RC4), empty user AND
+        # owner password — the spec default every viewer opens silently.
+        # Streams-only: this writer keeps no strings outside streams
+        # (URIs excluded from the encrypted fixture class), so RC4 of
+        # each stream body under its per-object key covers everything;
+        # lengths are unchanged so /Length entries stay valid.
+        import hashlib
+        import re as _re
+
+        from lexoid_spark.kernels.pdf_crypt import (
+            make_entries,
+            object_key,
+            rc4,
+        )
+
+        if objstm or xrefstream:
+            raise ValueError(
+                "encrypt uses the classic layout (fixture scope)")
+        file_id = hashlib.md5(b"lexoid-id:" + b"|".join(objs)).digest()
+        file_id_hex = file_id.hex().upper().encode()
+        o_e, u_e, key = make_entries(-44, file_id)
+        for i in range(len(objs)):
+            obj = objs[i]
+            s_idx = obj.find(b"stream")
+            if s_idx == -1:
+                continue
+            body = s_idx + len(b"stream")
+            if obj[body:body + 2] == b"\r\n":
+                body += 2
+            elif obj[body:body + 1] == b"\n":
+                body += 1
+            lm = _re.search(rb"/Length\s+(\d+)", obj[:s_idx])
+            ln = int(lm.group(1))
+            enc_body = rc4(object_key(key, i + 1), obj[body:body + ln])
+            objs[i] = obj[:body] + enc_body + obj[body + ln:]
+        encrypt_num = add(
+            b"<< /Filter /Standard /V 1 /R 2 /Length 40 /O <%s> "
+            b"/U <%s> /P -44 >>"
+            % (o_e.hex().upper().encode(), u_e.hex().upper().encode())
+        )
+
     packed_nums: set = set()
     if objstm:
         import zlib
@@ -408,9 +453,13 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
     out += b"0000000000 65535 f \n"
     for i in range(1, len(objs) + 1):
         out += b"%010d 00000 n \n" % offsets[i]
+    enc_entry = b""
+    if encrypt_num is not None:
+        enc_entry = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+            encrypt_num, file_id_hex, file_id_hex)
     out += (
-        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, catalog_num, xref_pos)
+        b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, catalog_num, enc_entry, xref_pos)
     )
     return bytes(out)
 

@@ -859,6 +859,74 @@ def _page_fonts(pobj: bytes, objs: Dict[int, bytes]) -> Dict[str, Dict]:
     return fonts
 
 
+def _encryption_params(data: bytes, objs: Dict[int, bytes]):
+    """Detect the standard security handler; return (file_key,
+    encrypt_obj_num) or None. Only V1/R2 empty-password RC4 (the
+    silent-open default) is in scope — anything else raises so the
+    document QUARANTINES instead of parsing to garbage bytes."""
+    m = None
+    for m in re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data):
+        pass  # last match = the live trailer in incremental updates
+    if m is None:
+        return None
+    enc_num = int(m.group(1))
+    enc = objs.get(enc_num)
+    if enc is None:
+        raise ValueError("encrypted PDF: /Encrypt object missing")
+    if b"/Standard" not in enc:
+        raise ValueError("unsupported PDF security handler")
+    vm = re.search(rb"/V\s+(\d+)", enc)
+    rm = re.search(rb"/R\s+(\d+)", enc)
+    if (int(vm.group(1)) if vm else 0) != 1 or \
+            (int(rm.group(1)) if rm else 2) != 2:
+        raise ValueError("unsupported PDF encryption revision (AES or "
+                         "long-key documents are out of kernel scope)")
+    om = re.search(rb"/O\s*<([0-9A-Fa-f\s]+)>", enc)
+    pm = re.search(rb"/P\s+(-?\d+)", enc)
+    idm = None
+    for idm in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", data):
+        pass
+    if not (om and pm and idm):
+        raise ValueError("encrypted PDF: malformed /Encrypt entries")
+    from lexoid_spark.kernels.pdf_crypt import PAD, derive_key, rc4
+
+    o_entry = bytes.fromhex(om.group(1).decode().replace(" ", ""))
+    file_id = bytes.fromhex(idm.group(1).decode())
+    key = derive_key(o_entry, int(pm.group(1)), file_id)
+    # Algorithm 6 check: with the empty user password, RC4(key, PAD)
+    # must equal /U — otherwise a REAL password protects the document
+    um = re.search(rb"/U\s*<([0-9A-Fa-f\s]+)>", enc)
+    if um is not None:
+        u_entry = bytes.fromhex(um.group(1).decode().replace(" ", ""))
+        if rc4(key, PAD) != u_entry:
+            raise ValueError("password-protected PDF (empty user "
+                             "password rejected)")
+    return key, enc_num
+
+
+def _decrypt_streams(obj: bytes, file_key: bytes, num: int) -> bytes:
+    """RC4-decrypt an object's stream body in place (bounded by the
+    direct /Length, which RC4 preserves). Objects without streams pass
+    through — the fixture scope keeps no encrypted strings outside
+    streams."""
+    s_idx = obj.find(b"stream")
+    if s_idx == -1:
+        return obj
+    lm = _LENGTH_RE.search(obj[:s_idx])
+    if not lm:
+        return obj
+    body = s_idx + len(b"stream")
+    if obj[body:body + 2] == b"\r\n":
+        body += 2
+    elif obj[body:body + 1] == b"\n":
+        body += 1
+    ln = int(lm.group(1))
+    from lexoid_spark.kernels.pdf_crypt import object_key, rc4
+
+    dec = rc4(object_key(file_key, num), obj[body:body + ln])
+    return obj[:body] + dec + obj[body + ln:]
+
+
 def parse_pdf(data: bytes) -> List[PdfPage]:
     """Tokenize PDF bytes into page objects with words/lines/rects/annots."""
     scanned = _parse_objects(data)
@@ -866,6 +934,15 @@ def parse_pdf(data: bytes) -> List[PdfPage]:
     # guesses (indirect /Length, 'endobj' inside stream bytes); classic
     # xref tables return {} and the scan stands alone
     scanned.update(_objects_via_xref(data))
+    # decrypt BEFORE ObjStm expansion: container streams are encrypted
+    # at the container level, members inherit the expanded plaintext
+    enc = _encryption_params(data, scanned)
+    if enc is not None:
+        file_key, enc_num = enc
+        scanned = {
+            n: (o if n == enc_num else _decrypt_streams(o, file_key, n))
+            for n, o in scanned.items()
+        }
     objs = _expand_object_streams(scanned)
     # find catalog → pages → kids (fall back to document order of /Type /Page)
     page_nums: List[int] = []

@@ -1,0 +1,86 @@
+"""RC4 standard security handler (V1/R2, empty password): key
+derivation, round trips through the kernel, and the
+quarantine-not-garbage contract for everything out of scope."""
+
+import re
+
+import pytest
+
+from lexoid_spark.corpus.pdf_gen import build_pdf, words_line
+from lexoid_spark.kernels.pdf_crypt import (
+    PAD,
+    derive_key,
+    make_entries,
+    object_key,
+    rc4,
+)
+from lexoid_spark.kernels.pdf_md import pdf_to_pages
+
+PAGES = [{"words": words_line(["Secret", "but", "standard"], 700.0)}]
+
+
+class TestPrimitives:
+    def test_rc4_roundtrip_and_vector(self):
+        # symmetric cipher round trip
+        assert rc4(b"key12", rc4(b"key12", b"payload")) == b"payload"
+        # the canonical RC4 test vector (Key/Plaintext from the
+        # original cypherpunks posting)
+        assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+
+    def test_entries_consistent(self):
+        fid = b"\x01" * 16
+        o, u, key = make_entries(-44, fid)
+        assert len(o) == 32 and len(u) == 32 and len(key) == 5
+        # Algorithm 6: deriving with the empty password reproduces U
+        assert rc4(derive_key(o, -44, fid), PAD) == u
+
+    def test_object_key_length(self):
+        assert len(object_key(b"\x00" * 5, 7)) == 10
+        assert len(object_key(b"\x00" * 16, 7)) == 16
+
+
+class TestEncryptedPdf:
+    def test_roundtrip_matches_plaintext(self):
+        plain = pdf_to_pages(build_pdf(PAGES))
+        assert pdf_to_pages(build_pdf(PAGES, encrypt=True)) == plain
+        assert pdf_to_pages(
+            build_pdf(PAGES, compress=True, encrypt=True)) == plain
+        assert plain[0][1] == "Secret but standard\n\n"
+
+    def test_encrypted_bytes_differ(self):
+        enc = build_pdf(PAGES, encrypt=True)
+        assert b"/Encrypt" in enc and b"Secret" not in enc
+
+    def test_real_password_quarantines(self):
+        enc = build_pdf(PAGES, encrypt=True)
+        bad = re.sub(rb"/U <([0-9A-Fa-f]{8})", rb"/U <00000000", enc)
+        with pytest.raises(ValueError, match="password-protected"):
+            pdf_to_pages(bad)
+
+    def test_unsupported_revision_quarantines(self):
+        enc = build_pdf(PAGES, encrypt=True)
+        bad = enc.replace(b"/V 1 /R 2", b"/V 4 /R 4")
+        with pytest.raises(ValueError, match="unsupported"):
+            pdf_to_pages(bad)
+
+    def test_pipeline_quarantines_not_fails(self, spark):
+        """A password-protected PDF must land in the errors branch,
+        never fail the stage or emit garbage markdown."""
+        from pyspark.sql import functions as F
+
+        from lexoid_spark.plans.extract import extract
+
+        good = build_pdf(PAGES, compress=True, encrypt=True)
+        bad = re.sub(rb"/U <([0-9A-Fa-f]{8})", rb"/U <00000000", good)
+        pages = spark.createDataFrame(
+            [("http://e.test/ok", good), ("http://e.test/locked", bad)],
+            "url string, html binary",
+        ).select(
+            "url", F.lit(None).cast("timestamp").alias("warc_ts"),
+            "html", F.lit("").alias("text"), F.lit("en").alias("lang"),
+        )
+        out = extract(pages, run_id="crypt")
+        ok = {r["url"]: r["raw"] for r in out["extracted"].collect()}
+        errs = {r["url"]: r["error"] for r in out["errors"].collect()}
+        assert ok == {"http://e.test/ok": "Secret but standard\n\n"}
+        assert "password-protected" in errs["http://e.test/locked"]
