@@ -2593,6 +2593,61 @@ SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
 """
 
 
+def _pdf_filters_extract(spark, sf):
+    """The non-Flate stream-filter dialects older wild PDFs carry —
+    LZWDecode (MSB/EarlyChange/clear-on-full), ASCIIHexDecode,
+    RunLengthDecode, and the [ASCII85 → Flate] chain — one per doc by
+    doc_id%4, through the FULL extract plan. Oracle predicts the
+    markdown closed-form; the filter choice must not change it."""
+    from lexoid_spark.corpus.pdf_gen import build_pdf
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def filt_pdf(doc_ids: pd.Series) -> pd.Series:
+        kinds = ["lzw", "ahx", "rl", "a85flate"]
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            k = d % 3 + 2
+            words = [
+                {"text": f"g{j}z{d % 6}", "x": 72.0 + 48.0 * j,
+                 "y": 700.0, "size": 12.0, "font": "F1"}
+                for j in range(k)
+            ]
+            out.append(build_pdf([{"words": words}],
+                                 stream_filter=kinds[d % 4]))
+        return pd.Series(out)
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://filt.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        filt_pdf("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(pages, run_id="filters_check")["extracted"]
+    return out.select("url", "raw", "n_chars").orderBy("url")
+
+
+_PDF_FILTERS_SQL = """
+WITH base AS (
+  SELECT doc_id, doc_id % 3 + 2 AS k, CAST(doc_id % 6 AS VARCHAR) AS m
+  FROM documents
+),
+r AS (
+  SELECT 'http://filt.test/' || CAST(doc_id AS VARCHAR) AS url,
+         'g0z' || m || ' g1z' || m
+         || CASE WHEN k >= 3 THEN ' g2z' || m ELSE '' END
+         || CASE WHEN k >= 4 THEN ' g3z' || m ELSE '' END
+         || chr(10) || chr(10) AS raw
+  FROM base
+)
+SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
+"""
+
+
 _CID_ALPHABET = "数据表查询流分组合并批处理文档页面索引"
 
 
@@ -5059,6 +5114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_extract": _pipeline_extract,
         "pdf_flate_extract": _pdf_flate_extract,
         "pdf_rc4_extract": _pdf_rc4_extract,
+        "pdf_filters_extract": _pdf_filters_extract,
         "pdf_cid_extract": _pdf_cid_extract,
         "ocr_scanned": _ocr_scanned,
         "pdf_speed_arm": _pdf_speed_arm,
@@ -5186,6 +5242,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_extract": _PIPELINE_EXTRACT_SQL,
         "pdf_flate_extract": _PDF_FLATE_SQL,
         "pdf_rc4_extract": _PDF_RC4_SQL,
+        "pdf_filters_extract": _PDF_FILTERS_SQL,
         "pdf_cid_extract": _PDF_CID_SQL,
         "ocr_scanned": _OCR_SCANNED_SQL,
         "pdf_speed_arm": _PDF_SPEED_SQL,

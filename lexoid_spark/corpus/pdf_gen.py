@@ -145,10 +145,81 @@ def _compact_text_stream(page: Dict) -> bytes:
     return _graphics_parts(page, parts)
 
 
+def _lzw_encode_pdf(data: bytes) -> bytes:
+    """PDF LZWDecode encoder (MSB-first, 9→12-bit, EarlyChange=1) —
+    fixture twin of ``pdf_md._lzw_decode_pdf``."""
+    codes: List[tuple] = [(256, 9)]
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        codes.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        if next_code >= (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code >= 4093:
+            # table full: emit CLEAR and restart (spec behavior for
+            # incompressible data that would exceed 12-bit codes)
+            codes.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([ch])
+    if w:
+        codes.append((table[w], width))
+    codes.append((257, width))
+    bitbuf = nbits = 0
+    out = bytearray()
+    for code, cw in codes:
+        bitbuf = (bitbuf << cw) | code
+        nbits += cw
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _rle_encode_pdf(data: bytes) -> bytes:
+    """RunLengthDecode encoder: literal blocks of <=128 bytes + EOD
+    (always valid; repeats are a decoder feature, not required)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i:i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)
+    return bytes(out)
+
+
+def _package_stream(stream: bytes, stream_filter: str):
+    """(encoded bytes, /Filter entry) for a content stream."""
+    import base64
+    import zlib
+
+    if stream_filter == "lzw":
+        return _lzw_encode_pdf(stream), b" /Filter /LZWDecode"
+    if stream_filter == "ahx":
+        return (stream.hex().upper().encode() + b">",
+                b" /Filter /ASCIIHexDecode")
+    if stream_filter == "rl":
+        return _rle_encode_pdf(stream), b" /Filter /RunLengthDecode"
+    if stream_filter == "a85flate":
+        packed = base64.a85encode(zlib.compress(stream, 9)) + b"~>"
+        return packed, b" /Filter [/ASCII85Decode /FlateDecode]"
+    raise ValueError(f"unknown stream_filter {stream_filter!r}")
+
+
 def build_pdf(pages: Sequence[Dict], compress: bool = False,
               objstm: bool = False, xrefstream: bool = False,
               indirect_length: bool = False,
-              encrypt: bool = False) -> bytes:
+              encrypt: bool = False,
+              stream_filter: str | None = None) -> bytes:
     """Assemble a full PDF from page specs. Deterministic bytes.
 
     ``compress=True`` FlateDecode-compresses every content stream
@@ -268,7 +339,9 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
         image_nums.append(img_nums_page)
         stream = page_content_stream(page)
         filt = b""
-        if compress:
+        if stream_filter:
+            stream, filt = _package_stream(stream, stream_filter)
+        elif compress:
             import zlib
 
             stream = zlib.compress(stream, 9)

@@ -161,6 +161,101 @@ def _parse_objects(data: bytes) -> Dict[int, bytes]:
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 
+_FILTER_NAMES_RE = re.compile(
+    rb"/(FlateDecode|LZWDecode|ASCIIHexDecode|ASCII85Decode|"
+    rb"RunLengthDecode)"
+)
+
+
+def _lzw_decode_pdf(data: bytes) -> bytes:
+    """PDF LZWDecode (ISO 32000-1 §7.4.4): MSB-first packing, 9→12-bit
+    codes, 256=clear / 257=EOD, EarlyChange=1 (the spec default — the
+    code width grows one entry early)."""
+    out = bytearray()
+    table: dict = {}
+    next_code = 258
+    width = 9
+    prev: bytes | None = None
+    bitbuf = nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = {}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if code < 256:
+                entry = bytes([code])
+            elif code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("bad LZW code")
+            if prev is not None:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            # the decoder's table lags the encoder's by one entry (no
+            # add on the first code after clear), so with EarlyChange=1
+            # the width bump fires one entry earlier than the
+            # encoder-side next_code >= 2^w - 1 condition
+            if next_code >= (1 << width) - 2 and width < 12:
+                width += 1
+            out += entry
+            prev = entry
+    return bytes(out)
+
+
+def _rle_decode_pdf(data: bytes) -> bytes:
+    """RunLengthDecode: n<=127 → copy n+1 literals; n>=129 → repeat
+    the next byte 257-n times; 128 = EOD."""
+    out = bytearray()
+    pos, n = 0, len(data)
+    while pos < n:
+        ln = data[pos]
+        pos += 1
+        if ln == 128:
+            break
+        if ln <= 127:
+            out += data[pos:pos + ln + 1]
+            pos += ln + 1
+        else:
+            out += data[pos:pos + 1] * (257 - ln)
+            pos += 1
+    return bytes(out)
+
+
+def _apply_filters(header: bytes, data: bytes) -> bytes:
+    """Apply the /Filter chain in array order (a single name is a
+    one-element chain). Unknown filters upstream of the regex simply
+    don't match — the caller's behavior for unfiltered streams."""
+    import base64
+
+    for name in _FILTER_NAMES_RE.findall(header):
+        if name == b"FlateDecode":
+            data = zlib.decompress(data)
+        elif name == b"LZWDecode":
+            data = _lzw_decode_pdf(data)
+        elif name == b"ASCIIHexDecode":
+            h = data.split(b">")[0]
+            h = re.sub(rb"\s+", b"", h)
+            if len(h) % 2:
+                h += b"0"
+            data = bytes.fromhex(h.decode("ascii"))
+        elif name == b"ASCII85Decode":
+            body = re.sub(rb"\s+", b"", data)
+            if body.endswith(b"~>"):
+                body = body[:-2]
+            data = base64.a85decode(body)
+        elif name == b"RunLengthDecode":
+            data = _rle_decode_pdf(data)
+    return data
+
 
 def _stream_bytes(obj: bytes) -> bytes:
     """Extract (and FlateDecode if filtered) an object's stream body."""
@@ -187,11 +282,10 @@ def _stream_bytes(obj: bytes) -> bytes:
             data = data[:-2]
         elif data.endswith(b"\n"):
             data = data[:-1]
-    if b"/FlateDecode" in header:
-        try:
-            data = zlib.decompress(data)
-        except zlib.error:
-            return b""
+    try:
+        data = _apply_filters(header, data)
+    except (zlib.error, ValueError):
+        return b""
     return data
 
 
