@@ -2593,6 +2593,50 @@ SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
 """
 
 
+def _bmp_tiff_meta(spark, sf):
+    """BMP + TIFF header walks (the last stdlib-feasible raster
+    formats): even ids carry a real BMP, odd ids a real single-IFD
+    TIFF alternating little/big endian — image_meta must read the
+    same dims/channels the oracle derives from n_chars arithmetic."""
+    from lexoid_spark.functions.multimodal import image_meta
+    from lexoid_spark.kernels.tiff_bmp import build_bmp, build_tiff
+
+    @F.pandas_udf("binary")
+    def payload(doc_ids: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for d, n in zip(doc_ids, n_chars):
+            d, n = int(d), int(n)
+            w = n % 300 + 10
+            h = (n * 3) % 200 + 5
+            if d % 2 == 0:
+                out.append(build_bmp(w, h, bits=24))
+            else:
+                out.append(build_tiff(w, h, samples=d % 3 + 1,
+                                      big_endian=(d % 4 == 3)))
+        return pd.Series(out)
+
+    docs = _t(spark, sf, "documents")
+    imgs = docs.select("doc_id",
+                       payload("doc_id", "n_chars").alias("payload"))
+    return (
+        image_meta(imgs, id_col="doc_id", bin_col="payload")
+        .select(F.col("id").alias("doc_id"), "width", "height",
+                "channels", "error")
+        .orderBy("doc_id")
+    )
+
+
+_BMP_TIFF_SQL = """
+SELECT doc_id,
+       CAST(n_chars % 300 + 10 AS INT) AS width,
+       CAST((n_chars * 3) % 200 + 5 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3
+                 ELSE doc_id % 3 + 1 END AS INT) AS channels,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents ORDER BY doc_id
+"""
+
+
 def _pdf_filters_extract(spark, sf):
     """The non-Flate stream-filter dialects older wild PDFs carry —
     LZWDecode (MSB/EarlyChange/clear-on-full), ASCIIHexDecode,
@@ -5115,6 +5159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_flate_extract": _pdf_flate_extract,
         "pdf_rc4_extract": _pdf_rc4_extract,
         "pdf_filters_extract": _pdf_filters_extract,
+        "bmp_tiff_meta": _bmp_tiff_meta,
         "pdf_cid_extract": _pdf_cid_extract,
         "ocr_scanned": _ocr_scanned,
         "pdf_speed_arm": _pdf_speed_arm,
@@ -5243,6 +5288,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_flate_extract": _PDF_FLATE_SQL,
         "pdf_rc4_extract": _PDF_RC4_SQL,
         "pdf_filters_extract": _PDF_FILTERS_SQL,
+        "bmp_tiff_meta": _BMP_TIFF_SQL,
         "pdf_cid_extract": _PDF_CID_SQL,
         "ocr_scanned": _OCR_SCANNED_SQL,
         "pdf_speed_arm": _PDF_SPEED_SQL,

@@ -80,6 +80,12 @@ def decode_image_header(b: bytes) -> tuple[int, int, int] | None:
     if b[:3] == b"\xff\xd8\xff":
         from lexoid_spark.kernels.jpeg_meta import jpeg_header
         return jpeg_header(b)
+    if b[:2] == b"BM":
+        from lexoid_spark.kernels.tiff_bmp import bmp_header
+        return bmp_header(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from lexoid_spark.kernels.tiff_bmp import tiff_header
+        return tiff_header(b)
     if len(b) < 9 or b[:4] != IMG_MAGIC:
         return None
     w, h, c = struct.unpack(">HHB", b[4:9])

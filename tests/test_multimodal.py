@@ -117,3 +117,43 @@ def test_audio_chunks_cover_exactly(spark):
     assert got == [(0, 0, 300), (1, 300, 300), (2, 600, 50)]
     total = sum(n for _, _, n in got)
     assert total == 650  # lossless cover, no overlap
+
+
+class TestBmpTiff:
+    def test_bmp_header_roundtrip(self):
+        from lexoid_spark.kernels.tiff_bmp import bmp_header, build_bmp
+
+        assert bmp_header(build_bmp(640, 480, bits=24)) == (640, 480, 3)
+        assert bmp_header(build_bmp(10, 7, bits=8)) == (10, 7, 1)
+        assert bmp_header(b"notbmp") is None
+
+    def test_bmp_topdown_negative_height(self):
+        import struct
+
+        from lexoid_spark.kernels.tiff_bmp import bmp_header, build_bmp
+
+        b = bytearray(build_bmp(20, 10))
+        b[22:26] = struct.pack("<i", -10)  # top-down
+        assert bmp_header(bytes(b)) == (20, 10, 3)
+
+    def test_tiff_both_endians(self):
+        from lexoid_spark.kernels.tiff_bmp import build_tiff, tiff_header
+
+        assert tiff_header(build_tiff(321, 123, samples=3)) == (321, 123, 3)
+        assert tiff_header(
+            build_tiff(321, 123, samples=1, big_endian=True)) == (321, 123, 1)
+        assert tiff_header(b"II*\x00\xff\xff\xff\xff") is None
+
+    def test_image_meta_dispatch(self, spark):
+        from lexoid_spark.functions.multimodal import image_meta
+        from lexoid_spark.kernels.tiff_bmp import build_bmp, build_tiff
+
+        df = spark.createDataFrame(
+            [(0, build_bmp(33, 44)), (1, build_tiff(55, 66, samples=4))],
+            "id long, payload binary")
+        got = {r["id"]: r for r in
+               image_meta(df, "id", "payload").collect()}
+        assert (got[0]["width"], got[0]["height"], got[0]["channels"]) \
+            == (33, 44, 3)
+        assert (got[1]["width"], got[1]["height"], got[1]["channels"]) \
+            == (55, 66, 4)
