@@ -112,6 +112,7 @@ def main() -> None:
         "semdedup_keep", "tfidf_topk", "warc_ingest",
         "robots_check", "sitemap_frontier", "phrase_merges",
         "corpus_report", "ccnet_buckets", "train_val_split",
+        "pdf_rc4_extract", "pdf_filters_extract",
     ]
     for name in bench_names:
         bench(name, lambda n=name: _noop_write(queries[n](spark, SF_DIR)))
