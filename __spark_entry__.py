@@ -4801,12 +4801,17 @@ ORDER BY doc_id
 def _langid_confusion(spark, sf):
     """Language-ID evaluation: predicted vs labeled language counts —
     the confusion matrix that tells you whether the n-gram heuristic
-    is safe to gate on. One map-side-combinable aggregation."""
-    from lexoid_spark.functions.textstats import langid
+    is safe to gate on. Uses the bulk one-pass ``langid_table`` (the
+    scalar when-chain re-tokenizes ~35x per row — its own docstring's
+    measured trap), joined back to the label before one map-side-
+    combinable aggregation."""
+    from lexoid_spark.functions.textstats import langid_table
 
     docs = _t(spark, sf, "documents")
+    pred = langid_table(docs, "doc_id", "text")
     return (
-        docs.select("lang", langid(F.col("text")).alias("lang_pred"))
+        docs.select(F.col("doc_id").alias("id"), "lang")
+        .join(pred, "id")
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n"))
         .orderBy("lang", "lang_pred")

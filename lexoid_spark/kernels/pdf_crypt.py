@@ -52,7 +52,9 @@ def derive_key(o_entry: bytes, p: int, file_id: bytes,
     h = hashlib.md5()
     h.update(_pad_pw(user_pw))
     h.update(o_entry)
-    h.update(struct.pack("<i", p))
+    # /P is a signed 32-bit value but many writers serialize its
+    # unsigned form (e.g. 4294967252 for -44) — masking accepts both
+    h.update(struct.pack("<I", p & 0xFFFFFFFF))
     h.update(file_id)
     return h.digest()[:5]
 

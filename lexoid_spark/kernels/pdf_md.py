@@ -115,7 +115,10 @@ class PdfPage:
 
 
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+0\s+obj")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+#  (?!\d) pins the FULL number (backtracking would otherwise let
+#  '/Length 999 0 R' match as 99); (?!\s+\d+\s+R) rejects indirect
+#  refs of ANY generation, not just 0
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 
 
 def _parse_objects(data: bytes) -> Dict[int, bytes]:
@@ -958,8 +961,13 @@ def _encryption_params(data: bytes, objs: Dict[int, bytes]):
     encrypt_obj_num) or None. Only V1/R2 empty-password RC4 (the
     silent-open default) is in scope — anything else raises so the
     document QUARANTINES instead of parsing to garbage bytes."""
+    # anchor the scan to the file TAIL (trailer dicts / xref-stream
+    # dicts live there): a content stream that merely CONTAINS the
+    # bytes '/Encrypt 5 0 R' (a PDF-spec tutorial document) must not
+    # trigger the decryption path for an unencrypted file
+    tail = data[max(0, len(data) - 4096):]
     m = None
-    for m in re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data):
+    for m in re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", tail):
         pass  # last match = the live trailer in incremental updates
     if m is None:
         return None
@@ -978,7 +986,7 @@ def _encryption_params(data: bytes, objs: Dict[int, bytes]):
     om = re.search(rb"/O\s*<([0-9A-Fa-f\s]+)>", enc)
     pm = re.search(rb"/P\s+(-?\d+)", enc)
     idm = None
-    for idm in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", data):
+    for idm in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", tail):
         pass
     if not (om and pm and idm):
         raise ValueError("encrypted PDF: malformed /Encrypt entries")
@@ -998,23 +1006,33 @@ def _encryption_params(data: bytes, objs: Dict[int, bytes]):
     return key, enc_num
 
 
-def _decrypt_streams(obj: bytes, file_key: bytes, num: int) -> bytes:
-    """RC4-decrypt an object's stream body in place (bounded by the
-    direct /Length, which RC4 preserves). Objects without streams pass
-    through — the fixture scope keeps no encrypted strings outside
-    streams."""
+def _decrypt_streams(obj: bytes, file_key: bytes, num: int,
+                     objs: Dict[int, bytes]) -> bytes:
+    """RC4-decrypt an object's stream body in place (the exact byte
+    count from /Length, which RC4 preserves; an indirect ``/Length
+    N G R`` resolves through ``objs``). Objects without streams pass
+    through; an encrypted stream whose length CANNOT be resolved
+    raises — quarantine, never a partial/garbage decrypt."""
     s_idx = obj.find(b"stream")
     if s_idx == -1:
         return obj
-    lm = _LENGTH_RE.search(obj[:s_idx])
-    if not lm:
-        return obj
+    header = obj[:s_idx]
+    lm = _LENGTH_RE.search(header)
+    if lm:
+        ln = int(lm.group(1))
+    else:
+        im = re.search(rb"/Length\s+(\d+)\s+\d+\s+R", header)
+        ref = objs.get(int(im.group(1))) if im else None
+        rm = re.match(rb"\s*(\d+)", ref) if ref is not None else None
+        if rm is None:
+            raise ValueError(
+                "encrypted stream with unresolvable /Length")
+        ln = int(rm.group(1))
     body = s_idx + len(b"stream")
     if obj[body:body + 2] == b"\r\n":
         body += 2
     elif obj[body:body + 1] == b"\n":
         body += 1
-    ln = int(lm.group(1))
     from lexoid_spark.kernels.pdf_crypt import object_key, rc4
 
     dec = rc4(object_key(file_key, num), obj[body:body + ln])
@@ -1034,7 +1052,8 @@ def parse_pdf(data: bytes) -> List[PdfPage]:
     if enc is not None:
         file_key, enc_num = enc
         scanned = {
-            n: (o if n == enc_num else _decrypt_streams(o, file_key, n))
+            n: (o if n == enc_num
+                else _decrypt_streams(o, file_key, n, scanned))
             for n, o in scanned.items()
         }
     objs = _expand_object_streams(scanned)

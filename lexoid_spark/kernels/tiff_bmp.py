@@ -29,6 +29,11 @@ def bmp_header(b: bytes) -> tuple[int, int, int] | None:
     if b is None or len(b) < 30 or bytes(b[:2]) != BMP_MAGIC:
         return None
     b = bytes(b)
+    # only BITMAPINFOHEADER-and-later (header size >= 40): the OS/2
+    # BITMAPCOREHEADER packs 16-bit dims at different offsets and
+    # would mis-parse as garbage instead of rejecting
+    if struct.unpack("<I", b[14:18])[0] < 40:
+        return None
     w = struct.unpack("<i", b[18:22])[0]
     h = struct.unpack("<i", b[22:26])[0]
     bits = struct.unpack("<H", b[28:30])[0]

@@ -38,12 +38,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def parse_robots(robots: DataFrame, host_col: str = "host",
-                 txt_col: str = "robots_txt") -> DataFrame:
-    """robots.txt text per host → one row per (host, group, agent-set,
-    rule): ``(host, gid, agents, rule_type, path)``. Groups with no
-    rules emit a single ``(rule_type=NULL)`` row so allow-all groups
-    still exist for agent selection."""
+def _grouped_lines(robots: DataFrame, host_col: str, txt_col: str,
+                   keys: tuple) -> DataFrame:
+    """Shared robots.txt line machinery: split → comment strip →
+    key/value extract → keep ``keys`` → the lag/running-sum window
+    that assigns group ids (consecutive User-agent lines open a
+    group). ONE implementation for both the rule parser and the
+    Crawl-delay scheduler, so grouping fixes land everywhere."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
@@ -54,10 +55,10 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
         F.lower(F.regexp_extract("clean", r"^([A-Za-z-]+)\s*:", 1)),
     ).withColumn(
         "value", F.trim(F.regexp_extract("clean", r"^[A-Za-z-]+\s*:(.*)$", 1))
-    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    ).filter(F.col("key").isin(*keys))
 
     w = Window.partitionBy("host").orderBy("pos")
-    grouped = (
+    return (
         lines.withColumn("is_ua", F.col("key") == "user-agent")
         .withColumn(
             "prev_ua", F.coalesce(F.lag("is_ua").over(w), F.lit(False))
@@ -71,6 +72,16 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
         )
         .filter(F.col("gid") > 0)  # rules before any UA line: ignored
     )
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """robots.txt text per host → one row per (host, group, agent-set,
+    rule): ``(host, gid, agents, rule_type, path)``. Groups with no
+    rules emit a single ``(rule_type=NULL)`` row so allow-all groups
+    still exist for agent selection."""
+    grouped = _grouped_lines(robots, host_col, txt_col,
+                             ("user-agent", "allow", "disallow"))
     agents = (
         grouped.filter("is_ua")
         .groupBy("host", "gid")
@@ -229,31 +240,8 @@ def crawl_schedule(urls: DataFrame, robots: DataFrame,
     buckets first. The delay table is K-hosts-row and broadcasts.
     """
     agent = agent.lower()
-    lines = robots.select(
-        F.col("host").alias("host"),
-        F.posexplode(F.split(F.col("robots_txt"), "\n")).alias(
-            "pos", "line"),
-    ).withColumn(
-        "clean", F.trim(F.regexp_replace("line", "#.*", ""))
-    ).withColumn(
-        "key", F.lower(F.regexp_extract("clean", r"^([A-Za-z-]+)\s*:", 1))
-    ).withColumn(
-        "value",
-        F.trim(F.regexp_extract("clean", r"^[A-Za-z-]+\s*:(.*)$", 1)),
-    ).filter(F.col("key").isin("user-agent", "crawl-delay"))
-    w = Window.partitionBy("host").orderBy("pos")
-    grouped = (
-        lines.withColumn("is_ua", F.col("key") == "user-agent")
-        .withColumn("prev_ua",
-                    F.coalesce(F.lag("is_ua").over(w), F.lit(False)))
-        .withColumn("gstart", F.col("is_ua") & ~F.col("prev_ua"))
-        .withColumn(
-            "gid",
-            F.sum(F.col("gstart").cast("int")).over(
-                w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .filter(F.col("gid") > 0)
-    )
+    grouped = _grouped_lines(robots, "host", "robots_txt",
+                             ("user-agent", "crawl-delay"))
     agents = grouped.filter("is_ua").groupBy("host", "gid").agg(
         F.collect_set(F.lower("value")).alias("agents"))
     delays = (
@@ -264,13 +252,17 @@ def crawl_schedule(urls: DataFrame, robots: DataFrame,
         .groupBy("host", "gid")
         .agg(F.min(F.col("value").cast("long")).alias("delay_s"))
     )
+    # applicability: only groups naming THIS agent or '*' may set its
+    # delay (a 'User-agent: slowbot' group must never slow other bots)
     cand = (
         agents.join(delays, ["host", "gid"])
         .select(
             "host",
             F.array_contains("agents", agent).alias("specific"),
+            F.array_contains("agents", "*").alias("wild"),
             "delay_s",
         )
+        .filter(F.col("specific") | F.col("wild"))
     )
     # specific group's delay wins over wildcard: max(struct) keeper
     per_host = cand.groupBy("host").agg(

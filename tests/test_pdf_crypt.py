@@ -84,3 +84,33 @@ class TestEncryptedPdf:
         errs = {r["url"]: r["error"] for r in out["errors"].collect()}
         assert ok == {"http://e.test/ok": "Secret but standard\n\n"}
         assert "password-protected" in errs["http://e.test/locked"]
+
+
+class TestReviewHardening:
+    def test_unsigned_p_form_accepted(self):
+        from lexoid_spark.kernels.pdf_crypt import derive_key
+
+        fid = b"\x02" * 16
+        assert derive_key(b"O" * 32, -44, fid) == \
+            derive_key(b"O" * 32, 4294967252, fid)
+        # and a document serialized with the unsigned form parses
+        enc = build_pdf(PAGES, encrypt=True)
+        unsigned = enc.replace(b"/P -44", b"/P 4294967252")
+        assert pdf_to_pages(unsigned) == pdf_to_pages(build_pdf(PAGES))
+
+    def test_encrypt_token_in_content_not_triggering(self):
+        # an UNENCRYPTED page whose text contains the literal token
+        # sequence must not route into the decryption path
+        pages = [{"words": words_line(
+            ["see", "/Encrypt", "5", "0", "R", "reference"], 700.0)}]
+        got = pdf_to_pages(build_pdf(pages))
+        assert got[0][1].startswith("see /Encrypt 5 0 R reference")
+
+    def test_unresolvable_indirect_length_quarantines(self):
+        enc = build_pdf(PAGES, encrypt=True)
+        # point the content stream /Length at a missing object
+        import re as _re
+        broken = _re.sub(rb"<< /Length \d+ >>", b"<< /Length 999 0 R >>",
+                         enc, count=1)
+        with pytest.raises(ValueError, match="unresolvable"):
+            pdf_to_pages(broken)

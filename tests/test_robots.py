@@ -209,3 +209,18 @@ class TestCrawlSchedule:
         r = crawl_schedule(_urls(spark, ["https://a.test/z"]),
                            robots, agent="otherbot").collect()[0]
         assert r["delay_s"] == 9
+
+    def test_foreign_agent_group_never_applies(self, spark):
+        from lexoid_spark.operators.robots import crawl_schedule
+
+        # a group naming only ANOTHER bot must not set our delay
+        robots = _robots(spark, [
+            ("x.test", "User-agent: slowbot\nCrawl-delay: 60\n"),
+            ("y.test", "User-agent: *\nCrawl-delay: 3\n\n"
+                       "User-agent: slowbot\nCrawl-delay: 60\n"),
+        ])
+        rows = {r["host"]: r for r in crawl_schedule(
+            _urls(spark, ["https://x.test/a", "https://y.test/b"]),
+            robots, agent="lexoidbot", default_delay_s=1).collect()}
+        assert rows["x.test"]["delay_s"] == 1   # default, not 60
+        assert rows["y.test"]["delay_s"] == 3   # wildcard, not 60
