@@ -2637,6 +2637,61 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _canonical_urls(spark, sf):
+    """rel=canonical extraction — the dedup key browsers and search
+    engines honor: pages synthesize a <link rel="canonical"> for
+    doc_id%3!=0 pointing at the id-div-10 group page; the canonical
+    group key is COALESCE(canonical, own url), so canonical-sharing
+    pages dedup together while canonical-less pages stand alone.
+    Native regexp chain, zero shuffle before the group count."""
+    docs = _t(spark, sf, "documents")
+    own = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/doc/"),
+                   F.col("doc_id").cast("string"))
+    canon = F.concat(F.lit("https://hub.example.com/page/"),
+                     F.expr("doc_id div 30").cast("string"))
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(F.col("doc_id") % 3 != 0,
+               F.concat(F.lit('<link rel="canonical" href="'), canon,
+                        F.lit('"/>'))).otherwise(F.lit("")),
+        F.lit("<title>t</title></head><body>"), F.col("text"),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(own.alias("url"), html.alias("html"))
+    extracted = pages.select(
+        "url",
+        F.nullif(
+            F.regexp_extract(
+                "html",
+                r'<link\s+rel="canonical"\s+href="([^"]+)"', 1),
+            F.lit(""),
+        ).alias("canonical"),
+    )
+    return (
+        extracted
+        .withColumn("group_key", F.coalesce("canonical", F.col("url")))
+        .groupBy("group_key")
+        .agg(F.count("*").alias("n_pages"),
+             F.min("url").alias("first_url"))
+        .orderBy("group_key")
+    )
+
+
+_CANONICAL_SQL = """
+WITH e AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+         CASE WHEN doc_id % 3 != 0
+              THEN 'https://hub.example.com/page/' || (doc_id // 30)
+         END AS canonical
+  FROM documents
+)
+SELECT COALESCE(canonical, url) AS group_key,
+       count(*) AS n_pages, min(url) AS first_url
+FROM e GROUP BY 1 ORDER BY group_key
+"""
+
+
 def _pdf_filters_extract(spark, sf):
     """The non-Flate stream-filter dialects older wild PDFs carry —
     LZWDecode (MSB/EarlyChange/clear-on-full), ASCIIHexDecode,
@@ -5165,6 +5220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_rc4_extract": _pdf_rc4_extract,
         "pdf_filters_extract": _pdf_filters_extract,
         "bmp_tiff_meta": _bmp_tiff_meta,
+        "canonical_urls": _canonical_urls,
         "pdf_cid_extract": _pdf_cid_extract,
         "ocr_scanned": _ocr_scanned,
         "pdf_speed_arm": _pdf_speed_arm,
@@ -5294,6 +5350,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_rc4_extract": _PDF_RC4_SQL,
         "pdf_filters_extract": _PDF_FILTERS_SQL,
         "bmp_tiff_meta": _BMP_TIFF_SQL,
+        "canonical_urls": _CANONICAL_SQL,
         "pdf_cid_extract": _PDF_CID_SQL,
         "ocr_scanned": _OCR_SCANNED_SQL,
         "pdf_speed_arm": _PDF_SPEED_SQL,
