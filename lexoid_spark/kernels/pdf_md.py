@@ -969,6 +969,24 @@ def _encryption_params(data: bytes, objs: Dict[int, bytes]):
     m = None
     for m in re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", tail):
         pass  # last match = the live trailer in incremental updates
+    if m is None and b"/Encrypt" in data:
+        # the live trailer can lie OUTSIDE the 4 KiB tail (incremental
+        # updates with trailing data, nonstandard layouts). Widen the
+        # scan — but stay anchored to trailer/xref territory so a
+        # content stream that merely CONTAINS '/Encrypt 5 0 R' (a
+        # PDF-spec tutorial) still can't trigger decryption: scan from
+        # the LAST 'trailer' keyword, else from the last startxref
+        # target. Silently skipping here would make every stream fail
+        # FlateDecode and return an empty parse instead of the
+        # documented quarantine.
+        t_idx = data.rfind(b"trailer")
+        if t_idx == -1:
+            sx = re.search(rb"startxref\s+(\d+)", data[-2048:])
+            t_idx = int(sx.group(1)) if sx else -1
+        if 0 <= t_idx < len(data):
+            tail = data[t_idx:]
+            for m in re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", tail):
+                pass
     if m is None:
         return None
     enc_num = int(m.group(1))

@@ -41,10 +41,18 @@ from pyspark.sql import functions as F
 def _grouped_lines(robots: DataFrame, host_col: str, txt_col: str,
                    keys: tuple) -> DataFrame:
     """Shared robots.txt line machinery: split → comment strip →
-    key/value extract → keep ``keys`` → the lag/running-sum window
-    that assigns group ids (consecutive User-agent lines open a
-    group). ONE implementation for both the rule parser and the
-    Crawl-delay scheduler, so grouping fixes land everywhere."""
+    key/value extract → the lag/running-sum window that assigns group
+    ids (consecutive User-agent lines open a group) → keep ``keys``.
+    ONE implementation for both the rule parser and the Crawl-delay
+    scheduler, so grouping fixes land everywhere.
+
+    Group boundaries are computed over ALL directive lines (any
+    ``key: value`` line), not just the requested ``keys``: per RFC
+    9309 ANY rule line closes a user-agent run, so a directive the
+    caller doesn't care about (e.g. ``Disallow`` when extracting
+    Crawl-delay) must still split two UA lines into two groups —
+    filtering first would merge ``User-agent: a / Disallow: /x /
+    User-agent: b`` into one group and leak b's delay onto a."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "line"),
@@ -55,7 +63,7 @@ def _grouped_lines(robots: DataFrame, host_col: str, txt_col: str,
         F.lower(F.regexp_extract("clean", r"^([A-Za-z-]+)\s*:", 1)),
     ).withColumn(
         "value", F.trim(F.regexp_extract("clean", r"^[A-Za-z-]+\s*:(.*)$", 1))
-    ).filter(F.col("key").isin(*keys))
+    ).filter(F.length("key") > 0)  # every directive line closes groups
 
     w = Window.partitionBy("host").orderBy("pos")
     return (
@@ -71,6 +79,7 @@ def _grouped_lines(robots: DataFrame, host_col: str, txt_col: str,
             ),
         )
         .filter(F.col("gid") > 0)  # rules before any UA line: ignored
+        .filter(F.col("key").isin(*keys))
     )
 
 
@@ -145,7 +154,11 @@ def crawl_allowed(urls: DataFrame, robots: DataFrame,
         .select("host", "rule_type", "path")
     )
     if broadcast_rules is None:
-        broadcast_rules = robots.limit(100_001).count() <= 100_000
+        # gate on the PARSED rule-row count, not the robots input row
+        # count: the broadcast side is one row per (host, rule), which
+        # is unbounded per host — 100k robots files with huge rule
+        # sets would blow the broadcast limit if gated on hosts alone
+        broadcast_rules = applicable.limit(1_000_001).count() <= 1_000_000
     rules_side = applicable.withColumnRenamed("path", "rule_path")
     if broadcast_rules:
         rules_side = F.broadcast(rules_side)
@@ -215,10 +228,15 @@ def sitemap_frontier(sitemaps: DataFrame, robots: DataFrame,
     host's robots.txt permits for ``agent`` — the seed frontier a
     crawler may actually fetch. Returns ``(url, host, lastmod)``."""
     found = parse_sitemap(sitemaps)
-    decisions = crawl_allowed(found.select("url"), robots, agent=agent)
+    # distinct BEFORE the permission join: crawl_allowed returns one
+    # row per input row, so a URL listed in multiple sitemaps (or
+    # twice in one) would otherwise multiply frontier rows by the join
+    decisions = crawl_allowed(
+        found.select("url").distinct(), robots, agent=agent)
     return (
         found.join(decisions.filter("allowed").select("url"), "url")
         .select("url", "host", "lastmod")
+        .distinct()  # a URL listed twice is still ONE frontier entry
     )
 
 
@@ -252,24 +270,32 @@ def crawl_schedule(urls: DataFrame, robots: DataFrame,
         .groupBy("host", "gid")
         .agg(F.min(F.col("value").cast("long")).alias("delay_s"))
     )
-    # applicability: only groups naming THIS agent or '*' may set its
-    # delay (a 'User-agent: slowbot' group must never slow other bots)
-    cand = (
-        agents.join(delays, ["host", "gid"])
-        .select(
-            "host",
-            F.array_contains("agents", agent).alias("specific"),
-            F.array_contains("agents", "*").alias("wild"),
-            "delay_s",
-        )
-        .filter(F.col("specific") | F.col("wild"))
+    # applicability mirrors crawl_allowed's group selection: if ANY
+    # group on the host names this agent, only those groups may set
+    # its delay (a specific group WITHOUT a Crawl-delay means the
+    # default, not the wildcard group's value); wildcard groups apply
+    # only on hosts with no specific group. And a 'User-agent:
+    # slowbot' group must never slow other bots.
+    gsel = agents.select(
+        "host", "gid",
+        F.array_contains("agents", agent).alias("specific"),
+        F.array_contains("agents", "*").alias("wild"),
     )
-    # specific group's delay wins over wildcard: max(struct) keeper
+    host_has_specific = gsel.groupBy("host").agg(
+        F.max(F.col("specific").cast("int")).alias("has_spec"))
+    cand = (
+        gsel.join(host_has_specific, "host")
+        .filter(
+            (F.col("has_spec") == 1) & F.col("specific")
+            | (F.col("has_spec") == 0) & F.col("wild")
+        )
+        .join(delays, ["host", "gid"])
+        .select("host", "delay_s")
+    )
+    # several applicable groups with delays: smallest gid's min wins
+    # is overkill — take the min delay (deterministic, conservative)
     per_host = cand.groupBy("host").agg(
-        F.max(F.struct(
-            F.col("specific").alias("s"), F.col("delay_s").alias("d")
-        )).alias("b")
-    ).select("host", F.col("b.d").alias("delay_s"))
+        F.min("delay_s").alias("delay_s"))
     u = urls.select(
         F.col(url_col).alias("url"),
         F.lower(F.regexp_extract(url_col, r"^[a-zA-Z]+://([^/]+)", 1))

@@ -106,6 +106,15 @@ class TestReviewHardening:
         got = pdf_to_pages(build_pdf(pages))
         assert got[0][1].startswith("see /Encrypt 5 0 R reference")
 
+    def test_trailer_outside_4k_tail_still_decrypts(self):
+        # incremental-update layouts can push the live trailer out of
+        # the last 4 KiB; the scan must widen (anchored at the last
+        # 'trailer' keyword) instead of silently skipping decryption
+        # and returning an empty parse
+        enc = build_pdf(PAGES, encrypt=True)
+        padded = enc + b"\n% " + b"x" * 8192 + b"\n%%EOF\n"
+        assert pdf_to_pages(padded) == pdf_to_pages(build_pdf(PAGES))
+
     def test_unresolvable_indirect_length_quarantines(self):
         enc = build_pdf(PAGES, encrypt=True)
         # point the content stream /Length at a missing object

@@ -224,3 +224,71 @@ class TestCrawlSchedule:
             robots, agent="lexoidbot", default_delay_s=1).collect()}
         assert rows["x.test"]["delay_s"] == 1   # default, not 60
         assert rows["y.test"]["delay_s"] == 3   # wildcard, not 60
+
+
+class TestGroupClosingDirectives:
+    """RFC 9309: ANY rule line closes a user-agent run — including
+    directives the extraction isn't asking for. Regression pins for
+    the filter-before-window bug (lines outside ``keys`` dropped
+    before grouping, merging two UA runs into one group)."""
+
+    def test_unrequested_directive_still_closes_delay_group(self, spark):
+        from lexoid_spark.operators.robots import crawl_schedule
+
+        # Disallow (not a schedule key) separates the two UA lines:
+        # lexoidbot and slowbot are DIFFERENT groups, so slowbot's
+        # delay must not leak onto lexoidbot
+        robots = _robots(spark, [
+            ("a.test", "User-agent: lexoidbot\nDisallow: /a\n"
+                       "User-agent: slowbot\nCrawl-delay: 60\n"),
+        ])
+        r = crawl_schedule(_urls(spark, ["https://a.test/x"]),
+                           robots, agent="lexoidbot",
+                           default_delay_s=1).collect()[0]
+        assert r["delay_s"] == 1
+
+    def test_unrequested_directive_still_closes_rule_group(self, spark):
+        from lexoid_spark.operators.robots import crawl_allowed
+
+        # Crawl-delay (not a parse_robots key) separates alpha's and
+        # beta's groups: alpha must NOT inherit beta's Disallow
+        robots = _robots(spark, [
+            ("a.test", "User-agent: alphabot\nCrawl-delay: 5\n"
+                       "User-agent: betabot\nDisallow: /b\n"),
+        ])
+        got = crawl_allowed(_urls(spark, ["https://a.test/b/x"]),
+                            robots, agent="alphabot").collect()[0]
+        assert got["allowed"] and got["matched_rule"] is None
+        beta = crawl_allowed(_urls(spark, ["https://a.test/b/x"]),
+                             robots, agent="betabot").collect()[0]
+        assert not beta["allowed"]
+
+    def test_specific_group_without_delay_blocks_wildcard(self, spark):
+        from lexoid_spark.operators.robots import crawl_schedule
+
+        # host HAS a lexoidbot group (no Crawl-delay) -> wildcard
+        # group's delay must be ignored for lexoidbot (mirrors
+        # crawl_allowed's has_spec selection): default applies
+        robots = _robots(spark, [
+            ("a.test", "User-agent: lexoidbot\nDisallow: /x\n\n"
+                       "User-agent: *\nCrawl-delay: 9\n"),
+        ])
+        r = crawl_schedule(_urls(spark, ["https://a.test/z"]),
+                           robots, agent="lexoidbot",
+                           default_delay_s=1).collect()[0]
+        assert r["delay_s"] == 1
+
+    def test_duplicate_sitemap_listing_one_frontier_row(self, spark):
+        from lexoid_spark.operators.robots import sitemap_frontier
+
+        xml = ("<urlset>"
+               "<url><loc>https://a.test/p</loc></url>"
+               "<url><loc>https://a.test/p</loc></url>"
+               "</urlset>")
+        sitemaps = spark.createDataFrame(
+            [("a.test", xml), ("a.test", xml)],
+            "host string, sitemap_xml string")
+        robots = _robots(spark, [("a.test", ROBOTS_A)])
+        rows = sitemap_frontier(sitemaps, robots,
+                                agent="lexoidbot").collect()
+        assert len(rows) == 1 and rows[0]["url"] == "https://a.test/p"

@@ -4,6 +4,7 @@ same parquet tables via DuckDB, print one CORRECTNESS-style JSON
 object (per query: rows/schema/hash match) plus a summary line.
 
     python tools/check_oracles.py [sf_dir]     # default sf0.01
+    python tools/check_oracles.py --only q1,q3 [sf_dir]
 
 (The pytest variant, tests/test_entry_oracle.py, fails fast per query;
 this prints the full matrix the way the driver records it.)
@@ -46,7 +47,12 @@ def _rowset(cols, rows):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if argv and argv[0] == "--only":
+        only = set(argv[1].split(","))
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
     import duckdb
 
@@ -62,6 +68,11 @@ def main() -> None:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if only is not None:
+        missing = only - set(queries)
+        if missing:
+            raise SystemExit(f"--only names unknown queries: {missing}")
+        queries = {k: v for k, v in queries.items() if k in only}
     out: dict[str, dict] = {}
     n_pass = 0
     for name in sorted(queries):
