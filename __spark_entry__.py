@@ -1836,6 +1836,71 @@ FROM r ORDER BY doc_id
 """
 
 
+def _jpeg_images(spark, sf):
+    """Documents → REAL baseline JPEG payloads (from-scratch T.81
+    encoder, kernels/jpeg_codec.py) — the real-JPEG fixture class.
+    Dims bounded so per-row codec work stays small."""
+    from lexoid_spark.functions.multimodal import jpeg_image_udf
+
+    docs = _t(spark, sf, "documents")
+    w = (F.col("n_chars") % 96 + 8).cast("int")
+    h = ((F.col("n_chars") * 5) % 72 + 8).cast("int")
+    return docs.select(
+        "doc_id", jpeg_image_udf(w, h, (F.col("doc_id") % 64).cast("int")
+                                 ).alias("payload")
+    )
+
+
+def _jpeg_resize(spark, sf):
+    """Real-JPEG-pixel resize round trip (the png_resize twin for the
+    web's dominant format): resize_image_meta Huffman-decodes the
+    baseline JPEG, IDCTs to pixels, nearest-resamples, re-encodes as
+    JPEG; image_meta then re-parses the NEW payload's SOF header —
+    dec_width/dec_height equal the rule's dims only if decode, encode
+    and the resize rule all actually work on real JPEG bytes."""
+    from lexoid_spark.functions.multimodal import image_meta, resize_image_meta
+
+    resized = resize_image_meta(
+        _jpeg_images(spark, sf), max_size=64, id_col="doc_id",
+        bin_col="payload",
+    )
+    dec = (
+        image_meta(resized, id_col="id", bin_col="payload")
+        .select(F.col("id"), F.col("width").alias("dec_width"),
+                F.col("height").alias("dec_height"))
+    )
+    return (
+        resized.select("id", "new_width", "new_height", "resized")
+        .join(dec, "id")
+        .select(F.col("id").alias("doc_id"), "new_width", "new_height",
+                "resized", "dec_width", "dec_height")
+        .orderBy("doc_id")
+    )
+
+
+_JPEG_RESIZE_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(n_chars % 96 + 8 AS INT) AS w,
+         CAST((n_chars * 5) % 72 + 8 AS INT) AS h
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    CASE WHEN GREATEST(w, h) > 64
+         THEN CAST(floor(w * (64.0 / GREATEST(w, h))) AS INT) ELSE w END
+    AS new_width,
+    CASE WHEN GREATEST(w, h) > 64
+         THEN CAST(floor(h * (64.0 / GREATEST(w, h))) AS INT) ELSE h END
+    AS new_height,
+    GREATEST(w, h) > 64 AS resized
+  FROM m
+)
+SELECT doc_id, new_width, new_height, resized,
+       new_width AS dec_width, new_height AS dec_height
+FROM r ORDER BY doc_id
+"""
+
+
 def _audio_meta(spark, sf):
     from lexoid_spark.functions.multimodal import audio_meta, fake_audio_udf
 
@@ -5194,6 +5259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": _image_meta,
         "png_meta": _png_meta,
         "png_resize": _png_resize,
+        "jpeg_resize": _jpeg_resize,
         "gif_meta": _gif_meta,
         "jpeg_meta": _jpeg_meta,
         "wav_meta": _wav_meta,
@@ -5324,6 +5390,7 @@ def oracle_sql() -> dict[str, str]:
         "image_meta": _IMAGE_META_SQL,
         "png_meta": _PNG_META_SQL,
         "png_resize": _PNG_RESIZE_SQL,
+        "jpeg_resize": _JPEG_RESIZE_SQL,
         "gif_meta": _GIF_META_SQL,
         "jpeg_meta": _JPEG_META_SQL,
         "wav_meta": _WAV_META_SQL,

@@ -2,9 +2,12 @@
 with typed metadata, processed by Arrow-batched kernels.
 
 The Spark-side plumbing is real — schemas, mapInPandas batch shape,
-partition behavior — while the codec itself is a deterministic fake
-(container ships no image/audio libraries): payloads use the ``FAKE``
-container below. Swapping in PIL/ffmpeg later only changes the
+partition behavior — and so are the image codecs: PNG, GIF and
+baseline JPEG decode/encode from scratch on numpy + the stdlib
+(``kernels/png_codec.py`` / ``gif_codec.py`` / ``jpeg_codec.py``),
+WAV/MP4/BMP/TIFF read real headers. Only the ``FAKE`` container
+below remains a deterministic stand-in (for payload shapes no real
+codec covers); swapping in PIL/ffmpeg later only changes the
 ``_decode_*`` internals, not one line of the DataFrame plumbing.
 
 Reference parity hook: ``resize_image_meta`` reproduces the reference's
@@ -106,12 +109,12 @@ def decode_video_header(b: bytes) -> tuple[int, int, int] | None:
 
 
 def decode_image_pixels(b: bytes) -> "np.ndarray":
-    """Real pixel decode. PNG and GIF are fully implemented on the
-    stdlib (``kernels/png_codec.py``: IDAT inflate + scanline
-    unfilter; ``kernels/gif_codec.py``: variable-width LZW + palette);
-    JPEG remains behind the real-codec seam (DCT needs an image
-    library not present in this environment), and the FAKE container
-    has no pixels."""
+    """Real pixel decode. PNG, GIF and baseline JPEG are fully
+    implemented on numpy + the stdlib (``kernels/png_codec.py``: IDAT
+    inflate + scanline unfilter; ``kernels/gif_codec.py``:
+    variable-width LZW + palette; ``kernels/jpeg_codec.py``: Huffman +
+    IDCT + YCbCr). Progressive JPEG raises a typed JpegError (caller
+    quarantines); the FAKE container has no pixels."""
     b = bytes(b)
     if b[:4] == b"\x89PNG":
         from lexoid_spark.kernels.png_codec import png_decode
@@ -119,10 +122,12 @@ def decode_image_pixels(b: bytes) -> "np.ndarray":
     if b[:4] == b"GIF8":
         from lexoid_spark.kernels.gif_codec import gif_decode
         return gif_decode(b)
+    if b[:3] == b"\xff\xd8\xff":
+        from lexoid_spark.kernels.jpeg_codec import jpeg_decode
+        return jpeg_decode(b)
     raise NotImplementedError(
-        "only PNG/GIF have real stdlib decodes here; JPEG needs an "
-        "image library not present in this environment, and the FAKE "
-        "container carries no pixel payload"
+        "no real decode for this format (PNG/GIF/baseline JPEG are "
+        "implemented; the FAKE container carries no pixel payload)"
     )
 
 
@@ -207,10 +212,20 @@ def resize_image_meta(df: DataFrame, max_size: int = 1000,
                             gif_decode(bytes(payload))[:, :, :3], nw, nh)
                         rows.append((i, nw, nh, True, gif_encode(px)))
                     elif head[:3] == b"\xff\xd8\xff":
-                        # JPEG: dims rule applies, but pixel re-encode
-                        # sits behind the real-codec seam (no DCT
-                        # here) — null payload marks "needs codec"
-                        rows.append((i, nw, nh, True, None))
+                        from lexoid_spark.kernels.jpeg_codec import (
+                            JpegError, jpeg_decode, jpeg_encode)
+                        from lexoid_spark.kernels.png_codec import (
+                            resample_nearest)
+                        try:
+                            px = resample_nearest(
+                                jpeg_decode(bytes(payload)), nw, nh)
+                            rows.append((i, nw, nh, True,
+                                         jpeg_encode(px, quality=90)))
+                        except JpegError:
+                            # progressive/non-baseline: dims rule
+                            # still applies; null payload marks
+                            # "needs full codec"
+                            rows.append((i, nw, nh, True, None))
                     else:
                         rows.append((i, nw, nh, True,
                                      encode_fake_image(nw, nh, c)))
@@ -380,6 +395,19 @@ def gif_image_udf(width: pd.Series, height: pd.Series,
     from lexoid_spark.kernels.gif_codec import make_test_gif
     return pd.Series([
         make_test_gif(int(w), int(h), int(s))
+        for w, h, s in zip(width, height, seed)
+    ])
+
+
+@F.pandas_udf(T.BinaryType())
+def jpeg_image_udf(width: pd.Series, height: pd.Series,
+                   seed: pd.Series) -> pd.Series:
+    """REAL baseline JPEG bytes (from-scratch T.81 encoder,
+    deterministic pixels) — corpus builder for oracled real-JPEG
+    queries."""
+    from lexoid_spark.kernels.jpeg_codec import make_test_jpeg
+    return pd.Series([
+        make_test_jpeg(int(w), int(h), int(s))
         for w, h, s in zip(width, height, seed)
     ])
 

@@ -1,0 +1,162 @@
+"""Baseline JPEG codec (kernels/jpeg_codec.py): round trips through
+every encoder mode the decoder must handle, marker-level structure,
+quarantine contract for non-baseline modes, and the multimodal resize
+integration. Reference behavior: the reference resizes real JPEG
+pixels via PIL (lexoid/core/utils.py:65-89, listed supported at
+utils.py:119); this suite proves the from-scratch T.81 path does the
+same work."""
+
+import numpy as np
+import pytest
+
+from lexoid_spark.kernels.jpeg_codec import (
+    JpegError,
+    jpeg_decode,
+    jpeg_encode,
+    make_test_jpeg,
+)
+from lexoid_spark.kernels.jpeg_meta import jpeg_header
+
+
+def _pattern(h, w, c=3, seed=0):
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    ch = np.arange(c, dtype=np.int64)[None, None, :]
+    return ((x * 31 + y * 17 + ch * 7 + seed * 13) % 256).astype(np.uint8)
+
+
+def _smooth(h, w):
+    y = np.arange(h)[:, None, None]
+    x = np.arange(w)[None, :, None]
+    base = np.clip(60 + x + y // 2, 0, 255).astype(np.uint8)
+    return np.repeat(base, 3, axis=2)
+
+
+class TestRoundTrip:
+    def test_smooth_444_high_quality_tight(self):
+        img = _smooth(40, 56)
+        dec = jpeg_decode(jpeg_encode(img, quality=95))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+    def test_flat_image_exact(self):
+        img = np.full((16, 24, 3), 77, np.uint8)
+        assert np.array_equal(jpeg_decode(jpeg_encode(img, quality=90)),
+                              img)
+
+    def test_odd_dims_crop_back(self):
+        # non-multiple-of-8 dims: pad on encode, crop on decode
+        img = _smooth(41, 53)
+        dec = jpeg_decode(jpeg_encode(img, quality=95))
+        assert dec.shape == (41, 53, 3)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+    def test_grayscale(self):
+        g = _smooth(24, 40)[:, :, 0]
+        dec = jpeg_decode(jpeg_encode(g, quality=95))
+        assert dec.shape == (24, 40, 1)
+        assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+    def test_420_subsampling(self):
+        img = _smooth(48, 64)
+        dec = jpeg_decode(jpeg_encode(img, quality=95, subsample="420"))
+        assert dec.shape == img.shape
+        # smooth content survives chroma subsampling nearly exactly
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+    def test_420_odd_dims(self):
+        img = _smooth(41, 53)
+        dec = jpeg_decode(jpeg_encode(img, quality=95, subsample="420"))
+        assert dec.shape == (41, 53, 3)
+
+    def test_restart_markers(self):
+        img = _pattern(41, 53)
+        enc = jpeg_encode(img, quality=90, restart_interval=3)
+        # RSTn markers actually present in the entropy stream
+        assert any(enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7
+                   for i in range(2, len(enc) - 3))
+        assert np.array_equal(jpeg_decode(enc),
+                              jpeg_decode(jpeg_encode(img, quality=90)))
+
+    def test_noise_bounded_error(self):
+        rng = np.random.RandomState(7)
+        noise = rng.randint(0, 256, (37, 29, 3)).astype(np.uint8)
+        dec = jpeg_decode(jpeg_encode(noise, quality=95))
+        err = np.abs(dec.astype(int) - noise.astype(int))
+        assert err.mean() < 8 and err.max() < 64
+
+    def test_deterministic_bytes(self):
+        assert make_test_jpeg(33, 21, 5) == make_test_jpeg(33, 21, 5)
+        img = _pattern(20, 30)
+        assert jpeg_encode(img, quality=85) == jpeg_encode(img, quality=85)
+
+
+class TestMarkers:
+    def test_header_parses_own_output(self):
+        for sub in ("444", "420"):
+            enc = jpeg_encode(_pattern(30, 50), subsample=sub)
+            assert jpeg_header(enc) == (50, 30, 3)
+        assert jpeg_header(jpeg_encode(_pattern(30, 50)[:, :, 0])) == \
+            (50, 30, 1)
+
+    def test_progressive_quarantines(self):
+        enc = bytearray(jpeg_encode(_pattern(16, 16)))
+        # flip SOF0 -> SOF2
+        idx = enc.find(b"\xff\xc0")
+        enc[idx + 1] = 0xC2
+        with pytest.raises(JpegError, match="progressive"):
+            jpeg_decode(bytes(enc))
+
+    def test_truncated_scan_quarantines(self):
+        enc = jpeg_encode(_pattern(32, 32))
+        with pytest.raises(JpegError):
+            jpeg_decode(enc[: len(enc) // 2])
+
+    def test_bad_magic(self):
+        with pytest.raises(JpegError, match="magic"):
+            jpeg_decode(b"\x89PNG\r\n\x1a\n")
+
+    def test_stuffed_bytes_survive(self):
+        # find an image whose entropy stream contains stuffed 0xFF00
+        for seed in range(40):
+            enc = jpeg_encode(_pattern(24, 24, seed=seed), quality=95)
+            sos = enc.find(b"\xff\xda")
+            if b"\xff\x00" in enc[sos:]:
+                jpeg_decode(enc)  # must not desync
+                return
+        pytest.skip("no stuffed byte produced (unexpected)")
+
+
+class TestMultimodalIntegration:
+    def test_decode_image_pixels_jpeg(self):
+        from lexoid_spark.functions.multimodal import decode_image_pixels
+
+        img = _smooth(16, 16)
+        dec = decode_image_pixels(jpeg_encode(img, quality=95))
+        assert dec.shape == (16, 16, 3)
+
+    def test_resize_reencodes_real_jpeg(self, spark):
+        from lexoid_spark.functions.multimodal import (
+            image_meta, resize_image_meta)
+
+        payload = make_test_jpeg(120, 90, seed=3)
+        df = spark.createDataFrame([(1, payload)], ["id", "payload"])
+        out = resize_image_meta(df, max_size=64).collect()[0]
+        assert (out["new_width"], out["new_height"]) == (64, 48)
+        assert out["resized"] and out["payload"] is not None
+        # the re-encoded payload is itself a decodable baseline JPEG
+        meta = image_meta(
+            spark.createDataFrame([(1, bytes(out["payload"]))],
+                                  ["id", "payload"])).collect()[0]
+        assert (meta["width"], meta["height"]) == (64, 48)
+
+    def test_resize_progressive_null_payload(self, spark):
+        from lexoid_spark.functions.multimodal import resize_image_meta
+
+        enc = bytearray(make_test_jpeg(120, 90))
+        idx = enc.find(b"\xff\xc0")
+        enc[idx + 1] = 0xC2  # progressive: dims rule applies, no pixels
+        df = spark.createDataFrame([(1, bytes(enc))], ["id", "payload"])
+        out = resize_image_meta(df, max_size=64).collect()[0]
+        assert out["resized"] and out["payload"] is None
+        assert (out["new_width"], out["new_height"]) == (64, 48)

@@ -28,6 +28,13 @@ def main() -> None:
         "pinned_from_total_sec": run["value"],
         "queries": run["queries"],
     }
+    if run.get("calibration_sec"):
+        out["calibration_pin_sec"] = run["calibration_sec"]
+        out["protocol"] = (
+            "pinned from one clean idle-host interleaved min-of-3 run; "
+            "bench.py scales the 2x tripwire by calibration_sec / "
+            "calibration_pin_sec so host contention cannot flag "
+            "unchanged code")
     dst = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH", "budgets.json")
     with open(dst, "w") as f:
