@@ -5061,19 +5061,21 @@ FROM per GROUP BY lang ORDER BY lang
 
 
 def _phrase_merges(spark, sf):
-    """Word-level BPE training loop: 3 corpus-wide merge iterations
+    """Word-level BPE training loop: 6 corpus-wide merge iterations
     (count adjacent pairs map-side-combinably, collect ONE top-pair
     row, broadcast it back, rewrite via mark/filter/transform HOFs).
     Self pairs excluded so the relational mark equals the greedy
-    scan. The oracle replays the identical 3 stages in SQL."""
+    scan. The working frame is localCheckpoint-ed every 2 merges so
+    plan lineage stays bounded at any merge count (the 30k-merge
+    shape). The oracle replays the identical 6 stages in SQL."""
     from lexoid_spark.functions.tokenizer import phrase_merges
 
     docs = _t(spark, sf, "documents")
-    return phrase_merges(docs, "doc_id", "text",
-                         n_merges=3).orderBy("doc_id")
+    return phrase_merges(docs, "doc_id", "text", n_merges=6,
+                         checkpoint_every=2).orderBy("doc_id")
 
 
-def _phrase_sql() -> str:
+def _phrase_sql(n_merges: int = 6) -> str:
     head = r"""
 WITH t0 AS (
   SELECT doc_id AS id,
@@ -5082,7 +5084,7 @@ WITH t0 AS (
   FROM documents
 )"""
     stages = []
-    for s in (1, 2, 3):
+    for s in range(1, n_merges + 1):
         p = s - 1
         stages.append(f""",
 p{s} AS (
@@ -5107,11 +5109,11 @@ t{s} AS (
                 THEN m{s}.mm ELSE t[i] END) AS t
   FROM t{p} LEFT JOIN m{s} ON TRUE
 )""")
-    tail = """
+    tail = f"""
 SELECT b.id AS doc_id, len(b.t) AS n_tokens_in,
        len(f.t) AS n_tokens_out,
        COALESCE(array_to_string(f.t, ' '), '') AS text_merged
-FROM t0 b JOIN t3 f ON b.id = f.id ORDER BY doc_id
+FROM t0 b JOIN t{n_merges} f ON b.id = f.id ORDER BY doc_id
 """
     return head + "".join(stages) + tail
 

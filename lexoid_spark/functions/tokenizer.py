@@ -38,13 +38,22 @@ def _empty_str_array() -> Column:
 
 
 def phrase_merges(df: DataFrame, id_col: str, text_col: str,
-                  n_merges: int = 3, sep: str = "_") -> DataFrame:
+                  n_merges: int = 3, sep: str = "_",
+                  checkpoint_every: int = 4) -> DataFrame:
     """Learn and apply ``n_merges`` corpus-wide adjacent-pair merges.
 
     Tie-break: (count desc, a asc, b asc) — deterministic and
     SQL-mirrorable. Returns ``(id, n_tokens_in, n_tokens_out,
     text_merged)``; the learned merges are also available on the
-    returned DataFrame as ``.merges`` (list of (a, b, count))."""
+    returned DataFrame as ``.merges`` (list of (a, b, count)).
+
+    Every ``checkpoint_every`` iterations the working frame is
+    ``localCheckpoint``-ed (same lineage-truncation pattern as the
+    connected-components loop in ``dedup.py``): each merge stacks a
+    crossJoin + HOF rewrite on the plan, so a real BPE run (30k
+    merges) would otherwise blow the analyzer. With truncation the
+    live plan never holds more than ``checkpoint_every`` rewrite
+    layers regardless of ``n_merges``."""
     spark = df.sparkSession
     base = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
@@ -109,6 +118,8 @@ def phrase_merges(df: DataFrame, id_col: str, text_col: str,
         cur = cur.crossJoin(F.broadcast(pairrow)).select(
             "id", new_t.alias("t")
         )
+        if checkpoint_every > 0 and (_step + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
 
     out = (
         base.select("id", F.size("t").alias("n_tokens_in"))

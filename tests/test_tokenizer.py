@@ -51,6 +51,33 @@ class TestPhraseMerges:
         got = {r["id"]: r["text_merged"] for r in out.collect()}
         assert got[0] == "x x x x x a_b"
 
+    def test_checkpoint_bounds_lineage(self, spark):
+        """Lineage truncation: the live plan never holds more than
+        checkpoint_every rewrite layers, whatever n_merges is — the
+        30k-merge BPE shape. Results must be bit-identical with and
+        without truncation."""
+        from lexoid_spark.functions.tokenizer import phrase_merges
+
+        rows = [(i, "a b c d a b c a b a e f g e f e") for i in range(6)]
+        rows += [(6, "h i j h i h"), (7, "")]
+        df = spark.createDataFrame(rows, "id long, text string")
+
+        ck = phrase_merges(df, "id", "text", n_merges=6,
+                           checkpoint_every=2)
+        raw = phrase_merges(df, "id", "text", n_merges=6,
+                            checkpoint_every=0)
+        assert ck.merges == raw.merges
+        assert sorted(map(tuple, ck.collect())) == \
+            sorted(map(tuple, raw.collect()))
+
+        # plan-size pin: without truncation 6 rewrite layers stack up;
+        # with it the live plan starts from a checkpointed scan and the
+        # analyzed tree is a fraction of the size
+        def plan_len(out):
+            return len(out._jdf.queryExecution().analyzed().toString())
+
+        assert plan_len(ck) * 2 < plan_len(raw)
+
     def test_plan_pair_row_broadcast(self, spark):
         from lexoid_spark.functions.tokenizer import phrase_merges
 
