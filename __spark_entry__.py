@@ -2658,6 +2658,64 @@ SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
 """
 
 
+def _pdf_aes_extract(spark, sf):
+    """AES-encrypted (standard security handler V4/R4 /AESV2, empty
+    password — the dominant wild encrypted-PDF shape) Flate PDFs built
+    closed-form from doc_id and pushed through the FULL extract()
+    plan: R4 50-round key derivation + block-parallel AES-CBC decrypt
+    + /Length rewrite + zlib + layout, with DuckDB predicting the
+    final markdown. Reference opens these via pdfplumber/pypdf's
+    standard handler (static_parser.py); cipher + key schedule are the
+    from-scratch FIPS-197 / ISO 32000-1 re-derivation in
+    kernels/pdf_crypt.py."""
+    from lexoid_spark.corpus.pdf_gen import build_pdf
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def aes_pdf(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            k = d % 3 + 2
+            words = [
+                {"text": f"a{j}q{d % 6}", "x": 72.0 + 48.0 * j,
+                 "y": 700.0, "size": 12.0, "font": "F1"}
+                for j in range(k)
+            ]
+            out.append(build_pdf([{"words": words}], compress=True,
+                                 encrypt="aes"))
+        return pd.Series(out)
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://aes.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        aes_pdf("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(pages, run_id="aes_check")["extracted"]
+    return out.select("url", "raw", "n_chars").orderBy("url")
+
+
+_PDF_AES_SQL = """
+WITH base AS (
+  SELECT doc_id, doc_id % 3 + 2 AS k, CAST(doc_id % 6 AS VARCHAR) AS m
+  FROM documents
+),
+r AS (
+  SELECT 'http://aes.test/' || CAST(doc_id AS VARCHAR) AS url,
+         'a0q' || m || ' a1q' || m
+         || CASE WHEN k >= 3 THEN ' a2q' || m ELSE '' END
+         || CASE WHEN k >= 4 THEN ' a3q' || m ELSE '' END
+         || chr(10) || chr(10) AS raw
+  FROM base
+)
+SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
+"""
+
+
 def _bmp_tiff_meta(spark, sf):
     """BMP + TIFF header walks (the last stdlib-feasible raster
     formats): even ids carry a real BMP, odd ids a real single-IFD
@@ -5286,6 +5344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_extract": _pipeline_extract,
         "pdf_flate_extract": _pdf_flate_extract,
         "pdf_rc4_extract": _pdf_rc4_extract,
+        "pdf_aes_extract": _pdf_aes_extract,
         "pdf_filters_extract": _pdf_filters_extract,
         "bmp_tiff_meta": _bmp_tiff_meta,
         "canonical_urls": _canonical_urls,
@@ -5417,6 +5476,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_extract": _PIPELINE_EXTRACT_SQL,
         "pdf_flate_extract": _PDF_FLATE_SQL,
         "pdf_rc4_extract": _PDF_RC4_SQL,
+        "pdf_aes_extract": _PDF_AES_SQL,
         "pdf_filters_extract": _PDF_FILTERS_SQL,
         "bmp_tiff_meta": _BMP_TIFF_SQL,
         "canonical_urls": _CANONICAL_SQL,

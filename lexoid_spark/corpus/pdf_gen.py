@@ -218,7 +218,7 @@ def _package_stream(stream: bytes, stream_filter: str):
 def build_pdf(pages: Sequence[Dict], compress: bool = False,
               objstm: bool = False, xrefstream: bool = False,
               indirect_length: bool = False,
-              encrypt: bool = False,
+              encrypt: bool | str = False,
               stream_filter: str | None = None) -> bytes:
     """Assemble a full PDF from page specs. Deterministic bytes.
 
@@ -407,17 +407,20 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
     encrypt_num = None
     file_id_hex = b""
     if encrypt:
-        # standard security handler V1/R2 (40-bit RC4), empty user AND
-        # owner password — the spec default every viewer opens silently.
+        # standard security handler, empty user AND owner password —
+        # the spec defaults every viewer opens silently. encrypt=True
+        # or "rc4" → V1/R2 40-bit RC4 (length-preserving);
+        # encrypt="aes" → V4/R4 /AESV2 128-bit AES-CBC (each stream
+        # becomes IV + padded ciphertext, so /Length is rewritten).
         # Streams-only: this writer keeps no strings outside streams
-        # (URIs excluded from the encrypted fixture class), so RC4 of
-        # each stream body under its per-object key covers everything;
-        # lengths are unchanged so /Length entries stay valid.
+        # (URIs excluded from the encrypted fixture class).
         import hashlib
         import re as _re
 
         from lexoid_spark.kernels.pdf_crypt import (
+            aes_cbc_encrypt,
             make_entries,
+            make_entries_r4,
             object_key,
             rc4,
         )
@@ -425,9 +428,11 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
         if objstm or xrefstream:
             raise ValueError(
                 "encrypt uses the classic layout (fixture scope)")
+        aes = encrypt == "aes"
         file_id = hashlib.md5(b"lexoid-id:" + b"|".join(objs)).digest()
         file_id_hex = file_id.hex().upper().encode()
-        o_e, u_e, key = make_entries(-44, file_id)
+        o_e, u_e, key = (make_entries_r4(-44, file_id) if aes
+                         else make_entries(-44, file_id))
         for i in range(len(objs)):
             obj = objs[i]
             s_idx = obj.find(b"stream")
@@ -440,13 +445,37 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
                 body += 1
             lm = _re.search(rb"/Length\s+(\d+)", obj[:s_idx])
             ln = int(lm.group(1))
-            enc_body = rc4(object_key(key, i + 1), obj[body:body + ln])
-            objs[i] = obj[:body] + enc_body + obj[body + ln:]
-        encrypt_num = add(
-            b"<< /Filter /Standard /V 1 /R 2 /Length 40 /O <%s> "
-            b"/U <%s> /P -44 >>"
-            % (o_e.hex().upper().encode(), u_e.hex().upper().encode())
-        )
+            if aes:
+                # deterministic IV per object (fixture reproducibility)
+                iv = hashlib.md5(b"lexoid-iv:%s:%d"
+                                 % (file_id, i + 1)).digest()
+                enc_body = iv + aes_cbc_encrypt(
+                    object_key(key, i + 1, aes=True), iv,
+                    obj[body:body + ln])
+                header = _re.sub(
+                    rb"/Length\s+\d+", b"/Length %d" % len(enc_body),
+                    obj[:body], count=1)
+                objs[i] = header + enc_body + obj[body + ln:]
+            else:
+                enc_body = rc4(object_key(key, i + 1),
+                               obj[body:body + ln])
+                objs[i] = obj[:body] + enc_body + obj[body + ln:]
+        if aes:
+            encrypt_num = add(
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+                b"/O <%s> /U <%s> /P -44 >>"
+                % (o_e.hex().upper().encode(),
+                   u_e.hex().upper().encode())
+            )
+        else:
+            encrypt_num = add(
+                b"<< /Filter /Standard /V 1 /R 2 /Length 40 /O <%s> "
+                b"/U <%s> /P -44 >>"
+                % (o_e.hex().upper().encode(),
+                   u_e.hex().upper().encode())
+            )
 
     packed_nums: set = set()
     if objstm:

@@ -958,9 +958,10 @@ def _page_fonts(pobj: bytes, objs: Dict[int, bytes]) -> Dict[str, Dict]:
 
 def _encryption_params(data: bytes, objs: Dict[int, bytes]):
     """Detect the standard security handler; return (file_key,
-    encrypt_obj_num) or None. Only V1/R2 empty-password RC4 (the
-    silent-open default) is in scope — anything else raises so the
-    document QUARANTINES instead of parsing to garbage bytes."""
+    encrypt_obj_num, method) or None, method in {"rc4", "aes"}.
+    V1/R2 empty-password RC4 and V4/R4 /AESV2 (the two silent-open
+    defaults) are in scope — anything else raises so the document
+    QUARANTINES instead of parsing to garbage bytes."""
     # anchor the scan to the file TAIL (trailer dicts / xref-stream
     # dicts live there): a content stream that merely CONTAINS the
     # bytes '/Encrypt 5 0 R' (a PDF-spec tutorial document) must not
@@ -997,10 +998,23 @@ def _encryption_params(data: bytes, objs: Dict[int, bytes]):
         raise ValueError("unsupported PDF security handler")
     vm = re.search(rb"/V\s+(\d+)", enc)
     rm = re.search(rb"/R\s+(\d+)", enc)
-    if (int(vm.group(1)) if vm else 0) != 1 or \
-            (int(rm.group(1)) if rm else 2) != 2:
-        raise ValueError("unsupported PDF encryption revision (AES or "
-                         "long-key documents are out of kernel scope)")
+    v = int(vm.group(1)) if vm else 0
+    r = int(rm.group(1)) if rm else 2
+    if (v, r) == (1, 2):
+        method = "rc4"
+    elif (v, r) == (4, 4):
+        # V4 is only in scope through the AESV2 crypt filter routed at
+        # both /StmF and (if strings appear) /StrF — V4/RC4 ("/V2")
+        # or identity stream filters quarantine
+        if b"/AESV2" not in enc or \
+                not re.search(rb"/StmF\s*/StdCF", enc):
+            raise ValueError("unsupported PDF V4 crypt filter "
+                             "(only /AESV2 /StmF /StdCF is in scope)")
+        method = "aes"
+    else:
+        raise ValueError("unsupported PDF encryption revision (AESV3/"
+                         "AES-256 or long-key RC4 are out of kernel "
+                         "scope)")
     om = re.search(rb"/O\s*<([0-9A-Fa-f\s]+)>", enc)
     pm = re.search(rb"/P\s+(-?\d+)", enc)
     idm = None
@@ -1008,29 +1022,50 @@ def _encryption_params(data: bytes, objs: Dict[int, bytes]):
         pass
     if not (om and pm and idm):
         raise ValueError("encrypted PDF: malformed /Encrypt entries")
-    from lexoid_spark.kernels.pdf_crypt import PAD, derive_key, rc4
+    from lexoid_spark.kernels.pdf_crypt import (
+        PAD,
+        derive_key,
+        derive_key_r34,
+        rc4,
+        u_value_r34,
+    )
 
     o_entry = bytes.fromhex(om.group(1).decode().replace(" ", ""))
     file_id = bytes.fromhex(idm.group(1).decode())
-    key = derive_key(o_entry, int(pm.group(1)), file_id)
-    # Algorithm 6 check: with the empty user password, RC4(key, PAD)
-    # must equal /U — otherwise a REAL password protects the document
     um = re.search(rb"/U\s*<([0-9A-Fa-f\s]+)>", enc)
-    if um is not None:
-        u_entry = bytes.fromhex(um.group(1).decode().replace(" ", ""))
-        if rc4(key, PAD) != u_entry:
+    u_entry = (bytes.fromhex(um.group(1).decode().replace(" ", ""))
+               if um else None)
+    if method == "rc4":
+        key = derive_key(o_entry, int(pm.group(1)), file_id)
+        # Algorithm 6 check: with the empty user password, RC4(key,
+        # PAD) must equal /U — else a REAL password protects the doc
+        if u_entry is not None and rc4(key, PAD) != u_entry:
             raise ValueError("password-protected PDF (empty user "
                              "password rejected)")
-    return key, enc_num
+    else:
+        no_meta = re.search(rb"/EncryptMetadata\s+false", enc)
+        key = derive_key_r34(o_entry, int(pm.group(1)), file_id,
+                             n=16, r=4,
+                             encrypt_metadata=no_meta is None)
+        # Algorithm 6 for R>=3 compares only the first 16 bytes of /U
+        if u_entry is not None and \
+                u_value_r34(key, file_id) != u_entry[:16]:
+            raise ValueError("password-protected PDF (empty user "
+                             "password rejected)")
+    return key, enc_num, method
 
 
 def _decrypt_streams(obj: bytes, file_key: bytes, num: int,
-                     objs: Dict[int, bytes]) -> bytes:
-    """RC4-decrypt an object's stream body in place (the exact byte
-    count from /Length, which RC4 preserves; an indirect ``/Length
-    N G R`` resolves through ``objs``). Objects without streams pass
-    through; an encrypted stream whose length CANNOT be resolved
-    raises — quarantine, never a partial/garbage decrypt."""
+                     objs: Dict[int, bytes],
+                     method: str = "rc4") -> bytes:
+    """Decrypt an object's stream body in place (the exact byte count
+    from /Length; an indirect ``/Length N G R`` resolves through
+    ``objs``). RC4 preserves length; AES-CBC shrinks it (IV + PKCS#7
+    padding come off), so the header's /Length entry is rewritten to
+    the plaintext size to keep every downstream slice honest. Objects
+    without streams pass through; an encrypted stream whose length
+    CANNOT be resolved raises — quarantine, never a partial/garbage
+    decrypt."""
     s_idx = obj.find(b"stream")
     if s_idx == -1:
         return obj
@@ -1051,8 +1086,18 @@ def _decrypt_streams(obj: bytes, file_key: bytes, num: int,
         body += 2
     elif obj[body:body + 1] == b"\n":
         body += 1
-    from lexoid_spark.kernels.pdf_crypt import object_key, rc4
+    from lexoid_spark.kernels.pdf_crypt import (
+        aes_cbc_decrypt,
+        object_key,
+        rc4,
+    )
 
+    if method == "aes":
+        dec = aes_cbc_decrypt(object_key(file_key, num, aes=True),
+                              obj[body:body + ln])
+        header = re.sub(rb"/Length\s+\d+(?:\s+\d+\s+R)?",
+                        b"/Length %d" % len(dec), obj[:body], count=1)
+        return header + dec + obj[body + ln:]
     dec = rc4(object_key(file_key, num), obj[body:body + ln])
     return obj[:body] + dec + obj[body + ln:]
 
@@ -1068,10 +1113,10 @@ def parse_pdf(data: bytes) -> List[PdfPage]:
     # at the container level, members inherit the expanded plaintext
     enc = _encryption_params(data, scanned)
     if enc is not None:
-        file_key, enc_num = enc
+        file_key, enc_num, method = enc
         scanned = {
             n: (o if n == enc_num
-                else _decrypt_streams(o, file_key, n, scanned))
+                else _decrypt_streams(o, file_key, n, scanned, method))
             for n, o in scanned.items()
         }
     objs = _expand_object_streams(scanned)
