@@ -1,5 +1,5 @@
-"""OCR arm (P5): the routing + kernel *shape* of the reference's
-PaddleOCR path with a deterministic stand-in recognizer.
+"""OCR arm (P5): the routing + kernel shape of the reference's
+PaddleOCR path with a deterministic recognizer.
 
 Reference semantics being shaped (``lexoid/core/utils.py:591-612``
 bbox_router, ``parse_type/static_parser.py:751-818``
@@ -7,13 +7,18 @@ parse_with_paddleocr): image files and image-bearing PDFs route to
 OCR; per page the recognized texts join with spaces, pages join with
 ``"\\n\\n"``, and each page segment carries normalized word bboxes.
 
-The sandbox ships no OCR library, so recognition over the FAKE image
-container (``functions/multimodal.py``) is a deterministic function of
-the image header — clearly a stand-in, NOT a model. Real image bytes
-(PNG/JPEG/GIF) raise ``NotImplementedError`` at the documented seam
-and quarantine with an explicit error instead of failing the task.
-Swapping in PaddleOCR later replaces only ``_recognize_fake``; the
-routing, schemas, and per-page segment assembly stay.
+Recognition is now REAL-pixel end to end: PNG/GIF/baseline-JPEG
+payloads decode through the repo's from-scratch codecs and go through
+``kernels/ocr_glyph.py`` — binarization, line banding, glyph
+segmentation, 5x7 template classification, word-box emission. The
+glyph set is closed (A-Z, 0-9 — a deterministic stand-in for a neural
+recognizer, honestly NOT a model); ink that doesn't segment into
+known templates raises and the document quarantines, never a silent
+wrong read. The legacy FAKE container (header-only, no pixels) keeps
+its header-derived recognition so the pixel-less fixture class stays
+supported. Swapping in a real OCR model later replaces only the
+recognizer functions; the routing, schemas, and per-page segment
+assembly stay.
 """
 
 from __future__ import annotations
@@ -24,22 +29,17 @@ from lexoid_spark.functions.multimodal import IMG_MAGIC, decode_image_header
 
 WordBox = Tuple[str, Tuple[float, float, float, float]]
 
+# real raster formats the pixel path decodes (routing twin of
+# decode_image_pixels in functions/multimodal.py)
+_REAL_MAGICS = (b"\x89PNG", b"GIF8", b"\xff\xd8\xff")
+
 
 def _recognize_fake(payload: bytes) -> Tuple[str, List[WordBox]]:
-    """Deterministic stand-in recognition: emits tokens derived from
-    the FAKE header (w, h, channels) with synthetic left-to-right
-    normalized boxes — the exact output shape PaddleOCR's rec_texts /
-    dt_polys produce after the reference's normalization
-    (static_parser.py:778-800)."""
-    if not payload.startswith(IMG_MAGIC):
-        # real formats (PNG/GIF/JPEG) now DECODE here (png_codec /
-        # gif_codec / jpeg_meta), but text RECOGNITION still needs an
-        # OCR model — keep the seam honest for anything but the FAKE
-        # container the stand-in recognizer is defined over
-        raise NotImplementedError(
-            "real OCR requires an OCR library not present in this "
-            "environment; the FAKE image container is fully supported"
-        )
+    """Header-derived recognition for the pixel-less FAKE container:
+    emits tokens derived from (w, h, channels) with synthetic
+    left-to-right normalized boxes — the exact output shape
+    PaddleOCR's rec_texts / dt_polys produce after the reference's
+    normalization (static_parser.py:778-800)."""
     hdr = decode_image_header(payload)
     if hdr is None:
         raise ValueError("undecodable FAKE image payload")
@@ -54,32 +54,45 @@ def _recognize_fake(payload: bytes) -> Tuple[str, List[WordBox]]:
     return " ".join(words), boxes
 
 
+def _recognize(payload: bytes) -> Tuple[str, List[WordBox]]:
+    """Dispatch: FAKE container → header recognizer; real raster →
+    pixel decode + glyph-template OCR. Anything else raises (→
+    quarantine)."""
+    if payload.startswith(IMG_MAGIC):
+        return _recognize_fake(payload)
+    if payload.startswith(_REAL_MAGICS):
+        from lexoid_spark.functions.multimodal import decode_image_pixels
+        from lexoid_spark.kernels.ocr_glyph import recognize_pixels
+
+        return recognize_pixels(decode_image_pixels(payload))
+    raise ValueError("unsupported image payload for OCR")
+
+
 def ocr_image_to_page(payload) -> Tuple[str, List[WordBox]]:
     """One image → (page_text, word_bboxes). Raises (→ quarantine) on
     undecodable payloads, mirroring the reference's retry-then-error
     chain (static_parser.py:22-55)."""
     if payload is None:
         raise ValueError("empty image payload")
-    return _recognize_fake(bytes(payload))
+    return _recognize(bytes(payload))
 
 
 def ocr_pdf_to_pages(payload, start: int = 0) -> List[Tuple[int, str, List[WordBox]]]:
     """Image-bearing PDF → [(page, text, bboxes)]: OCR every embedded
     /Subtype /Image XObject, one logical page per image (the
-    reference renders PDF pages to images first; the FAKE container
+    reference renders PDF pages to images first; the embedded raster
     stands in for the render)."""
     from lexoid_spark.kernels.pdf_md import pdf_image_payloads
 
     images = [
-        p for p in pdf_image_payloads(payload) if p.startswith(IMG_MAGIC)
+        p for p in pdf_image_payloads(payload)
+        if p.startswith(IMG_MAGIC) or p.startswith(_REAL_MAGICS)
     ]
     if not images:
-        raise NotImplementedError(
-            "image-bearing PDF without FAKE-container images: real "
-            "render+OCR requires libraries not present in this environment"
-        )
+        raise ValueError(
+            "image-bearing PDF carries no OCR-decodable raster payloads")
     out = []
     for idx, img in enumerate(images):
-        text, boxes = _recognize_fake(img)
+        text, boxes = _recognize(img)
         out.append((start + idx + 1, text, boxes))
     return out

@@ -1,0 +1,106 @@
+"""Glyph-template OCR over real pixels (P5): render → codec → decode →
+recognize must be the identity on the closed A-Z/0-9 glyph set, for
+every glyph, at multiple scales, through all three real raster codecs
+— and anything that doesn't segment into known templates quarantines.
+Reference behavior shaped: parse_with_paddleocr
+(static_parser.py:751-818)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lexoid_spark.kernels.ocr_glyph import (
+    FONT,
+    recognize_pixels,
+    render_text,
+    render_text_png,
+)
+
+ALL_GLYPHS = "".join(sorted(FONT))
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("scale", [1, 2, 3])
+    def test_every_glyph_every_scale(self, scale):
+        text, _ = recognize_pixels(render_text(ALL_GLYPHS, scale=scale))
+        assert text == ALL_GLYPHS
+
+    def test_words_and_lines(self):
+        msg = "DOC 42 OF 7 PAGES\nSECOND LINE 99"
+        text, boxes = recognize_pixels(render_text(msg, scale=2))
+        assert text == "DOC 42 OF 7 PAGES SECOND LINE 99"
+        assert [b[0] for b in boxes] == msg.replace("\n", " ").split()
+        # boxes normalized, reading order, line 2 below line 1
+        for _w, (x0, y0, x1, y1) in boxes:
+            assert 0 <= x0 < x1 <= 1 and 0 <= y0 < y1 <= 1
+        assert boxes[4][1][1] < boxes[5][1][1]  # PAGES above SECOND
+
+    def test_empty_and_blank(self):
+        assert recognize_pixels(np.full((20, 20), 255, np.uint8)) == ("", [])
+
+    def test_through_png_codec(self):
+        from lexoid_spark.functions.multimodal import decode_image_pixels
+
+        png = render_text_png("HELLO WORLD 123")
+        text, _ = recognize_pixels(decode_image_pixels(png))
+        assert text == "HELLO WORLD 123"
+
+    def test_through_gif_codec(self):
+        from lexoid_spark.kernels.gif_codec import gif_decode, gif_encode
+
+        arr = render_text("GIF LZW 88", scale=2)
+        rgb = np.repeat(arr[:, :, None], 3, axis=2)
+        text, _ = recognize_pixels(gif_decode(gif_encode(rgb)))
+        assert text == "GIF LZW 88"
+
+    def test_through_lossy_jpeg(self):
+        from lexoid_spark.kernels.jpeg_codec import jpeg_decode, jpeg_encode
+
+        arr = render_text("JPEG SCAN 7", scale=4)
+        text, _ = recognize_pixels(jpeg_decode(
+            jpeg_encode(arr[:, :, None], quality=95)))
+        assert text == "JPEG SCAN 7"
+
+
+class TestQuarantine:
+    def test_unknown_glyph_raises(self):
+        arr = render_text("AB", scale=2).copy()
+        # flip a glyph-interior block to forge an unseen bitmap
+        ink = np.argwhere(arr < 128)
+        y, x = ink[len(ink) // 2]
+        arr[y:y + 2, x:x + 2] = 255
+        with pytest.raises(ValueError):
+            recognize_pixels(arr)
+
+    def test_non_glyph_ink_raises(self):
+        arr = np.full((40, 40), 255, np.uint8)
+        arr[10:13, 5:33] = 0  # a 3-row rule, not a glyph band
+        with pytest.raises(ValueError):
+            recognize_pixels(arr)
+
+    def test_renderer_rejects_unknown_char(self):
+        with pytest.raises(ValueError, match="glyph font"):
+            render_text("lower")
+
+
+class TestExtractIntegration:
+    def test_png_scan_routes_to_ocr(self, spark):
+        """A real-PNG 'scanned page' document routes image → OCR and
+        lands in extracted with the recognized text as raw."""
+        from lexoid_spark.plans.extract import extract
+
+        rows = [(f"http://scan.test/{i}",
+                 render_text_png(f"PAGE {i} TEXT", scale=2))
+                for i in range(4)]
+        pages = spark.createDataFrame(
+            rows, "url string, html binary"
+        ).select(
+            "url", F.lit(None).cast("timestamp").alias("warc_ts"),
+            "html", F.lit("").alias("text"), F.lit("en").alias("lang"),
+        )
+        out = extract(pages, run_id="glyphocr")["extracted"].collect()
+        got = {r["url"]: (r["raw"], r["parser_used"]) for r in out}
+        assert got == {
+            f"http://scan.test/{i}": (f"PAGE {i} TEXT", "OCR_PARSE")
+            for i in range(4)
+        }

@@ -72,9 +72,21 @@ def test_ocr_image_deterministic_shape():
         assert 0 <= x0 < x1 <= 1 and 0 <= top < bottom <= 1
 
 
-def test_ocr_real_image_raises_at_seam():
-    with pytest.raises(NotImplementedError):
+def test_ocr_real_png_recognizes():
+    # the old NotImplementedError seam is retired: real PNG pixels
+    # decode and template-match (kernels/ocr_glyph.py)
+    from lexoid_spark.kernels.ocr_glyph import render_text_png
+
+    text, boxes = ocr_image_to_page(render_text_png("SCAN 42 OK"))
+    assert text == "SCAN 42 OK"
+    assert [b[0] for b in boxes] == ["SCAN", "42", "OK"]
+
+
+def test_ocr_corrupt_payload_still_quarantines():
+    with pytest.raises(Exception):
         ocr_image_to_page(b"\x89PNG\r\n\x1a\n" + b"\0" * 32)
+    with pytest.raises(ValueError):
+        ocr_image_to_page(b"not an image at all")
 
 
 def test_ocr_pdf_pages_one_per_embedded_image():
