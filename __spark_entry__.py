@@ -2982,6 +2982,61 @@ FROM documents ORDER BY url
 """
 
 
+def _ocr_glyph_scan(spark, sf):
+    """REAL-pixel OCR end to end (P5, the fixed round-3 seam): glyph
+    text rendered per doc_id through one of the three from-scratch
+    codecs (PNG / GIF / baseline JPEG, rotating on doc_id % 3), routed
+    image→OCR by the full extract() plan; kernels/ocr_glyph.py decodes
+    actual pixels and template-recognizes the exact text, so DuckDB
+    predicts the page text closed-form. Reference:
+    parse_with_paddleocr (static_parser.py:751-818)."""
+    import numpy as np
+
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def glyph_scan(doc_ids: pd.Series) -> pd.Series:
+        from lexoid_spark.kernels.gif_codec import gif_encode
+        from lexoid_spark.kernels.jpeg_codec import jpeg_encode
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.png_codec import png_encode
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            v = d % 3
+            arr = render_text(f"DOC {d}\nLINE {d % 7}",
+                              scale=4 if v == 2 else 2)
+            if v == 0:
+                out.append(png_encode(arr[:, :, None]))
+            elif v == 1:
+                out.append(gif_encode(np.repeat(arr[:, :, None], 3, axis=2)))
+            else:
+                out.append(jpeg_encode(arr[:, :, None], quality=95))
+        return pd.Series(out)
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://glyph.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        glyph_scan("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(pages, run_id="ocr_glyph")["extracted"]
+    return out.select("url", "raw", "parser_used").orderBy("url")
+
+
+_OCR_GLYPH_SCAN_SQL = """
+SELECT 'http://glyph.test/' || CAST(doc_id AS VARCHAR) AS url,
+       'DOC ' || CAST(doc_id AS VARCHAR)
+       || ' LINE ' || CAST(doc_id % 7 AS VARCHAR) AS raw,
+       'OCR_PARSE' AS parser_used
+FROM documents ORDER BY url
+"""
+
+
 def _pdf_speed_arm(spark, sf):
     """The cheap text-only PDF arm (reference pdfminer framework,
     static_parser.py:144-177): same compressed PDFs as
@@ -5350,6 +5405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": _canonical_urls,
         "pdf_cid_extract": _pdf_cid_extract,
         "ocr_scanned": _ocr_scanned,
+        "ocr_glyph_scan": _ocr_glyph_scan,
         "pdf_speed_arm": _pdf_speed_arm,
         "pii_redact_docs": _pii_redact_docs,
         "para_dedup": _para_dedup,
@@ -5482,6 +5538,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": _CANONICAL_SQL,
         "pdf_cid_extract": _PDF_CID_SQL,
         "ocr_scanned": _OCR_SCANNED_SQL,
+        "ocr_glyph_scan": _OCR_GLYPH_SCAN_SQL,
         "pdf_speed_arm": _PDF_SPEED_SQL,
         "pii_redact_docs": _PII_REDACT_SQL,
         "para_dedup": _PARA_DEDUP_SQL,

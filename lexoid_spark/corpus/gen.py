@@ -43,7 +43,7 @@ ALL_CLASSES = HTML_CLASSES + PDF_CLASSES + (
     "csv_table", "txt_plain", "docx_doc", "xlsx_sheet",
     "pptx_deck", "img_scan", "pdf_scanned",
     # appended last so earlier class→index assignments shift minimally
-    "pdf_cid", "pdf_xrefstm",
+    "pdf_cid", "pdf_xrefstm", "img_scan_glyph",
 )
 
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
@@ -426,6 +426,36 @@ def _img_scan(i: int, r: random.Random) -> bytes:
     return encode_fake_image(640 + (i % 5) * 8, 480 + (i % 3) * 16, 3)
 
 
+def _img_scan_glyph(i: int, r: random.Random) -> bytes:
+    """Real-raster scanned page: glyph-font text rendered to pixels and
+    encoded through one of the three REAL from-scratch codecs (PNG /
+    GIF / baseline JPEG, rotating by doc index) → the OCR arm decodes
+    actual pixels and template-recognizes the exact text back
+    (``kernels/ocr_glyph.py``; reference parse_with_paddleocr,
+    static_parser.py:751-818)."""
+    import numpy as np
+
+    from lexoid_spark.kernels.ocr_glyph import render_text
+
+    text = f"SCAN DOC {i}\nROW {i % 7} OK"
+    # i % k would alias with the class stride — rotate the codec off
+    # the per-doc RNG instead (deterministic: seeded from i)
+    variant = r.randrange(3)
+    # JPEG is lossy: scale 4 keeps glyph blocks unambiguous post-DCT
+    arr = render_text(text, scale=4 if variant == 2 else 2)
+    if variant == 0:
+        from lexoid_spark.kernels.png_codec import png_encode
+
+        return png_encode(arr[:, :, None])
+    if variant == 1:
+        from lexoid_spark.kernels.gif_codec import gif_encode
+
+        return gif_encode(np.repeat(arr[:, :, None], 3, axis=2))
+    from lexoid_spark.kernels.jpeg_codec import jpeg_encode
+
+    return jpeg_encode(arr[:, :, None], quality=95)
+
+
 def _pdf_scanned(i: int, r: random.Random) -> bytes:
     """Image-bearing PDF (embedded FAKE /Subtype /Image XObjects, no
     text) → routes to the OCR arm like the reference's bbox_router."""
@@ -458,6 +488,7 @@ _BUILDERS = {
     "xlsx_sheet": _xlsx_sheet,
     "pptx_deck": _pptx_deck,
     "img_scan": _img_scan,
+    "img_scan_glyph": _img_scan_glyph,
     "pdf_scanned": _pdf_scanned,
     "pdf_cid": _pdf_cid,
     "pdf_xrefstm": _pdf_xrefstm,

@@ -110,7 +110,14 @@ def test_scanned_docs_extract_not_quarantined(spark):
     out = extract(pages)["extracted"].collect()
     assert len(out) == n
     assert {r["parser_used"] for r in out} == {"OCR_PARSE"}
-    assert all(r["raw"].startswith("scan") for r in out)
+    # img_scan/pdf_scanned carry FAKE containers -> dimension text
+    # ("scan640x480 ..."); img_scan_glyph carries REAL pixels whose
+    # glyph-recognized text is the rendered "SCAN DOC i\nROW j OK".
+    assert all(
+        r["raw"].startswith("SCAN DOC") if "img_scan_glyph" in r["url"]
+        else r["raw"].startswith("scan")
+        for r in out
+    )
 
 
 # --- speed arm ------------------------------------------------------------------
