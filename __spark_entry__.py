@@ -1836,6 +1836,60 @@ FROM r ORDER BY doc_id
 """
 
 
+def _png_dialects(spark, sf):
+    """Adam7-interlaced and 16-bit PNG dialects (the round-3 codec
+    exclusions, now implemented): per doc, render the deterministic
+    test raster, re-encode through one of the three dialect paths
+    (Adam7 / 16-bit / Adam7+16-bit, rotating on doc_id % 3), decode
+    THAT stream, and compare pixels against the plain-8-bit decode.
+    DuckDB predicts roundtrip_ok=TRUE and the dims closed-form — a
+    hash match proves the deinterlace lattice and high-byte sample
+    path are exact, not just that headers parse. Reference handles
+    both via PIL (lexoid/core/utils.py:65-89)."""
+    import numpy as np
+
+    @F.pandas_udf("boolean")
+    def dialect_roundtrip(w: pd.Series, h: pd.Series, seed: pd.Series,
+                          variant: pd.Series) -> pd.Series:
+        from lexoid_spark.kernels.png_codec import (
+            make_test_png, png_decode, png_encode)
+
+        out = []
+        for wi, hi, si, vi in zip(w, h, seed, variant):
+            base = png_decode(make_test_png(int(wi), int(hi), seed=int(si)))
+            enc = png_encode(base, depth=16 if vi >= 1 else 8,
+                             interlace=vi != 1)
+            out.append(bool(np.array_equal(png_decode(enc), base)))
+        return pd.Series(out)
+
+    docs = _t(spark, sf, "documents")
+    v = (F.col("doc_id") % 3).cast("int")
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("adam7"), F.lit("deep16"), F.lit("adam7_deep16")),
+            v + 1).alias("dialect"),
+        (F.col("n_chars") % 120 + 8).cast("int").alias("width"),
+        ((F.col("n_chars") * 7) % 90 + 8).cast("int").alias("height"),
+        dialect_roundtrip(
+            (F.col("n_chars") % 120 + 8).cast("int"),
+            ((F.col("n_chars") * 7) % 90 + 8).cast("int"),
+            (F.col("doc_id") % 256).cast("int"), v,
+        ).alias("roundtrip_ok"),
+    ).orderBy("doc_id")
+
+
+_PNG_DIALECTS_SQL = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'adam7'
+            WHEN 1 THEN 'deep16' ELSE 'adam7_deep16' END AS dialect,
+       CAST(n_chars % 120 + 8 AS INT) AS width,
+       CAST((n_chars * 7) % 90 + 8 AS INT) AS height,
+       TRUE AS roundtrip_ok
+FROM documents ORDER BY doc_id
+"""
+
+
 def _jpeg_images(spark, sf):
     """Documents → REAL baseline JPEG payloads (from-scratch T.81
     encoder, kernels/jpeg_codec.py) — the real-JPEG fixture class.
@@ -5374,6 +5428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": _image_meta,
         "png_meta": _png_meta,
         "png_resize": _png_resize,
+        "png_dialects": _png_dialects,
         "jpeg_resize": _jpeg_resize,
         "gif_meta": _gif_meta,
         "jpeg_meta": _jpeg_meta,
@@ -5507,6 +5562,7 @@ def oracle_sql() -> dict[str, str]:
         "image_meta": _IMAGE_META_SQL,
         "png_meta": _PNG_META_SQL,
         "png_resize": _PNG_RESIZE_SQL,
+        "png_dialects": _PNG_DIALECTS_SQL,
         "jpeg_resize": _JPEG_RESIZE_SQL,
         "gif_meta": _GIF_META_SQL,
         "jpeg_meta": _JPEG_META_SQL,

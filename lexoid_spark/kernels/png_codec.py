@@ -4,13 +4,21 @@ without new dependencies.
 
 Decode: chunk walk (IHDR/PLTE/tRNS/IDAT/IEND), concatenated-IDAT
 inflate, per-scanline unfilter (all five PNG filter types: None, Sub,
-Up, Average, Paeth), palette expansion — covering bit depth 8, color
-types 0/2/3/4/6, non-interlaced (the overwhelming majority of web
-PNGs; 16-bit and Adam7 raise a typed error and the caller quarantines).
+Up, Average, Paeth), palette expansion — covering ALL legal bit
+depths (1/2/4/8/16) and color types (0/2/3/4/6), both non-interlaced
+and Adam7-interlaced (seven sub-images, each filtered independently,
+scattered back on the standard origin/step lattice). 16-bit samples
+down-convert to 8-bit via the high byte (``v >> 8`` — exact inverse
+of the encoder's ``v * 257`` up-scale); sub-byte grayscale expands to
+full range (×255/(2^d−1), exact integers); sub-byte palette samples
+are indices and are not scaled.
 
 Encode: IHDR + one zlib-deflated IDAT (filter 0 per scanline) + IEND,
 fixed compression level ⇒ byte-deterministic, so oracle queries can
-round-trip encode→decode inside the engine.
+round-trip encode→decode inside the engine. ``depth=16`` writes
+big-endian ``v * 257`` samples; ``interlace=True`` writes the seven
+Adam7 passes (both default OFF — the default byte stream is unchanged
+so existing oracles stay bit-stable).
 
 Resample: deterministic nearest-neighbor index mapping
 (``floor(i · src/dst)``). The reference resizes via PIL thumbnail
@@ -69,6 +77,64 @@ def png_header(b: bytes) -> tuple[int, int, int] | None:
     ch = 3 if ctype == 3 else _CHANNELS[ctype]
     return w, h, ch
 
+# Adam7 pass lattice: (x0, y0, dx, dy) per pass, PNG spec §8.2.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _filter_bpp(nch: int, depth: int) -> int:
+    """Filter left-neighbor distance in BYTES (min 1, per spec)."""
+    return max(1, (nch * depth) // 8)
+
+
+def _unfilter_rows(raw: bytes, off: int, height: int, stride: int,
+                   bpp: int) -> np.ndarray:
+    """Unfilter ``height`` scanlines of ``stride`` bytes starting at
+    ``off`` in the inflated stream → (height, stride) uint8."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        row_off = off + y * (stride + 1)
+        ftype = raw[row_off]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_off + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up — fully vectorizable
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            cur = _unfilter_serial(line, prev, ftype, bpp)
+        else:
+            raise PngError(f"bad filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _rows_to_samples(rows: np.ndarray, width: int, nch: int, depth: int,
+                     ctype: int) -> np.ndarray:
+    """(H, stride-bytes) unfiltered rows → (H, W, nch) uint8 samples."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, :width * nch].reshape(h, width, nch)
+    if depth == 16:
+        # big-endian pairs; high byte = exact inverse of v*257 encode
+        return (rows[:, :width * nch * 2]
+                .reshape(h, width * nch, 2)[:, :, 0]
+                .reshape(h, width, nch))
+    # sub-byte (1/2/4): bits are packed MSB-first within each byte
+    bits = np.unpackbits(rows, axis=1)
+    samples = bits[:, :width * nch * depth].reshape(h, width * nch, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (samples * weights).sum(axis=2).astype(np.uint8)
+    if ctype == 0:  # grayscale: expand to full 0..255 (exact integers)
+        vals = vals * np.uint8(255 // ((1 << depth) - 1))
+    return vals.reshape(h, width, nch)
+
+
 def png_decode(b: bytes) -> np.ndarray:
     """PNG bytes → (H, W, C) uint8 array. Raises :class:`PngError` on
     malformed or unsupported input."""
@@ -92,40 +158,45 @@ def png_decode(b: bytes) -> np.ndarray:
             idat += data
     if width is None:
         raise PngError("missing IHDR")
-    if depth != 8:
+    if depth not in (1, 2, 4, 8, 16):
         raise PngError(f"unsupported bit depth {depth}")
-    if interlace:
-        raise PngError("interlaced (Adam7) not supported")
+    if depth < 8 and ctype not in (0, 3):
+        raise PngError(f"bit depth {depth} illegal for color type {ctype}")
     if ctype not in _CHANNELS:
         raise PngError(f"unsupported color type {ctype}")
+    if interlace not in (0, 1):
+        raise PngError(f"bad interlace method {interlace}")
     nch = _CHANNELS[ctype]
+    bpp = _filter_bpp(nch, depth)
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise PngError(f"IDAT inflate failed: {e}") from e
-    stride = width * nch
-    if len(raw) != height * (stride + 1):
-        raise PngError("IDAT size mismatch")
 
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(height):
-        row_off = y * (stride + 1)
-        ftype = raw[row_off]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=row_off + 1
-        ).astype(np.int32)
-        if ftype == 0:
-            cur = line
-        elif ftype == 2:  # Up — fully vectorizable
-            cur = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):
-            cur = _unfilter_serial(line, prev, ftype, nch)
-        else:
-            raise PngError(f"bad filter type {ftype}")
-        out[y] = cur.astype(np.uint8)
-        prev = cur
-    arr = out.reshape(height, width, nch)
+    if interlace:  # Adam7: seven independently-filtered sub-images
+        arr = np.zeros((height, width, nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * nch * depth + 7) // 8
+            need = ph * (stride + 1)
+            if off + need > len(raw):
+                raise PngError("IDAT size mismatch (interlaced)")
+            rows = _unfilter_rows(raw, off, ph, stride, bpp)
+            arr[y0::dy, x0::dx] = _rows_to_samples(rows, pw, nch, depth,
+                                                   ctype)
+            off += need
+        if off != len(raw):
+            raise PngError("IDAT size mismatch (interlaced)")
+    else:
+        stride = (width * nch * depth + 7) // 8
+        if len(raw) != height * (stride + 1):
+            raise PngError("IDAT size mismatch")
+        rows = _unfilter_rows(raw, 0, height, stride, bpp)
+        arr = _rows_to_samples(rows, width, nch, depth, ctype)
 
     if ctype == 3:  # palette expansion
         if palette is None:
@@ -144,15 +215,16 @@ def png_decode(b: bytes) -> np.ndarray:
 
 
 def _unfilter_serial(line: np.ndarray, prev: np.ndarray, ftype: int,
-                     nch: int) -> np.ndarray:
+                     bpp: int) -> np.ndarray:
     """Sub/Average/Paeth have an in-row data dependency — reconstruct
     left-to-right (row lengths are test/KB-scale; the hot path at
-    corpus scale is the Up/None filters encoders favor)."""
+    corpus scale is the Up/None filters encoders favor). ``bpp`` is
+    the filter unit in bytes (min 1 — sub-byte depths use 1)."""
     cur = np.zeros(len(line), dtype=np.int32)
     for x in range(len(line)):
-        a = cur[x - nch] if x >= nch else 0      # left
+        a = cur[x - bpp] if x >= bpp else 0      # left
         up = prev[x]                              # above
-        c = prev[x - nch] if x >= nch else 0      # upper-left
+        c = prev[x - bpp] if x >= bpp else 0      # upper-left
         if ftype == 1:
             rec = line[x] + a
         elif ftype == 3:
@@ -171,9 +243,33 @@ def _unfilter_serial(line: np.ndarray, prev: np.ndarray, ftype: int,
     return cur
 
 
-def png_encode(arr: np.ndarray, level: int = 6) -> bytes:
+def _chunk(kind: bytes, data: bytes) -> bytes:
+    body = kind + data
+    return (struct.pack(">I", len(data)) + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+
+def _pass_bytes(a: np.ndarray, depth: int) -> bytes:
+    """Filter-0 scanlines for one (sub-)image: (h, w, c) uint8 →
+    raw pre-compression bytes. depth 16 writes big-endian v*257."""
+    h, w, c = a.shape
+    if depth == 16:
+        wide = a.astype(">u2") * 257  # hi byte == v → exact round-trip
+        payload = wide.reshape(h, w * c).view(np.uint8)
+    else:
+        payload = a.reshape(h, w * c)
+    scan = np.zeros((h, payload.shape[1] + 1), dtype=np.uint8)
+    scan[:, 1:] = payload
+    return scan.tobytes()
+
+
+def png_encode(arr: np.ndarray, level: int = 6, depth: int = 8,
+               interlace: bool = False) -> bytes:
     """(H, W) or (H, W, C) uint8 array → PNG bytes (filter 0 rows, one
-    IDAT, fixed zlib level ⇒ deterministic output)."""
+    IDAT, fixed zlib level ⇒ deterministic output). ``depth=16`` writes
+    each sample as big-endian ``v * 257`` (decode's high-byte read
+    recovers ``v`` exactly); ``interlace=True`` writes Adam7 passes.
+    Defaults produce the same byte stream as always."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -181,18 +277,21 @@ def png_encode(arr: np.ndarray, level: int = 6) -> bytes:
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
     if ctype is None:
         raise PngError(f"cannot encode {c}-channel array")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    scan = np.zeros((h, w * c + 1), dtype=np.uint8)
-    scan[:, 1:] = a.reshape(h, w * c)
-    idat = zlib.compress(scan.tobytes(), level)
-
-    def chunk(kind: bytes, data: bytes) -> bytes:
-        body = kind + data
-        return (struct.pack(">I", len(data)) + body
-                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
-
-    return (PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
-            + chunk(b"IEND", b""))
+    if depth not in (8, 16):
+        raise PngError(f"encoder supports depth 8/16, not {depth}")
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                       1 if interlace else 0)
+    if interlace:
+        raw = b"".join(
+            _pass_bytes(a[y0::dy, x0::dx], depth)
+            for x0, y0, dx, dy in _ADAM7
+            if a[y0::dy, x0::dx].size
+        )
+    else:
+        raw = _pass_bytes(a, depth)
+    idat = zlib.compress(raw, level)
+    return (PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+            + _chunk(b"IEND", b""))
 
 
 def resample_nearest(arr: np.ndarray, new_w: int, new_h: int) -> np.ndarray:

@@ -192,3 +192,90 @@ class TestSparkIntegration:
         # small: untouched payload
         assert got[1]["resized"] is False
         assert bytes(got[1]["payload"]) == small
+
+
+def _raw_png(w, h, depth, ctype, rows_payload, plte=None, interlace=0):
+    """Hand-build a PNG from pre-packed scanline payload bytes (one
+    filter-0 byte per row added here) for sub-byte-depth fixtures."""
+    from lexoid_spark.kernels.png_codec import _chunk
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    raw = b"".join(b"\x00" + r for r in rows_payload)
+    out = PNG_MAGIC + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", zlib.compress(raw, 6)) + _chunk(b"IEND", b"")
+
+
+class TestAdam7:
+    @pytest.mark.parametrize("h,w", [(1, 1), (3, 5), (7, 7), (8, 8),
+                                     (9, 5), (16, 33)])
+    @pytest.mark.parametrize("c", [1, 3, 4])
+    def test_interlaced_roundtrip(self, h, w, c):
+        px = _grad(h, w, c)
+        b = png_encode(px, interlace=True)
+        assert png_header(b) == (w, h, c)
+        assert np.array_equal(png_decode(b), px)
+
+    def test_interlaced_differs_from_sequential_bytes(self):
+        px = _grad(16, 16, 3)
+        assert png_encode(px, interlace=True) != png_encode(px)
+
+    def test_truncated_interlaced_quarantines(self):
+        b = png_encode(_grad(16, 16, 3), interlace=True)
+        # re-deflate a short stream under the same chunk structure
+        from lexoid_spark.kernels.png_codec import _chunk
+        head = b[:33]  # magic + IHDR chunk
+        short = zlib.compress(b"\x00" * 10, 6)
+        bad = head + _chunk(b"IDAT", short) + _chunk(b"IEND", b"")
+        with pytest.raises(PngError):
+            png_decode(bad)
+
+
+class TestDeep:
+    @pytest.mark.parametrize("c", [1, 3])
+    def test_16bit_roundtrip(self, c):
+        px = _grad(11, 6, c)
+        b = png_encode(px, depth=16)
+        assert png_header(b) == (6, 11, c)
+        assert np.array_equal(png_decode(b), px)
+
+    def test_16bit_interlaced_roundtrip(self):
+        px = _grad(9, 13, 3)
+        b = png_encode(px, depth=16, interlace=True)
+        assert np.array_equal(png_decode(b), px)
+
+    def test_16bit_high_byte_wins(self):
+        # hand-rolled: one gray pixel 0xABCD → decodes to 0xAB
+        row = struct.pack(">H", 0xABCD)
+        b = _raw_png(1, 1, 16, 0, [row])
+        assert png_decode(b)[0, 0, 0] == 0xAB
+
+
+class TestSubByte:
+    def test_1bit_gray(self):
+        # 10 px wide: bits 1010101010 + 6 pad bits → 0xAA, 0x80
+        b = _raw_png(10, 2, 1, 0, [b"\xaa\x80", b"\x55\x40"])
+        out = png_decode(b)
+        assert out.shape == (2, 10, 1)
+        assert list(out[0, :, 0]) == [255, 0] * 5
+        assert list(out[1, :, 0]) == [0, 255] * 5
+
+    def test_2bit_gray_scales_by_85(self):
+        # 4 px: values 0,1,2,3 → 00 01 10 11 = 0x1B
+        b = _raw_png(4, 1, 2, 0, [b"\x1b"])
+        assert list(png_decode(b)[0, :, 0]) == [0, 85, 170, 255]
+
+    def test_4bit_palette(self):
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B
+        # 3 px row: indices 0,1,2 → nibbles 0x01, 0x20
+        b = _raw_png(3, 1, 4, 3, [b"\x01\x20"], plte=plte)
+        out = png_decode(b)
+        assert out.shape == (1, 3, 3)
+        assert list(out[0, 0]) == [255, 0, 0]
+        assert list(out[0, 1]) == [0, 255, 0]
+        assert list(out[0, 2]) == [0, 0, 255]
+
+    def test_subbyte_rgb_is_illegal(self):
+        with pytest.raises(PngError):
+            png_decode(_raw_png(2, 1, 4, 2, [b"\x00\x00\x00"]))
