@@ -2927,13 +2927,11 @@ SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
 _CID_ALPHABET = "数据表查询流分组合并批处理文档页面索引"
 
 
-def _pdf_cid_extract(spark, sf):
-    """CID/Type0 (Identity-H) PDFs built closed-form from doc_id —
-    2-byte hex CID strings decoded through a generated /ToUnicode CMap
-    (kernels/pdf_md._parse_tounicode) inside the FULL extract() plan,
-    so DuckDB predicts the final CJK markdown without touching a byte
-    of PDF. Reference reads such fonts via pdfplumber's CMap support
-    (static_parser.py:700-727)."""
+def _cid_shape_extract(spark, sf, host: str, marker: str,
+                       tounicode: bool):
+    """Shared CID-PDF query shape: closed-form CJK words through the
+    full extract() plan; ``tounicode`` picks the decode route the
+    kernel must take (/ToUnicode CMap vs embedded FontFile2 cmap)."""
     from lexoid_spark.corpus.pdf_gen import build_pdf
     from lexoid_spark.plans.extract import extract
 
@@ -2950,24 +2948,48 @@ def _pdf_cid_extract(spark, sf):
                  "font": "C1"}
                 for j in range(k)
             ]
-            words.append({"text": f"cid{d}", "x": 72.0, "y": 660.0,
+            words.append({"text": f"{marker}{d}", "x": 72.0, "y": 660.0,
                           "size": 12.0, "font": "F1"})
             words.append({"text": "doc", "x": 120.0, "y": 660.0,
                           "size": 12.0, "font": "F1"})
-            out.append(build_pdf([{"words": words}], compress=True))
+            out.append(build_pdf([{"words": words}], compress=True,
+                                 cid_tounicode=tounicode))
         return pd.Series(out)
 
     docs = _t(spark, sf, "documents")
     pages = docs.select(
-        F.concat(F.lit("http://cid.test/"),
+        F.concat(F.lit(f"http://{host}.test/"),
                  F.col("doc_id").cast("string")).alias("url"),
         F.lit(None).cast("timestamp").alias("warc_ts"),
         cid_pdf("doc_id").alias("html"),
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(pages, run_id="cid_check")["extracted"]
+    out = extract(pages, run_id=f"{host}_check")["extracted"]
     return out.select("url", "raw", "n_chars").orderBy("url")
+
+
+def _pdf_cid_extract(spark, sf):
+    """CID/Type0 (Identity-H) PDFs built closed-form from doc_id —
+    2-byte hex CID strings decoded through a generated /ToUnicode CMap
+    (kernels/pdf_md._parse_tounicode) inside the FULL extract() plan,
+    so DuckDB predicts the final CJK markdown without touching a byte
+    of PDF. Reference reads such fonts via pdfplumber's CMap support
+    (static_parser.py:700-727)."""
+    return _cid_shape_extract(spark, sf, host="cid", marker="cid",
+                              tounicode=True)
+
+
+def _pdf_ttf_extract(spark, sf):
+    """Identity-H PDFs with NO /ToUnicode — text is only recoverable
+    from the embedded TrueType program's own ``cmap`` table
+    (/FontDescriptor → /FontFile2, parsed by kernels/ttf_cmap.py;
+    CID == GID under Identity-H so the inverted table decodes). Same
+    closed-form CJK text as pdf_cid_extract, so a hash match proves
+    the sfnt walk + format-4 segment decode are exact. Reference gets
+    embedded-font text via pdfplumber (static_parser.py:700-727)."""
+    return _cid_shape_extract(spark, sf, host="ttf", marker="ttf",
+                              tounicode=False)
 
 
 _PDF_CID_SQL = """
@@ -2993,6 +3015,10 @@ r AS (
 )
 SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
 """
+
+# Same closed-form text, different decode route (FontFile2 cmap, not
+# /ToUnicode) — "cid" appears only in the URL host and marker word.
+_PDF_TTF_SQL = _PDF_CID_SQL.replace("cid", "ttf")
 
 
 def _ocr_scanned(spark, sf):
@@ -5459,6 +5485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_tiff_meta": _bmp_tiff_meta,
         "canonical_urls": _canonical_urls,
         "pdf_cid_extract": _pdf_cid_extract,
+        "pdf_ttf_extract": _pdf_ttf_extract,
         "ocr_scanned": _ocr_scanned,
         "ocr_glyph_scan": _ocr_glyph_scan,
         "pdf_speed_arm": _pdf_speed_arm,
@@ -5593,6 +5620,7 @@ def oracle_sql() -> dict[str, str]:
         "bmp_tiff_meta": _BMP_TIFF_SQL,
         "canonical_urls": _CANONICAL_SQL,
         "pdf_cid_extract": _PDF_CID_SQL,
+        "pdf_ttf_extract": _PDF_TTF_SQL,
         "ocr_scanned": _OCR_SCANNED_SQL,
         "ocr_glyph_scan": _OCR_GLYPH_SCAN_SQL,
         "pdf_speed_arm": _PDF_SPEED_SQL,

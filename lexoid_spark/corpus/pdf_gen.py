@@ -219,7 +219,8 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
               objstm: bool = False, xrefstream: bool = False,
               indirect_length: bool = False,
               encrypt: bool | str = False,
-              stream_filter: str | None = None) -> bytes:
+              stream_filter: str | None = None,
+              cid_tounicode: bool = True) -> bytes:
     """Assemble a full PDF from page specs. Deterministic bytes.
 
     ``compress=True`` FlateDecode-compresses every content stream
@@ -246,6 +247,12 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
     (descendant CIDFontType2 with a /W width table, /ToUnicode CMap
     with bfchar entries for every char used) — the structure most
     non-Latin web PDFs carry.
+
+    ``cid_tounicode=False`` drops the /ToUnicode CMap and instead
+    embeds a minimal TrueType program (/FontDescriptor → /FontFile2,
+    kernels/ttf_cmap.ttf_build) whose ``cmap`` table maps each char to
+    its CID — the wild layout where text is only recoverable from the
+    font program itself.
     """
     if indirect_length and not xrefstream:
         raise ValueError("indirect_length requires xrefstream (the "
@@ -272,7 +279,44 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
         for ch in w["text"]
     })
     cidmap: Dict[str, int] = {}
-    if cid_chars:
+    if cid_chars and not cid_tounicode:
+        # no /ToUnicode: ship the mapping as an embedded TrueType
+        # program instead (FontFile2 cmap: unicode -> gid == CID)
+        cidmap = {ch: i + 1 for i, ch in enumerate(cid_chars)}
+        pages = [dict(p, _cidmap=cidmap) for p in pages]
+        from lexoid_spark.kernels.ttf_cmap import ttf_build
+
+        prog = ttf_build(cidmap)
+        if compress:
+            import zlib
+
+            packed = zlib.compress(prog, 9)
+            ff_num = add(
+                b"<< /Length %d /Filter /FlateDecode /Length1 %d >>"
+                b"\nstream\n%s\nendstream" % (len(packed), len(prog), packed))
+        else:
+            ff_num = add(
+                b"<< /Length %d /Length1 %d >>\nstream\n%s\nendstream"
+                % (len(prog), len(prog), prog))
+        fd_num = add((
+            "<< /Type /FontDescriptor /FontName /LexoidCJK /Flags 4 "
+            "/FontBBox [0 -200 1000 900] /ItalicAngle 0 /Ascent 800 "
+            "/Descent -200 /CapHeight 700 /StemV 80 /FontFile2 %d 0 R >>"
+            % ff_num).encode("latin-1"))
+        w_arr = " ".join(str(600 + 50 * (c % 4))
+                         for c in range(1, len(cidmap) + 1))
+        desc_num = add((
+            "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /LexoidCJK "
+            "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            "/Supplement 0 >> /DW 1000 /W [1 [%s]] "
+            "/FontDescriptor %d 0 R >>" % (w_arr, fd_num)
+        ).encode("latin-1"))
+        font_objs["C1"] = add((
+            "<< /Type /Font /Subtype /Type0 /BaseFont /LexoidCJK "
+            "/Encoding /Identity-H /DescendantFonts [%d 0 R] >>"
+            % desc_num
+        ).encode("latin-1"))
+    elif cid_chars:
         cidmap = {ch: i + 1 for i, ch in enumerate(cid_chars)}
         pages = [dict(p, _cidmap=cidmap) for p in pages]
         bfchars = "\n".join(

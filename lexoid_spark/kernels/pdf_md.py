@@ -904,6 +904,24 @@ def _parse_cid_widths(dobj: bytes) -> Dict[int, float]:
     return widths
 
 
+def _fontfile_cmap(dobj: bytes, objs: Dict[int, bytes]) -> Dict[int, str]:
+    """Descendant font dict → /FontDescriptor → /FontFile2 (TrueType
+    program) → gid→unicode via the program's ``cmap`` table
+    (kernels/ttf_cmap.py). ``{}`` when any link is missing — the
+    caller's "�" fallback stays in effect."""
+    fd_ref = _ref_after(dobj, b"/FontDescriptor")
+    fd = objs.get(fd_ref) if fd_ref is not None else None
+    if fd is None:
+        return {}
+    ff_ref = _ref_after(fd, b"/FontFile2")
+    ff = objs.get(ff_ref) if ff_ref is not None else None
+    if ff is None:
+        return {}
+    from lexoid_spark.kernels.ttf_cmap import gid_to_text
+
+    return gid_to_text(_stream_bytes(ff))
+
+
 def _parse_font_obj(fobj: bytes, objs: Dict[int, bytes]) -> Dict:
     bm = _BASEFONT_RE.search(fobj)
     # strip subset prefix "ABCDEF+Name"
@@ -922,7 +940,14 @@ def _parse_font_obj(fobj: bytes, objs: Dict[int, bytes]) -> Dict:
         info["widths"] = _parse_cid_widths(dobj)
         tref = _ref_after(fobj, b"/ToUnicode")
         tobj = objs.get(tref) if tref is not None else None
-        info["cmap"] = _parse_tounicode(_stream_bytes(tobj)) if tobj else {}
+        if tobj is not None:
+            info["cmap"] = _parse_tounicode(_stream_bytes(tobj))
+        else:
+            # No /ToUnicode: recover text from the embedded TrueType
+            # program's own cmap table (Identity-H ⇒ CID == GID, so
+            # inverting unicode→gid yields the decode map). Reference
+            # reads such fonts via pdfplumber (static_parser.py:700-727).
+            info["cmap"] = _fontfile_cmap(dobj, objs)
     else:
         fc = _int_after(fobj, b"/FirstChar")
         ws = _numbers_in_brackets(fobj, b"/Widths")
