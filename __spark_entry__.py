@@ -4760,6 +4760,70 @@ FROM j ORDER BY doc_id
 """
 
 
+def _char_span_removal(spark, sf):
+    """CHARACTER-level exact-substring dedup (Lee et al. 2022
+    semantics, the round-3 verdict's remaining delta on
+    dup_span_removal): injected boilerplate is punctuation-laced and
+    word-boundary-hostile (URLs, em-dashes, '::'), so only a char-range
+    method dedups it fully. Windows of 40 chars occurring in ≥2 docs
+    are removed everywhere; masking folds sorted starts into disjoint
+    intervals (O(starts)) and splices the gaps — no per-char scan, no
+    window function, no second explode."""
+    from lexoid_spark.functions.curation import char_span_removal
+
+    docs = _t(spark, sf, "documents")
+    body = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("© lexoid-crawl.example/nav?id=1&s=2 | "
+                  "header—menu::links; "),
+            F.col("text"),
+            F.lit(" [footer:"), F.col("lang"),
+            F.lit("] contact/about/privacy—sitemap.rss"),
+        ).alias("body"),
+    )
+    return char_span_removal(body, "doc_id", "body", w=40).orderBy("doc_id")
+
+
+_CHAR_SPAN_SQL = """
+WITH base AS (
+  SELECT doc_id AS id,
+         '© lexoid-crawl.example/nav?id=1&s=2 | header—menu::links; '
+         || text || ' [footer:' || lang
+         || '] contact/about/privacy—sitemap.rss' AS txt
+  FROM documents
+),
+wins AS (
+  SELECT id, i AS pos, substr(txt, CAST(i + 1 AS BIGINT), 40) AS g
+  FROM base, UNNEST(range(0, length(txt) - 40 + 1)) AS u(i)
+  WHERE length(txt) >= 40
+),
+dup AS (
+  SELECT g FROM (
+    SELECT g, count(DISTINCT id) AS nd FROM wins GROUP BY g
+  ) WHERE nd >= 2
+),
+starts AS (
+  SELECT id, list_sort(list(pos)) AS st
+  FROM wins JOIN dup USING (g) GROUP BY id
+),
+j AS (
+  SELECT b.id, b.txt, COALESCE(s.st, CAST([] AS BIGINT[])) AS st
+  FROM base b LEFT JOIN starts s ON b.id = s.id
+)
+SELECT id AS doc_id,
+       CAST(length(txt) AS INT) AS n_chars,
+       CAST(len(st) AS INT) AS n_dup_starts,
+       COALESCE(array_to_string(
+         list_transform(
+           list_filter(range(0, length(txt)),
+             i -> len(list_filter(st, s -> s <= i AND i <= s + 39)) = 0),
+           i -> substr(txt, CAST(i + 1 AS BIGINT), 1)),
+         ''), '') AS text_clean
+FROM j ORDER BY doc_id
+"""
+
+
 def _tfidf_topk(spark, sf):
     """Top-5 characteristic terms per doc by exact-integer tf-idf
     (tf * ((N*10^6) div df)) — no float logs, rank ties broken (score
@@ -5505,6 +5569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_sample": _unimax_sample,
         "semdedup_keep": _semdedup_keep,
         "dup_span_removal": _dup_span_removal,
+        "char_span_removal": _char_span_removal,
         "tfidf_topk": _tfidf_topk,
         "inverted_postings": _inverted_postings,
         "warc_ingest": _warc_ingest,
@@ -5640,6 +5705,7 @@ def oracle_sql() -> dict[str, str]:
         "unimax_sample": _UNIMAX_SAMPLE_SQL,
         "semdedup_keep": _SEMDEDUP_SQL,
         "dup_span_removal": _DUP_SPAN_SQL,
+        "char_span_removal": _CHAR_SPAN_SQL,
         "tfidf_topk": _TFIDF_SQL,
         "inverted_postings": _INVERTED_SQL,
         "warc_ingest": _WARC_INGEST_SQL,

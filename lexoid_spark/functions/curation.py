@@ -783,3 +783,99 @@ def duplicate_span_removal(df: DataFrame, id_col: str, text_col: str,
             F.transform(kept, lambda st: st["w"]), " "
         ).alias("text_clean"),
     )
+
+
+def char_span_removal(df: DataFrame, id_col: str, text_col: str,
+                      w: int = 40) -> DataFrame:
+    """Character-level exact-substring dedup (the Lee et al. 2022
+    semantics ``duplicate_span_removal`` approximates at word level):
+    any window of ``w`` CHARACTERS occurring in two or more distinct
+    documents is removed from every document — spans crossing word
+    boundaries and punctuation dedup correctly, which the word-gram
+    variant cannot do. Fixed-length stride-1 windows stand in for the
+    paper's suffix arrays (every duplicated substring of length ≥ w is
+    fully covered by duplicated windows, so the removal set matches
+    the suffix-array method for spans ≥ w).
+
+    Scale shape: one posexplode produces (id, pos, window-hash) rows
+    (one per char — the same cardinality class as the word variant's
+    token rows); the duplicated-window set is a map-side-combinable
+    two-level aggregation (countDistinct ids per hash — boilerplate
+    shared by 10^9 pages partially aggregates, no hot keys). Masking
+    is per-row: sorted starts fold into disjoint intervals (O(starts)
+    — NOT a per-char exists scan), then the kept text is spliced with
+    O(intervals) substrings. Two shuffles on bounded keys, no window
+    functions, no second explode.
+
+    Returns ``(id, n_chars, n_dup_starts, text_clean)``.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    )
+    wins = base.filter(F.length("txt") >= w).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.length("txt") - w),
+                lambda i: _md5_hash64(F.col("txt").substr(i + 1, F.lit(w))),
+            )
+        ).alias("pos", "h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    starts = (
+        wins.join(dup, "h")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    j = base.join(starts, "id", "left").withColumn(
+        "starts", F.coalesce("starts", F.array().cast("array<int>"))
+    )
+    # fold sorted starts into disjoint [lo, hi] intervals (0-based,
+    # inclusive); adjacent intervals merge — identical output, fewer
+    # splices
+    empty_iv = F.array().cast("array<struct<lo:int,hi:int>>")
+    merged = F.aggregate(
+        F.col("starts"),
+        empty_iv,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (s <= F.element_at(acc, -1)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["lo"].alias("lo"),
+                    (s + (w - 1)).alias("hi"),
+                )),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                s.alias("lo"), (s + (w - 1)).alias("hi"))))
+        ),
+    )
+    # splice: walk intervals with a (cursor, acc) fold, keeping the
+    # gaps; 1-based substr positions, cursor = next unread char
+    clean = F.aggregate(
+        merged,
+        F.struct(F.lit(1).alias("cur"), F.lit("").alias("acc")),
+        lambda a, iv: F.struct(
+            (iv["hi"] + 2).alias("cur"),
+            F.concat(
+                a["acc"],
+                F.col("txt").substr(a["cur"], iv["lo"] + 1 - a["cur"]),
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"], F.col("txt").substr(a["cur"], F.length("txt"))
+        ),
+    )
+    return j.select(
+        F.col("id").alias(id_col),
+        F.length("txt").alias("n_chars"),
+        F.size("starts").alias("n_dup_starts"),
+        clean.alias("text_clean"),
+    )

@@ -601,6 +601,63 @@ class TestDuplicateSpanRemoval:
         assert got[0]["n_dup_starts"] == 2
 
 
+class TestCharSpanRemoval:
+    def test_matches_python_reference(self, spark):
+        """Exhaustive check vs a brute-force char-window reference,
+        including boundary-crossing punctuation, a fully-duplicated
+        doc, and sub-window docs."""
+        from lexoid_spark.functions.curation import char_span_removal
+
+        W = 40
+        shared = "©nav?id=1&s=2|header—menu::links;contact/about"
+        rows = [
+            (0, "aaa " + shared + " unique tail zero"),
+            (1, "bbb prefix " + shared + " unique tail one"),
+            (2, "totally unique document with no duplicated spans xyzzy"),
+            (3, "short"),
+            (4, shared),  # entirely duplicated → empty clean text
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {r["id"]: r for r in
+               char_span_removal(df, "id", "text", w=W).collect()}
+
+        from collections import defaultdict
+        windows = defaultdict(set)
+        for i, t in rows:
+            for p in range(len(t) - W + 1):
+                windows[t[p:p + W]].add(i)
+        dup = {g for g, ids in windows.items() if len(ids) >= 2}
+        for i, t in rows:
+            starts = [p for p in range(max(0, len(t) - W + 1))
+                      if len(t) >= W and t[p:p + W] in dup]
+            covered = set()
+            for s in starts:
+                covered.update(range(s, s + W))
+            clean = "".join(c for k, c in enumerate(t) if k not in covered)
+            assert got[i]["n_chars"] == len(t)
+            assert got[i]["n_dup_starts"] == len(starts)
+            assert got[i]["text_clean"] == clean, (i, got[i]["text_clean"])
+        assert got[4]["text_clean"] == ""  # the all-dup doc is emptied
+
+    def test_word_variant_misses_punctuation_span_char_catches(self, spark):
+        """The motivating delta: a duplicated span with NO spaces is
+        invisible to word 8-grams but removed by char windows."""
+        from lexoid_spark.functions.curation import (
+            char_span_removal, duplicate_span_removal)
+
+        blob = "x" * 20 + "::" + "y" * 20  # 42 chars, one 'word'
+        rows = [(0, "left " + blob + " right0"),
+                (1, "open " + blob + " right1")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        wr = {r["id"]: r for r in
+              duplicate_span_removal(df, "id", "text", n=8).collect()}
+        assert wr[0]["n_dup_starts"] == 0  # word-gram variant blind
+        cr = {r["id"]: r for r in
+              char_span_removal(df, "id", "text", w=40).collect()}
+        assert cr[0]["n_dup_starts"] > 0
+        assert blob not in cr[0]["text_clean"]
+
+
 class TestTfidfInverted:
     def test_tfidf_ranks(self, spark):
         from lexoid_spark.functions.textstats import tfidf_topk

@@ -278,6 +278,25 @@ def test_dup_span_removal_no_window_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_char_span_removal_no_window_no_cartesian(spark):
+    """char_span_removal keeps the same scale shape as the word
+    variant: two-level map-side-combinable dup detection, interval
+    masking via per-row HOF folds — never a window function, never a
+    cartesian, and exactly one generator (posexplode) in the plan."""
+    from lexoid_spark.functions.curation import char_span_removal
+
+    df = spark.createDataFrame(
+        [(i, ("shared boilerplate text that is long enough! " * 2)
+          + "tail%d" % i) for i in range(10)],
+        "id long, text string")
+    plan = _formatted(char_span_removal(df, "id", "text", w=40))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # one posexplode, recomputed once for each consumer (dup set +
+    # starts) — never a third
+    assert plan.count("Generate (") <= 2
+
+
 def test_tfidf_scalar_broadcast(spark):
     """tfidf_topk's corpus-size N is a one-row broadcast (nested-loop
     broadcast join is fine for 1 row); no CartesianProduct; the rank
