@@ -2770,6 +2770,65 @@ SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
 """
 
 
+def _pdf_aes256_extract(spark, sf):
+    """AES-256 (V5/R6 /AESV3, ISO 32000-2) encrypted PDFs — the
+    modern writer default — through the FULL extract() plan: the
+    Algorithm-2.B iterated SHA-2/AES KDF validates the empty password,
+    unwraps the 256-bit file key from /UE, verifies /Perms integrity,
+    then block-parallel AES-256-CBC decrypts every stream under the
+    FILE key (R6 dropped per-object keys). Fixtures share one
+    /Encrypt dict (same-producer shard shape), so the memoized KDF
+    runs once per worker. Reference opens these via pdfplumber/pypdf;
+    cipher + KDF are the from-scratch FIPS-197 / ISO 32000-2
+    re-derivation in kernels/pdf_crypt.py."""
+    from lexoid_spark.corpus.pdf_gen import build_pdf
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def aes256_pdf(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            k = d % 3 + 2
+            words = [
+                {"text": f"v{j}r{d % 6}", "x": 72.0 + 48.0 * j,
+                 "y": 700.0, "size": 12.0, "font": "F1"}
+                for j in range(k)
+            ]
+            out.append(build_pdf([{"words": words}], compress=True,
+                                 encrypt="aes256"))
+        return pd.Series(out)
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://aes256.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        aes256_pdf("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(pages, run_id="aes256_check")["extracted"]
+    return out.select("url", "raw", "n_chars").orderBy("url")
+
+
+_PDF_AES256_SQL = """
+WITH base AS (
+  SELECT doc_id, doc_id % 3 + 2 AS k, CAST(doc_id % 6 AS VARCHAR) AS m
+  FROM documents
+),
+r AS (
+  SELECT 'http://aes256.test/' || CAST(doc_id AS VARCHAR) AS url,
+         'v0r' || m || ' v1r' || m
+         || CASE WHEN k >= 3 THEN ' v2r' || m ELSE '' END
+         || CASE WHEN k >= 4 THEN ' v3r' || m ELSE '' END
+         || chr(10) || chr(10) AS raw
+  FROM base
+)
+SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
+"""
+
+
 def _bmp_tiff_meta(spark, sf):
     """BMP + TIFF header walks (the last stdlib-feasible raster
     formats): even ids carry a real BMP, odd ids a real single-IFD
@@ -5545,6 +5604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_flate_extract": _pdf_flate_extract,
         "pdf_rc4_extract": _pdf_rc4_extract,
         "pdf_aes_extract": _pdf_aes_extract,
+        "pdf_aes256_extract": _pdf_aes256_extract,
         "pdf_filters_extract": _pdf_filters_extract,
         "bmp_tiff_meta": _bmp_tiff_meta,
         "canonical_urls": _canonical_urls,
@@ -5681,6 +5741,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_flate_extract": _PDF_FLATE_SQL,
         "pdf_rc4_extract": _PDF_RC4_SQL,
         "pdf_aes_extract": _PDF_AES_SQL,
+        "pdf_aes256_extract": _PDF_AES256_SQL,
         "pdf_filters_extract": _PDF_FILTERS_SQL,
         "bmp_tiff_meta": _BMP_TIFF_SQL,
         "canonical_urls": _CANONICAL_SQL,

@@ -112,7 +112,8 @@ def main() -> None:
         "parse_quality_metrics",
         "bbox_range_join", "crawl_reachable", "extract_html_h1",
         "extract_html_main", "pdf_flate_extract", "pdf_speed_arm",
-        "pdf_cid_extract", "ocr_scanned", "png_meta", "png_resize",
+        "pdf_cid_extract", "pdf_ttf_extract", "ocr_scanned",
+        "ocr_glyph_scan", "png_meta", "png_resize", "png_dialects",
         "jpeg_resize",
         "para_dedup", "doc_repetition", "pii_redact_docs",
         "token_pack_bins",
@@ -122,7 +123,9 @@ def main() -> None:
         "semdedup_keep", "tfidf_topk", "warc_ingest",
         "robots_check", "sitemap_frontier", "phrase_merges",
         "corpus_report", "ccnet_buckets", "train_val_split",
-        "pdf_rc4_extract", "pdf_filters_extract",
+        "pdf_rc4_extract", "pdf_filters_extract", "pdf_aes_extract",
+        "pdf_aes256_extract",
+        "char_span_removal",
     ]
 
     def run_extract():

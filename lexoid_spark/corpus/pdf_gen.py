@@ -465,6 +465,7 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
             aes_cbc_encrypt,
             make_entries,
             make_entries_r4,
+            make_entries_v5,
             object_key,
             rc4,
         )
@@ -472,11 +473,24 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
         if objstm or xrefstream:
             raise ValueError(
                 "encrypt uses the classic layout (fixture scope)")
-        aes = encrypt == "aes"
+        aes = encrypt in ("aes", "aes256")
+        r6 = encrypt == "aes256"
         file_id = hashlib.md5(b"lexoid-id:" + b"|".join(objs)).digest()
         file_id_hex = file_id.hex().upper().encode()
-        o_e, u_e, key = (make_entries_r4(-44, file_id) if aes
-                         else make_entries(-44, file_id))
+        v5_entries = None
+        if r6:
+            # FIXED seed: every R6 fixture shares one /Encrypt dict
+            # (same U/UE/O/OE, hence one memoized KDF run per worker).
+            # R6's Algorithm 2.B is a password-stretching KDF — tens
+            # of thousands of sequential cipher blocks BY DESIGN — so
+            # per-doc unique salts would price the fixture suite on
+            # the KDF instead of the parse path it exercises; wild
+            # same-producer shards repeat /Encrypt dicts the same way.
+            v5_entries = make_entries_v5(-44, b"lexoid-v5-fixture")
+            key = v5_entries[5]
+        else:
+            o_e, u_e, key = (make_entries_r4(-44, file_id) if aes
+                             else make_entries(-44, file_id))
         for i in range(len(objs)):
             obj = objs[i]
             s_idx = obj.find(b"stream")
@@ -493,9 +507,9 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
                 # deterministic IV per object (fixture reproducibility)
                 iv = hashlib.md5(b"lexoid-iv:%s:%d"
                                  % (file_id, i + 1)).digest()
+                sk = key if r6 else object_key(key, i + 1, aes=True)
                 enc_body = iv + aes_cbc_encrypt(
-                    object_key(key, i + 1, aes=True), iv,
-                    obj[body:body + ln])
+                    sk, iv, obj[body:body + ln])
                 header = _re.sub(
                     rb"/Length\s+\d+", b"/Length %d" % len(enc_body),
                     obj[:body], count=1)
@@ -504,7 +518,21 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
                 enc_body = rc4(object_key(key, i + 1),
                                obj[body:body + ln])
                 objs[i] = obj[:body] + enc_body + obj[body + ln:]
-        if aes:
+        if r6:
+            u_e5, ue_e5, o_e5, oe_e5, perms5, _fk = v5_entries
+            encrypt_num = add(
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+                b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+                b"/U <%s> /UE <%s> /O <%s> /OE <%s> /Perms <%s> "
+                b"/P -44 >>"
+                % (u_e5.hex().upper().encode(),
+                   ue_e5.hex().upper().encode(),
+                   o_e5.hex().upper().encode(),
+                   oe_e5.hex().upper().encode(),
+                   perms5.hex().upper().encode())
+            )
+        elif aes:
             encrypt_num = add(
                 b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
                 b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "

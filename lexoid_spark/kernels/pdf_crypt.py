@@ -1,16 +1,18 @@
-"""PDF standard security handler — V1/R2 (40-bit RC4) and V4/R4
-AESV2 (128-bit AES-CBC), empty user password: the two silent-open
-encryption shapes a web crawl's "encrypted" PDFs overwhelmingly carry
-(no secret involved: the spec-mandated default padding string IS the
+"""PDF standard security handler — V1/R2 (40-bit RC4), V4/R4 AESV2
+(128-bit AES-CBC) and V5/R5-R6 AESV3 (256-bit AES-CBC), empty user
+password: the silent-open encryption shapes a web crawl's "encrypted"
+PDFs overwhelmingly carry (no secret involved: the spec-mandated
+default padding string — or for V5 the empty string itself — IS the
 password, which is why every PDF viewer opens them without
 prompting). The reference reads these via pdfplumber/pypdf's standard
-handler; this is the stdlib+numpy re-derivation (ISO 32000-1 §7.6.2-3:
-Algorithms 1, 2, 3, 4, 5 and the FIPS-197 cipher) so the kernel
+handler; this is the stdlib+numpy re-derivation (ISO 32000-1
+§7.6.2-3: Algorithms 1-6; ISO 32000-2 §7.6.4: Algorithms 2.A/2.B/13;
+and the FIPS-197 cipher at all three key lengths) so the kernel
 matches that behavior.
 
-Scope: V=1 R=2 RC4 and V=4 R=4 /CFM /AESV2. AESV3 (V5/R6, AES-256)
-and real-password documents are out of scope — the kernel raises and
-the document quarantines, never a wrong-bytes parse.
+Scope: V=1 R=2 RC4, V=4 R=4 /CFM /AESV2, V=5 R∈{5,6} /CFM /AESV3.
+Real-password documents are out of scope — the kernel raises and the
+document quarantines, never a wrong-bytes parse.
 
 Scale note: AES-CBC DECRYPTION is block-parallel (P_i = D(C_i) xor
 C_{i-1}), so the read path decrypts every block of a stream at once
@@ -193,17 +195,23 @@ _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
 
 
 def _expand_key(key: bytes) -> np.ndarray:
-    """AES-128 key schedule → (11, 16) uint8 round keys."""
-    w = [list(key[4 * i:4 * i + 4]) for i in range(4)]
-    for i in range(4, 44):
+    """FIPS-197 key schedule for 128/192/256-bit keys →
+    (rounds+1, 16) uint8 round keys (rounds = Nk + 6)."""
+    nk = len(key) // 4
+    if nk not in (4, 6, 8):
+        raise ValueError(f"bad AES key length {len(key)}")
+    rounds = nk + 6
+    w = [list(key[4 * i:4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (rounds + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX_LIST[b] for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    flat = np.array(w, dtype=np.uint8).reshape(11, 16)
-    return flat
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX_LIST[b] for b in t]  # 256-bit extra SubWord
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return np.array(w, dtype=np.uint8).reshape(rounds + 1, 16)
 
 
 def _mix_columns(st: np.ndarray, inverse: bool) -> np.ndarray:
@@ -225,36 +233,130 @@ def _mix_columns(st: np.ndarray, inverse: bool) -> np.ndarray:
 
 
 def aes_encrypt_blocks(key: bytes, blocks: np.ndarray) -> np.ndarray:
-    """Forward cipher over an (n, 16) uint8 state (ECB core)."""
+    """Forward cipher over an (n, 16) uint8 state (ECB core);
+    key length picks 128/192/256-bit rounds."""
     rk = _expand_key(key)
+    rounds = rk.shape[0] - 1
     st = blocks ^ rk[0]
-    for rnd in range(1, 10):
+    for rnd in range(1, rounds):
         st = _mix_columns(_SBOX[st][:, _SHIFT], inverse=False) ^ rk[rnd]
-    return _SBOX[st][:, _SHIFT] ^ rk[10]
+    return _SBOX[st][:, _SHIFT] ^ rk[rounds]
 
 
 def aes_decrypt_blocks(key: bytes, blocks: np.ndarray) -> np.ndarray:
     """Inverse cipher over an (n, 16) uint8 state (ECB core) — ALL
-    blocks in one vectorized pass."""
+    blocks in one vectorized pass; key length picks the rounds."""
     rk = _expand_key(key)
-    st = blocks ^ rk[10]
-    for rnd in range(9, 0, -1):
+    rounds = rk.shape[0] - 1
+    st = blocks ^ rk[rounds]
+    for rnd in range(rounds - 1, 0, -1):
         st = _mix_columns(_INV_SBOX[st[:, _INV_SHIFT]] ^ rk[rnd],
                           inverse=True)
     return _INV_SBOX[st[:, _INV_SHIFT]] ^ rk[0]
 
 
 def aes_cbc_encrypt(key: bytes, iv: bytes, plain: bytes) -> bytes:
-    """PKCS#7-padded CBC encrypt (writer side — sequential chain)."""
+    """PKCS#7-padded CBC encrypt (writer side — sequential chain,
+    scalar T-table core)."""
     padlen = 16 - len(plain) % 16
-    data = plain + bytes([padlen]) * padlen
-    buf = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16)
-    prev = np.frombuffer(iv, dtype=np.uint8)
-    out = np.empty_like(buf)
-    for i in range(buf.shape[0]):
-        prev = aes_encrypt_blocks(key, (buf[i] ^ prev)[None, :])[0]
-        out[i] = prev
-    return out.tobytes()
+    return aes_cbc_encrypt_nopad(key, iv,
+                                 plain + bytes([padlen]) * padlen)
+
+
+# --- scalar (T-table) forward cipher for the SEQUENTIAL paths -----------
+# CBC encryption chains block-to-block, so the vectorized numpy core
+# is pure overhead there (one (1,16) ufunc cascade per block). The
+# classic 4×256 T-table formulation runs a block in ~400 int ops —
+# ~50× faster per block — and the R6 Algorithm-2.B hash loop encrypts
+# ~10⁴ sequential blocks per derivation, so this is what makes AESV3
+# affordable. Tables are DERIVED from the same generated S-box.
+
+
+def _t_tables():
+    t0, t1, t2, t3 = [], [], [], []
+    for x in range(256):
+        s = _SBOX_LIST[x]
+        s2, s3 = _GF_MUL(2, s), _GF_MUL(3, s)
+        t0.append((s2 << 24) | (s << 16) | (s << 8) | s3)
+        t1.append((s3 << 24) | (s2 << 16) | (s << 8) | s)
+        t2.append((s << 24) | (s3 << 16) | (s2 << 8) | s)
+        t3.append((s << 24) | (s << 16) | (s3 << 8) | s2)
+    return t0, t1, t2, t3
+
+
+_T0, _T1, _T2, _T3 = _t_tables()
+
+
+def _round_words(key: bytes):
+    """Key schedule as per-round big-endian 32-bit column words,
+    memoized (the R6 hash loop re-keys every round but encrypts
+    hundreds of blocks per key)."""
+    w = _RW_CACHE.get(key)
+    if w is None:
+        rk = _expand_key(key)
+        w = [[int.from_bytes(bytes(rk[r, 4 * j:4 * j + 4]), "big")
+              for j in range(4)] for r in range(rk.shape[0])]
+        if len(_RW_CACHE) > 256:
+            _RW_CACHE.clear()
+        _RW_CACHE[key] = w
+    return w
+
+
+_RW_CACHE: dict = {}
+
+
+def _encrypt_block_scalar(key: bytes, block: bytes) -> bytes:
+    """One-block forward cipher on plain ints (T-table rounds)."""
+    w = _round_words(key)
+    rounds = len(w) - 1
+    c = [int.from_bytes(block[4 * j:4 * j + 4], "big") ^ w[0][j]
+         for j in range(4)]
+    for rnd in range(1, rounds):
+        k = w[rnd]
+        c = [
+            _T0[(c[j] >> 24) & 0xFF]
+            ^ _T1[(c[(j + 1) & 3] >> 16) & 0xFF]
+            ^ _T2[(c[(j + 2) & 3] >> 8) & 0xFF]
+            ^ _T3[c[(j + 3) & 3] & 0xFF]
+            ^ k[j]
+            for j in range(4)
+        ]
+    k = w[rounds]
+    s = _SBOX_LIST
+    out = bytearray(16)
+    for j in range(4):
+        v = (
+            (s[(c[j] >> 24) & 0xFF] << 24)
+            | (s[(c[(j + 1) & 3] >> 16) & 0xFF] << 16)
+            | (s[(c[(j + 2) & 3] >> 8) & 0xFF] << 8)
+            | s[c[(j + 3) & 3] & 0xFF]
+        ) ^ k[j]
+        out[4 * j:4 * j + 4] = v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def aes_cbc_encrypt_nopad(key: bytes, iv: bytes, plain: bytes) -> bytes:
+    """Raw CBC encrypt of an exact block multiple (the R6 hash loop
+    and /UE//OE wrapping use unpadded CBC) — scalar T-table core."""
+    if len(plain) % 16:
+        raise ValueError("nopad CBC needs a block multiple")
+    prev = iv
+    out = bytearray()
+    for i in range(0, len(plain), 16):
+        prev = _encrypt_block_scalar(
+            key, bytes(a ^ b for a, b in zip(plain[i:i + 16], prev)))
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt_nopad(key: bytes, iv: bytes, ct: bytes) -> bytes:
+    """Raw CBC decrypt, no IV prefix, no padding — block-parallel."""
+    if len(ct) % 16 or not ct:
+        raise ValueError("nopad CBC needs a block multiple")
+    buf = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 16)
+    prev = np.vstack([np.frombuffer(iv, dtype=np.uint8)[None, :],
+                      buf[:-1]])
+    return (aes_decrypt_blocks(key, buf) ^ prev).tobytes()
 
 
 def aes_cbc_decrypt(key: bytes, iv_ct: bytes) -> bytes:
@@ -269,3 +371,100 @@ def aes_cbc_decrypt(key: bytes, iv_ct: bytes) -> bytes:
     if not 1 <= padlen <= 16 or plain[-padlen:] != bytes([padlen]) * padlen:
         raise ValueError("AES stream padding invalid (wrong key?)")
     return plain[:-padlen]
+
+
+# ---------------------------------------------------------------------------
+# V5 (AESV3) key derivation — R5 (deprecated Adobe extension) and R6
+# (ISO 32000-2 §7.6.4.3.4, Algorithms 2.A / 2.B): SHA-2 password
+# hashing, 256-bit file key wrapped in /UE //OE.
+# ---------------------------------------------------------------------------
+
+
+def hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Algorithm 2.B: the R6 iterated hash. Rounds of unpadded
+    AES-128-CBC over 64 repeats of (pwd + K + udata), with the digest
+    function re-chosen per round by the ciphertext (SHA-256/384/512);
+    stops after ≥64 rounds when the last ciphertext byte ≤ rounds-32."""
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def derive_key_v5(u_entry: bytes, ue_entry: bytes, r: int = 6,
+                  user_pw: bytes = b"") -> bytes:
+    """Algorithm 2.A, user-password arm: validate the password against
+    /U's hash+validation-salt, then unwrap the 256-bit file key from
+    /UE with the key-salt hash (unpadded CBC, zero IV). Raises when
+    the (empty) password is rejected — the caller quarantines.
+
+    Memoized: R6's iterated hash is a password-stretching KDF (tens of
+    thousands of sequential cipher blocks BY DESIGN), and crawl shards
+    routinely carry many PDFs from one producer with identical
+    /Encrypt entries — a repeated (U, UE) pair costs the derivation
+    once per worker."""
+    if len(u_entry) < 48 or len(ue_entry) != 32:
+        raise ValueError("malformed V5 /U or /UE entry")
+    vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+    if r == 5:
+        h = hashlib.sha256(user_pw + vsalt).digest()
+    else:
+        h = hash_2b(user_pw, vsalt)
+    if h != u_entry[:32]:
+        raise ValueError("password-protected PDF (empty user "
+                         "password rejected)")
+    ik = (hashlib.sha256(user_pw + ksalt).digest() if r == 5
+          else hash_2b(user_pw, ksalt))
+    return aes_cbc_decrypt_nopad(ik, b"\x00" * 16, ue_entry)
+
+
+def check_perms_v5(perms: bytes, file_key: bytes, p: int) -> bool:
+    """Decrypt the 16-byte /Perms blob (AES-ECB under the file key)
+    and verify the 'adb' tag + /P echo (ISO 32000-2 Algorithm 13)."""
+    if len(perms) != 16:
+        return False
+    blk = np.frombuffer(perms, dtype=np.uint8).reshape(1, 16)
+    dec = aes_decrypt_blocks(file_key, blk).tobytes()
+    return (dec[9:12] == b"adb"
+            and struct.unpack("<i", dec[:4])[0] == p)
+
+
+@lru_cache(maxsize=16)
+def make_entries_v5(p: int, seed: bytes, user_pw: bytes = b"",
+                    owner_pw: bytes = b"", r: int = 6):
+    """Writer side (fixtures): deterministic (U, UE, O, OE, Perms,
+    file_key) for an R5/R6 document. Salts and the file key derive
+    from ``seed`` so fixture bytes are reproducible."""
+    def _h(pw, salt, udata=b""):
+        if r == 5:
+            return hashlib.sha256(pw + salt + udata).digest()
+        return hash_2b(pw, salt, udata)
+
+    file_key = hashlib.sha256(b"lexoid-r6-key:" + seed).digest()
+    uvs = hashlib.sha256(b"uvs:" + seed).digest()[:8]
+    uks = hashlib.sha256(b"uks:" + seed).digest()[:8]
+    ovs = hashlib.sha256(b"ovs:" + seed).digest()[:8]
+    oks = hashlib.sha256(b"oks:" + seed).digest()[:8]
+    u_entry = _h(user_pw, uvs) + uvs + uks
+    ue_entry = aes_cbc_encrypt_nopad(_h(user_pw, uks), b"\x00" * 16,
+                                     file_key)
+    o_entry = _h(owner_pw, ovs, u_entry) + ovs + oks
+    oe_entry = aes_cbc_encrypt_nopad(_h(owner_pw, oks, u_entry),
+                                     b"\x00" * 16, file_key)
+    perms_plain = (struct.pack("<i", p) + b"\xff\xff\xff\xff"
+                   + b"Tadb" + b"lxsp")
+    perms = aes_encrypt_blocks(
+        file_key,
+        np.frombuffer(perms_plain, dtype=np.uint8).reshape(1, 16),
+    ).tobytes()
+    return u_entry, ue_entry, o_entry, oe_entry, perms, file_key

@@ -983,10 +983,11 @@ def _page_fonts(pobj: bytes, objs: Dict[int, bytes]) -> Dict[str, Dict]:
 
 def _encryption_params(data: bytes, objs: Dict[int, bytes]):
     """Detect the standard security handler; return (file_key,
-    encrypt_obj_num, method) or None, method in {"rc4", "aes"}.
-    V1/R2 empty-password RC4 and V4/R4 /AESV2 (the two silent-open
-    defaults) are in scope — anything else raises so the document
-    QUARANTINES instead of parsing to garbage bytes."""
+    encrypt_obj_num, method) or None, method in {"rc4", "aes",
+    "aes256"}. V1/R2 empty-password RC4, V4/R4 /AESV2 and V5/R5-R6
+    /AESV3 (the silent-open defaults across PDF generations) are in
+    scope — anything else raises so the document QUARANTINES instead
+    of parsing to garbage bytes."""
     # anchor the scan to the file TAIL (trailer dicts / xref-stream
     # dicts live there): a content stream that merely CONTAINS the
     # bytes '/Encrypt 5 0 R' (a PDF-spec tutorial document) must not
@@ -1036,30 +1037,58 @@ def _encryption_params(data: bytes, objs: Dict[int, bytes]):
             raise ValueError("unsupported PDF V4 crypt filter "
                              "(only /AESV2 /StmF /StdCF is in scope)")
         method = "aes"
+    elif v == 5 and r in (5, 6):
+        # AESV3: 256-bit file key unwrapped from /UE by the SHA-2
+        # password hash (R6 = ISO 32000-2 Algorithm 2.B iterated hash;
+        # R5 = the deprecated single-SHA-256 Adobe extension)
+        if b"/AESV3" not in enc or \
+                not re.search(rb"/StmF\s*/StdCF", enc):
+            raise ValueError("unsupported PDF V5 crypt filter "
+                             "(only /AESV3 /StmF /StdCF is in scope)")
+        method = "aes256"
     else:
-        raise ValueError("unsupported PDF encryption revision (AESV3/"
-                         "AES-256 or long-key RC4 are out of kernel "
-                         "scope)")
-    om = re.search(rb"/O\s*<([0-9A-Fa-f\s]+)>", enc)
+        raise ValueError("unsupported PDF encryption revision "
+                         "(long-key RC4 / unknown V,R are out of "
+                         "kernel scope)")
+    from lexoid_spark.kernels.pdf_crypt import (
+        PAD,
+        check_perms_v5,
+        derive_key,
+        derive_key_r34,
+        derive_key_v5,
+        rc4,
+        u_value_r34,
+    )
+
+    def _hexval(key_name: bytes):
+        m2 = re.search(rb"/" + key_name + rb"\s*<([0-9A-Fa-f\s]+)>", enc)
+        return (bytes.fromhex(m2.group(1).decode().replace(" ", ""))
+                if m2 else None)
+
     pm = re.search(rb"/P\s+(-?\d+)", enc)
+    u_entry = _hexval(b"U")
+    if method == "aes256":
+        ue_entry = _hexval(b"UE")
+        if u_entry is None or ue_entry is None:
+            raise ValueError("encrypted PDF: malformed V5 /Encrypt "
+                             "entries (/U //UE required)")
+        # raises on a real password — quarantine
+        key = derive_key_v5(u_entry, ue_entry, r=r)
+        perms = _hexval(b"Perms")
+        if perms is not None and pm is not None and \
+                not check_perms_v5(perms, key, int(pm.group(1))):
+            raise ValueError("encrypted PDF: /Perms integrity check "
+                             "failed (tampered or wrong key)")
+        return key, enc_num, method
+
+    om = re.search(rb"/O\s*<([0-9A-Fa-f\s]+)>", enc)
     idm = None
     for idm in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", tail):
         pass
     if not (om and pm and idm):
         raise ValueError("encrypted PDF: malformed /Encrypt entries")
-    from lexoid_spark.kernels.pdf_crypt import (
-        PAD,
-        derive_key,
-        derive_key_r34,
-        rc4,
-        u_value_r34,
-    )
-
     o_entry = bytes.fromhex(om.group(1).decode().replace(" ", ""))
     file_id = bytes.fromhex(idm.group(1).decode())
-    um = re.search(rb"/U\s*<([0-9A-Fa-f\s]+)>", enc)
-    u_entry = (bytes.fromhex(um.group(1).decode().replace(" ", ""))
-               if um else None)
     if method == "rc4":
         key = derive_key(o_entry, int(pm.group(1)), file_id)
         # Algorithm 6 check: with the empty user password, RC4(key,
@@ -1117,9 +1146,12 @@ def _decrypt_streams(obj: bytes, file_key: bytes, num: int,
         rc4,
     )
 
-    if method == "aes":
-        dec = aes_cbc_decrypt(object_key(file_key, num, aes=True),
-                              obj[body:body + ln])
+    if method in ("aes", "aes256"):
+        # AESV3 uses the FILE key directly for every stream (no
+        # per-object derivation — ISO 32000-2 dropped Algorithm 1)
+        sk = (file_key if method == "aes256"
+              else object_key(file_key, num, aes=True))
+        dec = aes_cbc_decrypt(sk, obj[body:body + ln])
         header = re.sub(rb"/Length\s+\d+(?:\s+\d+\s+R)?",
                         b"/Length %d" % len(dec), obj[:body], count=1)
         return header + dec + obj[body + ln:]

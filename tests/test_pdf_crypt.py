@@ -215,3 +215,93 @@ class TestReviewHardening:
                          enc, count=1)
         with pytest.raises(ValueError, match="unresolvable"):
             pdf_to_pages(broken)
+
+
+class TestAes256:
+    """V5/R5-R6 AESV3: FIPS-197 key-length generalization, the
+    Algorithm-2.B KDF, /UE unwrap, /Perms integrity, end-to-end R6
+    documents, and real-password quarantine."""
+
+    def test_fips197_vectors_all_key_lengths(self):
+        import numpy as np
+
+        from lexoid_spark.kernels.pdf_crypt import (
+            aes_decrypt_blocks, aes_encrypt_blocks)
+
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        blocks = np.frombuffer(pt, dtype=np.uint8).reshape(1, 16)
+        vectors = {
+            "000102030405060708090a0b0c0d0e0f":
+                "69c4e0d86a7b0430d8cdb78070b4c55a",          # C.1
+            "000102030405060708090a0b0c0d0e0f1011121314151617":
+                "dda97ca4864cdfe06eaf70a0ec0d7191",          # C.2
+            "000102030405060708090a0b0c0d0e0f101112131415161718191a1b"
+            "1c1d1e1f":
+                "8ea2b7ca516745bfeafc49904b496089",          # C.3
+        }
+        for khex, chex in vectors.items():
+            key = bytes.fromhex(khex)
+            ct = aes_encrypt_blocks(key, blocks)
+            assert ct.tobytes().hex() == chex
+            assert aes_decrypt_blocks(key, ct).tobytes() == pt
+
+    def test_scalar_core_matches_vectorized(self):
+        import numpy as np
+
+        from lexoid_spark.kernels.pdf_crypt import (
+            _encrypt_block_scalar, aes_encrypt_blocks)
+
+        rng = np.random.default_rng(3)
+        for klen in (16, 24, 32):
+            key = bytes(rng.integers(0, 256, klen, dtype=np.uint8))
+            blocks = rng.integers(0, 256, (8, 16), dtype=np.uint8)
+            want = aes_encrypt_blocks(key, blocks)
+            for i in range(8):
+                assert (_encrypt_block_scalar(key, blocks[i].tobytes())
+                        == want[i].tobytes())
+
+    @pytest.mark.parametrize("r", [5, 6])
+    def test_write_derive_round_trip(self, r):
+        from lexoid_spark.kernels.pdf_crypt import (
+            check_perms_v5, derive_key_v5, make_entries_v5)
+
+        u, ue, o, oe, perms, fk = make_entries_v5(-44, b"t1", r=r)
+        assert derive_key_v5(u, ue, r=r) == fk
+        assert len(fk) == 32 and len(u) == 48 and len(ue) == 32
+        assert check_perms_v5(perms, fk, -44)
+        assert not check_perms_v5(perms, fk, -45)
+
+    def test_real_password_rejected(self):
+        from lexoid_spark.kernels.pdf_crypt import (
+            derive_key_v5, make_entries_v5)
+
+        u, ue, *_ = make_entries_v5(-44, b"t2", user_pw=b"hunter2")
+        with pytest.raises(ValueError, match="password"):
+            derive_key_v5(u, ue)
+
+    def test_r6_document_parses_identically(self):
+        plain = build_pdf(PAGES, compress=True)
+        enc = build_pdf(PAGES, compress=True, encrypt="aes256")
+        assert b"/AESV3" in enc and b"/UE <" in enc
+        assert b"Secret" not in enc  # streams really are encrypted
+        assert pdf_to_pages(enc) == pdf_to_pages(plain)
+
+    def test_r6_uncompressed_document_parses(self):
+        assert pdf_to_pages(build_pdf(PAGES, encrypt="aes256")) == \
+            pdf_to_pages(build_pdf(PAGES))
+
+    def test_tampered_perms_quarantines(self):
+        enc = bytearray(build_pdf(PAGES, compress=True,
+                                  encrypt="aes256"))
+        i = bytes(enc).find(b"/Perms <") + 8
+        enc[i] = ord("0") if enc[i] != ord("0") else ord("1")
+        with pytest.raises(ValueError, match="Perms"):
+            pdf_to_pages(bytes(enc))
+
+    def test_hash_2b_is_deterministic_and_salted(self):
+        from lexoid_spark.kernels.pdf_crypt import hash_2b
+
+        a = hash_2b(b"", b"saltAAAA")
+        assert a == hash_2b(b"", b"saltAAAA") and len(a) == 32
+        assert a != hash_2b(b"", b"saltBBBB")
+        assert a != hash_2b(b"x", b"saltAAAA")
