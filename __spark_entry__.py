@@ -1955,6 +1955,68 @@ FROM r ORDER BY doc_id
 """
 
 
+def _jpeg_progressive(spark, sf):
+    """Progressive (SOF2) JPEG decode — the second-most-common wild
+    JPEG mode, new this round: per doc, encode the deterministic test
+    raster BOTH ways (baseline SOF0 and the progressive scan script:
+    DC first/refine + per-component AC bands with EOB runs and
+    correction bits), decode both, and compare pixels. Same quant
+    tables ⇒ identical coefficients ⇒ the streams must decode
+    IDENTICALLY; DuckDB predicts pixels_match=TRUE and the dims
+    closed-form, so a hash match proves the multi-scan coefficient
+    accumulation is bit-exact. Reference decodes progressive via PIL
+    (utils.py:65-89)."""
+    import numpy as np
+
+    @F.pandas_udf("boolean")
+    def prog_roundtrip(w: pd.Series, h: pd.Series,
+                       seed: pd.Series) -> pd.Series:
+        from lexoid_spark.kernels.jpeg_codec import (
+            jpeg_decode, jpeg_encode)
+
+        out = []
+        for wi, hi, si in zip(w, h, seed):
+            y = np.arange(int(hi))[:, None, None]
+            x = np.arange(int(wi))[None, :, None]
+            ch = np.arange(3)[None, None, :]
+            px = ((x * 31 + y * 17 + ch * 7 + int(si) * 13) % 256
+                  ).astype(np.uint8)
+            sub = "420" if int(si) % 2 else "444"
+            base = jpeg_decode(jpeg_encode(px, quality=90,
+                                           subsample=sub))
+            prog = jpeg_decode(jpeg_encode(px, quality=90,
+                                           subsample=sub,
+                                           progressive=True))
+            out.append(bool(np.array_equal(base, prog)))
+        return pd.Series(out)
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        (F.col("n_chars") % 96 + 8).cast("int").alias("width"),
+        ((F.col("n_chars") * 5) % 72 + 8).cast("int").alias("height"),
+        F.element_at(F.array(F.lit("444"), F.lit("420")),
+                     (F.col("doc_id") % 2).cast("int") + 1
+                     ).alias("subsample"),
+        prog_roundtrip(
+            (F.col("n_chars") % 96 + 8).cast("int"),
+            ((F.col("n_chars") * 5) % 72 + 8).cast("int"),
+            (F.col("doc_id") % 64).cast("int"),
+        ).alias("pixels_match"),
+    ).orderBy("doc_id")
+
+
+_JPEG_PROGRESSIVE_SQL = """
+SELECT doc_id,
+       CAST(n_chars % 96 + 8 AS INT) AS width,
+       CAST((n_chars * 5) % 72 + 8 AS INT) AS height,
+       CASE WHEN (doc_id % 64) % 2 = 1 THEN '420' ELSE '444' END
+         AS subsample,
+       TRUE AS pixels_match
+FROM documents ORDER BY doc_id
+"""
+
+
 def _audio_meta(spark, sf):
     from lexoid_spark.functions.multimodal import audio_meta, fake_audio_udf
 
@@ -5579,6 +5641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_resize": _png_resize,
         "png_dialects": _png_dialects,
         "jpeg_resize": _jpeg_resize,
+        "jpeg_progressive": _jpeg_progressive,
         "gif_meta": _gif_meta,
         "jpeg_meta": _jpeg_meta,
         "wav_meta": _wav_meta,
@@ -5716,6 +5779,7 @@ def oracle_sql() -> dict[str, str]:
         "png_resize": _PNG_RESIZE_SQL,
         "png_dialects": _PNG_DIALECTS_SQL,
         "jpeg_resize": _JPEG_RESIZE_SQL,
+        "jpeg_progressive": _JPEG_PROGRESSIVE_SQL,
         "gif_meta": _GIF_META_SQL,
         "jpeg_meta": _JPEG_META_SQL,
         "wav_meta": _WAV_META_SQL,

@@ -7,22 +7,29 @@ supported at ``utils.py:119``); this is the from-scratch ITU-T T.81
 re-derivation so the multimodal layer can decode/resize wild baseline
 JPEGs without an image library.
 
-Decode (ITU-T T.81 baseline sequential DCT, 8-bit):
-  marker walk (DQT/DHT/SOF0/SOF1/DRI/SOS) → entropy segment split on
-  restart markers → byte-unstuff → fast 16-bit-lookup Huffman decode →
-  per-component coefficient planes → vectorized dequantize + 2-D IDCT
-  (matrix form, one einsum-free double matmul over all blocks) →
-  chroma upsample (h/v factors 1–2) → YCbCr→RGB (JFIF / BT.601) →
-  clip/crop. Progressive (SOF2), arithmetic coding, 12-bit precision
-  and hierarchical modes raise :class:`JpegError` — the caller
-  quarantines, never parses garbage.
+Decode (ITU-T T.81 sequential baseline AND progressive DCT, 8-bit):
+  marker walk (DQT/DHT/SOF0/SOF1/SOF2/DRI/SOS) → entropy segment
+  split on restart markers → byte-unstuff → fast 16-bit-lookup
+  Huffman decode → per-component coefficient planes → vectorized
+  dequantize + 2-D IDCT (matrix form, one einsum-free double matmul
+  over all blocks) → chroma upsample (h/v factors 1–2) → YCbCr→RGB
+  (JFIF / BT.601) → clip/crop. Progressive (§G.2): every scan
+  deposits one spectral band / bit plane into the shared coefficient
+  planes — DC first/refine, AC band first with EOBn end-of-band runs,
+  AC successive-approximation refinement with interleaved correction
+  bits. Arithmetic coding, 12-bit precision and hierarchical modes
+  raise :class:`JpegError` — the caller quarantines, never parses
+  garbage.
 
-Encode (baseline, 4:4:4 or grayscale, Annex K tables): level shift →
+Encode (4:4:4 / 4:2:0 / grayscale, Annex K tables): level shift →
 vectorized forward DCT → quality-scaled Annex K quantization →
 zigzag → DC-diff + AC run-length Huffman with the standard K.3–K.6
-tables → stuffed entropy stream. Fixed tables and float path ⇒
-byte-deterministic, so oracled queries can round-trip encode→decode
-inside the engine (same contract as ``png_codec.png_encode``).
+tables → stuffed entropy stream. ``progressive=True`` writes the
+SOF2 scan script instead (DC Al 1→0, per-component AC bands 1-5 and
+6-63 first+refine, a flat custom AC table carrying the EOBn symbols
+Annex K lacks). Fixed tables and float path ⇒ byte-deterministic, so
+oracled queries can round-trip encode→decode inside the engine (same
+contract as ``png_codec.png_encode``).
 
 Like every kernel here this is MAP-ONLY per document: it parallelizes
 across rows of the binary column; nothing about it shuffles.
@@ -80,6 +87,17 @@ DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 DC_LUM_VALS = list(range(12))
 DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
 DC_CHROM_VALS = list(range(12))
+# Progressive AC scans additionally need EOBn symbols (r<<4, r=1..14)
+# which the Annex K baseline tables don't define — a flat 8-bit
+# canonical table over every symbol a progressive scan can emit
+# (EOB0..EOB14, ZRL, all (run, size) pairs). Codes 0..175 at length 8:
+# prefix-free, no all-ones code, decodes with the same machinery.
+PROG_AC_VALS = ([r << 4 for r in range(15)] + [0xF0]
+                + [(r << 4) | s for r in range(16)
+                   for s in range(1, 11)])
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(PROG_AC_VALS),
+                0, 0, 0, 0, 0, 0, 0, 0]
+
 AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
 AC_LUM_VALS = [
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
@@ -207,11 +225,18 @@ class _BitReader:
         self.pos += length
         return sym_t[v]
 
-    def receive_extend(self, s: int) -> int:
+    def receive(self, s: int) -> int:
+        """Raw MSB-first bits (EOB-run extensions, refinement bits)."""
         if s == 0:
             return 0
         v = (self._window() >> (32 - (self.pos & 7) - s)) & ((1 << s) - 1)
         self.pos += s
+        return v
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = self.receive(s)
         if v < (1 << (s - 1)):
             v -= (1 << s) - 1
         return v
@@ -254,120 +279,8 @@ class _BitWriter:
 
 # --- decoder ------------------------------------------------------------------
 
-def jpeg_decode(b: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (H, W, 3) or (H, W, 1) uint8 array.
-    Raises :class:`JpegError` on malformed or unsupported input."""
-    b = bytes(b)
-    if not b.startswith(JPEG_MAGIC):
-        raise JpegError("bad magic")
-    qt: dict[int, np.ndarray] = {}
-    huff_dc: dict[int, tuple] = {}
-    huff_ac: dict[int, tuple] = {}
-    frame = None            # (h, w, [(cid, hs, vs, tq), ...])
-    restart_interval = 0
-    pos = 2
-    n = len(b)
-    scan = None
-    scan_comps = None
-    while pos + 4 <= n:
-        if b[pos] != 0xFF:
-            raise JpegError("marker stream out of sync")
-        marker = b[pos + 1]
-        if marker == 0xFF:
-            pos += 1
-            continue
-        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
-            pos += 2
-            continue
-        if marker == 0xD9:
-            break
-        (seg_len,) = struct.unpack(">H", b[pos + 2:pos + 4])
-        seg = b[pos + 4:pos + 2 + seg_len]
-        if marker == 0xDB:  # DQT — may hold several tables
-            off = 0
-            while off < len(seg):
-                pq, tq = seg[off] >> 4, seg[off] & 15
-                off += 1
-                if pq == 0:
-                    tbl = np.frombuffer(
-                        seg[off:off + 64], dtype=np.uint8).astype(np.int64)
-                    off += 64
-                else:  # 16-bit entries
-                    tbl = np.frombuffer(
-                        seg[off:off + 128], dtype=">u2").astype(np.int64)
-                    off += 128
-                nat = np.zeros(64, dtype=np.int64)
-                nat[ZZ] = tbl  # DQT is stored in zigzag order
-                qt[tq] = nat
-        elif marker == 0xC4:  # DHT — may hold several tables
-            off = 0
-            while off + 17 <= len(seg):
-                tc, th = seg[off] >> 4, seg[off] & 15
-                bits = list(seg[off + 1:off + 17])
-                cnt = sum(bits)
-                vals = list(seg[off + 17:off + 17 + cnt])
-                off += 17 + cnt
-                tbl = _fast_table(bits, vals)
-                (huff_dc if tc == 0 else huff_ac)[th] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
-            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise JpegError(f"unsupported sample precision {prec}")
-            comps = []
-            for ci in range(nc):
-                cid, hv, tq = seg[6 + ci * 3:9 + ci * 3]
-                comps.append((cid, hv >> 4, hv & 15, tq))
-            frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise JpegError("progressive JPEG not supported")
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            raise JpegError("non-baseline JPEG mode not supported")
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS — entropy data follows
-            ns = seg[0]
-            scan_comps = []
-            for ci in range(ns):
-                cs, tt = seg[1 + ci * 2:3 + ci * 2]
-                scan_comps.append((cs, tt >> 4, tt & 15))
-            scan_start = pos + 2 + seg_len
-            # entropy data runs to the next non-RST marker
-            p = scan_start
-            while p + 1 < n:
-                if b[p] == 0xFF and b[p + 1] not in (0x00,) and not (
-                        0xD0 <= b[p + 1] <= 0xD7):
-                    break
-                p += 1
-            scan = b[scan_start:p]
-            pos = p
-            continue
-        pos += 2 + seg_len
-
-    if frame is None or scan is None:
-        raise JpegError("missing SOF/SOS")
-    h, w, comps = frame
-    if h == 0 or w == 0:
-        raise JpegError("zero dimension")
-    if len(comps) not in (1, 3):
-        raise JpegError(f"unsupported component count {len(comps)}")
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax not in (1, 2) or vmax not in (1, 2):
-        raise JpegError("sampling factors beyond 2 not supported")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    # per-component scan table bindings + coefficient planes
-    binding = {cs: (td, ta) for cs, td, ta in scan_comps}
-    planes = []
-    for cid, hs, vs, tq in comps:
-        if cid not in binding:
-            raise JpegError("scan does not cover all frame components")
-        planes.append(np.zeros((mcuy * vs * mcux * hs, 64), dtype=np.int32))
-
-    # split on restart markers, unstuff each segment
+def _split_segments(scan: bytes) -> list:
+    """Unstuff 0xFF00 and split the entropy stream on RSTn markers."""
     segments: list[bytes] = []
     cur = bytearray()
     i = 0
@@ -387,7 +300,17 @@ def jpeg_decode(b: bytes) -> np.ndarray:
         cur.append(scan[i])
         i += 1
     segments.append(bytes(cur))
+    return segments
 
+
+def _decode_baseline_scan(scan, scan_comps, comps, planes, huff_dc,
+                          huff_ac, restart_interval, mcux, mcuy):
+    """The single sequential scan: interleaved MCUs, full 0..63 band."""
+    binding = {cs: (td, ta) for cs, td, ta in scan_comps}
+    for cid, hs, vs, tq in comps:
+        if cid not in binding:
+            raise JpegError("scan does not cover all frame components")
+    segments = _split_segments(scan)
     reader = _BitReader(segments[0])
     seg_idx = 0
     preds = [0] * len(comps)
@@ -438,6 +361,342 @@ def jpeg_decode(b: bytes) -> np.ndarray:
             mcu_count += 1
     if mcu_count != total_mcus:
         raise JpegError("truncated scan")
+
+
+def _decode_progressive(scans, comps, planes, mcux, mcuy, hmax, vmax,
+                        h, w):
+    """Progressive (SOF2) frame: each scan deposits one spectral band /
+    bit plane into the shared coefficient planes (T.81 §G.2). DC
+    scans may interleave components; AC scans are single-component
+    over the component's own block grid. Successive approximation:
+    first scans store ``coef << Al``; refinement scans add the next
+    lower bit."""
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    for scan_comps, ss, se, ah, al, scan, huff_dc, huff_ac, dri in scans:
+        segments = _split_segments(scan)
+        if ss == 0:
+            if se != 0:
+                raise JpegError("progressive scan mixes DC and AC")
+            _decode_prog_dc_scan(segments, scan_comps, comps, cid_to_ci,
+                                 planes, huff_dc, ah, al, dri,
+                                 mcux, mcuy, hmax, vmax, h, w)
+        else:
+            if len(scan_comps) != 1:
+                raise JpegError("progressive AC scan must be "
+                                "single-component")
+            if not 1 <= ss <= se <= 63:
+                raise JpegError("bad spectral band")
+            cs, td, ta = scan_comps[0]
+            ci = cid_to_ci.get(cs)
+            if ci is None:
+                raise JpegError("scan references unknown component")
+            _decode_prog_ac_scan(segments, ci, comps[ci], planes[ci],
+                                 huff_ac.get(ta), ss, se, ah, al, dri,
+                                 mcux, hmax, vmax, h, w)
+
+
+def _comp_block_grid(comp, hmax, vmax, h, w):
+    """Non-interleaved scan grid for one component: blocks covering
+    ceil(dim · sampling/max) samples (T.81 A.2.2)."""
+    cid, hs, vs, tq = comp
+    cw = -(-w * hs // hmax)
+    ch = -(-h * vs // vmax)
+    return -(-ch // 8), -(-cw // 8)  # (rows, cols)
+
+
+def _decode_prog_dc_scan(segments, scan_comps, comps, cid_to_ci, planes,
+                         huff_dc, ah, al, dri, mcux, mcuy, hmax, vmax,
+                         h, w):
+    members = []
+    for cs, td, ta in scan_comps:
+        ci = cid_to_ci.get(cs)
+        if ci is None:
+            raise JpegError("scan references unknown component")
+        members.append((ci, td))
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    preds = [0] * len(members)
+    unit = 0
+
+    def restart():
+        nonlocal reader, seg_idx, preds
+        seg_idx += 1
+        if seg_idx >= len(segments):
+            raise JpegError("missing restart segment")
+        reader = _BitReader(segments[seg_idx])
+        preds = [0] * len(members)
+
+    if len(members) > 1:  # interleaved over the full MCU grid
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and unit and unit % dri == 0:
+                    restart()
+                for mi, (ci, td) in enumerate(members):
+                    cid, hs, vs, tq = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            row = ((my * vs + by) * (mcux * hs)
+                                   + (mx * hs + bx))
+                            _dc_unit(reader, huff_dc, td, planes[ci],
+                                     row, preds, mi, ah, al)
+                unit += 1
+    else:
+        ci, td = members[0]
+        cid, hs, vs, tq = comps[ci]
+        rows, cols = _comp_block_grid(comps[ci], hmax, vmax, h, w)
+        gw = mcux * hs
+        for by in range(rows):
+            for bx in range(cols):
+                if dri and unit and unit % dri == 0:
+                    restart()
+                _dc_unit(reader, huff_dc, td, planes[ci],
+                         by * gw + bx, preds, 0, ah, al)
+                unit += 1
+
+
+def _dc_unit(reader, huff_dc, td, plane, row, preds, mi, ah, al):
+    if ah == 0:  # first DC scan: diff-coded point-transformed value
+        tbl = huff_dc.get(td)
+        if tbl is None:
+            raise JpegError("scan references undefined Huffman table")
+        s = reader.decode(tbl)
+        if s > 15:
+            raise JpegError("bad DC category")
+        preds[mi] += reader.receive_extend(s)
+        plane[row, 0] = preds[mi] << al
+    else:  # refinement: one raw bit per block
+        if reader.receive(1):
+            plane[row, 0] = int(plane[row, 0]) | (1 << al)
+
+
+def _decode_prog_ac_scan(segments, ci, comp, plane, act, ss, se, ah,
+                         al, dri, mcux, hmax, vmax, h, w):
+    if act is None:
+        raise JpegError("scan references undefined Huffman table")
+    cid, hs, vs, tq = comp
+    rows, cols = _comp_block_grid(comp, hmax, vmax, h, w)
+    gw = mcux * hs
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    eobrun = 0
+    unit = 0
+    for by in range(rows):
+        for bx in range(cols):
+            if dri and unit and unit % dri == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise JpegError("missing restart segment")
+                reader = _BitReader(segments[seg_idx])
+                eobrun = 0
+            coefs = plane[by * gw + bx]
+            if ah == 0:
+                eobrun = _ac_first_block(reader, act, coefs, ss, se,
+                                         al, eobrun)
+            else:
+                eobrun = _ac_refine_block(reader, act, coefs, ss, se,
+                                          al, eobrun)
+            unit += 1
+
+
+def _ac_first_block(reader, act, coefs, ss, se, al, eobrun):
+    """First scan of a spectral band (T.81 G.2.2): zero runs + EOBn
+    end-of-band runs; values land shifted left by Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode(act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise JpegError("AC index overflow")
+        coefs[k] = reader.receive_extend(s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, act, coefs, ss, se, al, eobrun):
+    """Refinement scan (T.81 G.2.3 / figure G.7): newly-nonzero
+    coefficients arrive as ±1<<Al; every already-nonzero coefficient
+    passed contributes one correction bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode(act)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s:
+                if s != 1:
+                    raise JpegError("bad refinement magnitude")
+                val = p1 if reader.receive(1) else m1
+            else:
+                if r != 15:
+                    # include the CURRENT block: its remaining band
+                    # still owes correction bits (the tail below reads
+                    # them and consumes one run unit)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+            # advance over r zero-HISTORY coefficients, correcting
+            # nonzero ones along the way
+            while k <= se:
+                c = int(coefs[k])
+                if c != 0:
+                    if reader.receive(1) and (c & p1) == 0:
+                        coefs[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coefs[k] = val
+            k += 1
+    if eobrun > 0:
+        # end-of-band: correction bits for the remaining nonzeros
+        while k <= se:
+            c = int(coefs[k])
+            if c != 0:
+                if reader.receive(1) and (c & p1) == 0:
+                    coefs[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def jpeg_decode(b: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (H, W, 3) or (H, W, 1) uint8 array.
+    Raises :class:`JpegError` on malformed or unsupported input."""
+    b = bytes(b)
+    if not b.startswith(JPEG_MAGIC):
+        raise JpegError("bad magic")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, tuple] = {}
+    huff_ac: dict[int, tuple] = {}
+    frame = None            # (h, w, [(cid, hs, vs, tq), ...])
+    progressive = False
+    restart_interval = 0
+    pos = 2
+    n = len(b)
+    # (scan_comps, ss, se, ah, al, entropy bytes, dc snapshot, ac
+    # snapshot, dri) per SOS — progressive files carry many scans, and
+    # tables/DRI may be redefined between them
+    scans: list = []
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            raise JpegError("marker stream out of sync")
+        marker = b[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", b[pos + 2:pos + 4])
+        seg = b[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT — may hold several tables
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 15
+                off += 1
+                if pq == 0:
+                    tbl = np.frombuffer(
+                        seg[off:off + 64], dtype=np.uint8).astype(np.int64)
+                    off += 64
+                else:  # 16-bit entries
+                    tbl = np.frombuffer(
+                        seg[off:off + 128], dtype=">u2").astype(np.int64)
+                    off += 128
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZZ] = tbl  # DQT is stored in zigzag order
+                qt[tq] = nat
+        elif marker == 0xC4:  # DHT — may hold several tables
+            off = 0
+            while off + 17 <= len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 15
+                bits = list(seg[off + 1:off + 17])
+                cnt = sum(bits)
+                vals = list(seg[off + 17:off + 17 + cnt])
+                off += 17 + cnt
+                tbl = _fast_table(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise JpegError(f"unsupported sample precision {prec}")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + ci * 3:9 + ci * 3]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise JpegError("non-baseline JPEG mode not supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan_comps = []
+            for ci in range(ns):
+                cs, tt = seg[1 + ci * 2:3 + ci * 2]
+                scan_comps.append((cs, tt >> 4, tt & 15))
+            ss, se, ahal = seg[1 + ns * 2:4 + ns * 2]
+            scan_start = pos + 2 + seg_len
+            # entropy data runs to the next non-RST marker
+            p = scan_start
+            while p + 1 < n:
+                if b[p] == 0xFF and b[p + 1] not in (0x00,) and not (
+                        0xD0 <= b[p + 1] <= 0xD7):
+                    break
+                p += 1
+            scans.append((scan_comps, ss, se, ahal >> 4, ahal & 15,
+                          b[scan_start:p], dict(huff_dc), dict(huff_ac),
+                          restart_interval))
+            pos = p
+            continue
+        pos += 2 + seg_len
+
+    if frame is None or not scans:
+        raise JpegError("missing SOF/SOS")
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise JpegError("zero dimension")
+    if len(comps) not in (1, 3):
+        raise JpegError(f"unsupported component count {len(comps)}")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise JpegError("sampling factors beyond 2 not supported")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    planes = [np.zeros((mcuy * vs * mcux * hs, 64), dtype=np.int32)
+              for cid, hs, vs, tq in comps]
+
+    if progressive:
+        _decode_progressive(scans, comps, planes, mcux, mcuy,
+                            hmax, vmax, h, w)
+    else:
+        if len(scans) != 1:
+            raise JpegError("multi-scan sequential JPEG not supported")
+        scan_comps, _ss, _se, _ah, _al, scan, s_dc, s_ac, dri = scans[0]
+        _decode_baseline_scan(scan, scan_comps, comps, planes,
+                              s_dc, s_ac, dri, mcux, mcuy)
 
     # vectorized dequantize + IDCT + assembly per component
     out_planes = []
@@ -519,6 +778,108 @@ def _encode_block(bw: _BitWriter, blk: np.ndarray,
     return dc
 
 
+class _AcProg:
+    """AC progressive-scan encoder state: the end-of-band run and the
+    correction bits that travel with it (libjpeg's EOBRUN + BE)."""
+
+    __slots__ = ("bw", "codes", "eobrun", "be")
+
+    def __init__(self, bw, codes):
+        self.bw = bw
+        self.codes = codes
+        self.eobrun = 0
+        self.be: list = []
+
+    def flush_eob(self) -> None:
+        if self.eobrun == 0:
+            return
+        n = self.eobrun.bit_length() - 1
+        code, length = self.codes[n << 4]
+        self.bw.write(code, length)
+        if n:
+            self.bw.write(self.eobrun - (1 << n), n)
+        for bit in self.be:
+            self.bw.write(bit, 1)
+        self.be = []
+        self.eobrun = 0
+
+
+def _ac_first_encode(st: _AcProg, coefs, ss, se, al) -> None:
+    """First scan of a band: runs + EOBn, values point-transformed by
+    a sign-magnitude shift of Al (T.81 G.1.2.2)."""
+    bw, codes = st.bw, st.codes
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(coefs[k])
+        a = abs(v) >> al
+        if a == 0:
+            r += 1
+            continue
+        t = a if v >= 0 else -a
+        st.flush_eob()
+        while r > 15:
+            code, length = codes[0xF0]
+            bw.write(code, length)
+            r -= 16
+        s = a.bit_length()
+        code, length = codes[(r << 4) | s]
+        bw.write(code, length)
+        bw.write(t if t >= 0 else t + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+
+
+def _ac_refine_encode(st: _AcProg, coefs, ss, se, al) -> None:
+    """Refinement scan of a band (T.81 G.1.2.3): newly-nonzero
+    coefficients (shifted magnitude exactly 1) get run-coded with a
+    sign bit; already-nonzero history coefficients contribute one
+    correction bit each, buffered and emitted after the next symbol
+    (or absorbed into the EOB run)."""
+    bw, codes = st.bw, st.codes
+    ts = []
+    kex = -1
+    for i, k in enumerate(range(ss, se + 1)):
+        v = int(coefs[k])
+        a = abs(v) >> al
+        ts.append((a, v))
+        if a == 1:
+            kex = i
+    r = 0
+    br: list = []
+    for i, (a, v) in enumerate(ts):
+        if a == 0:
+            r += 1
+            continue
+        # ZRLs fold into the EOB run when no new-nonzero follows
+        while r > 15 and i <= kex:
+            st.flush_eob()
+            code, length = codes[0xF0]
+            bw.write(code, length)
+            for bit in br:
+                bw.write(bit, 1)
+            br = []
+            r -= 16
+        if a > 1:  # history: correction bit only
+            br.append(a & 1)
+            continue
+        st.flush_eob()
+        code, length = codes[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if v >= 0 else 0, 1)
+        for bit in br:
+            bw.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.be.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+
+
 def _dct_quant_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     """(H, W) float plane (already level-shifted) → (n_blocks, 64)
     int32 quantized zigzag coefficients, block scan order row-major."""
@@ -534,13 +895,19 @@ def _dct_quant_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 def jpeg_encode(arr: np.ndarray, quality: int = 85,
                 subsample: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """(H, W), (H, W, 1) or (H, W, 3) uint8 array → baseline JPEG
-    bytes. ``subsample``: ``"444"`` (one block per component per MCU)
-    or ``"420"`` (2×2 luma blocks + box-averaged chroma — the wild
-    web default). ``restart_interval`` > 0 emits DRI + RSTn markers
-    every that many MCUs. Annex K tables, fixed float path ⇒
-    byte-deterministic."""
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """(H, W), (H, W, 1) or (H, W, 3) uint8 array → JPEG bytes.
+    ``subsample``: ``"444"`` (one block per component per MCU) or
+    ``"420"`` (2×2 luma blocks + box-averaged chroma — the wild web
+    default). ``restart_interval`` > 0 emits DRI + RSTn markers every
+    that many MCUs (baseline only). ``progressive=True`` writes SOF2
+    with the full scan script — interleaved DC first/refine (Al 1→0)
+    then per-component spectral bands 1-5 and 6-63, each first at
+    Al=1 then refined — exercising EOB runs, ZRL folding and
+    correction-bit buffering; coefficient content is identical to the
+    baseline stream, only the entropy order differs. Annex K tables,
+    fixed float path ⇒ byte-deterministic."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -551,6 +918,9 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85,
         raise JpegError(f"cannot encode {c}-channel array (1 or 3)")
     if subsample not in ("444", "420"):
         raise JpegError(f"unsupported subsampling {subsample!r}")
+    if progressive and restart_interval:
+        raise JpegError("restart markers unsupported in the "
+                        "progressive writer (decode supports them)")
     sub420 = subsample == "420" and c == 3
 
     qlum = _quality_scale(QT_LUM, quality)
@@ -608,20 +978,37 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85,
     for ci in range(c):
         hs, vs = samp[ci]
         sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") \
+        + struct.pack(">H", len(sof) + 2) + sof
 
     def dht(tc: int, th: int, bits, vals) -> bytes:
         body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
         return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
     out += dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
-    out += dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+    if progressive:
+        # AC scans need EOBn symbols: one shared flat table (slot 0)
+        out += dht(1, 0, PROG_AC_BITS, PROG_AC_VALS)
+    else:
+        out += dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
     if c == 3:
         out += dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
-        out += dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
+        if not progressive:
+            out += dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
 
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    tables = [(dc_lum, ac_lum)] + [(dc_chrom, ac_chrom)] * (c - 1)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = pw // (8 * hmax), ph // (8 * vmax)
+
+    if progressive:
+        out += _encode_progressive_scans(grids, samp, tables, c,
+                                         mcux, mcuy, hmax, vmax, h, w)
+        out += b"\xff\xd9"
+        return bytes(out)
 
     sos = bytes([c])
     for ci in range(c):
@@ -632,10 +1019,6 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85,
     # interleaved MCU scan
     bw = _BitWriter()
     preds = [0] * c
-    tables = [(dc_lum, ac_lum)] + [(dc_chrom, ac_chrom)] * (c - 1)
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    mcux, mcuy = pw // (8 * hmax), ph // (8 * vmax)
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -653,6 +1036,82 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85,
             mcu_count += 1
     out += bw.flush()
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_progressive_scans(grids, samp, tables, c, mcux, mcuy,
+                              hmax, vmax, h, w) -> bytes:
+    """The SOF2 scan script: DC first (Al=1, interleaved) → DC refine
+    → per component AC bands (1-5, 6-63) first at Al=1 → refined to
+    Al=0."""
+    out = bytearray()
+
+    def sos(comp_specs, ss, se, ah, al):
+        body = bytes([len(comp_specs)])
+        for cid, tdta in comp_specs:
+            body += bytes([cid, tdta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    def dc_td(ci):
+        return 0 if ci == 0 else 1
+
+    # 1. DC first, Al=1, all components interleaved
+    out += sos([(ci + 1, dc_td(ci) << 4) for ci in range(c)], 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * c
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(c):
+                hs, vs = samp[ci]
+                dc_codes = tables[ci][0]
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(grids[ci][my * vs + by, mx * hs + bx, 0])
+                        v >>= 1  # arithmetic point transform (Al=1)
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = abs(diff).bit_length()
+                        code, length = dc_codes[s]
+                        bw.write(code, length)
+                        if s:
+                            bw.write(diff if diff >= 0
+                                     else diff + (1 << s) - 1, s)
+    out += bw.flush()
+
+    # 2. DC refine, Ah=1 → Al=0: one raw bit per block, same order
+    out += sos([(ci + 1, dc_td(ci) << 4) for ci in range(c)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(c):
+                hs, vs = samp[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        bw.write(int(grids[ci][my * vs + by,
+                                               mx * hs + bx, 0]) & 1, 1)
+    out += bw.flush()
+
+    # 3./4. AC bands per component: first at Al=1, then refine to 0.
+    # All AC scans share the flat progressive table (slot 0).
+    prog_ac = _encode_codes(PROG_AC_BITS, PROG_AC_VALS)
+    bands = [(1, 5), (6, 63)]
+    for ah, al, enc in ((0, 1, _ac_first_encode),
+                        (1, 0, _ac_refine_encode)):
+        for ci in range(c):
+            hs, vs = samp[ci]
+            ch = -(-h * vs // vmax)   # component sample dims
+            cw = -(-w * hs // hmax)
+            rows, cols = -(-ch // 8), -(-cw // 8)
+            for ss, se in bands:
+                out += sos([(ci + 1, 0)], ss, se, ah, al)
+                bw = _BitWriter()
+                st = _AcProg(bw, prog_ac)
+                for by in range(rows):
+                    for bx in range(cols):
+                        enc(st, grids[ci][by, bx], ss, se, al)
+                st.flush_eob()
+                out += bw.flush()
     return bytes(out)
 
 

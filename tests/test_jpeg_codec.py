@@ -160,3 +160,79 @@ class TestMultimodalIntegration:
         out = resize_image_meta(df, max_size=64).collect()[0]
         assert out["resized"] and out["payload"] is None
         assert (out["new_width"], out["new_height"]) == (64, 48)
+
+
+class TestProgressive:
+    """SOF2: multi-scan spectral-selection + successive-approximation
+    decode, and the progressive writer that exercises it."""
+
+    @pytest.mark.parametrize("h,w,c,sub", [
+        (8, 8, 1, "444"), (16, 24, 3, "444"), (17, 9, 3, "444"),
+        (32, 48, 3, "420"), (23, 37, 3, "420"), (64, 40, 1, "444"),
+        (120, 90, 3, "420"),
+    ])
+    def test_progressive_decodes_identically_to_baseline(self, h, w, c, sub):
+        """Same quant tables ⇒ same coefficients ⇒ the progressive
+        entropy re-ordering must reproduce the EXACT baseline pixels —
+        a bit-level check on every scan type in the script."""
+        px = _pattern(h, w, c)
+        base = jpeg_encode(px, quality=90, subsample=sub)
+        prog = jpeg_encode(px, quality=90, subsample=sub,
+                           progressive=True)
+        assert b"\xff\xc2" in prog and b"\xff\xc2" not in base
+        assert prog.count(b"\xff\xda") > base.count(b"\xff\xda")
+        assert np.array_equal(jpeg_decode(prog), jpeg_decode(base))
+
+    def test_ac_unit_roundtrip_random_blocks(self):
+        from lexoid_spark.kernels.jpeg_codec import (
+            PROG_AC_BITS, PROG_AC_VALS, _ac_first_block,
+            _ac_first_encode, _ac_refine_block, _ac_refine_encode,
+            _AcProg, _BitReader, _BitWriter, _encode_codes,
+            _fast_table, _split_segments)
+
+        enc_codes = _encode_codes(PROG_AC_BITS, PROG_AC_VALS)
+        dec_table = _fast_table(PROG_AC_BITS, PROG_AC_VALS)
+        rng = np.random.default_rng(11)
+        ss, se = 1, 63
+        for trial in range(60):
+            lo, hi, mx = [(-2, 3, 6), (-40, 41, 12), (-3, 4, 30)][trial % 3]
+            blocks = []
+            for _ in range(int(rng.integers(1, 9))):
+                b = np.zeros(64, dtype=np.int32)
+                nz = rng.integers(0, mx)
+                idx = rng.choice(np.arange(1, 64), size=nz, replace=False)
+                b[idx] = rng.integers(lo, hi, size=nz)
+                blocks.append(b)
+            bw = _BitWriter()
+            st = _AcProg(bw, enc_codes)
+            for b in blocks:
+                _ac_first_encode(st, b, ss, se, 1)
+            st.flush_eob()
+            got = [np.zeros(64, dtype=np.int32) for _ in blocks]
+            rd = _BitReader(_split_segments(bw.flush())[0])
+            eob = 0
+            for g in got:
+                eob = _ac_first_block(rd, dec_table, g, ss, se, 1, eob)
+            bw = _BitWriter()
+            st = _AcProg(bw, enc_codes)
+            for b in blocks:
+                _ac_refine_encode(st, b, ss, se, 0)
+            st.flush_eob()
+            rd = _BitReader(_split_segments(bw.flush())[0])
+            eob = 0
+            for g in got:
+                eob = _ac_refine_block(rd, dec_table, g, ss, se, 0, eob)
+            for b, g in zip(blocks, got):
+                want = b.copy()
+                want[0] = 0
+                assert np.array_equal(g, want), trial
+
+    def test_truncated_progressive_quarantines(self):
+        prog = jpeg_encode(_pattern(32, 32, 3), progressive=True)
+        with pytest.raises(JpegError):
+            jpeg_decode(prog[:len(prog) // 2] + b"\xff\xd9")
+
+    def test_progressive_with_restarts_rejected_by_writer(self):
+        with pytest.raises(JpegError):
+            jpeg_encode(_pattern(16, 16, 3), progressive=True,
+                        restart_interval=2)
