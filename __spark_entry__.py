@@ -5441,11 +5441,12 @@ FROM per GROUP BY lang ORDER BY lang
 def _phrase_merges(spark, sf):
     """Word-level BPE training loop: 6 corpus-wide merge iterations
     (count adjacent pairs map-side-combinably, collect ONE top-pair
-    row, broadcast it back, rewrite via mark/filter/transform HOFs).
-    Self pairs excluded so the relational mark equals the greedy
-    scan. The working frame is localCheckpoint-ed every 2 merges so
-    plan lineage stays bounded at any merge count (the 30k-merge
-    shape). The oracle replays the identical 6 stages in SQL."""
+    row, broadcast it back, rewrite via ONE greedy F.aggregate fold —
+    self pairs included, pairing runs non-overlapping left-to-right
+    like sequential BPE). The working frame is localCheckpoint-ed
+    every 2 merges so plan lineage stays bounded at any merge count
+    (the 30k-merge shape). The oracle replays the identical 6 stages
+    in SQL with a run-parity mark equal to the fold."""
     from lexoid_spark.functions.tokenizer import phrase_merges
 
     docs = _t(spark, sf, "documents")
@@ -5464,11 +5465,21 @@ WITH t0 AS (
     stages = []
     for s in range(1, n_merges + 1):
         p = s - 1
+        # A position i STARTS a merge iff (t[i], t[i+1]) == (a, b) and,
+        # for self pairs (a == b), i sits at an EVEN offset within its
+        # maximal run of a's — the parity mark that equals the greedy
+        # left-to-right scan (Spark side: the F.aggregate fold). Run
+        # start is recovered per position as 1 + the last j < i with
+        # t[j] != a.
+        start = (f"""i <= len(t) - 1 AND t[i] = m{s}.a
+               AND t[i+1] = m{s}.b
+               AND (m{s}.a != m{s}.b OR
+                    (i - COALESCE(list_max(list_filter(range(1, i),
+                         j -> t[j] != m{s}.a)), 0)) % 2 = 1)""")
         stages.append(f""",
 p{s} AS (
   SELECT t[i] AS a, t[i+1] AS b, count(*) AS c
   FROM t{p}, UNNEST(range(1, len(t))) AS u(i)
-  WHERE t[i] != t[i+1]
   GROUP BY 1, 2
 ),
 m{s} AS (SELECT a, b, a || '_' || b AS mm FROM p{s}
@@ -5481,9 +5492,13 @@ t{s} AS (
     list_transform(
       list_filter(range(1, len(t) + 1),
         i -> i = 1 OR m{s}.a IS NULL
-             OR NOT (t[i-1] = m{s}.a AND t[i] = m{s}.b)),
-      i -> CASE WHEN m{s}.a IS NOT NULL AND i <= len(t) - 1
-                     AND t[i] = m{s}.a AND t[i+1] = m{s}.b
+             OR NOT (i - 1 <= len(t) - 1 AND t[i-1] = m{s}.a
+                     AND t[i] = m{s}.b
+                     AND (m{s}.a != m{s}.b OR
+                          ((i - 1) - COALESCE(list_max(
+                               list_filter(range(1, i - 1),
+                                   j -> t[j] != m{s}.a)), 0)) % 2 = 1))),
+      i -> CASE WHEN m{s}.a IS NOT NULL AND {start}
                 THEN m{s}.mm ELSE t[i] END) AS t
   FROM t{p} LEFT JOIN m{s} ON TRUE
 )""")

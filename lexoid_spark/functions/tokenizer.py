@@ -13,16 +13,20 @@ runs over a 100 TB corpus, expressed Spark-first:
     broadcast pattern as the IVF centroids), re-joined as a one-row
     broadcast so the rewrite stays codegen'd columns, not
     per-iteration literal recompiles;
-  * the rewrite itself is pure higher-order functions (mark + filter
-    + transform), no Python in the data path.
+  * the rewrite is ONE higher-order left fold (``F.aggregate``) that
+    IS the greedy scan — no Python in the data path.
 
-Greedy-scan correctness without a sequential scan: self pairs
-(``a == b``) are EXCLUDED from candidates, because for ``a != b`` two
-matches can never overlap (a match at ``i`` and ``i+1`` would force
-``a == b``), so marking every match independently and dropping the
-following position reproduces the left-to-right scan exactly — a
-relational mark can't express the order-dependent self-pair case, so
-it is out of scope by construction (documented, deterministic).
+Greedy-scan correctness including self pairs (``a == b``): the fold
+walks the token array left to right, merging the current token into
+the accumulator's tail exactly when the tail equals ``a`` and the
+current token equals ``b``. Because the merged token ``a_b`` differs
+from ``a``, a run ``x x x x`` under merge ``(x, x)`` folds to
+``x_x x_x`` — the non-overlapping left-to-right pairing real BPE
+produces — which the round-3 relational mark could not express (it
+was documented as excluding self pairs; that exclusion is gone).
+The fold is sequential WITHIN a row but stays whole-stage-codegen'd
+and map-only across rows — the same cost class as the transform it
+replaces.
 """
 
 from __future__ import annotations
@@ -80,7 +84,6 @@ def phrase_merges(df: DataFrame, id_col: str, text_col: str,
                 ).alias("p")
             )
             .select("p.a", "p.b")
-            .filter(F.col("a") != F.col("b"))
         )
         top = (
             pairs.groupBy("a", "b").agg(F.count("*").alias("c"))
@@ -96,25 +99,21 @@ def phrase_merges(df: DataFrame, id_col: str, text_col: str,
             [(a, b, a + sep + b)], "ma string, mb string, mm string"
         )
 
-        def mark(i):
-            return (
-                (i <= F.size(F.col("t")) - 1)
-                & (F.element_at(F.col("t"), i) == F.col("ma"))
-                & (F.element_at(F.col("t"), i + 1) == F.col("mb"))
-            )
-
-        new_t = F.when(
-            F.size("t") > 0,
-            F.transform(
-                F.filter(
-                    F.sequence(F.lit(1), F.size("t")),
-                    lambda i: (i == F.lit(1)) | ~mark(i - 1),
-                ),
-                lambda i: F.when(mark(i), F.col("mm")).otherwise(
-                    F.element_at(F.col("t"), i)
-                ),
-            ),
-        ).otherwise(_empty_str_array())
+        # greedy left-to-right scan as a fold: merge the incoming
+        # token into the accumulator tail when (tail, token) == (a, b);
+        # the merged token a_b never re-matches a, so "x x x x" under
+        # (x, x) pairs non-overlapping exactly like sequential BPE
+        new_t = F.aggregate(
+            F.col("t"),
+            _empty_str_array(),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("ma"))
+                & (x == F.col("mb")),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.col("mm"))),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
         cur = cur.crossJoin(F.broadcast(pairrow)).select(
             "id", new_t.alias("t")
         )

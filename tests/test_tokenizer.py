@@ -39,17 +39,34 @@ class TestPhraseMerges:
         assert r["text_merged"] == "a_b a_b"
         assert r["n_tokens_in"] == 4 and r["n_tokens_out"] == 2
 
-    def test_self_pairs_excluded(self, spark):
+    def test_self_pairs_merge_greedily(self, spark):
+        """Round-4 upgrade: self pairs are full citizens. 'x x'
+        dominates by count and wins; runs pair NON-OVERLAPPING left to
+        right exactly like a sequential BPE scan (the F.aggregate fold
+        — the round-3 relational mark had to exclude this case)."""
         from lexoid_spark.functions.tokenizer import phrase_merges
 
-        # 'x x' dominates by count but is a self pair -> skipped;
-        # (a, b) with 2 occurrences wins instead
         df = spark.createDataFrame(
             [(0, "x x x x x a b"), (1, "a b")], "id long, text string")
         out = phrase_merges(df, "id", "text", n_merges=1)
-        assert out.merges[0][:2] == ("a", "b")
+        assert out.merges[0][:2] == ("x", "x")
         got = {r["id"]: r["text_merged"] for r in out.collect()}
-        assert got[0] == "x x x x x a_b"
+        # run of 5: two merges + one leftover, greedy from the left
+        assert got[0] == "x_x x_x x a b"
+        assert got[1] == "a b"
+
+    def test_self_pair_run_parities(self, spark):
+        from lexoid_spark.functions.tokenizer import phrase_merges
+
+        rows = [(0, "x x x x y"), (1, "x x x y y x x"),
+                (2, "x x x x x x")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = phrase_merges(df, "id", "text", n_merges=1)
+        assert out.merges[0][:2] == ("x", "x")
+        got = {r["id"]: r["text_merged"] for r in out.collect()}
+        assert got[0] == "x_x x_x y"
+        assert got[1] == "x_x x y y x_x"
+        assert got[2] == "x_x x_x x_x"
 
     def test_checkpoint_bounds_lineage(self, spark):
         """Lineage truncation: the live plan never holds more than
