@@ -29,6 +29,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fan-out read for CPU-heavy per-row kernels: the sf tables are
+    small parquet files (≤3 input splits), so a codec/crypt fixture
+    UDF over a plain read would run on 3 of 32 cores. Repartitioning
+    the NARROW projection to the session's shuffle parallelism before
+    the heavy map is the standard pre-fan-out for compute-bound maps
+    (tiny shuffle of key columns, full-width work spread across every
+    core); relational queries keep the plain `_t` read — no shuffle
+    added where the scan is the cost."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return _t(spark, sf_dir, name).repartition(n)
+
+
 # ---------------------------------------------------------------------------
 # flagship entry
 # ---------------------------------------------------------------------------
@@ -1688,7 +1701,7 @@ def _png_images(spark, sf):
     bounded per row."""
     from lexoid_spark.functions.multimodal import png_image_udf
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     w = (F.col("n_chars") % 120 + 8).cast("int")
     h = ((F.col("n_chars") * 7) % 90 + 8).cast("int")
     return docs.select(
@@ -1862,7 +1875,7 @@ def _png_dialects(spark, sf):
             out.append(bool(np.array_equal(png_decode(enc), base)))
         return pd.Series(out)
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     v = (F.col("doc_id") % 3).cast("int")
     return docs.select(
         "doc_id",
@@ -1896,7 +1909,7 @@ def _jpeg_images(spark, sf):
     Dims bounded so per-row codec work stays small."""
     from lexoid_spark.functions.multimodal import jpeg_image_udf
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     w = (F.col("n_chars") % 96 + 8).cast("int")
     h = ((F.col("n_chars") * 5) % 72 + 8).cast("int")
     return docs.select(
@@ -1990,17 +2003,21 @@ def _jpeg_progressive(spark, sf):
             out.append(bool(np.array_equal(base, prog)))
         return pd.Series(out)
 
-    docs = _t(spark, sf, "documents")
+    # deterministic 1-in-10 doc subset + small rasters: the scan
+    # script is 10 python-loop entropy passes per doc (4 codec runs),
+    # ~10x the baseline codec cost — full-corpus coverage belongs to
+    # jpeg_resize; this query proves the SOF2 machinery
+    docs = _tp(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
     return docs.select(
         "doc_id",
-        (F.col("n_chars") % 96 + 8).cast("int").alias("width"),
-        ((F.col("n_chars") * 5) % 72 + 8).cast("int").alias("height"),
+        (F.col("n_chars") % 48 + 8).cast("int").alias("width"),
+        ((F.col("n_chars") * 5) % 36 + 8).cast("int").alias("height"),
         F.element_at(F.array(F.lit("444"), F.lit("420")),
                      (F.col("doc_id") % 2).cast("int") + 1
                      ).alias("subsample"),
         prog_roundtrip(
-            (F.col("n_chars") % 96 + 8).cast("int"),
-            ((F.col("n_chars") * 5) % 72 + 8).cast("int"),
+            (F.col("n_chars") % 48 + 8).cast("int"),
+            ((F.col("n_chars") * 5) % 36 + 8).cast("int"),
             (F.col("doc_id") % 64).cast("int"),
         ).alias("pixels_match"),
     ).orderBy("doc_id")
@@ -2008,12 +2025,12 @@ def _jpeg_progressive(spark, sf):
 
 _JPEG_PROGRESSIVE_SQL = """
 SELECT doc_id,
-       CAST(n_chars % 96 + 8 AS INT) AS width,
-       CAST((n_chars * 5) % 72 + 8 AS INT) AS height,
+       CAST(n_chars % 48 + 8 AS INT) AS width,
+       CAST((n_chars * 5) % 36 + 8 AS INT) AS height,
        CASE WHEN (doc_id % 64) % 2 = 1 THEN '420' ELSE '444' END
          AS subsample,
        TRUE AS pixels_match
-FROM documents ORDER BY doc_id
+FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id
 """
 
 
@@ -2115,7 +2132,7 @@ def _wav_meta(spark, sf):
             for d in doc_ids
         ])
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     wavs = docs.select("doc_id", wav("doc_id").alias("payload"))
     return (
         audio_meta(wavs, id_col="doc_id")
@@ -2149,7 +2166,7 @@ def _mp4_frames(spark, sf):
             for d in doc_ids
         ])
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     vids = docs.select("doc_id", mp4("doc_id").alias("payload"))
     return (
         frame_sample(vids, every_n=7, id_col="doc_id", bin_col="payload")
@@ -2688,7 +2705,7 @@ def _pdf_flate_extract(spark, sf):
                                  compress=True))
         return pd.Series(out)
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     pages = docs.select(
         F.concat(F.lit("http://pdf.test/"),
                  F.col("doc_id").cast("string")).alias("url"),
@@ -2744,7 +2761,7 @@ def _pdf_rc4_extract(spark, sf):
                                  encrypt=True))
         return pd.Series(out)
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     pages = docs.select(
         F.concat(F.lit("http://rc4.test/"),
                  F.col("doc_id").cast("string")).alias("url"),
@@ -2802,7 +2819,7 @@ def _pdf_aes_extract(spark, sf):
                                  encrypt="aes"))
         return pd.Series(out)
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     pages = docs.select(
         F.concat(F.lit("http://aes.test/"),
                  F.col("doc_id").cast("string")).alias("url"),
@@ -2861,7 +2878,7 @@ def _pdf_aes256_extract(spark, sf):
                                  encrypt="aes256"))
         return pd.Series(out)
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     pages = docs.select(
         F.concat(F.lit("http://aes256.test/"),
                  F.col("doc_id").cast("string")).alias("url"),
@@ -2913,7 +2930,7 @@ def _bmp_tiff_meta(spark, sf):
                                       big_endian=(d % 4 == 3)))
         return pd.Series(out)
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     imgs = docs.select("doc_id",
                        payload("doc_id", "n_chars").alias("payload"))
     return (
@@ -3015,7 +3032,7 @@ def _pdf_filters_extract(spark, sf):
                                  stream_filter=kinds[d % 4]))
         return pd.Series(out)
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     pages = docs.select(
         F.concat(F.lit("http://filt.test/"),
                  F.col("doc_id").cast("string")).alias("url"),
@@ -3077,7 +3094,7 @@ def _cid_shape_extract(spark, sf, host: str, marker: str,
                                  cid_tounicode=tounicode))
         return pd.Series(out)
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     pages = docs.select(
         F.concat(F.lit(f"http://{host}.test/"),
                  F.col("doc_id").cast("string")).alias("url"),
@@ -3160,7 +3177,7 @@ def _ocr_scanned(spark, sf):
             for d in doc_ids
         ])
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     pages = docs.select(
         F.concat(F.lit("http://img.test/"),
                  F.col("doc_id").cast("string")).alias("url"),
@@ -3216,7 +3233,10 @@ def _ocr_glyph_scan(spark, sf):
                 out.append(jpeg_encode(arr[:, :, None], quality=95))
         return pd.Series(out)
 
-    docs = _t(spark, sf, "documents")
+    # 1-in-5 deterministic subset: render→encode→decode→recognize is
+    # ~20 ms/doc of honest pixel work; ocr_scanned keeps full-corpus
+    # OCR-arm coverage, this query proves the REAL-pixel recognizer
+    docs = _tp(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
     pages = docs.select(
         F.concat(F.lit("http://glyph.test/"),
                  F.col("doc_id").cast("string")).alias("url"),
@@ -3234,7 +3254,7 @@ SELECT 'http://glyph.test/' || CAST(doc_id AS VARCHAR) AS url,
        'DOC ' || CAST(doc_id AS VARCHAR)
        || ' LINE ' || CAST(doc_id % 7 AS VARCHAR) AS raw,
        'OCR_PARSE' AS parser_used
-FROM documents ORDER BY url
+FROM documents WHERE doc_id % 5 = 0 ORDER BY url
 """
 
 
@@ -3264,7 +3284,7 @@ def _pdf_speed_arm(spark, sf):
                                  compress=True))
         return pd.Series(out)
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     pages = docs.select(
         F.concat(F.lit("http://spdf.test/"),
                  F.col("doc_id").cast("string")).alias("url"),
@@ -4456,7 +4476,7 @@ def _pdf_objstm_extract(spark, sf):
                                  objstm=True))
         return pd.Series(out)
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     pages = docs.select(
         F.concat(F.lit("http://opdf.test/"),
                  F.col("doc_id").cast("string")).alias("url"),

@@ -114,7 +114,7 @@ def main() -> None:
         "extract_html_main", "pdf_flate_extract", "pdf_speed_arm",
         "pdf_cid_extract", "pdf_ttf_extract", "ocr_scanned",
         "ocr_glyph_scan", "png_meta", "png_resize", "png_dialects",
-        "jpeg_resize",
+        "jpeg_resize", "jpeg_progressive",
         "para_dedup", "doc_repetition", "pii_redact_docs",
         "token_pack_bins",
         "decontaminate", "curation_pipeline", "chunk_windows",
