@@ -42,6 +42,24 @@ def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _t(spark, sf_dir, name).repartition(n)
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Pin a GENERATED fixture frame so downstream plan arms re-read
+    rows instead of re-running the generator UDF.
+
+    The codec/crypt fixture queries synthesize their input payloads
+    with a pandas UDF standing in for what is a parquet/Iceberg scan
+    in the real pipeline. extract()'s multi-arm plan (sniff → dispatch
+    → quarantine split) references its input several times; over a
+    table scan that's a cheap columnar re-read (exactly what a 100-TB
+    run does), but over an un-pinned generator column Catalyst
+    re-executes the UDF once PER ARM — benchmarking 4x the fixture
+    writer instead of the engine. persist() restores the scan
+    semantics; results are unchanged (the generators are
+    deterministic). Spark's cache manager matches by analyzed plan, so
+    repeated bench invocations of the same query share one entry."""
+    return df.persist()
+
+
 # ---------------------------------------------------------------------------
 # flagship entry
 # ---------------------------------------------------------------------------
@@ -1704,10 +1722,10 @@ def _png_images(spark, sf):
     docs = _tp(spark, sf, "documents")
     w = (F.col("n_chars") % 120 + 8).cast("int")
     h = ((F.col("n_chars") * 7) % 90 + 8).cast("int")
-    return docs.select(
+    return _materialize(docs.select(
         "doc_id", png_image_udf(w, h, (F.col("doc_id") % 256).cast("int")
                                 ).alias("payload")
-    )
+    ))
 
 
 def _png_meta(spark, sf):
@@ -1801,29 +1819,47 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _resize_roundtrip(resized):
+    """Chain the round-trip decode onto the resize output in ONE
+    mapInPandas pass: dec_width/dec_height come from re-decoding the
+    NEW payload, so they equal the rule's dims only if both codec
+    directions actually work. (A join of the resize output against
+    image_meta(resize output) computes the resize UDF once per side —
+    pure plan duplication; chaining evaluates it once and drops the
+    join shuffle.)"""
+    schema = ("doc_id long, new_width int, new_height int, "
+              "resized boolean, dec_width int, dec_height int")
+
+    def kernel(batches):
+        from lexoid_spark.functions.multimodal import decode_image_header
+
+        for b in batches:
+            rows = []
+            for i, nw, nh, r, p in zip(b["id"], b["new_width"],
+                                       b["new_height"], b["resized"],
+                                       b["payload"]):
+                hdr = decode_image_header(p)
+                rows.append((i, nw, nh, r,
+                             hdr[0] if hdr else None,
+                             hdr[1] if hdr else None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "new_width", "new_height", "resized",
+                "dec_width", "dec_height"])
+
+    return resized.mapInPandas(kernel, schema).orderBy("doc_id")
+
+
 def _png_resize(spark, sf):
     """Real-pixel resize round trip: resize_image_meta decodes the PNG,
     nearest-resamples, re-encodes; the output payload is then decoded
-    AGAIN by image_meta — dec_width/dec_height equal the rule's new
-    dims only if both codec directions actually work."""
-    from lexoid_spark.functions.multimodal import image_meta, resize_image_meta
+    AGAIN — dec_width/dec_height equal the rule's new dims only if
+    both codec directions actually work."""
+    from lexoid_spark.functions.multimodal import resize_image_meta
 
-    resized = resize_image_meta(
+    return _resize_roundtrip(resize_image_meta(
         _png_images(spark, sf), max_size=64, id_col="doc_id",
         bin_col="payload",
-    )
-    dec = (
-        image_meta(resized, id_col="id", bin_col="payload")
-        .select(F.col("id"), F.col("width").alias("dec_width"),
-                F.col("height").alias("dec_height"))
-    )
-    return (
-        resized.select("id", "new_width", "new_height", "resized")
-        .join(dec, "id")
-        .select(F.col("id").alias("doc_id"), "new_width", "new_height",
-                "resized", "dec_width", "dec_height")
-        .orderBy("doc_id")
-    )
+    ))
 
 
 _PNG_RESIZE_SQL = """
@@ -1912,10 +1948,10 @@ def _jpeg_images(spark, sf):
     docs = _tp(spark, sf, "documents")
     w = (F.col("n_chars") % 96 + 8).cast("int")
     h = ((F.col("n_chars") * 5) % 72 + 8).cast("int")
-    return docs.select(
+    return _materialize(docs.select(
         "doc_id", jpeg_image_udf(w, h, (F.col("doc_id") % 64).cast("int")
                                  ).alias("payload")
-    )
+    ))
 
 
 def _jpeg_resize(spark, sf):
@@ -1925,24 +1961,12 @@ def _jpeg_resize(spark, sf):
     JPEG; image_meta then re-parses the NEW payload's SOF header —
     dec_width/dec_height equal the rule's dims only if decode, encode
     and the resize rule all actually work on real JPEG bytes."""
-    from lexoid_spark.functions.multimodal import image_meta, resize_image_meta
+    from lexoid_spark.functions.multimodal import resize_image_meta
 
-    resized = resize_image_meta(
+    return _resize_roundtrip(resize_image_meta(
         _jpeg_images(spark, sf), max_size=64, id_col="doc_id",
         bin_col="payload",
-    )
-    dec = (
-        image_meta(resized, id_col="id", bin_col="payload")
-        .select(F.col("id"), F.col("width").alias("dec_width"),
-                F.col("height").alias("dec_height"))
-    )
-    return (
-        resized.select("id", "new_width", "new_height", "resized")
-        .join(dec, "id")
-        .select(F.col("id").alias("doc_id"), "new_width", "new_height",
-                "resized", "dec_width", "dec_height")
-        .orderBy("doc_id")
-    )
+    ))
 
 
 _JPEG_RESIZE_SQL = """
@@ -2654,7 +2678,7 @@ def _pipeline_extract(spark, sf):
         F.col("text"),
         F.col("lang"),
     )
-    out = extract(pages, run_id="driver_check")["extracted"]
+    out = extract(_materialize(pages), run_id="driver_check")["extracted"]
     return out.select(
         "url", "raw", "parser_used", "n_chars", "n_tokens",
         F.size("segments").alias("n_segments"),
@@ -2714,7 +2738,7 @@ def _pdf_flate_extract(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(pages, run_id="flate_check")["extracted"]
+    out = extract(_materialize(pages), run_id="flate_check")["extracted"]
     return out.select("url", "raw", "n_chars").orderBy("url")
 
 
@@ -2770,7 +2794,7 @@ def _pdf_rc4_extract(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(pages, run_id="rc4_check")["extracted"]
+    out = extract(_materialize(pages), run_id="rc4_check")["extracted"]
     return out.select("url", "raw", "n_chars").orderBy("url")
 
 
@@ -2828,7 +2852,7 @@ def _pdf_aes_extract(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(pages, run_id="aes_check")["extracted"]
+    out = extract(_materialize(pages), run_id="aes_check")["extracted"]
     return out.select("url", "raw", "n_chars").orderBy("url")
 
 
@@ -2887,7 +2911,7 @@ def _pdf_aes256_extract(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(pages, run_id="aes256_check")["extracted"]
+    out = extract(_materialize(pages), run_id="aes256_check")["extracted"]
     return out.select("url", "raw", "n_chars").orderBy("url")
 
 
@@ -3041,7 +3065,7 @@ def _pdf_filters_extract(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(pages, run_id="filters_check")["extracted"]
+    out = extract(_materialize(pages), run_id="filters_check")["extracted"]
     return out.select("url", "raw", "n_chars").orderBy("url")
 
 
@@ -3103,7 +3127,7 @@ def _cid_shape_extract(spark, sf, host: str, marker: str,
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(pages, run_id=f"{host}_check")["extracted"]
+    out = extract(_materialize(pages), run_id=f"{host}_check")["extracted"]
     return out.select("url", "raw", "n_chars").orderBy("url")
 
 
@@ -3186,7 +3210,7 @@ def _ocr_scanned(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(pages, run_id="ocr_check")["extracted"]
+    out = extract(_materialize(pages), run_id="ocr_check")["extracted"]
     return out.select("url", "raw", "parser_used").orderBy("url")
 
 
@@ -3245,7 +3269,7 @@ def _ocr_glyph_scan(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(pages, run_id="ocr_glyph")["extracted"]
+    out = extract(_materialize(pages), run_id="ocr_glyph")["extracted"]
     return out.select("url", "raw", "parser_used").orderBy("url")
 
 
@@ -3293,7 +3317,7 @@ def _pdf_speed_arm(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(pages, run_id="speed_check",
+    out = extract(_materialize(pages), run_id="speed_check",
                   pdf_framework="pdfminer")["extracted"]
     return out.select("url", "raw", "n_chars").orderBy("url")
 
@@ -4485,7 +4509,7 @@ def _pdf_objstm_extract(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(pages, run_id="objstm_check")["extracted"]
+    out = extract(_materialize(pages), run_id="objstm_check")["extracted"]
     return out.select("url", "raw", "n_chars").orderBy("url")
 
 
@@ -5461,7 +5485,7 @@ FROM per GROUP BY lang ORDER BY lang
 def _phrase_merges(spark, sf):
     """Word-level BPE training loop: 6 corpus-wide merge iterations
     (count adjacent pairs map-side-combinably, collect ONE top-pair
-    row, broadcast it back, rewrite via ONE greedy F.aggregate fold —
+    row, broadcast it back, rewrite via ONE greedy regex scan —
     self pairs included, pairing runs non-overlapping left-to-right
     like sequential BPE). The working frame is localCheckpoint-ed
     every 2 merges so plan lineage stays bounded at any merge count
@@ -5488,7 +5512,7 @@ WITH t0 AS (
         # A position i STARTS a merge iff (t[i], t[i+1]) == (a, b) and,
         # for self pairs (a == b), i sits at an EVEN offset within its
         # maximal run of a's — the parity mark that equals the greedy
-        # left-to-right scan (Spark side: the F.aggregate fold). Run
+        # left-to-right scan (Spark side: the regex replace-all). Run
         # start is recovered per position as 1 + the last j < i with
         # t[j] != a.
         start = (f"""i <= len(t) - 1 AND t[i] = m{s}.a

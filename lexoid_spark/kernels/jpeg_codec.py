@@ -172,6 +172,7 @@ def _canonical_codes(bits, vals):
     return out
 
 _TABLE_CACHE: dict = {}
+_PACKED_CACHE: dict = {}
 
 
 def _fast_table(bits, vals):
@@ -191,6 +192,21 @@ def _fast_table(bits, vals):
         ln[lo:hi] = [length] * (hi - lo)
     _TABLE_CACHE[key] = (sym, ln)
     return sym, ln
+
+
+def _packed_table(table):
+    """(symbol << 5) | length as ONE flat list — halves the lookups in
+    the hot sequential-scan loop. Keyed by the (sym, ln) pair object
+    (tables live forever in _TABLE_CACHE; the stored ref keeps the id
+    stable)."""
+    hit = _PACKED_CACHE.get(id(table))
+    if hit is not None:
+        return hit[1]
+    sym, ln = table
+    packed = ((np.array(sym, dtype=np.int64) << 5)
+              | np.array(ln, dtype=np.int64)).tolist()
+    _PACKED_CACHE[id(table)] = (table, packed)
+    return packed
 
 
 def _encode_codes(bits, vals):
@@ -242,6 +258,59 @@ class _BitReader:
         return v
 
 
+class _BatchWriter:
+    """Drop-in for :class:`_BitWriter` that buffers (value, nbits)
+    fields and packs each marker-delimited run in ONE vectorized numpy
+    pass (bit expansion → packbits → 0xFF00 stuffing) — the per-call
+    Python bit loop is the encoder's hot path, so writes become two
+    list appends. Values must already be non-negative and < 2**nbits
+    (every call site emits sign-adjusted magnitudes)."""
+
+    __slots__ = ("vals", "lens", "chunks")
+
+    def __init__(self):
+        self.vals: list = []
+        self.lens: list = []
+        self.chunks: list = []
+
+    def write(self, val: int, n: int) -> None:
+        self.vals.append(val)
+        self.lens.append(n)
+
+    def _pack(self) -> None:
+        if not self.vals:
+            return
+        v = np.array(self.vals, dtype=np.int64)
+        l = np.array(self.lens, dtype=np.int64)
+        self.vals = []
+        self.lens = []
+        ends = np.cumsum(l)
+        total = int(ends[-1])
+        idx = np.repeat(np.arange(len(l)), l)
+        # bit j of the stream is bit (ends[f]-1-j) of field f, MSB-first
+        shift = ends[idx] - 1 - np.arange(total)
+        bits = ((v[idx] >> shift) & 1).astype(np.uint8)
+        pad = (-total) % 8
+        if pad:  # T.81 F.1.2.3: pad with 1-bits
+            bits = np.concatenate([bits, np.ones(pad, dtype=np.uint8)])
+        by = np.packbits(bits)
+        ff = np.where(by == 0xFF)[0]
+        if len(ff):  # byte stuffing
+            by = np.insert(by, ff + 1, 0)
+        self.chunks.append(by.tobytes())
+
+    def byte_align(self) -> None:
+        self._pack()  # each packed chunk is 1-padded to a byte already
+
+    def marker(self, m: int) -> None:
+        self._pack()
+        self.chunks.append(bytes([0xFF, m]))
+
+    def flush(self) -> bytes:
+        self._pack()
+        return b"".join(self.chunks)
+
+
 class _BitWriter:
     __slots__ = ("out", "acc", "nbits")
 
@@ -280,7 +349,45 @@ class _BitWriter:
 # --- decoder ------------------------------------------------------------------
 
 def _split_segments(scan: bytes) -> list:
-    """Unstuff 0xFF00 and split the entropy stream on RSTn markers."""
+    """Unstuff 0xFF00 and split the entropy stream on RSTn markers.
+
+    Vectorized for the well-formed case (every 0xFF is followed by
+    0x00 or an RST marker — what every real encoder emits); the
+    byte-by-byte fallback preserves the permissive handling of
+    malformed tails (lone/doubled 0xFF decays to literal bytes)."""
+    arr = np.frombuffer(scan, dtype=np.uint8)
+    m = len(arr)
+    ffpos = np.where(arr[:m - 1] == 0xFF)[0] if m else \
+        np.empty(0, dtype=np.int64)
+    if m and arr[-1] == 0xFF:
+        return _split_segments_slow(scan)
+    if len(ffpos):
+        nxt = arr[ffpos + 1]
+        wellformed = bool(np.all(
+            (nxt == 0) | ((nxt >= 0xD0) & (nxt <= 0xD7))))
+        # adjacent FFs would make the skip-2 scan overlap
+        if wellformed and len(ffpos) > 1:
+            wellformed = bool(np.all(np.diff(ffpos) > 1))
+        if not wellformed:
+            return _split_segments_slow(scan)
+        rst = ffpos[(nxt >= 0xD0) & (nxt <= 0xD7)]
+    else:
+        rst = np.empty(0, dtype=np.int64)
+    segments: list[bytes] = []
+    start = 0
+    bounds = list(rst) + [m]
+    for b in bounds:
+        seg = arr[start:b]
+        if len(seg):
+            # drop the stuffed 0x00 after each 0xFF inside the segment
+            sf = np.where(seg[:len(seg) - 1] == 0xFF)[0]
+            seg = np.delete(seg, sf + 1) if len(sf) else seg
+        segments.append(seg.tobytes())
+        start = b + 2
+    return segments
+
+
+def _split_segments_slow(scan: bytes) -> list:
     segments: list[bytes] = []
     cur = bytearray()
     i = 0
@@ -310,13 +417,31 @@ def _decode_baseline_scan(scan, scan_comps, comps, planes, huff_dc,
     for cid, hs, vs, tq in comps:
         if cid not in binding:
             raise JpegError("scan does not cover all frame components")
+    # per-component (packed DC table, packed AC table, vs, hs) resolved
+    # once — the MCU loop below is the whole decode cost, so it runs on
+    # plain ints and list lookups with the bit cursor inlined: ONE
+    # 6-byte window read serves both the Huffman symbol and its extend
+    # bits (16 + 15 ≤ 41 usable bits at any bit offset)
+    plan = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        td, ta = binding[cid]
+        try:
+            dct = huff_dc[td]
+            act = huff_ac[ta]
+        except KeyError:
+            raise JpegError("scan references undefined "
+                            "Huffman table") from None
+        plan.append((ci, _packed_table(dct), _packed_table(act), vs, hs))
     segments = _split_segments(scan)
-    reader = _BitReader(segments[0])
+    from_bytes = int.from_bytes
     seg_idx = 0
+    data = segments[0] + b"\xff\xff\xff\xff\xff\xff"
+    pos = 0
+    nbits = (len(data) - 6) * 8
     preds = [0] * len(comps)
     mcu_count = 0
     total_mcus = mcux * mcuy
-    coefs = np.zeros(64, dtype=np.int32)
+    row_w = mcux
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and \
@@ -324,40 +449,69 @@ def _decode_baseline_scan(scan, scan_comps, comps, planes, huff_dc,
                 seg_idx += 1
                 if seg_idx >= len(segments):
                     raise JpegError("missing restart segment")
-                reader = _BitReader(segments[seg_idx])
+                data = segments[seg_idx] + b"\xff\xff\xff\xff\xff\xff"
+                pos = 0
+                nbits = (len(data) - 6) * 8
                 preds = [0] * len(comps)
-            for ci, (cid, hs, vs, tq) in enumerate(comps):
-                td, ta = binding[cid]
-                try:
-                    dct = huff_dc[td]
-                    act = huff_ac[ta]
-                except KeyError:
-                    raise JpegError("scan references undefined "
-                                    "Huffman table") from None
+            for ci, dct, act, vs, hs in plan:
+                pred = preds[ci]
+                plane = planes[ci]
                 for by in range(vs):
                     for bx in range(hs):
-                        coefs[:] = 0
-                        s = reader.decode(dct)
-                        if s > 15:
-                            raise JpegError("bad DC category")
-                        preds[ci] += reader.receive_extend(s)
-                        coefs[0] = preds[ci]
+                        coefs = [0] * 64
+                        i = pos >> 3
+                        sh = pos & 7
+                        win = from_bytes(data[i:i + 6], "big")
+                        e = dct[(win >> (32 - sh)) & 0xFFFF]
+                        s = e >> 5
+                        length = e & 31
+                        if length == 0 or s > 15:
+                            raise JpegError("corrupt entropy stream "
+                                            "(bad Huffman code)")
+                        if s:
+                            v = (win >> (48 - sh - length - s)) \
+                                & ((1 << s) - 1)
+                            if v < (1 << (s - 1)):
+                                v -= (1 << s) - 1
+                            pred += v
+                        pos += length + s
+                        if pos > nbits + 7:
+                            raise JpegError("truncated scan")
+                        coefs[0] = pred
                         k = 1
                         while k < 64:
-                            rs = reader.decode(act)
-                            r, s = rs >> 4, rs & 15
+                            i = pos >> 3
+                            sh = pos & 7
+                            win = from_bytes(data[i:i + 6], "big")
+                            e = act[(win >> (32 - sh)) & 0xFFFF]
+                            length = e & 31
+                            if length == 0:
+                                raise JpegError("corrupt entropy stream "
+                                                "(bad Huffman code)")
+                            rs = e >> 5
+                            s = rs & 15
                             if s == 0:
-                                if r == 15:
+                                pos += length
+                                if rs == 0xF0:
                                     k += 16
                                     continue
                                 break  # EOB
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 raise JpegError("AC index overflow")
-                            coefs[k] = reader.receive_extend(s)
+                            v = (win >> (48 - sh - length - s)) \
+                                & ((1 << s) - 1)
+                            if v < (1 << (s - 1)):
+                                v -= (1 << s) - 1
+                            pos += length + s
+                            coefs[k] = v
                             k += 1
-                        row = (my * vs + by) * (mcux * hs) + (mx * hs + bx)
-                        planes[ci][row] = coefs
+                        if pos > nbits + 7:
+                            raise JpegError("truncated scan")
+                        row = (my * vs + by) * (row_w * hs) \
+                            + (mx * hs + bx)
+                        plane[row] = coefs
+                preds[ci] = pred
             mcu_count += 1
     if mcu_count != total_mcus:
         raise JpegError("truncated scan")
@@ -745,36 +899,48 @@ def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((base * scale + 50) // 100, 1, 255)
 
 
-def _encode_block(bw: _BitWriter, blk: np.ndarray,
+def _encode_block(bw: _BatchWriter, blk: np.ndarray,
                   dc_codes, ac_codes, pred: int) -> int:
-    """Entropy-encode one zigzag block; returns the new DC predictor."""
+    """Entropy-encode one zigzag block; returns the new DC predictor.
+    Iterates the NONZERO coefficients only (runs come from index gaps)
+    and appends fields straight onto the batch writer's lists."""
+    vals = bw.vals
+    lens = bw.lens
     dc = int(blk[0])
     diff = dc - pred
     s = abs(diff).bit_length()
     code, length = dc_codes[s]
-    bw.write(code, length)
+    vals.append(code)
+    lens.append(length)
     if s:
-        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-    run = 0
-    nz = np.nonzero(blk[1:])[0]
-    last_nz = (nz[-1] + 1) if len(nz) else 0
-    for k in range(1, last_nz + 1):
-        v = int(blk[k])
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, length = ac_codes[0xF0]  # ZRL
-            bw.write(code, length)
-            run -= 16
-        s = abs(v).bit_length()
-        code, length = ac_codes[(run << 4) | s]
-        bw.write(code, length)
-        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
-        run = 0
-    if last_nz < 63:
+        vals.append(diff if diff >= 0 else diff + (1 << s) - 1)
+        lens.append(s)
+    ac = blk[1:]
+    nz = np.nonzero(ac)[0]
+    if len(nz) == 0:
         code, length = ac_codes[0x00]  # EOB
-        bw.write(code, length)
+        vals.append(code)
+        lens.append(length)
+        return dc
+    zrl_code, zrl_len = ac_codes[0xF0]
+    prev = 0
+    for k, v in zip(nz.tolist(), ac[nz].tolist()):
+        run = k - prev
+        prev = k + 1
+        while run > 15:
+            vals.append(zrl_code)
+            lens.append(zrl_len)
+            run -= 16
+        s = (v if v >= 0 else -v).bit_length()
+        code, length = ac_codes[(run << 4) | s]
+        vals.append(code)
+        lens.append(length)
+        vals.append(v if v >= 0 else v + (1 << s) - 1)
+        lens.append(s)
+    if prev < 63:
+        code, length = ac_codes[0x00]  # EOB
+        vals.append(code)
+        lens.append(length)
     return dc
 
 
@@ -1017,7 +1183,7 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85,
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
     # interleaved MCU scan
-    bw = _BitWriter()
+    bw = _BatchWriter()
     preds = [0] * c
     mcu_count = 0
     for my in range(mcuy):
@@ -1058,7 +1224,7 @@ def _encode_progressive_scans(grids, samp, tables, c, mcux, mcuy,
 
     # 1. DC first, Al=1, all components interleaved
     out += sos([(ci + 1, dc_td(ci) << 4) for ci in range(c)], 0, 0, 0, 1)
-    bw = _BitWriter()
+    bw = _BatchWriter()
     preds = [0] * c
     for my in range(mcuy):
         for mx in range(mcux):
@@ -1081,7 +1247,7 @@ def _encode_progressive_scans(grids, samp, tables, c, mcux, mcuy,
 
     # 2. DC refine, Ah=1 → Al=0: one raw bit per block, same order
     out += sos([(ci + 1, dc_td(ci) << 4) for ci in range(c)], 0, 0, 1, 0)
-    bw = _BitWriter()
+    bw = _BatchWriter()
     for my in range(mcuy):
         for mx in range(mcux):
             for ci in range(c):
@@ -1105,7 +1271,7 @@ def _encode_progressive_scans(grids, samp, tables, c, mcux, mcuy,
             rows, cols = -(-ch // 8), -(-cw // 8)
             for ss, se in bands:
                 out += sos([(ci + 1, 0)], ss, se, ah, al)
-                bw = _BitWriter()
+                bw = _BatchWriter()
                 st = _AcProg(bw, prog_ac)
                 for by in range(rows):
                     for bx in range(cols):

@@ -337,16 +337,54 @@ def _encrypt_block_scalar(key: bytes, block: bytes) -> bytes:
 
 def aes_cbc_encrypt_nopad(key: bytes, iv: bytes, plain: bytes) -> bytes:
     """Raw CBC encrypt of an exact block multiple (the R6 hash loop
-    and /UE//OE wrapping use unpadded CBC) — scalar T-table core."""
-    if len(plain) % 16:
+    and /UE//OE wrapping use unpadded CBC).
+
+    The chain is sequential BY DESIGN (the R6 KDF is a
+    password-stretcher), so the per-block Python cost is the whole
+    cost: this keeps the state as four 32-bit words across the chain
+    (no bytes round-trips between blocks) and unrolls the T-table
+    round body, ~3-4x the generic scalar block function."""
+    n = len(plain)
+    if n % 16:
         raise ValueError("nopad CBC needs a block multiple")
-    prev = iv
-    out = bytearray()
-    for i in range(0, len(plain), 16):
-        prev = _encrypt_block_scalar(
-            key, bytes(a ^ b for a, b in zip(plain[i:i + 16], prev)))
-        out += prev
-    return bytes(out)
+    w = _round_words(key)
+    rounds = len(w) - 1
+    t0, t1, t2, t3 = _T0, _T1, _T2, _T3
+    s = _SBOX_LIST
+    words = struct.unpack(">%dI" % (n // 4), plain)
+    p0, p1, p2, p3 = struct.unpack(">4I", iv)
+    k00, k01, k02, k03 = w[0]
+    kl0, kl1, kl2, kl3 = w[rounds]
+    mid = w[1:rounds]
+    out = []
+    for i in range(0, n // 4, 4):
+        c0 = words[i] ^ p0 ^ k00
+        c1 = words[i + 1] ^ p1 ^ k01
+        c2 = words[i + 2] ^ p2 ^ k02
+        c3 = words[i + 3] ^ p3 ^ k03
+        for k in mid:
+            d0 = (t0[(c0 >> 24) & 255] ^ t1[(c1 >> 16) & 255]
+                  ^ t2[(c2 >> 8) & 255] ^ t3[c3 & 255] ^ k[0])
+            d1 = (t0[(c1 >> 24) & 255] ^ t1[(c2 >> 16) & 255]
+                  ^ t2[(c3 >> 8) & 255] ^ t3[c0 & 255] ^ k[1])
+            d2 = (t0[(c2 >> 24) & 255] ^ t1[(c3 >> 16) & 255]
+                  ^ t2[(c0 >> 8) & 255] ^ t3[c1 & 255] ^ k[2])
+            d3 = (t0[(c3 >> 24) & 255] ^ t1[(c0 >> 16) & 255]
+                  ^ t2[(c1 >> 8) & 255] ^ t3[c2 & 255] ^ k[3])
+            c0, c1, c2, c3 = d0, d1, d2, d3
+        p0 = ((s[(c0 >> 24) & 255] << 24) | (s[(c1 >> 16) & 255] << 16)
+              | (s[(c2 >> 8) & 255] << 8) | s[c3 & 255]) ^ kl0
+        p1 = ((s[(c1 >> 24) & 255] << 24) | (s[(c2 >> 16) & 255] << 16)
+              | (s[(c3 >> 8) & 255] << 8) | s[c0 & 255]) ^ kl1
+        p2 = ((s[(c2 >> 24) & 255] << 24) | (s[(c3 >> 16) & 255] << 16)
+              | (s[(c0 >> 8) & 255] << 8) | s[c1 & 255]) ^ kl2
+        p3 = ((s[(c3 >> 24) & 255] << 24) | (s[(c0 >> 16) & 255] << 16)
+              | (s[(c1 >> 8) & 255] << 8) | s[c2 & 255]) ^ kl3
+        out.append(p0)
+        out.append(p1)
+        out.append(p2)
+        out.append(p3)
+    return struct.pack(">%dI" % len(out), *out)
 
 
 def aes_cbc_decrypt_nopad(key: bytes, iv: bytes, ct: bytes) -> bytes:
