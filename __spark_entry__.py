@@ -3282,6 +3282,56 @@ FROM documents WHERE doc_id % 5 = 0 ORDER BY url
 """
 
 
+def _pdf_ocr_extract(spark, sf):
+    """Scanner-output PDFs (a real JPEG scan embedded verbatim under
+    /Filter /DCTDecode — the wild scanned-document layout) through the
+    FULL extract() plan: sniff → has_image flag → OCR arm → object
+    scan → DCT passthrough → baseline JPEG huffman+IDCT → glyph
+    recognition. Reference route: image-bearing PDF → paddleocr
+    (utils.py:591-612 bbox_router, static_parser.py:751-818).
+    Recognition is a pure function of doc_id, so DuckDB predicts the
+    page text closed-form."""
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def scan_pdf(doc_ids: pd.Series) -> pd.Series:
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.jpeg_codec import jpeg_encode
+        from lexoid_spark.kernels.ocr_glyph import render_text
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            arr = render_text(f"JPEG SCAN {d}\nBAND {d % 5} OK", scale=4)
+            out.append(build_pdf([{"raster_images": [
+                jpeg_encode(arr[:, :, None], quality=95)]}]))
+        return pd.Series(out)
+
+    # 1-in-7 deterministic subset: build→scan→entropy-decode→recognize
+    # is honest per-doc pixel work; pdf_speed_arm / ocr_scanned keep
+    # full-corpus coverage of the routing itself
+    docs = _tp(spark, sf, "documents").filter(F.col("doc_id") % 7 == 0)
+    pages = docs.select(
+        F.concat(F.lit("http://scanpdf.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        scan_pdf("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(_materialize(pages), run_id="pdf_ocr")["extracted"]
+    return out.select("url", "raw", "parser_used").orderBy("url")
+
+
+_PDF_OCR_EXTRACT_SQL = """
+SELECT 'http://scanpdf.test/' || CAST(doc_id AS VARCHAR) AS url,
+       'JPEG SCAN ' || CAST(doc_id AS VARCHAR)
+       || ' BAND ' || CAST(doc_id % 5 AS VARCHAR) || ' OK' AS raw,
+       'OCR_PARSE' AS parser_used
+FROM documents WHERE doc_id % 7 = 0 ORDER BY url
+"""
+
+
 def _pdf_speed_arm(spark, sf):
     """The cheap text-only PDF arm (reference pdfminer framework,
     static_parser.py:144-177): same compressed PDFs as
@@ -5734,6 +5784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_ttf_extract": _pdf_ttf_extract,
         "ocr_scanned": _ocr_scanned,
         "ocr_glyph_scan": _ocr_glyph_scan,
+        "pdf_ocr_extract": _pdf_ocr_extract,
         "pdf_speed_arm": _pdf_speed_arm,
         "pii_redact_docs": _pii_redact_docs,
         "para_dedup": _para_dedup,
@@ -5872,6 +5923,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_ttf_extract": _PDF_TTF_SQL,
         "ocr_scanned": _OCR_SCANNED_SQL,
         "ocr_glyph_scan": _OCR_GLYPH_SCAN_SQL,
+        "pdf_ocr_extract": _PDF_OCR_EXTRACT_SQL,
         "pdf_speed_arm": _PDF_SPEED_SQL,
         "pii_redact_docs": _PII_REDACT_SQL,
         "para_dedup": _PARA_DEDUP_SQL,

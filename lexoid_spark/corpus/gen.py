@@ -43,7 +43,7 @@ ALL_CLASSES = HTML_CLASSES + PDF_CLASSES + (
     "csv_table", "txt_plain", "docx_doc", "xlsx_sheet",
     "pptx_deck", "img_scan", "pdf_scanned",
     # appended last so earlier class→index assignments shift minimally
-    "pdf_cid", "pdf_xrefstm", "img_scan_glyph",
+    "pdf_cid", "pdf_xrefstm", "img_scan_glyph", "pdf_scanned_jpeg",
 )
 
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
@@ -464,6 +464,24 @@ def _pdf_scanned(i: int, r: random.Random) -> bytes:
     return build_pdf([{"images": images}])
 
 
+def _pdf_scanned_jpeg(i: int, r: random.Random) -> bytes:
+    """Scanner-output PDF: a REAL JPEG scan embedded verbatim under
+    /Filter /DCTDecode — the most common wild scanned-document shape.
+    The whole from-scratch chain runs end to end: build → object scan →
+    DCT passthrough → baseline JPEG huffman+IDCT decode → glyph OCR
+    recognizes the exact rendered text (reference route: image-bearing
+    PDF → parse_with_paddleocr, utils.py:591-612 +
+    static_parser.py:751-818)."""
+    from lexoid_spark.kernels.jpeg_codec import jpeg_encode
+    from lexoid_spark.kernels.ocr_glyph import render_text
+
+    text = f"JPEG SCAN {i}\nBAND {i % 5} OK"
+    # scale 4: JPEG is lossy — keep glyph blocks unambiguous post-DCT
+    arr = render_text(text, scale=4)
+    return build_pdf([{"raster_images": [jpeg_encode(arr[:, :, None],
+                                                     quality=95)]}])
+
+
 _BUILDERS = {
     "html_headings": _html_headings,
     "html_lists_links": _html_lists_links,
@@ -490,6 +508,7 @@ _BUILDERS = {
     "img_scan": _img_scan,
     "img_scan_glyph": _img_scan_glyph,
     "pdf_scanned": _pdf_scanned,
+    "pdf_scanned_jpeg": _pdf_scanned_jpeg,
     "pdf_cid": _pdf_cid,
     "pdf_xrefstm": _pdf_xrefstm,
 }

@@ -380,6 +380,23 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
                  b"/Length %d >>\nstream\n%s\nendstream"
                  % (iw, ih, len(px), px))
             ))
+        # real raster payloads: page["raster_images"] = [jpeg_bytes] —
+        # JFIF data embeds VERBATIM under /Filter /DCTDecode (ISO
+        # 32000-1 §7.4.8), the one raster encoding PDF carries 1:1,
+        # and the near-universal scanner-output layout (one JPEG scan
+        # per page, no text). Dimensions come from the payload's own
+        # SOF header so spec and stream can't disagree.
+        for jpg in page.get("raster_images", []):
+            from lexoid_spark.functions.multimodal import decode_image_header
+
+            jw, jh, jc = decode_image_header(jpg)
+            cs = b"/DeviceRGB" if jc == 3 else b"/DeviceGray"
+            img_nums_page.append(add(
+                (b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                 b"/ColorSpace %s /BitsPerComponent 8 /Filter /DCTDecode "
+                 b"/Length %d >>\nstream\n%s\nendstream"
+                 % (jw, jh, cs, len(jpg), jpg))
+            ))
         image_nums.append(img_nums_page)
         stream = page_content_stream(page)
         filt = b""

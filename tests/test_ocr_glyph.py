@@ -104,3 +104,57 @@ class TestExtractIntegration:
             f"http://scan.test/{i}": (f"PAGE {i} TEXT", "OCR_PARSE")
             for i in range(4)
         }
+
+
+class TestScannedJpegPdf:
+    """Scanner-output PDFs: a real JPEG embedded verbatim under
+    /Filter /DCTDecode (ISO 32000-1 §7.4.8) — the wild scanned-doc
+    layout the reference routes image-bearing-PDF → paddleocr
+    (utils.py:591-612, static_parser.py:751-818)."""
+
+    def test_dct_payload_survives_object_scan(self):
+        """The binary JPEG body must come back bit-exact through the
+        /Length-bounded object scan and the filter chain (DCTDecode is
+        a passthrough there — the image layer owns the entropy
+        decode)."""
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.jpeg_codec import jpeg_encode
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.pdf_md import pdf_image_payloads
+
+        jpg = jpeg_encode(render_text("DCT OK", scale=2)[:, :, None],
+                          quality=90)
+        pdf = build_pdf([{"raster_images": [jpg]}])
+        assert pdf_image_payloads(pdf) == [jpg]
+
+    def test_scanned_jpeg_pdf_ocr_roundtrip(self):
+        from lexoid_spark.corpus.gen import _pdf_scanned_jpeg, _rng
+        from lexoid_spark.kernels.ocr_stub import ocr_pdf_to_pages
+
+        for i in (0, 7, 19):
+            pages = ocr_pdf_to_pages(_pdf_scanned_jpeg(i, _rng(i)))
+            assert [(p, t) for p, t, _b in pages] == [
+                (1, f"JPEG SCAN {i} BAND {i % 5} OK")
+            ]
+
+    def test_scanned_jpeg_pdf_routes_to_ocr(self, spark):
+        """Full extract() plan: sniff → has_image flag → OCR arm →
+        JPEG entropy decode → glyph recognition, distributed."""
+        from lexoid_spark.corpus.gen import _pdf_scanned_jpeg, _rng
+        from lexoid_spark.plans.extract import extract
+
+        rows = [(f"http://scanpdf.test/{i}", _pdf_scanned_jpeg(i, _rng(i)))
+                for i in range(3)]
+        pages = spark.createDataFrame(
+            rows, "url string, html binary"
+        ).select(
+            "url", F.lit(None).cast("timestamp").alias("warc_ts"),
+            "html", F.lit("").alias("text"), F.lit("en").alias("lang"),
+        )
+        out = extract(pages, run_id="jpegpdf")["extracted"].collect()
+        got = {r["url"]: (r["raw"], r["parser_used"]) for r in out}
+        assert got == {
+            f"http://scanpdf.test/{i}":
+                (f"JPEG SCAN {i} BAND {i % 5} OK", "OCR_PARSE")
+            for i in range(3)
+        }
