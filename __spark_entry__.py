@@ -4909,6 +4909,62 @@ ORDER BY vec_id
 """
 
 
+def _semdedup_greedy(spark, sf):
+    """Paper-faithful SemDeDup (greedy keep-first, Abbas et al. 2023):
+    drop a vector iff it is within cosine tau of a KEPT lower-id
+    vector — on chains a~b~c this keeps {a, c} where the dominance
+    policy (semdedup_keep) keeps {a}. Computed as the
+    lexicographically-first maximal independent set of the near-dup
+    graph via relational rounds (similarity.py); the oracle replays
+    the identical rounds as a recursive CTE over the same pair set."""
+    from lexoid_spark.functions.similarity import semdedup_keepers_greedy
+
+    emb = _t(spark, sf, "embeddings")
+    return semdedup_keepers_greedy(
+        emb, tau=0.35, n_centroids=8).orderBy("vec_id")
+
+
+_SEMDEDUP_GREEDY_SQL = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vid, vv, cid FROM (
+    SELECT e.vec_id AS vid, e.v AS vv, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+           ) AS r
+    FROM e CROSS JOIN cents c
+  ) t WHERE r = 1
+),
+prs AS (
+  SELECT a.vid AS id_a, b.vid AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vid < b.vid
+  WHERE list_cosine_similarity(a.vv, b.vv) >= 0.35
+),
+nodes AS (SELECT vec_id AS id FROM embeddings),
+dec(id, kept) AS (
+  SELECT n.id, true FROM nodes n
+  WHERE NOT EXISTS (SELECT 1 FROM prs WHERE prs.id_b = n.id)
+  UNION
+  SELECT * FROM (
+    SELECT d.id, d.kept FROM dec d
+    UNION
+    SELECT p.id_b, false FROM prs p JOIN dec d ON p.id_a = d.id AND d.kept
+    UNION
+    SELECT n.id, true FROM nodes n
+    WHERE n.id NOT IN (SELECT id FROM dec)
+      AND NOT EXISTS (
+        SELECT 1 FROM prs WHERE prs.id_b = n.id
+        AND prs.id_a NOT IN (SELECT id FROM dec d2 WHERE NOT d2.kept))
+  ) s
+)
+SELECT id AS vec_id FROM dec WHERE kept ORDER BY vec_id
+"""
+
+
 def _dup_span_removal(spark, sf):
     """Exact-substring-dedup shape (Lee et al. 2022) over injected
     cross-document boilerplate: a shared 8-word header and a per-lang
@@ -5801,6 +5857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_alloc": _unimax_alloc,
         "unimax_sample": _unimax_sample,
         "semdedup_keep": _semdedup_keep,
+        "semdedup_greedy": _semdedup_greedy,
         "dup_span_removal": _dup_span_removal,
         "char_span_removal": _char_span_removal,
         "tfidf_topk": _tfidf_topk,
@@ -5940,6 +5997,7 @@ def oracle_sql() -> dict[str, str]:
         "unimax_alloc": _UNIMAX_ALLOC_SQL,
         "unimax_sample": _UNIMAX_SAMPLE_SQL,
         "semdedup_keep": _SEMDEDUP_SQL,
+        "semdedup_greedy": _SEMDEDUP_GREEDY_SQL,
         "dup_span_removal": _DUP_SPAN_SQL,
         "char_span_removal": _CHAR_SPAN_SQL,
         "tfidf_topk": _TFIDF_SQL,

@@ -361,3 +361,68 @@ def semdedup_keepers(embeddings: DataFrame, tau: float = 0.9,
     out.policy = ("dominance-by-lower-id (NOT greedy keep-first): "
                   "chained near-dups a~b~c keep {a}, not {a,c}")
     return out
+
+
+def semdedup_keepers_greedy(embeddings: DataFrame, tau: float = 0.9,
+                            n_centroids: int = 8, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            impl: str = "gemm",
+                            max_rounds: int = 64) -> DataFrame:
+    """Paper-faithful SemDeDup keep list: sequential greedy keep-first
+    over ascending ids (Abbas et al. 2023) — a vector is DROPPED iff it
+    lies within cosine ``tau`` of a lower-id vector that was itself
+    KEPT. On chains a~b~c (a<b<c, cos(a,c)<tau) this keeps {a, c}
+    where :func:`semdedup_keepers`'s dominance policy keeps {a} — the
+    published-numbers-comparable variant.
+
+    The sequential scan is the lexicographically-first maximal
+    independent set of the near-dup graph, computed in ROUNDS (the
+    same relational-iteration shape as ``dedup.py``'s connected
+    components): each round keeps every still-undecided vector with no
+    undecided smaller neighbor (its fate can no longer change), drops
+    their larger neighbors, and restricts the edge set to undecided
+    endpoints. Round count = depth of the keep-dependency DAG — near-
+    dup graphs are cluster-bounded so this is shallow in practice;
+    every per-round frame is ``localCheckpoint``-ed so lineage stays
+    flat, and all joins shuffle on the id key only. Raises past
+    ``max_rounds`` rather than returning a partial answer."""
+    pairs = embedding_near_dup_pairs(
+        embeddings, tau=tau, n_centroids=n_centroids,
+        id_col=id_col, vec_col=vec_col, impl=impl,
+    )
+    edges = pairs.select("id_a", "id_b").distinct().localCheckpoint()
+    undecided = embeddings.select(
+        F.col(id_col).alias("id")).localCheckpoint()
+    kept_parts = []
+    for _ in range(max_rounds):
+        if undecided.isEmpty():
+            break
+        # an ACTIVE edge's id_b still has an undecided smaller
+        # neighbor — everything else is safe to keep now
+        blocked = edges.select(F.col("id_b").alias("id")).distinct()
+        keep_now = undecided.join(
+            blocked, "id", "left_anti").localCheckpoint()
+        kept_parts.append(keep_now)
+        drop_now = (
+            edges.join(keep_now.withColumnRenamed("id", "id_a"), "id_a")
+            .select(F.col("id_b").alias("id")).distinct()
+        )
+        undecided = (
+            undecided.join(keep_now, "id", "left_anti")
+            .join(drop_now, "id", "left_anti").localCheckpoint()
+        )
+        edges = (
+            edges.join(undecided.withColumnRenamed("id", "id_a"), "id_a")
+            .join(undecided.withColumnRenamed("id", "id_b"), "id_b")
+            .select("id_a", "id_b").localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            "semdedup_keepers_greedy: keep-dependency chains deeper "
+            f"than max_rounds={max_rounds}")
+    if not kept_parts:  # empty input
+        return embeddings.select(id_col)
+    out = kept_parts[0]
+    for part in kept_parts[1:]:
+        out = out.unionByName(part)
+    return out.select(F.col("id").alias(id_col))

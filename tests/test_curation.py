@@ -553,6 +553,63 @@ class TestSemDedupKeepers:
         assert kept == {0, 1, 4}
 
 
+class TestSemDedupGreedy:
+    def test_chain_keeps_first_and_third(self, spark):
+        """The policy divergence case: a~b~c chain (cos(a,c) < tau).
+        Greedy keep-first keeps {a, c}; the dominance policy keeps
+        only {a}."""
+        import math
+
+        from lexoid_spark.functions.similarity import (
+            semdedup_keepers,
+            semdedup_keepers_greedy,
+        )
+
+        def at(deg):
+            r = math.radians(deg)
+            return [math.cos(r), math.sin(r), 0.0]
+
+        # cos(25°)=0.906 >= tau, cos(50°)=0.643 < tau at tau=0.87
+        rows = [(0, at(0)), (1, at(25)), (2, at(50))]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        greedy = {r["vec_id"] for r in semdedup_keepers_greedy(
+            df, tau=0.87, n_centroids=1).collect()}
+        dom = {r["vec_id"] for r in semdedup_keepers(
+            df, tau=0.87, n_centroids=1).collect()}
+        assert greedy == {0, 2}
+        assert dom == {0}
+
+    def test_matches_sequential_scan(self, spark):
+        """Round-based MIS == the literal sequential greedy scan over
+        the same pair set, on a seeded random corpus."""
+        import random
+
+        from lexoid_spark.functions.similarity import (
+            embedding_near_dup_pairs,
+            semdedup_keepers_greedy,
+        )
+
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(4)])
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(
+            df, tau=0.8, n_centroids=4).collect()}
+        kept_ref = set()
+        for i in range(40):  # the paper's scan: drop iff near a KEPT lower id
+            if not any((a, i) in pairs for a in kept_ref):
+                kept_ref.add(i)
+        got = {r["vec_id"] for r in semdedup_keepers_greedy(
+            df, tau=0.8, n_centroids=4).collect()}
+        assert got == kept_ref
+
+    def test_empty_input(self, spark):
+        from lexoid_spark.functions.similarity import semdedup_keepers_greedy
+
+        df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        assert semdedup_keepers_greedy(df, tau=0.9).count() == 0
+
+
 class TestDuplicateSpanRemoval:
     def test_cross_doc_spans_removed(self, spark):
         from lexoid_spark.functions.curation import duplicate_span_removal
