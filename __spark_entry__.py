@@ -3090,7 +3090,7 @@ _CID_ALPHABET = "数据表查询流分组合并批处理文档页面索引"
 
 
 def _cid_shape_extract(spark, sf, host: str, marker: str,
-                       tounicode: bool):
+                       tounicode: bool, fontfile: str = "ttf"):
     """Shared CID-PDF query shape: closed-form CJK words through the
     full extract() plan; ``tounicode`` picks the decode route the
     kernel must take (/ToUnicode CMap vs embedded FontFile2 cmap)."""
@@ -3115,7 +3115,8 @@ def _cid_shape_extract(spark, sf, host: str, marker: str,
             words.append({"text": "doc", "x": 120.0, "y": 660.0,
                           "size": 12.0, "font": "F1"})
             out.append(build_pdf([{"words": words}], compress=True,
-                                 cid_tounicode=tounicode))
+                                 cid_tounicode=tounicode,
+                                 cid_fontfile=fontfile))
         return pd.Series(out)
 
     docs = _tp(spark, sf, "documents")
@@ -3154,6 +3155,18 @@ def _pdf_ttf_extract(spark, sf):
                               tounicode=False)
 
 
+def _pdf_cff_extract(spark, sf):
+    """Identity-H PDFs with NO /ToUnicode and a CFF/Type1C program
+    (/FontDescriptor -> /FontFile3) -- text is only recoverable from
+    the CFF charset's glyph names (uniXXXX custom strings here),
+    parsed by kernels/cff_cmap.py. Same closed-form CJK text as
+    pdf_cid_extract, so a hash match proves the INDEX walk + charset
+    decode + AGL name resolution are exact. Reference reads embedded
+    fonts via pdfplumber (static_parser.py:700-727)."""
+    return _cid_shape_extract(spark, sf, host="cff", marker="cff",
+                              tounicode=False, fontfile="cff")
+
+
 _PDF_CID_SQL = """
 WITH a AS (
   SELECT ['数','据','表','查','询','流','分','组','合','并','批','处',
@@ -3181,6 +3194,9 @@ SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
 # Same closed-form text, different decode route (FontFile2 cmap, not
 # /ToUnicode) — "cid" appears only in the URL host and marker word.
 _PDF_TTF_SQL = _PDF_CID_SQL.replace("cid", "ttf")
+
+# Same text again via the CFF/Type1C charset route (/FontFile3).
+_PDF_CFF_SQL = _PDF_CID_SQL.replace("cid", "cff")
 
 
 def _ocr_scanned(spark, sf):
@@ -5838,6 +5854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": _canonical_urls,
         "pdf_cid_extract": _pdf_cid_extract,
         "pdf_ttf_extract": _pdf_ttf_extract,
+        "pdf_cff_extract": _pdf_cff_extract,
         "ocr_scanned": _ocr_scanned,
         "ocr_glyph_scan": _ocr_glyph_scan,
         "pdf_ocr_extract": _pdf_ocr_extract,
@@ -5978,6 +5995,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": _CANONICAL_SQL,
         "pdf_cid_extract": _PDF_CID_SQL,
         "pdf_ttf_extract": _PDF_TTF_SQL,
+        "pdf_cff_extract": _PDF_CFF_SQL,
         "ocr_scanned": _OCR_SCANNED_SQL,
         "ocr_glyph_scan": _OCR_GLYPH_SCAN_SQL,
         "pdf_ocr_extract": _PDF_OCR_EXTRACT_SQL,

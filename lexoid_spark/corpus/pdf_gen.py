@@ -220,7 +220,8 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
               indirect_length: bool = False,
               encrypt: bool | str = False,
               stream_filter: str | None = None,
-              cid_tounicode: bool = True) -> bytes:
+              cid_tounicode: bool = True,
+              cid_fontfile: str = "ttf") -> bytes:
     """Assemble a full PDF from page specs. Deterministic bytes.
 
     ``compress=True`` FlateDecode-compresses every content stream
@@ -249,10 +250,13 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
     non-Latin web PDFs carry.
 
     ``cid_tounicode=False`` drops the /ToUnicode CMap and instead
-    embeds a minimal TrueType program (/FontDescriptor → /FontFile2,
-    kernels/ttf_cmap.ttf_build) whose ``cmap`` table maps each char to
-    its CID — the wild layout where text is only recoverable from the
-    font program itself.
+    embeds a minimal font program — the wild layout where text is only
+    recoverable from the program itself. ``cid_fontfile`` picks the
+    flavor: ``"ttf"`` (default) embeds a TrueType program
+    (/FontDescriptor → /FontFile2, kernels/ttf_cmap.ttf_build) whose
+    ``cmap`` table maps each char to its CID; ``"cff"`` embeds a
+    CFF/Type1C program (/FontFile3 /Subtype /Type1C,
+    kernels/cff_cmap.cff_build) whose charset names each glyph.
     """
     if indirect_length and not xrefstream:
         raise ValueError("indirect_length requires xrefstream (the "
@@ -284,25 +288,33 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
         # program instead (FontFile2 cmap: unicode -> gid == CID)
         cidmap = {ch: i + 1 for i, ch in enumerate(cid_chars)}
         pages = [dict(p, _cidmap=cidmap) for p in pages]
-        from lexoid_spark.kernels.ttf_cmap import ttf_build
+        if cid_fontfile == "cff":
+            from lexoid_spark.kernels.cff_cmap import cff_build
 
-        prog = ttf_build(cidmap)
+            prog = cff_build(cidmap)
+            ff_key, ff_extra = "FontFile3", " /Subtype /Type1C"
+        else:
+            from lexoid_spark.kernels.ttf_cmap import ttf_build
+
+            prog = ttf_build(cidmap)
+            ff_key, ff_extra = "FontFile2", ""
         if compress:
             import zlib
 
             packed = zlib.compress(prog, 9)
             ff_num = add(
-                b"<< /Length %d /Filter /FlateDecode /Length1 %d >>"
-                b"\nstream\n%s\nendstream" % (len(packed), len(prog), packed))
+                b"<< /Length %d /Filter /FlateDecode /Length1 %d%s >>"
+                b"\nstream\n%s\nendstream"
+                % (len(packed), len(prog), ff_extra.encode(), packed))
         else:
             ff_num = add(
-                b"<< /Length %d /Length1 %d >>\nstream\n%s\nendstream"
-                % (len(prog), len(prog), prog))
+                b"<< /Length %d /Length1 %d%s >>\nstream\n%s\nendstream"
+                % (len(prog), len(prog), ff_extra.encode(), prog))
         fd_num = add((
             "<< /Type /FontDescriptor /FontName /LexoidCJK /Flags 4 "
             "/FontBBox [0 -200 1000 900] /ItalicAngle 0 /Ascent 800 "
-            "/Descent -200 /CapHeight 700 /StemV 80 /FontFile2 %d 0 R >>"
-            % ff_num).encode("latin-1"))
+            "/Descent -200 /CapHeight 700 /StemV 80 /%s %d 0 R >>"
+            % (ff_key, ff_num)).encode("latin-1"))
         w_arr = " ".join(str(600 + 50 * (c % 4))
                          for c in range(1, len(cidmap) + 1))
         desc_num = add((

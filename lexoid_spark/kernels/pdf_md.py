@@ -905,21 +905,28 @@ def _parse_cid_widths(dobj: bytes) -> Dict[int, float]:
 
 
 def _fontfile_cmap(dobj: bytes, objs: Dict[int, bytes]) -> Dict[int, str]:
-    """Descendant font dict → /FontDescriptor → /FontFile2 (TrueType
-    program) → gid→unicode via the program's ``cmap`` table
-    (kernels/ttf_cmap.py). ``{}`` when any link is missing — the
-    caller's "�" fallback stays in effect."""
+    """Descendant font dict → /FontDescriptor → embedded font program
+    → gid→unicode: /FontFile2 (TrueType) via the program's ``cmap``
+    table (kernels/ttf_cmap.py), else /FontFile3 (CFF/Type1C) via the
+    charset's glyph names (kernels/cff_cmap.py). ``{}`` when any link
+    is missing — the caller's "�" fallback stays in effect."""
     fd_ref = _ref_after(dobj, b"/FontDescriptor")
     fd = objs.get(fd_ref) if fd_ref is not None else None
     if fd is None:
         return {}
     ff_ref = _ref_after(fd, b"/FontFile2")
     ff = objs.get(ff_ref) if ff_ref is not None else None
-    if ff is None:
-        return {}
-    from lexoid_spark.kernels.ttf_cmap import gid_to_text
+    if ff is not None:
+        from lexoid_spark.kernels.ttf_cmap import gid_to_text
 
-    return gid_to_text(_stream_bytes(ff))
+        return gid_to_text(_stream_bytes(ff))
+    f3_ref = _ref_after(fd, b"/FontFile3")
+    f3 = objs.get(f3_ref) if f3_ref is not None else None
+    if f3 is not None:
+        from lexoid_spark.kernels.cff_cmap import gid_to_text
+
+        return gid_to_text(_stream_bytes(f3))
+    return {}
 
 
 def _parse_font_obj(fobj: bytes, objs: Dict[int, bytes]) -> Dict:

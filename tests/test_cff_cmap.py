@@ -1,0 +1,106 @@
+"""CFF/Type1C charset parsing (kernels/cff_cmap.py) — the /FontFile3
+text-recovery fallback for CID PDFs without /ToUnicode."""
+
+import struct
+
+import pytest
+
+from lexoid_spark.kernels.cff_cmap import cff_build, gid_to_text
+
+
+def _cidmap(s):
+    return {ch: i + 1 for i, ch in enumerate(s)}
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("fmt", [0, 2])
+    def test_mixed_ascii_and_unicode(self, fmt):
+        """ASCII chars resolve through standard SIDs, CJK through
+        custom uniXXXX strings — both paths in one font."""
+        m = _cidmap("HELO 09中文データ")
+        got = gid_to_text(cff_build(m, charset_format=fmt))
+        assert got == {g: ch for ch, g in m.items()}
+
+    def test_ascii_only_uses_no_custom_strings(self):
+        prog = cff_build(_cidmap("ABC xyz42"))
+        assert b"uni" not in prog  # all standard SIDs
+        assert gid_to_text(prog) == {g: ch for ch, g in
+                                     _cidmap("ABC xyz42").items()}
+
+    def test_agl_typographic_quotes(self):
+        """SIDs 8/65 are quoteright/quoteleft → U+2019/U+2018 per the
+        Adobe Glyph List, NOT the ASCII bytes at those positions."""
+        m = _cidmap("’‘")
+        assert gid_to_text(cff_build(m)) == {1: "’", 2: "‘"}
+
+
+class TestHostileInputs:
+    @pytest.mark.parametrize("junk", [
+        b"", b"\x00" * 10, b"\x01\x00\x04\x01" + b"\xff" * 40,
+        b"\x02\x00\x04\x01" + b"\x00" * 40,  # CFF2 major version
+    ])
+    def test_never_raises(self, junk):
+        assert gid_to_text(junk) == {}
+
+    def test_cid_keyed_out_of_scope(self):
+        """A Top DICT carrying /ROS (op 12 30) maps gid→CID, not
+        gid→name — honestly refused with {}."""
+        prog = bytearray(cff_build(_cidmap("AB")))
+        # splice ROS operands+operator in front of the charset op by
+        # rebuilding: easier to assert via the parser's dict layer —
+        # construct a font whose top dict starts with 0 0 0 ROS
+        from lexoid_spark.kernels.cff_cmap import (
+            _build_index,
+            _op29,
+        )
+        header = bytes((1, 0, 4, 1))
+        name_ix = _build_index([b"X"])
+        ros = (b"\x8b\x8b\x8b" + b"\x0c\x1e")  # 0 0 0 ROS
+        top_ix = _build_index([ros + _op29(0) + b"\x0f"])
+        assert gid_to_text(header + name_ix + top_ix
+                           + _build_index([]) + _build_index([])) == {}
+
+    def test_predefined_charset_out_of_scope(self):
+        """charset offsets 0/1/2 are predefined tables, not byte
+        ranges — returned as {}."""
+        from lexoid_spark.kernels.cff_cmap import _build_index, _op29
+        header = bytes((1, 0, 4, 1))
+        top_ix = _build_index([_op29(0) + b"\x0f" + _op29(40) + b"\x11"])
+        data = (header + _build_index([b"X"]) + top_ix
+                + _build_index([]) + _build_index([]))
+        assert gid_to_text(data) == {}
+
+    def test_truncated_mid_structure(self):
+        prog = cff_build(_cidmap("ABCDEFG"))
+        assert gid_to_text(prog[:len(prog) // 2]) == {}
+
+
+class TestPdfIntegration:
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_cff_cid_pdf_text_recovery(self, compress):
+        """Identity-H + /FontFile3 Type1C, no /ToUnicode: the page
+        text must come back exactly via the charset route."""
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.pdf_md import pdf_to_pages
+
+        words = [{"text": t, "x": 72.0 + 70.0 * j, "y": 700.0,
+                  "size": 12.0, "font": "C1"}
+                 for j, t in enumerate(["CFF", "ROUTE", "中文"])]
+        pdf = build_pdf([{"words": words}], cid_tounicode=False,
+                        cid_fontfile="cff", compress=compress)
+        assert b"/FontFile3" in pdf and b"/ToUnicode" not in pdf
+        assert pdf_to_pages(pdf)[0][1] == "CFF ROUTE 中文\n\n"
+
+    def test_missing_program_falls_back_to_replacement(self):
+        """Drop the /FontFile3 link: decode falls back to the "�"
+        replacement instead of raising."""
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.pdf_md import pdf_to_pages
+
+        words = [{"text": "AB", "x": 72.0, "y": 700.0,
+                  "size": 12.0, "font": "C1"}]
+        pdf = build_pdf([{"words": words}], cid_tounicode=False,
+                        cid_fontfile="cff")
+        broken = pdf.replace(b"/FontFile3", b"/FontFileX")
+        out = pdf_to_pages(broken)[0][1]
+        assert "�" in out and "AB" not in out
