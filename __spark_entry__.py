@@ -1263,6 +1263,44 @@ ORDER BY id_a, id_b
 """
 
 
+def _quality_classifier(spark, sf):
+    """fastText-shaped linear quality classifier (FineWeb-Edu / DCLM
+    model-based filter stage): tokens hash into 1024 buckets, the doc
+    logit is the mean bucket weight, keep = logit >= 0. Weights are
+    the deterministic closed-form stand-in (training is out of scope),
+    INTEGER until one final division, so DuckDB reproduces every score
+    bit-for-bit. ZERO shuffle: one higher-order fold per row riding
+    the scan."""
+    from lexoid_spark.functions.curation import linear_quality_classifier
+
+    docs = _t(spark, sf, "documents")
+    return linear_quality_classifier(
+        docs, "doc_id", "text").orderBy("doc_id")
+
+
+_QUALITY_CLASSIFIER_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, CAST(len(toks) AS INT) AS n_toks,
+         CAST(COALESCE(list_sum(list_transform(toks, x ->
+           ((('0x' || substr(md5(x), 1, 15))::BIGINT % 1024) * 37 + 11)
+           % 201 - 100)), 0) AS BIGINT) AS sum_w
+  FROM t
+)
+SELECT doc_id, n_toks, sum_w,
+       CASE WHEN n_toks > 0 THEN CAST(sum_w AS DOUBLE) / n_toks
+            ELSE 0.0 END AS score,
+       CASE WHEN n_toks > 0 THEN CAST(sum_w AS DOUBLE) / n_toks >= 0
+            ELSE true END AS keep
+FROM s ORDER BY doc_id
+"""
+
+
 def _gopher_filters(spark, sf):
     """Gopher-style quality filter flags (word count, mean word length,
     symbol/bullet/ellipsis ratios) — the rule family large-scale text
@@ -5804,6 +5842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _doc_fingerprint,
         "doc_winnow": _doc_winnow,
         "gopher_filters": _gopher_filters,
+        "quality_classifier": _quality_classifier,
         "exact_dup_groups": _exact_dup_groups,
         "exact_dedup_keepers": _exact_dedup_keepers,
         "events_windowed": _events_windowed,
@@ -5945,6 +5984,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "doc_winnow": _DOC_WINNOW_SQL,
         "gopher_filters": _GOPHER_SQL,
+        "quality_classifier": _QUALITY_CLASSIFIER_SQL,
         "exact_dup_groups": _EXACT_DUP_SQL,
         "exact_dedup_keepers": _EXACT_DEDUP_SQL,
         "events_windowed": _EVENTS_WINDOWED_SQL,

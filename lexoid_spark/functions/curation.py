@@ -609,6 +609,59 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def linear_quality_classifier(df: DataFrame, id_col: str, text_col: str,
+                              n_buckets: int = 1024,
+                              weights: "dict[int, int] | None" = None,
+                              ) -> DataFrame:
+    """fastText-shaped model-based quality filter (the
+    FineWeb-Edu / DCLM pipeline stage): a linear classifier over
+    hashed bag-of-words features — each token hashes into one of
+    ``n_buckets`` buckets, the document logit is the MEAN of the
+    bucket weights, and the keep decision is ``logit >= 0``. Training
+    is out of scope (ship your weights); ``weights=None`` uses a
+    deterministic closed-form stand-in ``w(b) = (b*37 + 11) % 201 -
+    100`` so tests and SQL oracles reproduce every score exactly.
+
+    Scale shape: ZERO shuffle — the whole classifier is one
+    higher-order fold per row (hash → weight → integer sum), riding
+    the scan inside whole-stage codegen. Weights stay INTEGER through
+    the sum (order-independent, engine-exact); the only float op is
+    the final single division, which IEEE-rounds identically on both
+    engines. A real weight vector would ship as a one-row broadcast
+    array (same pattern as the IVF centroids) rather than a
+    per-bucket join.
+
+    Returns ``(id_col, n_toks, sum_w, score, keep)``.
+    """
+    if weights is not None:
+        # one-row broadcast, NOT an inlined literal array: distinct
+        # weight vectors must not trigger fresh codegen compiles
+        wrow = df.sparkSession.createDataFrame(
+            [([int(weights.get(b, 0)) for b in range(n_buckets)],)],
+            "w_tbl array<int>",
+        )
+        df = df.crossJoin(F.broadcast(wrow))
+        wexpr = lambda t: F.element_at(  # noqa: E731
+            F.col("w_tbl"), (_md5_hash64(t) % n_buckets + 1).cast("int"))
+    else:
+        wexpr = lambda t: (  # noqa: E731
+            (_md5_hash64(t) % n_buckets) * 37 + 11) % 201 - 100
+    toks = tokens(F.col(text_col))
+    sum_w = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: acc + wexpr(t).cast("long"),
+    )
+    n = F.size(toks)
+    score = F.when(n > 0, sum_w.cast("double") / n).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_toks"),
+        sum_w.alias("sum_w"),
+        score.alias("score"),
+        (score >= 0).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # UniMax budget allocation across strata
 # ---------------------------------------------------------------------------

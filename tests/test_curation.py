@@ -772,3 +772,45 @@ class TestAnchorTextIndex:
         assert root["anchors"] == "home page|homepage"
         assert got["http://x.test/d"]["n_refs"] == 1
         assert "no links here" not in got
+
+
+class TestLinearQualityClassifier:
+    def test_closed_form_weights(self, spark):
+        """Stand-in weights reproduce the documented formula exactly;
+        integer sums, one final division."""
+        import hashlib
+
+        from lexoid_spark.functions.curation import (
+            linear_quality_classifier,
+        )
+
+        rows = [(1, "alpha beta gamma"), (2, ""), (3, "zz zz")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict() for r in
+               linear_quality_classifier(df, "doc_id", "text").collect()}
+
+        def w(tok):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            return ((h % 1024) * 37 + 11) % 201 - 100
+
+        for did, text in rows:
+            toks = text.split()
+            sw = sum(w(t) for t in toks)
+            assert got[did]["n_toks"] == len(toks)
+            assert got[did]["sum_w"] == sw
+            exp_score = sw / len(toks) if toks else 0.0
+            assert got[did]["score"] == exp_score
+            assert got[did]["keep"] == (exp_score >= 0)
+
+    def test_custom_weights_broadcast_table(self, spark):
+        from lexoid_spark.functions.curation import (
+            linear_quality_classifier,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x y"), (2, "x")], "doc_id long, text string")
+        # all buckets weight -1 -> every non-empty doc drops
+        out = {r["doc_id"]: r["keep"] for r in linear_quality_classifier(
+            df, "doc_id", "text", n_buckets=4,
+            weights={b: -1 for b in range(4)}).collect()}
+        assert out == {1: False, 2: False}

@@ -309,3 +309,20 @@ def test_tfidf_scalar_broadcast(spark):
     plan = _formatted(tfidf_topk(df, "id", "text"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_quality_classifier_zero_shuffle(spark):
+    """The linear quality classifier is one higher-order fold per row
+    (hash -> integer weight -> sum) — it must ride the scan with NO
+    Exchange; the custom-weights arm broadcasts its one-row table."""
+    from lexoid_spark.functions.curation import linear_quality_classifier
+
+    df = spark.createDataFrame(
+        [(i, "some words to score here") for i in range(20)],
+        "id long, text string")
+    assert "Exchange" not in _formatted(
+        linear_quality_classifier(df, "id", "text"))
+    custom = _formatted(linear_quality_classifier(
+        df, "id", "text", n_buckets=16, weights={0: 3}))
+    assert "BroadcastNestedLoopJoin" in custom or "BroadcastExchange" in custom
+    assert "CartesianProduct" not in custom
