@@ -3337,14 +3337,15 @@ FROM documents WHERE doc_id % 5 = 0 ORDER BY url
 
 
 def _pdf_ocr_extract(spark, sf):
-    """Scanner-output PDFs (a real JPEG scan embedded verbatim under
-    /Filter /DCTDecode — the wild scanned-document layout) through the
-    FULL extract() plan: sniff → has_image flag → OCR arm → object
-    scan → DCT passthrough → baseline JPEG huffman+IDCT → glyph
-    recognition. Reference route: image-bearing PDF → paddleocr
-    (utils.py:591-612 bbox_router, static_parser.py:751-818).
-    Recognition is a pure function of doc_id, so DuckDB predicts the
-    page text closed-form."""
+    """Scanner-output PDFs through the FULL extract() plan, rotating
+    the three wild raster layouts on doc_id: a real JPEG embedded
+    verbatim under /Filter /DCTDecode (lossy scans), raw /DeviceGray
+    Flate samples (lossless), and PNG-predicted Flate samples
+    (/DecodeParms /Predictor 15). Route: sniff → has_image flag → OCR
+    arm → object scan → entropy/predictor decode → glyph recognition.
+    Reference: image-bearing PDF → paddleocr (utils.py:591-612
+    bbox_router, static_parser.py:751-818). Recognition is a pure
+    function of doc_id, so DuckDB predicts the page text closed-form."""
     from lexoid_spark.plans.extract import extract
 
     @F.pandas_udf("binary")
@@ -3356,9 +3357,14 @@ def _pdf_ocr_extract(spark, sf):
         out = []
         for d in doc_ids:
             d = int(d)
-            arr = render_text(f"JPEG SCAN {d}\nBAND {d % 5} OK", scale=4)
-            out.append(build_pdf([{"raster_images": [
-                jpeg_encode(arr[:, :, None], quality=95)]}]))
+            v = d % 3
+            arr = render_text(f"JPEG SCAN {d}\nBAND {d % 5} OK",
+                              scale=4 if v == 0 else 2)
+            if v == 0:
+                raster = jpeg_encode(arr[:, :, None], quality=95)
+            else:
+                raster = {"gray": arr, "predictor": 15 if v == 2 else 1}
+            out.append(build_pdf([{"raster_images": [raster]}]))
         return pd.Series(out)
 
     # 1-in-7 deterministic subset: build→scan→entropy-decode→recognize

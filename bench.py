@@ -126,6 +126,8 @@ def main() -> None:
         "pdf_rc4_extract", "pdf_filters_extract", "pdf_aes_extract",
         "pdf_aes256_extract",
         "char_span_removal",
+        "pdf_ocr_extract", "pdf_cff_extract", "semdedup_greedy",
+        "quality_classifier",
     ]
 
     def run_extract():

@@ -44,6 +44,7 @@ ALL_CLASSES = HTML_CLASSES + PDF_CLASSES + (
     "pptx_deck", "img_scan", "pdf_scanned",
     # appended last so earlier class→index assignments shift minimally
     "pdf_cid", "pdf_xrefstm", "img_scan_glyph", "pdf_scanned_jpeg",
+    "pdf_scanned_flate",
 )
 
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
@@ -482,6 +483,17 @@ def _pdf_scanned_jpeg(i: int, r: random.Random) -> bytes:
                                                      quality=95)]}])
 
 
+def _pdf_scanned_flate(i: int, r: random.Random) -> bytes:
+    """Lossless scanner-output PDF: raw 8-bit /DeviceGray glyph-text
+    samples under /Filter /FlateDecode, PNG-predicted on odd docs —
+    the Flate-raster counterpart of the DCTDecode class."""
+    from lexoid_spark.kernels.ocr_glyph import render_text
+
+    arr = render_text(f"FLATE SCAN {i}\nROW {i % 4} OK", scale=2)
+    return build_pdf([{"raster_images": [
+        {"gray": arr, "predictor": 15 if i % 2 else 1}]}])
+
+
 _BUILDERS = {
     "html_headings": _html_headings,
     "html_lists_links": _html_lists_links,
@@ -509,6 +521,7 @@ _BUILDERS = {
     "img_scan_glyph": _img_scan_glyph,
     "pdf_scanned": _pdf_scanned,
     "pdf_scanned_jpeg": _pdf_scanned_jpeg,
+    "pdf_scanned_flate": _pdf_scanned_flate,
     "pdf_cid": _pdf_cid,
     "pdf_xrefstm": _pdf_xrefstm,
 }

@@ -392,13 +392,41 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
                  b"/Length %d >>\nstream\n%s\nendstream"
                  % (iw, ih, len(px), px))
             ))
-        # real raster payloads: page["raster_images"] = [jpeg_bytes] —
-        # JFIF data embeds VERBATIM under /Filter /DCTDecode (ISO
-        # 32000-1 §7.4.8), the one raster encoding PDF carries 1:1,
-        # and the near-universal scanner-output layout (one JPEG scan
-        # per page, no text). Dimensions come from the payload's own
-        # SOF header so spec and stream can't disagree.
-        for jpg in page.get("raster_images", []):
+        # real raster payloads: page["raster_images"] entries are
+        # either JPEG bytes — JFIF data embeds VERBATIM under
+        # /Filter /DCTDecode (ISO 32000-1 §7.4.8), the lossy
+        # scanner-output layout — or a dict {"gray": (H, W) uint8
+        # array, "predictor": 1|15} for the LOSSLESS layout: raw
+        # 8-bit /DeviceGray samples under /Filter /FlateDecode,
+        # optionally PNG-predicted (/DecodeParms /Predictor 15 with a
+        # per-row filter byte).
+        for raster in page.get("raster_images", []):
+            if isinstance(raster, dict):
+                import zlib as _z
+
+                arr = raster["gray"]
+                ih, iw = arr.shape
+                pred = int(raster.get("predictor", 1))
+                samples = arr.tobytes()
+                if pred >= 10:
+                    rows = b"".join(
+                        b"\x00" + samples[y * iw:(y + 1) * iw]
+                        for y in range(ih))
+                    parms = (b" /DecodeParms << /Predictor 15 /Colors 1"
+                             b" /BitsPerComponent 8 /Columns %d >>" % iw)
+                else:
+                    rows = samples
+                    parms = b""
+                packed = _z.compress(rows, 9)
+                img_nums_page.append(add(
+                    (b"<< /Type /XObject /Subtype /Image /Width %d "
+                     b"/Height %d /ColorSpace /DeviceGray "
+                     b"/BitsPerComponent 8 /Filter /FlateDecode%s "
+                     b"/Length %d >>\nstream\n%s\nendstream"
+                     % (iw, ih, parms, len(packed), packed))
+                ))
+                continue
+            jpg = raster
             from lexoid_spark.functions.multimodal import decode_image_header
 
             jw, jh, jc = decode_image_header(jpg)

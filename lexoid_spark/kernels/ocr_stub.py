@@ -77,22 +77,67 @@ def ocr_image_to_page(payload) -> Tuple[str, List[WordBox]]:
     return _recognize(bytes(payload))
 
 
+def _raw_raster_array(header: bytes, payload: bytes):
+    """Raw-sample image XObject (FlateDecode already inflated by the
+    object scan) → (H, W[, C]) uint8 array, or None when the dict
+    doesn't describe a supported raw raster.
+
+    Scope: 8-bit /DeviceGray or /DeviceRGB samples, unpredicted
+    (/Predictor 1) or PNG-predicted (/Predictor >= 10 — per-row filter
+    byte, unfiltered with the SAME routine as the PNG codec). This is
+    the near-universal LOSSLESS scanner layout (Flate raster), the
+    counterpart of the DCTDecode JPEG arm."""
+    import numpy as np
+
+    from lexoid_spark.kernels.pdf_md import _int_after
+    from lexoid_spark.kernels.png_codec import PngError, _unfilter_rows
+
+    w = _int_after(header, b"/Width")
+    h = _int_after(header, b"/Height")
+    bpc = _int_after(header, b"/BitsPerComponent")
+    if not w or not h or bpc != 8:
+        return None
+    nch = 3 if b"/DeviceRGB" in header else 1
+    pred = _int_after(header, b"/Predictor") or 1
+    stride = w * nch
+    if pred >= 10:
+        if len(payload) < (stride + 1) * h:
+            return None
+        try:
+            rows = _unfilter_rows(payload, 0, h, stride, nch)
+        except (PngError, IndexError):
+            return None
+        arr = rows.reshape(h, w, nch)
+    else:
+        if len(payload) < stride * h:
+            return None
+        arr = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h).reshape(h, w, nch)
+    return arr[:, :, 0] if nch == 1 else arr
+
+
 def ocr_pdf_to_pages(payload, start: int = 0) -> List[Tuple[int, str, List[WordBox]]]:
     """Image-bearing PDF → [(page, text, bboxes)]: OCR every embedded
     /Subtype /Image XObject, one logical page per image (the
     reference renders PDF pages to images first; the embedded raster
-    stands in for the render)."""
-    from lexoid_spark.kernels.pdf_md import pdf_image_payloads
+    stands in for the render). Two payload shapes decode: file-format
+    rasters (FAKE container / PNG / GIF / DCTDecode JPEG bytes) and
+    raw Flate samples (optionally PNG-predicted) described by the
+    XObject dict."""
+    from lexoid_spark.kernels.pdf_md import pdf_image_xobjects
 
-    images = [
-        p for p in pdf_image_payloads(payload)
-        if p.startswith(IMG_MAGIC) or p.startswith(_REAL_MAGICS)
-    ]
-    if not images:
+    pages = []
+    for header, img in pdf_image_xobjects(payload):
+        if img.startswith(IMG_MAGIC) or img.startswith(_REAL_MAGICS):
+            pages.append(_recognize(img))
+            continue
+        arr = _raw_raster_array(header, img)
+        if arr is not None:
+            from lexoid_spark.kernels.ocr_glyph import recognize_pixels
+
+            pages.append(recognize_pixels(arr))
+    if not pages:
         raise ValueError(
             "image-bearing PDF carries no OCR-decodable raster payloads")
-    out = []
-    for idx, img in enumerate(images):
-        text, boxes = _recognize(img)
-        out.append((start + idx + 1, text, boxes))
-    return out
+    return [(start + idx + 1, text, boxes)
+            for idx, (text, boxes) in enumerate(pages)]

@@ -1702,9 +1702,12 @@ def pdf_to_text(data, start: int = 0) -> str:
     return "\n".join(c for _, c in pdf_to_text_pages(data, start))
 
 
-def pdf_image_payloads(data) -> List[bytes]:
-    """Embedded /Subtype /Image XObject stream payloads, in object
-    order — the input units for the OCR arm (P5)."""
+def pdf_image_xobjects(data) -> List[Tuple[bytes, bytes]]:
+    """Embedded /Subtype /Image XObjects as ``(dict_header,
+    stream_payload)`` in object order — the header is needed to
+    interpret raw-sample rasters (/Width /Height /BitsPerComponent
+    /ColorSpace /DecodeParms), while file-format payloads (DCTDecode
+    JPEG) self-describe."""
     if data is None:
         return []
     objs = _parse_objects(bytes(data))
@@ -1713,8 +1716,14 @@ def pdf_image_payloads(data) -> List[bytes]:
         obj = objs[num]
         s_idx = obj.find(b"stream")
         if s_idx != -1 and b"/Subtype /Image" in obj[:s_idx]:
-            out.append(_stream_bytes(obj))
+            out.append((obj[:s_idx], _stream_bytes(obj)))
     return out
+
+
+def pdf_image_payloads(data) -> List[bytes]:
+    """Embedded /Subtype /Image XObject stream payloads, in object
+    order — the input units for the OCR arm (P5)."""
+    return [p for _h, p in pdf_image_xobjects(data)]
 
 
 def pdf_to_pages_with_bboxes(data, start: int = 0):

@@ -158,3 +158,52 @@ class TestScannedJpegPdf:
                 (f"JPEG SCAN {i} BAND {i % 5} OK", "OCR_PARSE")
             for i in range(3)
         }
+
+
+class TestScannedFlatePdf:
+    """Lossless scanner-output PDFs: raw 8-bit /DeviceGray samples
+    under /Filter /FlateDecode, plain and PNG-predicted
+    (/DecodeParms /Predictor 15)."""
+
+    @pytest.mark.parametrize("pred", [1, 15])
+    def test_flate_raster_ocr_roundtrip(self, pred):
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.ocr_stub import ocr_pdf_to_pages
+
+        arr = render_text("FLATE 3\nROW 1", scale=2)
+        pdf = build_pdf(
+            [{"raster_images": [{"gray": arr, "predictor": pred}]}])
+        assert [(p, t) for p, t, _b in ocr_pdf_to_pages(pdf)] == [
+            (1, "FLATE 3 ROW 1")]
+
+    def test_mixed_lossy_and_lossless_pages(self):
+        """One DCTDecode JPEG + one Flate raster in a single PDF:
+        two logical pages, each through its own decode arm."""
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.jpeg_codec import jpeg_encode
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.ocr_stub import ocr_pdf_to_pages
+
+        jpg = jpeg_encode(render_text("LOSSY", scale=4)[:, :, None],
+                          quality=95)
+        arr = render_text("LOSSLESS", scale=2)
+        pdf = build_pdf([{"raster_images": [
+            jpg, {"gray": arr, "predictor": 15}]}])
+        assert [(p, t) for p, t, _b in ocr_pdf_to_pages(pdf)] == [
+            (1, "LOSSY"), (2, "LOSSLESS")]
+
+    def test_undecodable_raster_quarantines(self):
+        """A raw raster with an unsupported bit depth is skipped; a
+        PDF with ONLY such images raises (→ quarantine), never a
+        silent empty parse."""
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.ocr_stub import ocr_pdf_to_pages
+
+        arr = render_text("X", scale=2)
+        pdf = build_pdf(
+            [{"raster_images": [{"gray": arr, "predictor": 1}]}])
+        broken = pdf.replace(b"/BitsPerComponent 8", b"/BitsPerComponent 4")
+        with pytest.raises(ValueError):
+            ocr_pdf_to_pages(broken)
