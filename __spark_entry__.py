@@ -3338,14 +3338,16 @@ FROM documents WHERE doc_id % 5 = 0 ORDER BY url
 
 def _pdf_ocr_extract(spark, sf):
     """Scanner-output PDFs through the FULL extract() plan, rotating
-    the three wild raster layouts on doc_id: a real JPEG embedded
+    the four wild raster layouts on doc_id: a real JPEG embedded
     verbatim under /Filter /DCTDecode (lossy scans), raw /DeviceGray
-    Flate samples (lossless), and PNG-predicted Flate samples
-    (/DecodeParms /Predictor 15). Route: sniff → has_image flag → OCR
-    arm → object scan → entropy/predictor decode → glyph recognition.
-    Reference: image-bearing PDF → paddleocr (utils.py:591-612
-    bbox_router, static_parser.py:751-818). Recognition is a pure
-    function of doc_id, so DuckDB predicts the page text closed-form."""
+    Flate samples (lossless), PNG-predicted Flate samples
+    (/DecodeParms /Predictor 15), and CCITT Group 4 fax
+    (/CCITTFaxDecode /K -1, ITU-T T.6). Route: sniff → has_image flag
+    → OCR arm → object scan → entropy/predictor decode → glyph
+    recognition. Reference: image-bearing PDF → paddleocr
+    (utils.py:591-612 bbox_router, static_parser.py:751-818).
+    Recognition is a pure function of doc_id, so DuckDB predicts the
+    page text closed-form."""
     from lexoid_spark.plans.extract import extract
 
     @F.pandas_udf("binary")
@@ -3357,11 +3359,13 @@ def _pdf_ocr_extract(spark, sf):
         out = []
         for d in doc_ids:
             d = int(d)
-            v = d % 3
+            v = d % 4
             arr = render_text(f"JPEG SCAN {d}\nBAND {d % 5} OK",
                               scale=4 if v == 0 else 2)
             if v == 0:
                 raster = jpeg_encode(arr[:, :, None], quality=95)
+            elif v == 3:
+                raster = {"gray": arr, "codec": "g4"}
             else:
                 raster = {"gray": arr, "predictor": 15 if v == 2 else 1}
             out.append(build_pdf([{"raster_images": [raster]}]))

@@ -44,7 +44,7 @@ ALL_CLASSES = HTML_CLASSES + PDF_CLASSES + (
     "pptx_deck", "img_scan", "pdf_scanned",
     # appended last so earlier class→index assignments shift minimally
     "pdf_cid", "pdf_xrefstm", "img_scan_glyph", "pdf_scanned_jpeg",
-    "pdf_scanned_flate",
+    "pdf_scanned_flate", "pdf_scanned_g4",
 )
 
 EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
@@ -494,6 +494,16 @@ def _pdf_scanned_flate(i: int, r: random.Random) -> bytes:
         {"gray": arr, "predictor": 15 if i % 2 else 1}]}])
 
 
+def _pdf_scanned_g4(i: int, r: random.Random) -> bytes:
+    """B/W fax scan PDF: glyph-text bitmap under /CCITTFaxDecode
+    /K -1 (ITU-T T.6 Group 4) — the dominant compression for archival
+    document scans."""
+    from lexoid_spark.kernels.ocr_glyph import render_text
+
+    arr = render_text(f"G4 FAX {i}\nROW {i % 6} OK", scale=2)
+    return build_pdf([{"raster_images": [{"gray": arr, "codec": "g4"}]}])
+
+
 _BUILDERS = {
     "html_headings": _html_headings,
     "html_lists_links": _html_lists_links,
@@ -522,6 +532,7 @@ _BUILDERS = {
     "pdf_scanned": _pdf_scanned,
     "pdf_scanned_jpeg": _pdf_scanned_jpeg,
     "pdf_scanned_flate": _pdf_scanned_flate,
+    "pdf_scanned_g4": _pdf_scanned_g4,
     "pdf_cid": _pdf_cid,
     "pdf_xrefstm": _pdf_xrefstm,
 }

@@ -401,6 +401,22 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
         # optionally PNG-predicted (/DecodeParms /Predictor 15 with a
         # per-row filter byte).
         for raster in page.get("raster_images", []):
+            if isinstance(raster, dict) and raster.get("codec") == "g4":
+                # B/W fax scan: ITU-T T.6 under /CCITTFaxDecode /K -1
+                from lexoid_spark.kernels.ccitt_g4 import g4_encode
+
+                arr = raster["gray"]
+                ih, iw = arr.shape
+                enc = g4_encode(arr)
+                img_nums_page.append(add(
+                    (b"<< /Type /XObject /Subtype /Image /Width %d "
+                     b"/Height %d /ColorSpace /DeviceGray "
+                     b"/BitsPerComponent 1 /Filter /CCITTFaxDecode "
+                     b"/DecodeParms << /K -1 /Columns %d /Rows %d >> "
+                     b"/Length %d >>\nstream\n%s\nendstream"
+                     % (iw, ih, iw, ih, len(enc), enc))
+                ))
+                continue
             if isinstance(raster, dict):
                 import zlib as _z
 

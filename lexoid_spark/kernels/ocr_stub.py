@@ -116,6 +116,34 @@ def _raw_raster_array(header: bytes, payload: bytes):
     return arr[:, :, 0] if nch == 1 else arr
 
 
+def _g4_raster_array(header: bytes, payload: bytes):
+    """B/W fax image XObject (/Filter /CCITTFaxDecode, /K < 0 = pure
+    Group 4/T.6) → (H, W) uint8 ink array, or None when the dict
+    isn't a supported G4 raster. Undecodable G4 data raises (→
+    quarantine) — a declared fax scan that doesn't decode must not
+    silently skip."""
+    if b"/CCITTFaxDecode" not in header:
+        return None
+    import re
+
+    from lexoid_spark.kernels.ccitt_g4 import CcittError, g4_decode
+    from lexoid_spark.kernels.pdf_md import _int_after
+
+    # /K needs its own signed parse (_int_after is unsigned, and bare
+    # find(b"/K") would also hit /Kids-style keys)
+    km = re.search(rb"/K\s+(-?\d+)", header)
+    if km is None or int(km.group(1)) >= 0:  # G3 1-D/mixed out of scope
+        return None
+    w = _int_after(header, b"/Columns") or _int_after(header, b"/Width")
+    h = _int_after(header, b"/Rows") or _int_after(header, b"/Height")
+    if not w or not h:
+        return None
+    try:
+        return g4_decode(payload, w, h)
+    except CcittError as e:
+        raise ValueError(f"undecodable CCITT G4 scan: {e}") from e
+
+
 def ocr_pdf_to_pages(payload, start: int = 0) -> List[Tuple[int, str, List[WordBox]]]:
     """Image-bearing PDF → [(page, text, bboxes)]: OCR every embedded
     /Subtype /Image XObject, one logical page per image (the
@@ -131,7 +159,9 @@ def ocr_pdf_to_pages(payload, start: int = 0) -> List[Tuple[int, str, List[WordB
         if img.startswith(IMG_MAGIC) or img.startswith(_REAL_MAGICS):
             pages.append(_recognize(img))
             continue
-        arr = _raw_raster_array(header, img)
+        arr = _g4_raster_array(header, img)
+        if arr is None:
+            arr = _raw_raster_array(header, img)
         if arr is not None:
             from lexoid_spark.kernels.ocr_glyph import recognize_pixels
 

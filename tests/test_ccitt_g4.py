@@ -1,0 +1,115 @@
+"""CCITT Group 4 / ITU-T T.6 codec (kernels/ccitt_g4.py) — the B/W
+fax compression wild scanned PDFs carry under /CCITTFaxDecode /K -1."""
+
+import numpy as np
+import pytest
+
+from lexoid_spark.kernels.ccitt_g4 import (
+    _BLACK_TERM,
+    _WHITE_TERM,
+    CcittError,
+    g4_decode,
+    g4_encode,
+)
+
+
+class TestSpecBitPatterns:
+    """Pin a handful of published T.4 code values so a transcription
+    slip in the tables can't hide behind self-consistent round-trips."""
+
+    def test_known_codes(self):
+        assert _WHITE_TERM[0] == (0b00110101, 8)
+        assert _WHITE_TERM[1] == (0b000111, 6)
+        assert _WHITE_TERM[63] == (0b00110100, 8)
+        assert _BLACK_TERM[0] == (0b0000110111, 10)
+        assert _BLACK_TERM[2] == (0b11, 2)
+        assert _BLACK_TERM[3] == (0b10, 2)
+
+    def test_all_white_line_is_v0s(self):
+        """An all-white image codes each line as a single pass/vertical
+        step against the all-white reference — tiny output."""
+        a = np.full((8, 1728), 255, dtype=np.uint8)
+        enc = g4_encode(a)
+        assert len(enc) <= 16  # 8 lines of H-mode white-1728 + EOFB
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("density", [0.05, 0.3, 0.7, 0.95])
+    def test_random_bitmaps(self, density):
+        rng = np.random.RandomState(int(density * 100))
+        for _ in range(8):
+            h, w = rng.randint(1, 32), rng.randint(1, 80)
+            arr = np.where(rng.rand(h, w) < density, 0, 255).astype(np.uint8)
+            assert (g4_decode(g4_encode(arr), w, h) == arr).all()
+
+    def test_uniform_and_stripes(self):
+        for fill in (0, 255):
+            a = np.full((4, 65), fill, dtype=np.uint8)
+            assert (g4_decode(g4_encode(a), 65, 4) == a).all()
+        stripes = np.tile(
+            np.r_[np.zeros(3, np.uint8), np.full(5, 255, np.uint8)], 13
+        )[None, :].repeat(6, axis=0)
+        h, w = stripes.shape
+        assert (g4_decode(g4_encode(stripes), w, h) == stripes).all()
+
+    def test_long_runs_use_makeups(self):
+        """Runs past 2560 must chain extended makeup codes."""
+        a = np.full((2, 6000), 255, dtype=np.uint8)
+        a[1, 100:5900] = 0
+        assert (g4_decode(g4_encode(a), 6000, 2) == a).all()
+
+    def test_glyph_text_roundtrip(self):
+        from lexoid_spark.kernels.ocr_glyph import (
+            recognize_pixels,
+            render_text,
+        )
+
+        arr = render_text("G4 FAX 12\nLINE 3", scale=2)
+        dec = g4_decode(g4_encode(arr), arr.shape[1], arr.shape[0])
+        assert (dec == arr).all()
+        assert recognize_pixels(dec)[0] == "G4 FAX 12 LINE 3"
+
+
+class TestHostileInputs:
+    def test_garbage_raises(self):
+        with pytest.raises(CcittError):
+            g4_decode(b"\xde\xad\xbe\xef" * 8, 64, 4)
+
+    def test_bad_dims_raise(self):
+        with pytest.raises(CcittError):
+            g4_decode(b"", 0, 4)
+        with pytest.raises(CcittError):
+            g4_decode(b"", 1 << 20, 4)
+
+    def test_truncated_stream_raises(self):
+        rng = np.random.RandomState(1)
+        arr = np.where(rng.rand(16, 64) < 0.4, 0, 255).astype(np.uint8)
+        enc = g4_encode(arr)
+        with pytest.raises(CcittError):
+            g4_decode(enc[: len(enc) // 3], 64, 16)
+
+
+class TestPdfIntegration:
+    def test_g4_scanned_pdf_ocr(self):
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.ocr_stub import ocr_pdf_to_pages
+
+        arr = render_text("G4 FAX 9\nROW 2 OK", scale=2)
+        pdf = build_pdf([{"raster_images": [{"gray": arr, "codec": "g4"}]}])
+        assert b"/CCITTFaxDecode" in pdf
+        assert [(p, t) for p, t, _b in ocr_pdf_to_pages(pdf)] == [
+            (1, "G4 FAX 9 ROW 2 OK")]
+
+    def test_corrupt_g4_quarantines(self):
+        """A declared fax scan that doesn't decode must raise (→
+        quarantine), never silently skip to an empty parse."""
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.ocr_stub import ocr_pdf_to_pages
+
+        arr = render_text("X", scale=2)
+        pdf = build_pdf([{"raster_images": [{"gray": arr, "codec": "g4"}]}])
+        bad = pdf.replace(b"stream\n", b"stream\n\xde\xad", 1)
+        with pytest.raises(ValueError):
+            ocr_pdf_to_pages(bad)
