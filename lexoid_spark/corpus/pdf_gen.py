@@ -420,16 +420,27 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
             if isinstance(raster, dict):
                 import zlib as _z
 
+                import numpy as _np
+
                 arr = raster["gray"]
                 ih, iw = arr.shape
                 pred = int(raster.get("predictor", 1))
-                samples = arr.tobytes()
+                bpc = int(raster.get("bpc", 8))
+                if bpc == 1:
+                    # byte-padded rows of MSB-first bits, 0 = black
+                    samples = _np.packbits(
+                        (arr > 127).astype(_np.uint8), axis=1).tobytes()
+                    stride = (iw + 7) // 8
+                else:
+                    samples = arr.tobytes()
+                    stride = iw
                 if pred >= 10:
                     rows = b"".join(
-                        b"\x00" + samples[y * iw:(y + 1) * iw]
+                        b"\x00" + samples[y * stride:(y + 1) * stride]
                         for y in range(ih))
                     parms = (b" /DecodeParms << /Predictor 15 /Colors 1"
-                             b" /BitsPerComponent 8 /Columns %d >>" % iw)
+                             b" /BitsPerComponent %d /Columns %d >>"
+                             % (bpc, iw))
                 else:
                     rows = samples
                     parms = b""
@@ -437,9 +448,9 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
                 img_nums_page.append(add(
                     (b"<< /Type /XObject /Subtype /Image /Width %d "
                      b"/Height %d /ColorSpace /DeviceGray "
-                     b"/BitsPerComponent 8 /Filter /FlateDecode%s "
+                     b"/BitsPerComponent %d /Filter /FlateDecode%s "
                      b"/Length %d >>\nstream\n%s\nendstream"
-                     % (iw, ih, parms, len(packed), packed))
+                     % (iw, ih, bpc, parms, len(packed), packed))
                 ))
                 continue
             jpg = raster

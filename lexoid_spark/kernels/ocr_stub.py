@@ -95,24 +95,32 @@ def _raw_raster_array(header: bytes, payload: bytes):
     w = _int_after(header, b"/Width")
     h = _int_after(header, b"/Height")
     bpc = _int_after(header, b"/BitsPerComponent")
-    if not w or not h or bpc != 8:
+    if not w or not h or bpc not in (1, 8):
         return None
     nch = 3 if b"/DeviceRGB" in header else 1
+    if bpc == 1 and nch != 1:
+        return None
     pred = _int_after(header, b"/Predictor") or 1
-    stride = w * nch
+    # rows are padded to whole bytes at 1 bit/sample (ISO 32000-1
+    # §8.9.3); 0 = black under the default /Decode [0 1]
+    stride = w * nch if bpc == 8 else (w + 7) // 8
     if pred >= 10:
         if len(payload) < (stride + 1) * h:
             return None
         try:
-            rows = _unfilter_rows(payload, 0, h, stride, nch)
+            rows = _unfilter_rows(payload, 0, h, stride,
+                                  nch if bpc == 8 else 1)
         except (PngError, IndexError):
             return None
-        arr = rows.reshape(h, w, nch)
     else:
         if len(payload) < stride * h:
             return None
-        arr = np.frombuffer(
-            payload, dtype=np.uint8, count=stride * h).reshape(h, w, nch)
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h).reshape(h, stride)
+    if bpc == 1:
+        bits = np.unpackbits(rows, axis=1)[:, :w]
+        return (bits * np.uint8(255))  # 0 → black(0), 1 → white(255)
+    arr = rows.reshape(h, w, nch)
     return arr[:, :, 0] if nch == 1 else arr
 
 
@@ -125,6 +133,8 @@ def _g4_raster_array(header: bytes, payload: bytes):
     if b"/CCITTFaxDecode" not in header:
         return None
     import re
+
+    import numpy as np
 
     from lexoid_spark.kernels.ccitt_g4 import CcittError, g4_decode
     from lexoid_spark.kernels.pdf_md import _int_after
@@ -139,9 +149,12 @@ def _g4_raster_array(header: bytes, payload: bytes):
     if not w or not h:
         return None
     try:
-        return g4_decode(payload, w, h)
+        arr = g4_decode(payload, w, h)
     except CcittError as e:
         raise ValueError(f"undecodable CCITT G4 scan: {e}") from e
+    if b"/BlackIs1 true" in header:
+        arr = np.uint8(255) - arr
+    return arr
 
 
 def ocr_pdf_to_pages(payload, start: int = 0) -> List[Tuple[int, str, List[WordBox]]]:

@@ -113,3 +113,35 @@ class TestPdfIntegration:
         bad = pdf.replace(b"stream\n", b"stream\n\xde\xad", 1)
         with pytest.raises(ValueError):
             ocr_pdf_to_pages(bad)
+
+    def test_blackis1_inverts(self):
+        """Encoding the INVERTED bitmap and declaring /BlackIs1 true
+        must decode back to the original ink."""
+        import numpy as np
+
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.ocr_stub import ocr_pdf_to_pages
+
+        arr = render_text("INV 7", scale=2)
+        pdf = build_pdf([{"raster_images": [
+            {"gray": (255 - arr).astype(np.uint8), "codec": "g4"}]}])
+        flagged = pdf.replace(b"/K -1", b"/K -1 /BlackIs1 true")
+        assert ocr_pdf_to_pages(flagged)[0][1] == "INV 7"
+
+
+class TestOneBitFlateRasters:
+    @pytest.mark.parametrize("pred", [1, 15])
+    def test_1bit_flate_ocr(self, pred):
+        """1-bit /DeviceGray Flate rasters (byte-padded MSB-first
+        rows, 0 = black) decode through the raw-raster arm."""
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.ocr_stub import ocr_pdf_to_pages
+
+        arr = render_text("ONEBIT 5\nROW 1", scale=2)
+        pdf = build_pdf([{"raster_images": [
+            {"gray": arr, "bpc": 1, "predictor": pred}]}])
+        assert b"/BitsPerComponent 1" in pdf
+        assert [(p, t) for p, t, _b in ocr_pdf_to_pages(pdf)] == [
+            (1, "ONEBIT 5 ROW 1")]
