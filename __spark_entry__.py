@@ -1560,6 +1560,88 @@ SELECT qid, nid, rank FROM (
 """
 
 
+def _ann_sq8_topk(spark, sf):
+    """IVF top-k over int8 scalar-quantized vectors (FAISS SQ8
+    analogue) — the 4x memory/bandwidth compression an embedding index
+    runs at corpus scale. Scoring is EXACT 64-bit integer arithmetic
+    (quantize via floor(x*127/maxabs + 0.5) — no ROUND ties), so the
+    oracle reproduces the ranking bit-for-bit by construction; only
+    the coarse probe choice shares the float-cosine ranking caveat of
+    ann_ivf_topk."""
+    from lexoid_spark.functions.similarity import sq8_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return sq8_topk(
+        emb, query_ids=list(range(10)), k=5, n_centroids=8, nprobe=2,
+    ).orderBy("qid", "rank")
+
+
+_ANN_SQ8_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vid, vv, cid FROM (
+    SELECT e.vec_id AS vid, e.v AS vv, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+           ) AS r
+    FROM e CROSS JOIN cents c
+  ) t WHERE r = 1
+),
+sq AS (
+  SELECT vid, cid,
+         CASE WHEN ma = 0 THEN list_transform(vv, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(vv,
+                x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT)) END AS nq
+  FROM (SELECT vid, cid, vv,
+               list_max(list_transform(vv, x -> abs(x))) AS ma
+        FROM assigned) t
+),
+sqn AS (SELECT vid, cid, nq,
+               list_sum(list_transform(nq, x -> x * x)) AS nn FROM sq),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+probes AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid ASC
+           ) AS r
+    FROM q CROSS JOIN cents c
+  ) t WHERE r <= 2
+),
+pq AS (
+  SELECT qid, cid,
+         CASE WHEN ma = 0 THEN list_transform(qv, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(qv,
+                x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT)) END AS qq
+  FROM (SELECT qid, cid, qv,
+               list_max(list_transform(qv, x -> abs(x))) AS ma
+        FROM probes) t
+),
+pqn AS (SELECT qid, cid, qq,
+               list_sum(list_transform(qq, x -> x * x)) AS qn FROM pq),
+cand AS (
+  SELECT DISTINCT p.qid, s.vid AS nid, p.qq, p.qn, s.nq, s.nn
+  FROM pqn p JOIN sqn s ON p.cid = s.cid
+  WHERE s.vid != p.qid
+)
+SELECT qid, nid, rank FROM (
+  SELECT qid, nid,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid
+           ORDER BY CASE WHEN qn = 0 OR nn = 0 THEN -2.0
+             ELSE CAST(list_sum(list_transform(list_zip(qq, nq),
+                    x -> x[1] * x[2])) AS DOUBLE)
+                  / sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) END
+             DESC, nid ASC
+         ) AS rank
+  FROM cand
+) t WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
 def _ann_ivf_topk(spark, sf):
     from lexoid_spark.functions.similarity import ivf_topk
 
@@ -5864,6 +5946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _simhash_pairs,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_sq8_topk": _ann_sq8_topk,
         "emb_near_dup": _emb_near_dup,
         "emb_near_dup_hof": _emb_near_dup_hof,
         "image_meta": _image_meta,
@@ -6006,6 +6089,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
+        "ann_sq8_topk": _ANN_SQ8_SQL,
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
         "emb_near_dup_hof": _EMB_NEAR_DUP_SQL,
         "image_meta": _IMAGE_META_SQL,

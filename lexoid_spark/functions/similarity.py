@@ -326,6 +326,88 @@ def ivf_topk(embeddings: DataFrame, query_ids, k: int = 5,
     )
 
 
+def _sq8_codes(vec: Column) -> Column:
+    """int8 scalar quantization of a float vector: per-vector scale
+    ``maxabs/127``, codes ``floor(x·127/maxabs + 0.5)`` (half-up via
+    floor — no ROUND-tie engine divergence; an all-zero vector yields
+    all-zero codes). Returned as array<long> so downstream integer
+    sums never overflow."""
+    maxabs = F.aggregate(vec, F.lit(0.0),
+                         lambda a, x: F.greatest(a, F.abs(x)))
+    return F.when(
+        maxabs == 0.0,
+        F.transform(vec, lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(vec, lambda x: F.floor(
+            x * F.lit(127.0) / maxabs + F.lit(0.5)).cast("long"))
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def sq8_topk(embeddings: DataFrame, query_ids, k: int = 5,
+             n_centroids: int = 8, nprobe: int = 2,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF top-k over int8 scalar-quantized vectors — the standard 4×
+    memory/bandwidth compression for embedding search at corpus scale
+    (FAISS ``SQ8`` behavior analogue). Coarse routing is the same
+    deterministic IVF assignment as :func:`ivf_topk`; candidate
+    scoring uses the QUANTIZED vectors only: cosine ≈ dot(q_a, q_b) /
+    √(‖q_a‖²·‖q_b‖²) where every sum is EXACT 64-bit integer
+    arithmetic (codes ≤ 127, so any realistic dim stays far below
+    2^63) — the only float ops are one final sqrt + divide, so the
+    DuckDB oracle reproduces the ranking bit-for-bit by construction
+    (no fold-order caveat at all, unlike the float-cosine queries).
+
+    Scale shape: quantization is map-only and rides the scan (at 10^12
+    rows the int8 codes are ~4× less shuffle/cache bytes than float32
+    — at a real deployment the codes column would be materialized once
+    and the float column never read again); probing and scoring reuse
+    the bucket-join shape of :func:`ivf_topk`."""
+    assigned = assign_clusters(embeddings, n_centroids, id_col, vec_col)
+    rows = ivf_centroid_rows(embeddings, n_centroids, id_col, vec_col, 0)
+    cents = embeddings.sparkSession.createDataFrame(
+        rows, "cid long, cvec array<double>"
+    )
+    aq = assigned.select(
+        "vid", "cid", _sq8_codes(F.col("vvec")).alias("nq")
+    ).withColumn("nn", _int_dot(F.col("nq"), F.col("nq")))
+    q = embeddings.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "qid", "qvec", "cid",
+        cosine(F.col("qvec"), F.col("cvec")).alias("ccos"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = (
+        qc.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= nprobe)
+        .select("qid", _sq8_codes(F.col("qvec")).alias("qq"), "cid")
+        .withColumn("qn", _int_dot(F.col("qq"), F.col("qq")))
+    )
+    cand = probes.join(aq, "cid").filter(F.col("vid") != F.col("qid"))
+    scored = cand.select(
+        "qid", F.col("vid").alias("nid"),
+        F.when(
+            (F.col("qn") == 0) | (F.col("nn") == 0), F.lit(-2.0)
+        ).otherwise(
+            _int_dot(F.col("qq"), F.col("nq")).cast("double")
+            / F.sqrt(F.col("qn").cast("double") * F.col("nn").cast("double"))
+        ).alias("qcos"),
+    ).dropDuplicates(["qid", "nid"])
+    w = Window.partitionBy("qid").orderBy(F.desc("qcos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank")
+    )
+
+
 def semdedup_keepers(embeddings: DataFrame, tau: float = 0.9,
                      n_centroids: int = 8, id_col: str = "vec_id",
                      vec_col: str = "embedding",

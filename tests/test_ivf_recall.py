@@ -96,3 +96,46 @@ def test_near_dup_gemm_impl_matches_hof(spark):
             for r in embedding_near_dup_pairs(emb, tau=0.35,
                                               impl="gemm").collect()}
     assert hof and gemm == hof
+
+
+def test_sq8_matches_python_reference(spark):
+    """sq8_topk's integer scoring must equal a literal python replay of
+    the same math (quantize -> int dot -> ranking) over the same
+    probed candidate sets."""
+    import math
+
+    from lexoid_spark.functions.similarity import sq8_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = [(r["qid"], r["nid"], r["rank"]) for r in
+           sq8_topk(emb, query_ids=list(range(6)), k=4, n_centroids=4,
+                    nprobe=2).orderBy("qid", "rank").collect()]
+
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+
+    def q8(v):
+        ma = max(abs(x) for x in v)
+        if ma == 0:
+            return [0] * len(v)
+        return [math.floor(x * 127.0 / ma + 0.5) for x in v]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = sum(x * x for x in a), sum(y * y for y in b)
+        return -2.0 if not na or not nb else d / math.sqrt(na * nb)
+
+    cents = {c: rows[c] for c in range(4)}
+    assigned = {}
+    for vid, v in rows.items():
+        assigned[vid] = max(
+            cents, key=lambda c: (cos(v, cents[c]), -c))
+    codes = {vid: q8(v) for vid, v in rows.items()}
+    want = []
+    for qid in range(6):
+        probes = sorted(cents, key=lambda c: (-cos(rows[qid], cents[c]), c))[:2]
+        cand = [v for v, c in assigned.items() if c in set(probes) and v != qid]
+        qq = codes[qid]
+        ranked = sorted(cand, key=lambda n: (-cos(qq, codes[n]), n))[:4]
+        want += [(qid, n, i + 1) for i, n in enumerate(ranked)]
+    assert got == want

@@ -111,13 +111,17 @@ def test_scanned_docs_extract_not_quarantined(spark):
     assert len(out) == n
     assert {r["parser_used"] for r in out} == {"OCR_PARSE"}
     # img_scan/pdf_scanned carry FAKE containers -> dimension text
-    # ("scan640x480 ..."); img_scan_glyph carries REAL pixels whose
-    # glyph-recognized text is the rendered "SCAN DOC i\nROW j OK".
-    assert all(
-        r["raw"].startswith("SCAN DOC") if "img_scan_glyph" in r["url"]
-        else r["raw"].startswith("scan")
-        for r in out
-    )
+    # ("scan640x480 ..."); the real-pixel classes OCR their rendered
+    # glyph text back exactly.
+    expect = {
+        "img_scan_glyph": "SCAN DOC",
+        "pdf_scanned_jpeg": "JPEG SCAN",
+        "pdf_scanned_flate": "FLATE SCAN",
+        "pdf_scanned_g4": "G4 FAX",
+    }
+    for r in out:
+        cls = r["url"].split("/")[-2]
+        assert r["raw"].startswith(expect.get(cls, "scan")), r["url"]
 
 
 # --- speed arm ------------------------------------------------------------------
