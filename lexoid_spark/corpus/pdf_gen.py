@@ -417,6 +417,42 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
                      % (iw, ih, iw, ih, len(enc), enc))
                 ))
                 continue
+            if isinstance(raster, dict) and "indexed" in raster:
+                # palette image: ink maps to a non-trivial palette slot
+                # so decode requires a REAL lookup, not value passthrough
+                import zlib as _z
+
+                import numpy as _np
+
+                arr = raster["gray"]
+                ih, iw = arr.shape
+                bpc = int(raster["indexed"])
+                if bpc == 8:
+                    pal = _np.full((256, 3), 17, dtype=_np.uint8)
+                    pal[5] = (0, 0, 0)
+                    pal[200] = (255, 255, 255)
+                    idx = _np.where(arr < 128, 5, 200).astype(_np.uint8)
+                    samples = idx.tobytes()
+                    stride = iw
+                else:
+                    pal = _np.array([[255, 255, 255], [0, 0, 0]],
+                                    dtype=_np.uint8)
+                    idx = (arr < 128).astype(_np.uint8)  # ink → slot 1
+                    bits = _np.zeros((ih, iw * bpc), dtype=_np.uint8)
+                    bits[:, bpc - 1::bpc] = idx  # low bit of each group
+                    samples = _np.packbits(bits, axis=1).tobytes()
+                    stride = (iw * bpc + 7) // 8
+                packed = _z.compress(samples, 9)
+                hexpal = pal.tobytes().hex().encode("ascii")
+                img_nums_page.append(add(
+                    (b"<< /Type /XObject /Subtype /Image /Width %d "
+                     b"/Height %d /ColorSpace [/Indexed /DeviceRGB %d "
+                     b"<%s>] /BitsPerComponent %d /Filter /FlateDecode "
+                     b"/Length %d >>\nstream\n%s\nendstream"
+                     % (iw, ih, len(pal) - 1, hexpal, bpc,
+                        len(packed), packed))
+                ))
+                continue
             if isinstance(raster, dict):
                 import zlib as _z
 

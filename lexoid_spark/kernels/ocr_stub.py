@@ -82,11 +82,15 @@ def _raw_raster_array(header: bytes, payload: bytes):
     object scan) → (H, W[, C]) uint8 array, or None when the dict
     doesn't describe a supported raw raster.
 
-    Scope: 8-bit /DeviceGray or /DeviceRGB samples, unpredicted
-    (/Predictor 1) or PNG-predicted (/Predictor >= 10 — per-row filter
-    byte, unfiltered with the SAME routine as the PNG codec). This is
-    the near-universal LOSSLESS scanner layout (Flate raster), the
-    counterpart of the DCTDecode JPEG arm."""
+    Scope: /DeviceGray at 1/2/4/8 bits, /DeviceRGB at 8 bits, and
+    /Indexed palettes over either base (1/2/4/8-bit indices, hex
+    palette string); unpredicted (/Predictor 1) or PNG-predicted
+    (/Predictor >= 10 — per-row filter byte, unfiltered with the SAME
+    routine as the PNG codec). This is the near-universal LOSSLESS
+    scanner layout (Flate raster), the counterpart of the DCTDecode
+    JPEG arm."""
+    import re
+
     import numpy as np
 
     from lexoid_spark.kernels.pdf_md import _int_after
@@ -95,15 +99,31 @@ def _raw_raster_array(header: bytes, payload: bytes):
     w = _int_after(header, b"/Width")
     h = _int_after(header, b"/Height")
     bpc = _int_after(header, b"/BitsPerComponent")
-    if not w or not h or bpc not in (1, 8):
+    if not w or not h or bpc not in (1, 2, 4, 8):
         return None
-    nch = 3 if b"/DeviceRGB" in header else 1
-    if bpc == 1 and nch != 1:
-        return None
+    pal = None
+    im = re.search(
+        rb"/Indexed\s*/Device(RGB|Gray)\s+(\d+)\s*<([0-9A-Fa-f\s]*)>",
+        header)
+    if im is not None:
+        pal_nch = 3 if im.group(1) == b"RGB" else 1
+        hival = int(im.group(2))
+        raw = bytes.fromhex(
+            re.sub(rb"\s+", b"", im.group(3)).decode("ascii"))
+        if len(raw) < (hival + 1) * pal_nch:
+            return None
+        pal = np.frombuffer(
+            raw, dtype=np.uint8,
+            count=(hival + 1) * pal_nch).reshape(hival + 1, pal_nch)
+        nch = 1  # samples are palette indices
+    else:
+        nch = 3 if b"/DeviceRGB" in header else 1
+        if bpc != 8 and nch != 1:
+            return None
     pred = _int_after(header, b"/Predictor") or 1
-    # rows are padded to whole bytes at 1 bit/sample (ISO 32000-1
-    # §8.9.3); 0 = black under the default /Decode [0 1]
-    stride = w * nch if bpc == 8 else (w + 7) // 8
+    # rows are byte-padded at sub-byte depths (ISO 32000-1 §8.9.3);
+    # 0 = black under the default /Decode [0 1]
+    stride = w * nch if bpc == 8 else (w * bpc + 7) // 8
     if pred >= 10:
         if len(payload) < (stride + 1) * h:
             return None
@@ -117,11 +137,23 @@ def _raw_raster_array(header: bytes, payload: bytes):
             return None
         rows = np.frombuffer(
             payload, dtype=np.uint8, count=stride * h).reshape(h, stride)
-    if bpc == 1:
-        bits = np.unpackbits(rows, axis=1)[:, :w]
-        return (bits * np.uint8(255))  # 0 → black(0), 1 → white(255)
-    arr = rows.reshape(h, w, nch)
-    return arr[:, :, 0] if nch == 1 else arr
+    if bpc < 8:
+        bits = np.unpackbits(rows, axis=1)
+        groups = bits[:, :w * bpc].reshape(h, w, bpc)
+        weights = (1 << np.arange(bpc - 1, -1, -1)).astype(np.uint8)
+        vals = (groups * weights).sum(axis=2).astype(np.uint8)
+    else:
+        vals = rows.reshape(h, w, nch)
+        if nch == 1:
+            vals = vals[:, :, 0]
+    if pal is not None:
+        idx = np.minimum(vals, np.uint8(len(pal) - 1))
+        looked = pal[idx]  # (h, w, pal_nch)
+        return looked[:, :, 0] if pal.shape[1] == 1 else looked
+    if bpc < 8:
+        # grayscale sub-byte: expand to full 0..255 (exact integers)
+        return vals * np.uint8(255 // ((1 << bpc) - 1))
+    return vals
 
 
 def _g4_raster_array(header: bytes, payload: bytes):

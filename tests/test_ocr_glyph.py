@@ -207,3 +207,35 @@ class TestScannedFlatePdf:
         broken = pdf.replace(b"/BitsPerComponent 8", b"/BitsPerComponent 4")
         with pytest.raises(ValueError):
             ocr_pdf_to_pages(broken)
+
+
+class TestIndexedRasters:
+    """/Indexed palette image XObjects: samples are palette indices at
+    1/2/4/8 bits; decode requires a real palette lookup (the 8-bit
+    fixture maps ink to slot 5 and background to slot 200 of an
+    otherwise-uniform palette, so passthrough reads garbage)."""
+
+    @pytest.mark.parametrize("bpc", [1, 2, 4, 8])
+    def test_indexed_palette_ocr(self, bpc):
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.ocr_stub import ocr_pdf_to_pages
+
+        arr = render_text("PALETTE 3\nROW 2", scale=2)
+        pdf = build_pdf([{"raster_images": [{"gray": arr, "indexed": bpc}]}])
+        assert b"/Indexed /DeviceRGB" in pdf
+        assert [(p, t) for p, t, _b in ocr_pdf_to_pages(pdf)] == [
+            (1, "PALETTE 3 ROW 2")]
+
+    def test_short_palette_skipped(self):
+        """A palette shorter than hival+1 entries is unsupported →
+        the raster is skipped and an image-only PDF quarantines."""
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.ocr_stub import ocr_pdf_to_pages
+
+        arr = render_text("X", scale=2)
+        pdf = build_pdf([{"raster_images": [{"gray": arr, "indexed": 8}]}])
+        bad = pdf.replace(b"/Indexed /DeviceRGB 255", b"/Indexed /DeviceRGB 999")
+        with pytest.raises(ValueError):
+            ocr_pdf_to_pages(bad)
