@@ -1642,6 +1642,103 @@ SELECT qid, nid, rank FROM (
 """
 
 
+def _ann_ivfpq_topk(spark, sf):
+    """IVF-PQ top-k (FAISS IVFx,PQy analogue): coarse IVF routing +
+    product quantization to m=8 byte codes per vector, scored by
+    asymmetric distance (ADC) against a per-query integer lookup
+    table. The deterministic engine-exact variant: vectors are int8
+    scalar-quantized first, sub-codebooks are the first-16 vectors'
+    subvectors, and every distance is exact 64-bit integer arithmetic
+    — the oracle replays encode+ADC bit-for-bit."""
+    from lexoid_spark.functions.similarity import ivfpq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivfpq_topk(
+        emb, query_ids=list(range(10)), k=5, n_centroids=8, nprobe=2,
+        m=8, k_pq=16,
+    ).orderBy("qid", "rank")
+
+
+_ANN_IVFPQ_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vid, cid FROM (
+    SELECT e.vec_id AS vid, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+           ) AS r
+    FROM e CROSS JOIN cents c
+  ) t WHERE r = 1
+),
+q8 AS (
+  SELECT vec_id,
+         CASE WHEN ma = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v,
+                x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT)) END AS qv
+  FROM (SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS ma FROM e) t
+),
+cb AS (
+  SELECT list(code ORDER BY j, c, t) AS cbf FROM (
+    SELECT ju.j, q8.vec_id AS c, tu.t,
+           qv[CAST(ju.j * 8 + tu.t + 1 AS INT)] AS code
+    FROM q8, range(8) ju(j), range(8) tu(t)
+    WHERE q8.vec_id < 16
+  ) z
+),
+enc AS (
+  SELECT a.vid, a.cid,
+    list_transform(range(8), j ->
+      list_sort(list_transform(range(16), c ->
+        {'d': list_sum(list_transform(range(8), t ->
+            (qv[CAST(j * 8 + t + 1 AS INT)]
+             - cbf[CAST((j * 16 + c) * 8 + t + 1 AS INT)])
+          * (qv[CAST(j * 8 + t + 1 AS INT)]
+             - cbf[CAST((j * 16 + c) * 8 + t + 1 AS INT)]))),
+         'c': c}))[1]['c']) AS codes
+  FROM assigned a JOIN q8 ON q8.vec_id = a.vid, cb
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid ASC
+           ) AS r
+    FROM q CROSS JOIN cents c
+  ) t WHERE r <= 2
+),
+plut AS (
+  SELECT p.qid, p.cid,
+    list_transform(range(128), i ->
+      list_sum(list_transform(range(8), t ->
+        (qa.qv[CAST((i // 16) * 8 + t + 1 AS INT)]
+         - cbf[CAST(i * 8 + t + 1 AS INT)])
+      * (qa.qv[CAST((i // 16) * 8 + t + 1 AS INT)]
+         - cbf[CAST(i * 8 + t + 1 AS INT)])))) AS lut
+  FROM probes p JOIN q8 qa ON qa.vec_id = p.qid, cb
+),
+cand AS (
+  SELECT DISTINCT p.qid, enc.vid AS nid, p.lut, enc.codes
+  FROM plut p JOIN enc ON p.cid = enc.cid
+  WHERE enc.vid != p.qid
+)
+SELECT qid, nid, rank FROM (
+  SELECT qid, nid,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid
+           ORDER BY list_sum(list_transform(range(8), j ->
+             lut[CAST(j * 16 + codes[CAST(j + 1 AS INT)] + 1 AS INT)]))
+             ASC, nid ASC
+         ) AS rank
+  FROM cand
+) t WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
 def _ann_ivf_topk(spark, sf):
     from lexoid_spark.functions.similarity import ivf_topk
 
@@ -5947,6 +6044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_sq8_topk": _ann_sq8_topk,
+        "ann_ivfpq_topk": _ann_ivfpq_topk,
         "emb_near_dup": _emb_near_dup,
         "emb_near_dup_hof": _emb_near_dup_hof,
         "image_meta": _image_meta,
@@ -6090,6 +6188,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_COSINE_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
         "ann_sq8_topk": _ANN_SQ8_SQL,
+        "ann_ivfpq_topk": _ANN_IVFPQ_SQL,
         "emb_near_dup": _EMB_NEAR_DUP_SQL,
         "emb_near_dup_hof": _EMB_NEAR_DUP_SQL,
         "image_meta": _IMAGE_META_SQL,

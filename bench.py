@@ -127,7 +127,7 @@ def main() -> None:
         "pdf_aes256_extract",
         "char_span_removal",
         "pdf_ocr_extract", "pdf_cff_extract", "semdedup_greedy",
-        "quality_classifier", "ann_sq8_topk",
+        "quality_classifier", "ann_sq8_topk", "ann_ivfpq_topk",
     ]
 
     def run_extract():

@@ -408,6 +408,130 @@ def sq8_topk(embeddings: DataFrame, query_ids, k: int = 5,
     )
 
 
+def ivfpq_topk(embeddings: DataFrame, query_ids, k: int = 5,
+               n_centroids: int = 8, nprobe: int = 2,
+               m: int = 8, k_pq: int = 16,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ top-k — the index structure billion-vector ANN actually
+    deploys (FAISS ``IVFx,PQy`` behavior analogue): coarse IVF routing
+    + product quantization of the vectors to ``m`` byte-sized codes
+    (8 bytes/vector at m=8 — 32x less than float32), scored by
+    asymmetric distance computation (ADC) against a per-query lookup
+    table.
+
+    Deterministic, engine-exact variant: vectors are first int8
+    scalar-quantized (:func:`_sq8_codes`), the ``j``-th sub-codebook
+    is the ``j``-th subvectors of the first ``k_pq`` vectors by id
+    (the same deterministic seeding as the IVF centroids), encoding
+    takes the integer-L2² argmin per subvector (tie → smaller code),
+    and ADC sums integer LUT entries — every distance is EXACT 64-bit
+    integer arithmetic, so the DuckDB oracle reproduces the ranking
+    bit-for-bit by construction.
+
+    Scale shape: the codebook is control-plane (k_pq rows collected
+    once, shipped back as ONE broadcast row — value-independent
+    codegen); encoding is map-only and rides the scan; candidate
+    scoring touches only the m-byte codes plus a Q×m×k_pq LUT carried
+    on the (tiny) probe rows — at 10^12 vectors the float column is
+    never read after encode."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+    assigned = assign_clusters(embeddings, n_centroids, id_col, vec_col)
+    rows = ivf_centroid_rows(embeddings, n_centroids, id_col, vec_col, 0)
+    cents = embeddings.sparkSession.createDataFrame(
+        rows, "cid long, cvec array<double>"
+    )
+    # control-plane codebook: sq8 codes of the first k_pq vectors,
+    # flattened [(j*k_pq + c)*sd + t] — one broadcast row
+    train = (
+        embeddings.filter(F.col(id_col) < k_pq)
+        .select(F.col(id_col).alias("tid"),
+                _sq8_codes(F.col(vec_col)).alias("tq"))
+        .orderBy("tid").collect()
+    )
+    if len(train) < k_pq:
+        raise ValueError("not enough vectors to seed the PQ codebook")
+    import numpy as np
+    from pyspark.sql import types as T
+
+    # codebook[j, c, t] — closure-shipped (k_pq·dim ints, control-plane)
+    cb_np = np.array(
+        [[[int(r["tq"][j * sd + t]) for t in range(sd)] for r in train]
+         for j in range(m)], dtype=np.int64)
+
+    def _q8_np(vecs) -> np.ndarray:
+        """Vectorized _sq8_codes twin: floor(x·127/maxabs + 0.5) in
+        float64 then int64 — bit-identical to the HOF/SQL math."""
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        ma = np.abs(X).max(axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor(X * 127.0 / ma + 0.5)
+        q[np.broadcast_to(ma == 0, q.shape)] = 0.0
+        return q.astype(np.int64)
+
+    import pandas as pd
+
+    def _encode_fn(vecs):
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        Q = _q8_np(vecs).reshape(-1, m, 1, sd)
+        # (n, m, k_pq): integer L2² to every codebook entry
+        d = ((Q - cb_np[None]) ** 2).sum(axis=3)
+        codes = d.argmin(axis=2)  # first min → smallest code on ties
+        return pd.Series(list(codes))
+
+    def _lut_fn(vecs):
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        Q = _q8_np(vecs).reshape(-1, m, 1, sd)
+        d = ((Q - cb_np[None]) ** 2).sum(axis=3)  # (n, m, k_pq)
+        return pd.Series(list(d.reshape(len(vecs), m * k_pq)))
+
+    # non-decorator form: `from __future__ import annotations`
+    # stringizes hints, which pandas_udf's type inference rejects
+    encode_pq = F.pandas_udf(_encode_fn, T.ArrayType(T.LongType()))
+    adc_lut = F.pandas_udf(_lut_fn, T.ArrayType(T.LongType()))
+
+    aq = assigned.select("vid", "cid",
+                         encode_pq(F.col("vvec")).alias("codes"))
+    q = embeddings.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "qid", "qvec", "cid",
+        cosine(F.col("qvec"), F.col("cvec")).alias("ccos"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("cid"))
+    # ADC lookup table per query: lut[j*k_pq + c] = L2²(qq_j, cb_jc)
+    probes = (
+        qc.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= nprobe)
+        .select("qid", "cid", adc_lut(F.col("qvec")).alias("lut"))
+    )
+    cand = probes.join(aq, "cid").filter(F.col("vid") != F.col("qid"))
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc + F.element_at(
+            F.col("lut"),
+            (j * F.lit(k_pq)
+             + F.element_at(F.col("codes"), (j + 1).cast("int"))
+             + 1).cast("int")),
+    )
+    scored = cand.select(
+        "qid", F.col("vid").alias("nid"), dist.alias("adist"),
+    ).dropDuplicates(["qid", "nid"])
+    w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank")
+    )
+
+
 def semdedup_keepers(embeddings: DataFrame, tau: float = 0.9,
                      n_centroids: int = 8, id_col: str = "vec_id",
                      vec_col: str = "embedding",

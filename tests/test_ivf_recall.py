@@ -139,3 +139,57 @@ def test_sq8_matches_python_reference(spark):
         ranked = sorted(cand, key=lambda n: (-cos(qq, codes[n]), n))[:4]
         want += [(qid, n, i + 1) for i, n in enumerate(ranked)]
     assert got == want
+
+
+def test_ivfpq_matches_python_reference(spark):
+    """ivfpq_topk == a literal python replay of quantize -> codebook
+    -> encode -> ADC over the same probed candidates."""
+    import math
+
+    from lexoid_spark.functions.similarity import ivfpq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = [(r["qid"], r["nid"], r["rank"]) for r in
+           ivfpq_topk(emb, query_ids=list(range(5)), k=4, n_centroids=4,
+                      nprobe=2, m=8, k_pq=16).orderBy("qid", "rank").collect()]
+
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+    dim = len(rows[0])
+    sd = dim // 8
+
+    def q8(v):
+        ma = max(abs(x) for x in v)
+        return [0] * len(v) if ma == 0 else \
+            [math.floor(x * 127.0 / ma + 0.5) for x in v]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = sum(x * x for x in a), sum(y * y for y in b)
+        return -2.0 if not na or not nb else d / math.sqrt(na * nb)
+
+    codes8 = {vid: q8(v) for vid, v in rows.items()}
+    cb = [[[codes8[c][j * sd + t] for t in range(sd)] for c in range(16)]
+          for j in range(8)]
+
+    def sub_l2(qv, j, c):
+        return sum((qv[j * sd + t] - cb[j][c][t]) ** 2 for t in range(sd))
+
+    def encode(vid):
+        qv = codes8[vid]
+        return [min(range(16), key=lambda c: (sub_l2(qv, j, c), c))
+                for j in range(8)]
+
+    cents = {c: rows[c] for c in range(4)}
+    assigned = {vid: max(cents, key=lambda c: (cos(v, cents[c]), -c))
+                for vid, v in rows.items()}
+    want = []
+    for qid in range(5):
+        probes = sorted(cents, key=lambda c: (-cos(rows[qid], cents[c]), c))[:2]
+        cand = [v for v, c in assigned.items() if c in set(probes) and v != qid]
+        qq = codes8[qid]
+        enc = {n: encode(n) for n in cand}
+        ranked = sorted(cand, key=lambda n: (
+            sum(sub_l2(qq, j, enc[n][j]) for j in range(8)), n))[:4]
+        want += [(qid, n, i + 1) for i, n in enumerate(ranked)]
+    assert got == want
