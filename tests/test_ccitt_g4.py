@@ -145,3 +145,21 @@ class TestOneBitFlateRasters:
         assert b"/BitsPerComponent 1" in pdf
         assert [(p, t) for p, t, _b in ocr_pdf_to_pages(pdf)] == [
             (1, "ONEBIT 5 ROW 1")]
+
+
+class TestFuzz:
+    def test_random_bytes_terminate_with_typed_error(self):
+        """Arbitrary byte streams must either decode (possibly to
+        garbage ink that OCR later quarantines) or raise CcittError —
+        never hang or crash with a foreign exception."""
+        import random
+
+        rng = random.Random(99)
+        for _ in range(200):
+            blob = bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(1, 120)))
+            try:
+                out = g4_decode(blob, 48, 12)
+                assert out.shape == (12, 48)
+            except CcittError:
+                pass
