@@ -78,3 +78,32 @@ def test_dedup_within_watermark_batch_semantics(spark, tmp_path):
     urls = {r["url"] for r in got}
     assert "u3" in urls
     assert len(urls & {"u1", "u2"}) == 1  # one of the dup pair survives
+
+
+def test_quality_classifier_is_streaming_safe(spark, tmp_path):
+    """linear_quality_classifier is a stateless map (zero shuffle), so
+    it must run unchanged inside a Structured Streaming pipeline in
+    append mode — the at-ingest quality gate a live crawl applies."""
+    from lexoid_spark.functions.curation import linear_quality_classifier
+
+    in_dir = str(tmp_path / "qin")
+    out_dir = str(tmp_path / "qout")
+    ckpt = str(tmp_path / "qckpt")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "zz zz"), (3, "")],
+        "doc_id long, text string")
+    docs.write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    scored = linear_quality_classifier(stream, "doc_id", "text")
+    (scored.writeStream.format("parquet")
+     .option("path", out_dir).option("checkpointLocation", ckpt)
+     .trigger(availableNow=True).start().awaitTermination(120))
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    want = {r["doc_id"]: r for r in
+            linear_quality_classifier(docs, "doc_id", "text").collect()}
+    assert len(got) == 3
+    for did in (1, 2, 3):
+        assert (got[did]["sum_w"], got[did]["keep"]) == (
+            want[did]["sum_w"], want[did]["keep"])
