@@ -62,18 +62,6 @@ def cosine_topk(embeddings: DataFrame, query_ids, k: int = 5,
     )
 
 
-def _py_norm(vec) -> float:
-    """Driver-side mirror of :func:`norm`'s left fold — same operation
-    sequence in IEEE doubles, so the result is bit-identical to the
-    Spark expression on the same values."""
-    import math
-
-    acc = 0.0
-    for x in vec:
-        acc = acc + float(x) * float(x)
-    return math.sqrt(acc)
-
-
 def _assign_local(embeddings: DataFrame, cent_rows, id_col: str,
                   vec_col: str) -> DataFrame:
     """Each vector → its nearest centroid, MAP-ONLY: the C centroids
@@ -157,6 +145,16 @@ def ivf_centroid_rows(embeddings: DataFrame, n_centroids: int,
             F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
         ).collect()
     ]
+    if not rows and not embeddings.isEmpty():
+        # an id space that starts above n_centroids (offset or
+        # md5-derived ids) silently yields ZERO centroids → empty
+        # probes / one null mega-bucket (O(N²)); fail loud instead.
+        # Fewer-than-C seeds on a small corpus stay legitimate, and
+        # empty input stays empty.
+        raise ValueError(
+            f"IVF seeding found no vectors with {id_col} < "
+            f"{n_centroids} in a non-empty table; ids must be dense "
+            "0-based for the deterministic first-C seed")
     train = embeddings
     if train_modulus > 1:
         train = embeddings.filter(
@@ -257,7 +255,10 @@ def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.9,
             norms = np.sqrt(np.einsum("ij,ij->i", X, X))
             S = X @ X.T
             thresh = tau * np.outer(norms, norms)
-            ia, ib = np.where(np.triu(S >= thresh, k=1))
+            # zero-norm vectors (failed embeddings) have undefined
+            # cosine — 0 >= 0 must not mark them near-dup of everything
+            ok = np.outer(norms > 0, norms > 0)
+            ia, ib = np.where(np.triu((S >= thresh) & ok, k=1))
             return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
         return assigned.groupBy("cid").applyInPandas(
@@ -279,8 +280,11 @@ def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.9,
     return (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        # dot >= tau·|a|·|b|  ⇔  cosine >= tau (norms > 0, tau > 0)
-        .filter(pair_dot >= tau * F.col("na") * F.col("nb"))
+        # dot >= tau·|a|·|b|  ⇔  cosine >= tau (tau > 0); zero-norm
+        # vectors have undefined cosine and never pair (matches the
+        # oracle, where 0/0 is NaN and NaN >= tau is false)
+        .filter((F.col("na") > 0) & (F.col("nb") > 0)
+                & (pair_dot >= tau * F.col("na") * F.col("nb")))
         .select("id_a", "id_b")
     )
 
@@ -368,8 +372,8 @@ def sq8_topk(embeddings: DataFrame, query_ids, k: int = 5,
     — at a real deployment the codes column would be materialized once
     and the float column never read again); probing and scoring reuse
     the bucket-join shape of :func:`ivf_topk`."""
-    assigned = assign_clusters(embeddings, n_centroids, id_col, vec_col)
     rows = ivf_centroid_rows(embeddings, n_centroids, id_col, vec_col, 0)
+    assigned = _assign_local(embeddings, rows, id_col, vec_col)
     cents = embeddings.sparkSession.createDataFrame(
         rows, "cid long, cvec array<double>"
     )
@@ -439,8 +443,8 @@ def ivfpq_topk(embeddings: DataFrame, query_ids, k: int = 5,
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sd = dim // m
-    assigned = assign_clusters(embeddings, n_centroids, id_col, vec_col)
     rows = ivf_centroid_rows(embeddings, n_centroids, id_col, vec_col, 0)
+    assigned = _assign_local(embeddings, rows, id_col, vec_col)
     cents = embeddings.sparkSession.createDataFrame(
         rows, "cid long, cvec array<double>"
     )
@@ -622,7 +626,10 @@ def semdedup_keepers_greedy(embeddings: DataFrame, tau: float = 0.9,
             .join(undecided.withColumnRenamed("id", "id_b"), "id_b")
             .select("id_a", "id_b").localCheckpoint()
         )
-    else:
+    # emptiness is only observed at the TOP of an iteration, so a DAG
+    # of depth exactly max_rounds finishes inside the loop — check the
+    # final state, don't rely on for/else
+    if not undecided.isEmpty():
         raise RuntimeError(
             "semdedup_keepers_greedy: keep-dependency chains deeper "
             f"than max_rounds={max_rounds}")

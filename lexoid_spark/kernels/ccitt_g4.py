@@ -210,7 +210,11 @@ def _find_b1_b2(ref: List[int], a0: int, color: int,
 def g4_decode(data: bytes, columns: int, rows: int) -> np.ndarray:
     """T.6 bytes → (rows, columns) uint8, ink (black) = 0, white=255.
     Raises :class:`CcittError` on malformed input."""
-    if columns <= 0 or rows <= 0 or columns > 1 << 16:
+    if columns <= 0 or rows <= 0 or columns > 1 << 16 or rows > 1 << 16 \
+            or rows * columns > 1 << 28:
+        # cap BOTH axes and the product: np.full allocates before any
+        # decoding, so a hostile /Rows must fail as CcittError (→
+        # quarantine), not as MemoryError escaping the typed-error path
         raise CcittError("bad dimensions")
     bits = _Bits(bytes(data))
     out = np.full((rows, columns), 255, dtype=np.uint8)

@@ -47,18 +47,24 @@ _N_STD_STRINGS = 391
 
 
 def _name_to_char(name: str) -> Optional[str]:
-    """AGL uniXXXX / uXXXX[XX] convention → character."""
+    """AGL uniXXXX / uXXXX[X[X]] convention → character. Surrogate
+    code points are excluded per the AGL spec — chr() would happily
+    return a lone surrogate, which crashes the first UTF-8 encode
+    downstream instead of falling back to the replacement char."""
+    hexpart = None
     if name.startswith("uni") and len(name) == 7:
-        try:
-            return chr(int(name[3:], 16))
-        except ValueError:
-            return None
-    if name.startswith("u") and len(name) in (5, 7):
-        try:
-            return chr(int(name[1:], 16))
-        except ValueError:
-            return None
-    return None
+        hexpart = name[3:]
+    elif name.startswith("u") and len(name) in (5, 6, 7):
+        hexpart = name[1:]
+    if hexpart is None:
+        return None
+    try:
+        cp = int(hexpart, 16)
+    except ValueError:
+        return None
+    if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+        return None
+    return chr(cp)
 
 
 def _read_index(b: bytes, pos: int) -> Tuple[List[bytes], int]:

@@ -163,3 +163,11 @@ class TestFuzz:
                 assert out.shape == (12, 48)
             except CcittError:
                 pass
+
+    def test_hostile_rows_capped(self):
+        """A hostile /Rows must raise CcittError before allocating —
+        never MemoryError escaping the quarantine path."""
+        with pytest.raises(CcittError):
+            g4_decode(b"\x00" * 16, 65536, 999999999)
+        with pytest.raises(CcittError):
+            g4_decode(b"\x00" * 16, 1 << 15, 1 << 15)

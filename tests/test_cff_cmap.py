@@ -104,3 +104,21 @@ class TestPdfIntegration:
         broken = pdf.replace(b"/FontFile3", b"/FontFileX")
         out = pdf_to_pages(broken)[0][1]
         assert "�" in out and "AB" not in out
+
+
+class TestAglNameEdges:
+    def test_surrogate_names_rejected(self):
+        """uniD834 etc. must NOT map to lone surrogates (they'd crash
+        the first UTF-8 encode downstream) — AGL excludes them."""
+        from lexoid_spark.kernels.cff_cmap import _name_to_char
+
+        assert _name_to_char("uniD834") is None
+        assert _name_to_char("uD800") is None
+        assert _name_to_char("u110000") is None  # beyond U+10FFFF
+
+    def test_five_digit_u_form(self):
+        from lexoid_spark.kernels.cff_cmap import _name_to_char
+
+        assert _name_to_char("u10330") == "\U00010330"
+        assert _name_to_char("u0041") == "A"
+        assert _name_to_char("uni0041") == "A"
