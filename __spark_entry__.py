@@ -56,7 +56,14 @@ def _materialize(df: DataFrame) -> DataFrame:
     writer instead of the engine. persist() restores the scan
     semantics; results are unchanged (the generators are
     deterministic). Spark's cache manager matches by analyzed plan, so
-    repeated bench invocations of the same query share one entry."""
+    repeated bench invocations of the same query share one entry.
+
+    Retention: there is deliberately no per-query unpersist — a
+    long-lived session accumulates one MEMORY_AND_DISK entry per
+    generated-fixture query (bounded by the fixture-query count, and
+    spill-backed, never OOM). Harness callers that loop many queries
+    (bench.py does) reclaim everything between rounds with
+    ``spark.catalog.clearCache()``."""
     return df.persist()
 
 

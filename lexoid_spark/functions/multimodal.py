@@ -109,11 +109,13 @@ def decode_video_header(b: bytes) -> tuple[int, int, int] | None:
 
 
 def decode_image_pixels(b: bytes) -> "np.ndarray":
-    """Real pixel decode. PNG, GIF and baseline JPEG are fully
-    implemented on numpy + the stdlib (``kernels/png_codec.py``: IDAT
-    inflate + scanline unfilter; ``kernels/gif_codec.py``:
+    """Real pixel decode. PNG, GIF and JPEG (baseline AND progressive
+    SOF2) are fully implemented on numpy + the stdlib
+    (``kernels/png_codec.py``: IDAT inflate + scanline unfilter,
+    Adam7, 16-bit, sub-byte depths; ``kernels/gif_codec.py``:
     variable-width LZW + palette; ``kernels/jpeg_codec.py``: Huffman +
-    IDCT + YCbCr). Progressive JPEG raises a typed JpegError (caller
+    successive-approximation/spectral-selection scans + IDCT +
+    YCbCr). Unsupported JPEG variants raise a typed JpegError (caller
     quarantines); the FAKE container has no pixels."""
     b = bytes(b)
     if b[:4] == b"\x89PNG":

@@ -439,7 +439,10 @@ def ivfpq_topk(embeddings: DataFrame, query_ids, k: int = 5,
     scoring touches only the m-byte codes plus a Q×m×k_pq LUT carried
     on the (tiny) probe rows — at 10^12 vectors the float column is
     never read after encode."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    probe = embeddings.select(vec_col).first()
+    if probe is None:
+        raise ValueError("empty embeddings table: cannot derive dim")
+    dim = len(probe[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sd = dim // m
@@ -536,6 +539,13 @@ def ivfpq_topk(embeddings: DataFrame, query_ids, k: int = 5,
     )
 
 
+# stable channel for the semdedup_keepers drop policy (the dynamic
+# ``.policy`` attribute is lost on any derived frame)
+SEMDEDUP_DOMINANCE_POLICY = (
+    "dominance-by-lower-id (NOT greedy keep-first): "
+    "chained near-dups a~b~c keep {a}, not {a,c}")
+
+
 def semdedup_keepers(embeddings: DataFrame, tau: float = 0.9,
                      n_centroids: int = 8, id_col: str = "vec_id",
                      vec_col: str = "embedding",
@@ -567,9 +577,11 @@ def semdedup_keepers(embeddings: DataFrame, tau: float = 0.9,
     out = embeddings.select(id_col).join(dropped, id_col, "left_anti")
     # surfaced so release tooling (corpus reports) can print the
     # policy next to the counts — a user comparing against published
-    # SemDeDup numbers must know chains are over-dropped here
-    out.policy = ("dominance-by-lower-id (NOT greedy keep-first): "
-                  "chained near-dups a~b~c keep {a}, not {a,c}")
+    # SemDeDup numbers must know chains are over-dropped here.
+    # NOTE: dynamic DataFrame attributes do not survive any further
+    # transformation/select — read it off the DIRECTLY returned frame,
+    # or use the stable module constant SEMDEDUP_DOMINANCE_POLICY.
+    out.policy = SEMDEDUP_DOMINANCE_POLICY
     return out
 
 

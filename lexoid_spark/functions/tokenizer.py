@@ -66,6 +66,11 @@ def phrase_merges(df: DataFrame, id_col: str, text_col: str,
     merges) would otherwise blow the analyzer. With truncation the
     live plan never holds more than ``checkpoint_every`` rewrite
     layers regardless of ``n_merges``."""
+    if any(c.isspace() for c in sep):
+        # the rewrite encodes token boundaries as TWO spaces; a sep
+        # containing whitespace would corrupt that delimiter scheme in
+        # later merge iterations (merged tokens must stay space-free)
+        raise ValueError(f"sep must not contain whitespace: {sep!r}")
     spark = df.sparkSession
     base = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
