@@ -3522,6 +3522,117 @@ FROM documents WHERE doc_id % 5 = 0 ORDER BY url
 """
 
 
+def _ocr_mixed_case(spark, sf):
+    """Mixed-case + punctuation OCR end to end (P5, the round-4
+    "closed uppercase-only glyph set" seam, closed this round): text
+    with lowercase, capitals, digits and punctuation rendered per
+    doc_id (PNG for even ids, lossy quality-95 JPEG for odd), routed
+    image→OCR by the full extract() plan; kernels/ocr_glyph.py
+    nearest-template-recognizes the exact string, so DuckDB predicts
+    the page text closed-form. Reference: parse_with_paddleocr
+    (static_parser.py:751-818)."""
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def mixed_scan(doc_ids: pd.Series) -> pd.Series:
+        from lexoid_spark.kernels.jpeg_codec import jpeg_encode
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.png_codec import png_encode
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            arr = render_text(
+                f"Doc {d} says 'Hello, world!'\npage {d % 9} of "
+                f"{d % 7 + 1} (ok).", scale=2)
+            if d % 2 == 0:
+                out.append(png_encode(arr[:, :, None]))
+            else:
+                out.append(jpeg_encode(arr[:, :, None], quality=95))
+        return pd.Series(out)
+
+    # 1-in-5 deterministic subset, offset from ocr_glyph_scan's
+    docs = _tp(spark, sf, "documents").filter(F.col("doc_id") % 5 == 1)
+    pages = docs.select(
+        F.concat(F.lit("http://mixed.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        mixed_scan("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(_materialize(pages), run_id="ocr_mixed")["extracted"]
+    return out.select("url", "raw", "parser_used").orderBy("url")
+
+
+_OCR_MIXED_CASE_SQL = """
+SELECT 'http://mixed.test/' || CAST(doc_id AS VARCHAR) AS url,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' says ''Hello, world!'' '
+       || 'page ' || CAST(doc_id % 9 AS VARCHAR)
+       || ' of ' || CAST(doc_id % 7 + 1 AS VARCHAR) || ' (ok).' AS raw,
+       'OCR_PARSE' AS parser_used
+FROM documents WHERE doc_id % 5 = 1 ORDER BY url
+"""
+
+
+def _ocr_noise_quarantine(spark, sf):
+    """The never-silently-wrong gate as a query: renders with
+    above-threshold noise (four whole glyph cells of the leading
+    letter flipped for doc_id % 3 == 0) must land in the ERRORS
+    table, clean renders in extracted — deterministic per doc_id, so
+    DuckDB predicts each document's fate closed-form. Pins the
+    confidence gate of the nearest-template recognizer
+    (kernels/ocr_glyph.py MAX_DIST/MARGIN) end to end through
+    extract()'s quarantine split."""
+    import numpy as np
+
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def noisy_scan(doc_ids: pd.Series) -> pd.Series:
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.png_codec import png_encode
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            arr = render_text(f"NOISE {d}", scale=2).copy()
+            if d % 3 == 0:
+                # margin=4px; flip 4 whole cells of the leading N
+                for r, c in [(1, 0), (1, 3), (3, 0), (5, 3)]:
+                    blk = arr[4 + r * 2:4 + (r + 1) * 2,
+                              4 + c * 2:4 + (c + 1) * 2]
+                    arr[4 + r * 2:4 + (r + 1) * 2,
+                        4 + c * 2:4 + (c + 1) * 2] = np.where(
+                            blk < 128, 255, 0)
+            out.append(png_encode(arr[:, :, None]))
+        return pd.Series(out)
+
+    docs = _tp(spark, sf, "documents").filter(F.col("doc_id") % 11 == 0)
+    pages = docs.select(
+        F.concat(F.lit("http://noise.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        noisy_scan("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(_materialize(pages), run_id="ocr_noise")
+    ok = out["extracted"].select(
+        "url", F.lit("extracted").alias("status"))
+    bad = out["errors"].select(
+        "url", F.lit("quarantined").alias("status"))
+    return ok.unionByName(bad).orderBy("url")
+
+
+_OCR_NOISE_QUARANTINE_SQL = """
+SELECT 'http://noise.test/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 3 = 0 THEN 'quarantined'
+            ELSE 'extracted' END AS status
+FROM documents WHERE doc_id % 11 = 0 ORDER BY url
+"""
+
+
 def _pdf_ocr_extract(spark, sf):
     """Scanner-output PDFs through the FULL extract() plan, rotating
     the four wild raster layouts on doc_id: a real JPEG embedded
@@ -6094,6 +6205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_cff_extract": _pdf_cff_extract,
         "ocr_scanned": _ocr_scanned,
         "ocr_glyph_scan": _ocr_glyph_scan,
+        "ocr_mixed_case": _ocr_mixed_case,
+        "ocr_noise_quarantine": _ocr_noise_quarantine,
         "pdf_ocr_extract": _pdf_ocr_extract,
         "pdf_speed_arm": _pdf_speed_arm,
         "pii_redact_docs": _pii_redact_docs,
@@ -6238,6 +6351,8 @@ def oracle_sql() -> dict[str, str]:
         "pdf_cff_extract": _PDF_CFF_SQL,
         "ocr_scanned": _OCR_SCANNED_SQL,
         "ocr_glyph_scan": _OCR_GLYPH_SCAN_SQL,
+        "ocr_mixed_case": _OCR_MIXED_CASE_SQL,
+        "ocr_noise_quarantine": _OCR_NOISE_QUARANTINE_SQL,
         "pdf_ocr_extract": _PDF_OCR_EXTRACT_SQL,
         "pdf_speed_arm": _PDF_SPEED_SQL,
         "pii_redact_docs": _PII_REDACT_SQL,

@@ -4,32 +4,63 @@ Reference behavior being matched: ``parse_with_paddleocr``
 (``lexoid/core/parse_type/static_parser.py:751-818``) recognizes text
 from rendered page images and joins the recognized words with spaces.
 The sandbox ships no OCR model, so recognition here is a
-deterministic template matcher over a fixed 5x7 bitmap font: images
-rendered with ``render_text`` / ``render_text_png`` (the corpus
-"scanned page" fixture class) decode through the repo's own from-
-scratch codecs (PNG inflate+unfilter, GIF LZW, baseline JPEG
-huffman+IDCT) and come back out as the exact original string. This is
-real OCR *plumbing* — pixel decode, binarization, line banding, glyph
-segmentation, template classification, word-box emission — with a
-closed glyph set instead of a neural recognizer; images whose ink
-does not segment into known templates raise (→ quarantine), never a
-silent wrong read.
+deterministic nearest-template matcher over a fixed bitmap font:
+images rendered with ``render_text`` / ``render_text_png`` (the
+corpus "scanned page" fixture class) decode through the repo's own
+from-scratch codecs (PNG inflate+unfilter, GIF LZW, JPEG huffman+
+IDCT) and come back out as the exact original string. This is real
+OCR *plumbing* — pixel decode, binarization, line banding, glyph
+segmentation, template scoring, word-box emission — with a closed
+glyph set instead of a neural recognizer.
 
-Font: A-Z, 0-9 on a 5x7 grid. Every glyph has ink in row 0 and row 6
-(so a line band is exactly 7*scale rows tall) and no internal blank
-column (so one glyph = one column run). Rendering uses 1*scale blank
-columns between letters and a 5*scale blank for the space character,
-making the inter-word gap 7*scale — the recognizer splits words on
-gaps > 3*scale.
+Font: mixed case A-Z/a-z, digits, and common punctuation on a 7-row
+grid with VARIABLE glyph widths (1-5 columns). Ascenders/descenders
+and x-height shapes live inside the 7 rows; every glyph is a single
+column run (no internal blank column), so one glyph = one run.
+
+Classification is nearest-template under Hamming distance with a
+confidence gate: a glyph is accepted only when the best template is
+within ``MAX_DIST`` cells AND beats the runner-up by ``MARGIN``
+cells. Any noise of fewer than ``MARGIN`` flipped cells therefore can
+NEVER produce a wrong character (a wrong winner would need
+``dist(true) >= dist(wrong) + MARGIN``): light noise either reads
+correctly or quarantines, heavy noise always quarantines — the
+never-silently-wrong property, now with tolerance instead of
+exact-match brittleness.
+
+Geometry invariants the recognizer relies on (asserted at import so a
+font edit can never silently break them):
+
+* every glyph's maximal ink-run lengths (along rows and columns) have
+  gcd 1, so the global gcd of ALL ink runs in a rendered image equals
+  the integer render scale — scale detection needs no metadata;
+* no internal blank column (one glyph = one column run) and no
+  internal blank-row gap > 4, and every glyph touches some row in
+  1..5, so with the renderer's 5-cell line gap, row-projection bands
+  merged across gaps <= 4*scale reconstruct lines unambiguously;
+* per width class, pairwise template distance >= 2 (no duplicates).
+
+Rendering uses 1-cell blank columns between letters and a 5-cell
+blank for the space character, making the inter-word gap >= 7*scale —
+the recognizer splits words on gaps > 3*scale.
 """
 
 from __future__ import annotations
 
+from math import gcd
 from typing import Dict, List, Tuple
 
 import numpy as np
 
 WordBox = Tuple[str, Tuple[float, float, float, float]]
+
+GLYPH_H = 7
+GLYPH_W = 5  # maximum width (uppercase/digit grid); real widths vary
+
+# accept a glyph iff best-template distance <= MAX_DIST and the
+# runner-up is at least MARGIN cells further — see module docstring
+MAX_DIST = 2
+MARGIN = 2
 
 _RAW_FONT = {
     "A": (".###.", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"),
@@ -68,9 +99,56 @@ _RAW_FONT = {
     "7": ("#####", "....#", "...#.", "..#..", "..#..", "..#..", "..#.."),
     "8": (".###.", "#...#", "#...#", ".###.", "#...#", "#...#", ".###."),
     "9": (".###.", "#...#", "#...#", ".####", "....#", "....#", ".###."),
+    # --- lowercase (x-height rows 2-6; ascenders use rows 0-1;
+    #     descender shapes folded into the 7-row cell) ---
+    "a": (".....", ".....", ".###.", "....#", ".####", "#...#", ".####"),
+    "b": ("#....", "#....", "####.", "#...#", "#...#", "#...#", "####."),
+    "c": (".....", ".....", ".####", "#....", "#....", "#....", ".####"),
+    "d": ("....#", "....#", ".####", "#...#", "#...#", "#...#", ".####"),
+    "e": (".....", ".....", ".###.", "#...#", "#####", "#....", ".###."),
+    "f": ("..##", ".#..", "####", ".#..", ".#..", ".#..", ".#.."),
+    "g": (".....", ".....", ".####", "#...#", ".####", "....#", ".###."),
+    "h": ("#....", "#....", "####.", "#...#", "#...#", "#...#", "#...#"),
+    "i": ("#", ".", "#", "#", "#", "#", "#"),
+    "j": ("..#", "...", "..#", "..#", "..#", "..#", "##."),
+    "k": ("#...", "#...", "#..#", "#.#.", "##..", "#.#.", "#..#"),
+    "l": ("#.", "#.", "#.", "#.", "#.", "#.", "##"),
+    "m": (".....", ".....", "####.", "#.#.#", "#.#.#", "#.#.#", "#.#.#"),
+    "n": (".....", ".....", "####.", "#...#", "#...#", "#...#", "#...#"),
+    "o": (".....", ".....", ".###.", "#...#", "#...#", "#...#", ".###."),
+    "p": (".....", ".....", "####.", "#...#", "####.", "#....", "#...."),
+    "q": (".....", ".....", ".####", "#...#", ".####", "....#", "....#"),
+    "r": (".....", ".....", "#.##.", "##..#", "#....", "#....", "#...."),
+    "s": (".....", ".....", ".####", "#....", ".###.", "....#", "####."),
+    "t": (".#..", ".#..", "####", ".#..", ".#..", ".#..", "..##"),
+    "u": (".....", ".....", "#...#", "#...#", "#...#", "#...#", ".####"),
+    "v": (".....", ".....", "#...#", "#...#", "#...#", ".#.#.", "..#.."),
+    "w": (".....", ".....", "#...#", "#...#", "#.#.#", "#.#.#", ".#.#."),
+    "x": (".....", ".....", "#...#", ".#.#.", "..#..", ".#.#.", "#...#"),
+    "y": (".....", ".....", "#...#", "#...#", ".####", "....#", ".###."),
+    "z": (".....", ".....", "#####", "...#.", "..#..", ".#...", "#####"),
+    # --- punctuation ---
+    ".": (".", ".", ".", ".", ".", "#", "#"),
+    ",": ("..", "..", "..", "..", "..", ".#", "#."),
+    ":": ("#", "#", ".", ".", "#", "#", "."),
+    ";": ("##", "..", "..", "..", "..", ".#", "#."),
+    "!": ("#", "#", "#", "#", ".", "#", "#"),
+    "?": (".###.", "#...#", "....#", "...#.", "..#..", ".....", "..#.."),
+    "'": ("#.", ".#", "..", "..", "..", "..", ".."),
+    '"': ("##", "##", "#.", "..", "..", "..", ".."),
+    "-": ("....", "....", "....", "####", "....", "....", "...."),
+    "+": ("...", ".#.", ".#.", "###", ".#.", ".#.", "..."),
+    "=": ("....", "....", "####", "....", "####", "....", "...."),
+    "(": (".#", "#.", "#.", "#.", "#.", "#.", ".#"),
+    ")": ("#.", ".#", ".#", ".#", ".#", ".#", "#."),
+    "/": ("....#", "...#.", "...#.", "..#..", ".#...", ".#...", "#...."),
+    "%": ("##..#", "##.#.", "...#.", "..#..", ".#...", ".#.##", "#..##"),
+    "&": (".##..", "#..#.", "#.#..", ".#...", "#.#.#", "#..#.", ".##.#"),
+    "*": (".....", "#.#.#", ".###.", "#####", ".###.", "#.#.#", "....."),
+    "#": (".#.#.", ".#.#.", "#####", ".#.#.", "#####", ".#.#.", ".#.#."),
+    "$": ("..#..", ".####", "#.#..", ".###.", "..#.#", "####.", "..#.."),
+    "@": (".###.", "#...#", "#.###", "#.#.#", "#.###", "#....", ".###."),
 }
-
-GLYPH_W, GLYPH_H = 5, 7
 
 
 def _bitmap(rows: Tuple[str, ...]) -> np.ndarray:
@@ -78,20 +156,75 @@ def _bitmap(rows: Tuple[str, ...]) -> np.ndarray:
 
 
 FONT: Dict[str, np.ndarray] = {ch: _bitmap(r) for ch, r in _RAW_FONT.items()}
-# classification index: 35-bit pattern → char (patterns are unique —
-# asserted at import so a font edit can never create a silent clash)
-_PATTERNS: Dict[int, str] = {}
-for _ch, _bm in FONT.items():
-    _key = int("".join("1" if b else "0" for b in _bm.ravel()), 2)
-    assert _key not in _PATTERNS, f"font clash: {_ch} vs {_PATTERNS[_key]}"
-    _PATTERNS[_key] = _ch
+
+
+def _ink_runs(bm: np.ndarray) -> List[int]:
+    """Maximal ink-run lengths along every row and every column."""
+    runs: List[int] = []
+    for axis_arr in (bm, bm.T):
+        for line in axis_arr:
+            d = np.flatnonzero(np.diff(np.r_[False, line, False]))
+            runs.extend((d[1::2] - d[::2]).tolist())
+    return runs
+
+
+def _check_font() -> Dict[int, List[Tuple[str, np.ndarray]]]:
+    """Import-time geometry invariants (module docstring) + the
+    width-class index used for classification."""
+    by_width: Dict[int, List[Tuple[str, np.ndarray]]] = {}
+    for ch, bm in FONT.items():
+        assert bm.shape[0] == GLYPH_H, f"{ch!r}: not 7 rows"
+        w = bm.shape[1]
+        assert 1 <= w <= GLYPH_W, f"{ch!r}: bad width {w}"
+        assert bm.any(), f"{ch!r}: blank glyph"
+        assert bm.any(axis=0).all(), f"{ch!r}: internal blank column"
+        rows = np.flatnonzero(bm.any(axis=1))
+        assert rows[0] <= 5 and rows[-1] >= 1, f"{ch!r}: single-edge-row ink"
+        gaps = np.diff(rows) - 1
+        assert (gaps <= 4).all(), f"{ch!r}: blank-row gap > 4"
+        g = 0
+        for r in _ink_runs(bm):
+            g = gcd(g, r)
+        assert g == 1, f"{ch!r}: ink-run gcd {g} breaks scale detection"
+        by_width.setdefault(w, []).append((ch, bm))
+    # no same-width pair may come within Hamming distance 2 under ANY
+    # in-cell vertical shift: the line-offset search reads a glyph
+    # through every feasible cell alignment, so a near-translate pair
+    # ('.' vs an apostrophe drawn as its shift) would let light noise
+    # trade a correct read at the true offset for a wrong read at a
+    # shifted one. With min shifted distance >= 2 plus the strict-win
+    # offset rule, sub-MARGIN noise still can never read WRONG.
+    for w, entries in by_width.items():
+        for i, (ca, ba) in enumerate(entries):
+            for cb, bb in entries[i + 1:]:
+                rows_a = np.flatnonzero(ba.any(axis=1))
+                for k in range(-int(rows_a[0]),
+                               GLYPH_H - int(rows_a[-1])):
+                    shifted = np.roll(ba, k, axis=0)
+                    d = int((shifted ^ bb).sum())
+                    assert d >= 2, (f"font clash: {ca!r} shifted {k} vs "
+                                    f"{cb!r} (dist {d})")
+    return by_width
+
+
+# width → (chars, stacked (n, 7, w) template tensor) for vectorized
+# Hamming scoring
+_BY_WIDTH: Dict[int, Tuple[List[str], np.ndarray]] = {
+    w: ([ch for ch, _ in entries],
+        np.stack([bm for _, bm in entries]))
+    for w, entries in _check_font().items()
+}
+
+_LINE_GAP = 5  # blank cells between lines (> max in-cell row gap 4)
+_SPACE_W = 5   # blank cells for the space character
 
 
 def render_text(text: str, scale: int = 2,
                 margin: int | None = None) -> np.ndarray:
-    """Render (uppercase A-Z / 0-9 / space / newline) to a grayscale
-    uint8 image: black ink on white, ``scale`` pixels per font cell,
-    1-cell letter gaps, 3-cell line gaps."""
+    """Render font text (mixed case, digits, punctuation, space,
+    newline) to a grayscale uint8 image: black ink on white,
+    ``scale`` pixels per font cell, 1-cell letter gaps, 5-cell line
+    gaps. Raises ValueError for characters outside the glyph set."""
     if margin is None:
         margin = 2 * scale
     lines = text.split("\n")
@@ -100,7 +233,7 @@ def render_text(text: str, scale: int = 2,
         cols: List[np.ndarray] = []
         for ch in line:
             if ch == " ":
-                cols.append(np.zeros((GLYPH_H, GLYPH_W), dtype=bool))
+                cols.append(np.zeros((GLYPH_H, _SPACE_W), dtype=bool))
             else:
                 bm = FONT.get(ch)
                 if bm is None:
@@ -116,7 +249,7 @@ def render_text(text: str, scale: int = 2,
     stacked: List[np.ndarray] = []
     for i, bm in enumerate(line_bitmaps):
         if i:
-            stacked.append(np.zeros((3, width), dtype=bool))  # line gap
+            stacked.append(np.zeros((_LINE_GAP, width), dtype=bool))
         pad = np.zeros((GLYPH_H, width), dtype=bool)
         pad[:, :bm.shape[1]] = bm
         stacked.append(pad)
@@ -140,42 +273,118 @@ def _to_ink(arr: np.ndarray) -> np.ndarray:
     return a < 128
 
 
+def _detect_scale(ink: np.ndarray) -> int:
+    """Integer render scale = gcd of every maximal ink-run length
+    (both axes): each run is scale * (a cell run whose per-glyph gcd
+    is 1 — asserted at import), so the gcd over any non-empty text is
+    exactly the scale."""
+    runs = _ink_runs(ink)
+    g = 0
+    for r in runs:
+        g = gcd(g, int(r))
+    return max(g, 1)
+
+
+def _cell_bits(ink: np.ndarray, r0: int, c0: int, c1: int,
+               s: int) -> np.ndarray:
+    """Observed glyph bitmap: image rows r0..r0+7s x cols c0..c1,
+    zero-filled out of bounds, block-averaged down to cell grid
+    (mean >= 0.5 — tolerant of sub-cell codec noise)."""
+    h, w = ink.shape
+    wc = (c1 - c0) // s
+    window = np.zeros((GLYPH_H * s, wc * s), dtype=bool)
+    rr0, rr1 = max(r0, 0), min(r0 + GLYPH_H * s, h)
+    if rr1 > rr0:
+        window[rr0 - r0:rr1 - r0, :] = ink[rr0:rr1, c0:c1]
+    cells = window.reshape(GLYPH_H, s, wc, s).mean(axis=(1, 3))
+    return cells >= 0.5
+
+
+def _score_run(ink: np.ndarray, r0: int, c0: int, c1: int,
+               s: int) -> Tuple[str, int, int]:
+    """(best_char, best_dist, runner_up_dist) for one column run at
+    cell-top row ``r0``; runner_up is a large sentinel when the width
+    class holds a single template."""
+    wc = (c1 - c0) // s
+    entry = _BY_WIDTH.get(wc)
+    if entry is None:
+        raise ValueError(f"no glyph template of width {wc}")
+    chars, templates = entry
+    bits = _cell_bits(ink, r0, c0, c1, s)
+    dists = (templates ^ bits[None]).sum(axis=(1, 2))
+    order = np.argsort(dists, kind="stable")
+    best = int(order[0])
+    second = int(dists[order[1]]) if len(order) > 1 else 10_000
+    return chars[best], int(dists[best]), second
+
+
 def recognize_pixels(arr: np.ndarray) -> Tuple[str, List[WordBox]]:
     """Template-match a rendered image back to its text. Returns
     (words joined by spaces in reading order, normalized word boxes) —
     the parse_with_paddleocr output shape. Raises ValueError on ink
-    that does not segment into known glyphs."""
+    that does not segment into the glyph set with confidence
+    (best distance <= MAX_DIST with a MARGIN-cell lead — noise below
+    MARGIN flipped cells can never read as a WRONG character)."""
     ink = _to_ink(arr)
     h, w = ink.shape
     if not ink.any():
         return "", []
+    s = _detect_scale(ink)
     row_has = ink.any(axis=1)
-    # line bands = maximal runs of non-blank rows
     bounds = np.flatnonzero(np.diff(np.r_[False, row_has, False]))
+    raw_bands = list(zip(bounds[::2], bounds[1::2]))
+    # merge bands split by in-cell blank rows (gap <= 4s); real line
+    # gaps are >= 5s by the renderer geometry
+    bands: List[Tuple[int, int]] = []
+    for top, bot in raw_bands:
+        if bands and top - bands[-1][1] <= 4 * s:
+            bands[-1] = (bands[-1][0], bot)
+        else:
+            bands.append((top, bot))
     words: List[str] = []
     boxes: List[WordBox] = []
-    for top, bot in zip(bounds[::2], bounds[1::2]):
+    for top, bot in bands:
+        if bot - top > GLYPH_H * s:
+            raise ValueError("line band taller than a glyph cell "
+                             "(unknown font or non-text ink)")
         band = ink[top:bot]
-        if (bot - top) % GLYPH_H:
-            raise ValueError("line band height is not a glyph multiple")
-        scale = (bot - top) // GLYPH_H
         col_has = band.any(axis=0)
         cbounds = np.flatnonzero(np.diff(np.r_[False, col_has, False]))
-        runs = list(zip(cbounds[::2], cbounds[1::2]))
+        runs = [(int(c0), int(c1))
+                for c0, c1 in zip(cbounds[::2], cbounds[1::2])]
+        for c0, c1 in runs:
+            if (c1 - c0) % s:
+                raise ValueError("glyph run width is not a scale "
+                                 "multiple (unknown font or non-text ink)")
+        # the band's cell-top offset is ambiguous for x-height-only
+        # lines: try every feasible offset, keep the lowest-total-
+        # distance interpretation (ties -> smallest offset)
+        max_off = GLYPH_H - -(-(bot - top) // s)  # 7 - ceil(band/s)
+        best_total, best_scored, runner_total = None, None, None
+        for off in range(max_off + 1):
+            r0 = top - off * s
+            scored = [_score_run(ink, r0, c0, c1, s) for c0, c1 in runs]
+            total = sum(d for _, d, _2 in scored)
+            if best_total is None or total < best_total:
+                best_total, runner_total = total, best_total
+                best_scored = scored
+            elif runner_total is None or total < runner_total:
+                runner_total = total
+        assert best_scored is not None
+        if runner_total is not None and runner_total == best_total:
+            # two alignments explain the ink equally well (a line of
+            # only floating punctuation, e.g. "...") — never guess
+            raise ValueError("ambiguous vertical alignment for line "
+                             "(floating-punctuation-only band)")
         cur: List[str] = []
         cur_x0 = None
         prev_end = None
-        for c0, c1 in runs:
-            if (c1 - c0) != GLYPH_W * scale:
-                raise ValueError("glyph run width mismatch (unknown "
-                                 "font or non-text ink)")
-            cell = band[:, c0:c1].reshape(GLYPH_H, scale, GLYPH_W, scale)
-            bits = cell.mean(axis=(1, 3)) >= 0.5
-            key = int("".join("1" if b else "0" for b in bits.ravel()), 2)
-            ch = _PATTERNS.get(key)
-            if ch is None:
-                raise ValueError("unrecognized glyph bitmap")
-            if prev_end is not None and (c0 - prev_end) > 3 * scale:
+        for (c0, c1), (ch, dist, second) in zip(runs, best_scored):
+            if dist > MAX_DIST or second - dist < MARGIN:
+                raise ValueError(
+                    f"glyph below confidence (best {ch!r} d={dist}, "
+                    f"runner-up d={second})")
+            if prev_end is not None and (c0 - prev_end) > 3 * s:
                 words.append("".join(cur))
                 boxes.append(("".join(cur), (
                     round(cur_x0 / w, 6), round(top / h, 6),

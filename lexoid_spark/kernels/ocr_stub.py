@@ -7,14 +7,16 @@ parse_with_paddleocr): image files and image-bearing PDFs route to
 OCR; per page the recognized texts join with spaces, pages join with
 ``"\\n\\n"``, and each page segment carries normalized word bboxes.
 
-Recognition is now REAL-pixel end to end: PNG/GIF/baseline-JPEG
-payloads decode through the repo's from-scratch codecs and go through
+Recognition is REAL-pixel end to end: PNG/GIF/JPEG payloads decode
+through the repo's from-scratch codecs and go through
 ``kernels/ocr_glyph.py`` — binarization, line banding, glyph
-segmentation, 5x7 template classification, word-box emission. The
-glyph set is closed (A-Z, 0-9 — a deterministic stand-in for a neural
-recognizer, honestly NOT a model); ink that doesn't segment into
-known templates raises and the document quarantines, never a silent
-wrong read. The legacy FAKE container (header-only, no pixels) keeps
+segmentation, nearest-template classification with a confidence
+margin, word-box emission. The glyph set is closed (mixed-case
+A-Z/a-z, digits, common punctuation, variable widths — a
+deterministic stand-in for a neural recognizer, honestly NOT a
+model); ink whose best template is not confidently ahead of the
+runner-up raises and the document quarantines, never a silent wrong
+read. The legacy FAKE container (header-only, no pixels) keeps
 its header-derived recognition so the pixel-less fixture class stays
 supported. Swapping in a real OCR model later replaces only the
 recognizer functions; the routing, schemas, and per-page segment

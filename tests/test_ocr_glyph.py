@@ -62,14 +62,40 @@ class TestRoundTrip:
         assert text == "JPEG SCAN 7"
 
 
+class TestMixedCase:
+    def test_mixed_case_and_punctuation(self):
+        msg = "Hello, world! Quick brown fox 3.14\nsecond line (50%) a+b=c"
+        text, boxes = recognize_pixels(render_text(msg, scale=2))
+        assert text == msg.replace("\n", " ")
+        assert [b[0] for b in boxes] == msg.replace("\n", " ").split()
+
+    def test_xheight_only_line(self):
+        # no ascender/descender anchor: the offset search must still
+        # pick the right cell alignment via strict-win total distance
+        text, _ = recognize_pixels(render_text("ace race on.", scale=3))
+        assert text == "ace race on."
+
+    def test_small_noise_still_reads(self):
+        """Sub-MARGIN noise (one flipped cell) reads correctly —
+        nearest-template with a confidence margin replaces round-4's
+        brittle exact match."""
+        arr = render_text("TEXT NOISE", scale=2).copy()
+        # margin=4px; flip blank cell (row 3, col 0) of the leading T
+        arr[4 + 3 * 2:4 + 4 * 2, 4 + 0:4 + 2] = 0
+        text, _ = recognize_pixels(arr)
+        assert text == "TEXT NOISE"
+
+
 class TestQuarantine:
-    def test_unknown_glyph_raises(self):
-        arr = render_text("AB", scale=2).copy()
-        # flip a glyph-interior block to forge an unseen bitmap
-        ink = np.argwhere(arr < 128)
-        y, x = ink[len(ink) // 2]
-        arr[y:y + 2, x:x + 2] = 255
-        with pytest.raises(ValueError):
+    def test_heavy_noise_raises(self):
+        """Above-threshold noise (4 flipped cells) quarantines — never
+        a silent wrong read."""
+        arr = render_text("TEXT NOISE", scale=2).copy()
+        for r, c in [(1, 0), (1, 3), (3, 0), (5, 3)]:
+            blk = arr[4 + r * 2:4 + (r + 1) * 2, 4 + c * 2:4 + (c + 1) * 2]
+            arr[4 + r * 2:4 + (r + 1) * 2, 4 + c * 2:4 + (c + 1) * 2] = \
+                np.where(blk < 128, 255, 0)
+        with pytest.raises(ValueError, match="below confidence"):
             recognize_pixels(arr)
 
     def test_non_glyph_ink_raises(self):
@@ -80,7 +106,7 @@ class TestQuarantine:
 
     def test_renderer_rejects_unknown_char(self):
         with pytest.raises(ValueError, match="glyph font"):
-            render_text("lower")
+            render_text("emdash —")
 
 
 class TestExtractIntegration:
