@@ -3575,6 +3575,68 @@ FROM documents WHERE doc_id % 5 = 1 ORDER BY url
 """
 
 
+def _pdf_inline_image(spark, sf):
+    """BI/ID/EI inline images through the FULL extract() plan,
+    rotating five wild layouts on doc_id: Flate samples with /L,
+    PNG-predicted Flate (/DP /Predictor 15), CCITT G4 fax (/CCF),
+    unfiltered samples WITHOUT /L (the EI-scan fallback), and a
+    verbatim JPEG under /DCT. The reference's has-image byte scan
+    (utils.py:467-481) cannot see inline images, so the text
+    interpreter detects the BI operator mid-stream and reroutes the
+    document to the OCR arm (kernels/pdf_md.py PdfInlineImageError) —
+    a deliberate capability add over the reference. Recognition is a
+    pure function of doc_id, so DuckDB predicts the page text
+    closed-form."""
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def inline_pdf(doc_ids: pd.Series) -> pd.Series:
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.jpeg_codec import jpeg_encode
+        from lexoid_spark.kernels.ocr_glyph import render_text
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            v = d % 5
+            arr = render_text(f"INLINE {d}\nline {d % 6} ok.", scale=2)
+            if v == 0:
+                raster = {"gray": arr}
+            elif v == 1:
+                raster = {"gray": arr, "predictor": 15}
+            elif v == 2:
+                raster = {"gray": arr, "codec": "g4"}
+            elif v == 3:
+                raster = {"gray": arr, "raw": True}
+            else:
+                raster = jpeg_encode(arr[:, :, None], quality=95)
+            out.append(build_pdf([{"inline_images": [raster]}]))
+        return pd.Series(out)
+
+    # 1-in-13 deterministic subset: build→scan→decode→recognize is
+    # honest per-doc pixel work; pdf_ocr_extract keeps the XObject arm
+    docs = _tp(spark, sf, "documents").filter(F.col("doc_id") % 13 == 0)
+    pages = docs.select(
+        F.concat(F.lit("http://inlinepdf.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        inline_pdf("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(_materialize(pages), run_id="inline_pdf")["extracted"]
+    return out.select("url", "raw", "parser_used").orderBy("url")
+
+
+_PDF_INLINE_IMAGE_SQL = """
+SELECT 'http://inlinepdf.test/' || CAST(doc_id AS VARCHAR) AS url,
+       'INLINE ' || CAST(doc_id AS VARCHAR)
+       || ' line ' || CAST(doc_id % 6 AS VARCHAR) || ' ok.' AS raw,
+       'OCR_PARSE' AS parser_used
+FROM documents WHERE doc_id % 13 = 0 ORDER BY url
+"""
+
+
 def _ocr_noise_quarantine(spark, sf):
     """The never-silently-wrong gate as a query: renders with
     above-threshold noise (four whole glyph cells of the leading
@@ -6207,6 +6269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_glyph_scan": _ocr_glyph_scan,
         "ocr_mixed_case": _ocr_mixed_case,
         "ocr_noise_quarantine": _ocr_noise_quarantine,
+        "pdf_inline_image": _pdf_inline_image,
         "pdf_ocr_extract": _pdf_ocr_extract,
         "pdf_speed_arm": _pdf_speed_arm,
         "pii_redact_docs": _pii_redact_docs,
@@ -6353,6 +6416,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_glyph_scan": _OCR_GLYPH_SCAN_SQL,
         "ocr_mixed_case": _OCR_MIXED_CASE_SQL,
         "ocr_noise_quarantine": _OCR_NOISE_QUARANTINE_SQL,
+        "pdf_inline_image": _PDF_INLINE_IMAGE_SQL,
         "pdf_ocr_extract": _PDF_OCR_EXTRACT_SQL,
         "pdf_speed_arm": _PDF_SPEED_SQL,
         "pii_redact_docs": _PII_REDACT_SQL,

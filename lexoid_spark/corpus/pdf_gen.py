@@ -502,6 +502,69 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
             ))
         image_nums.append(img_nums_page)
         stream = page_content_stream(page)
+        # inline images (BI/ID/EI, ISO 32000-1 §8.9.7) appended to the
+        # content stream with ABBREVIATED dict keys — the wild layout
+        # small scanner/fax producers emit. Entries use the
+        # raster_images grammar: {"gray": arr} → Flate with /L,
+        # {"gray": arr, "predictor": 15} → PNG-predicted Flate,
+        # {"gray": arr, "codec": "g4"} → CCITT G4 via /CCF,
+        # {"gray": arr, "raw": True} → unfiltered samples WITHOUT /L
+        # (exercises the EI-scan fallback; raw 0/255 bytes can never
+        # collide with a whitespace-delimited EI), or JPEG bytes → /DCT.
+        inline_parts: List[bytes] = []
+        for raster in page.get("inline_images", []):
+            if isinstance(raster, dict) and raster.get("codec") == "g4":
+                from lexoid_spark.kernels.ccitt_g4 import g4_encode
+
+                arr = raster["gray"]
+                ih, iw = arr.shape
+                enc = g4_encode(arr)
+                inline_parts.append(
+                    b"BI /W %d /H %d /CS /G /BPC 1 /F /CCF "
+                    b"/DP << /K -1 /Columns %d /Rows %d >> /L %d "
+                    b"ID\n%s\nEI" % (iw, ih, iw, ih, len(enc), enc))
+            elif isinstance(raster, dict) and raster.get("raw"):
+                arr = raster["gray"]
+                ih, iw = arr.shape
+                inline_parts.append(
+                    b"BI /W %d /H %d /CS /G /BPC 8 ID\n%s\nEI"
+                    % (iw, ih, arr.tobytes()))
+            elif isinstance(raster, dict):
+                import zlib as _z
+
+                arr = raster["gray"]
+                ih, iw = arr.shape
+                pred = int(raster.get("predictor", 1))
+                samples = arr.tobytes()
+                if pred >= 10:
+                    rows = b"".join(
+                        b"\x00" + samples[y * iw:(y + 1) * iw]
+                        for y in range(ih))
+                    # DP entries keep their FULL parm names (the
+                    # abbreviations cover image-dict keys; the filter
+                    # parms dict is the standard LZW/Flate one)
+                    parms = (b" /DP << /Predictor 15 /Colors 1"
+                             b" /BitsPerComponent 8 /Columns %d >>" % iw)
+                else:
+                    rows = samples
+                    parms = b""
+                packed = _z.compress(rows, 9)
+                inline_parts.append(
+                    b"BI /W %d /H %d /CS /G /BPC 8 /F /Fl%s /L %d "
+                    b"ID\n%s\nEI" % (iw, ih, parms, len(packed), packed))
+            else:
+                jpg = raster
+                from lexoid_spark.functions.multimodal import (
+                    decode_image_header,
+                )
+
+                jw, jh, jc = decode_image_header(jpg)
+                cs = b"/RGB" if jc == 3 else b"/G"
+                inline_parts.append(
+                    b"BI /W %d /H %d /CS %s /BPC 8 /F /DCT /L %d "
+                    b"ID\n%s\nEI" % (jw, jh, cs, len(jpg), jpg))
+        if inline_parts:
+            stream = stream + b"\n" + b"\n".join(inline_parts) + b"\n"
         filt = b""
         if stream_filter:
             stream, filt = _package_stream(stream, stream_filter)

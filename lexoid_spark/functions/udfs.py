@@ -144,20 +144,29 @@ def _extract_one(doctype: str, payload, pdf_framework: str = "pdfplumber",
         ]
     elif doctype == "pdf":
         has_image, _ = pdf_flags(payload)
+        if not has_image:
+            # text arms; a BI/ID/EI inline image mid-stream reroutes
+            # the document to the OCR arm (the byte-scan flag cannot
+            # see inline images — pdf_md.PdfInlineImageError docstring)
+            from lexoid_spark.kernels.pdf_md import PdfInlineImageError
+
+            try:
+                if pdf_framework == "pdfminer":
+                    from lexoid_spark.kernels.pdf_md import pdf_to_text_pages
+
+                    pages = pdf_to_text_pages(payload, start=0)
+                    raw = "\n".join(c for _, c in pages)  # static_parser.py:170
+                else:
+                    pages = pdf_to_pages(payload, start=0)
+                    raw = "\n\n".join(c for _, c in pages)
+            except PdfInlineImageError:
+                has_image = True
         if has_image:
             from lexoid_spark.kernels.ocr_stub import ocr_pdf_to_pages
 
             pages = [(p, c) for p, c, _b in ocr_pdf_to_pages(payload)]
             raw = "\n\n".join(c for _, c in pages)  # static_parser.py:812
             parser = "OCR_PARSE"
-        elif pdf_framework == "pdfminer":
-            from lexoid_spark.kernels.pdf_md import pdf_to_text_pages
-
-            pages = pdf_to_text_pages(payload, start=0)
-            raw = "\n".join(c for _, c in pages)  # static_parser.py:170
-        else:
-            pages = pdf_to_pages(payload, start=0)
-            raw = "\n\n".join(c for _, c in pages)
         segs = [
             {"page": p, "section": None, "content": c} for p, c in pages
         ]

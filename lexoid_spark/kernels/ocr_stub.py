@@ -198,11 +198,16 @@ def ocr_pdf_to_pages(payload, start: int = 0) -> List[Tuple[int, str, List[WordB
     stands in for the render). Two payload shapes decode: file-format
     rasters (FAKE container / PNG / GIF / DCTDecode JPEG bytes) and
     raw Flate samples (optionally PNG-predicted) described by the
-    XObject dict."""
-    from lexoid_spark.kernels.pdf_md import pdf_image_xobjects
+    XObject dict. BI/ID/EI inline images (canonicalized by
+    pdf_inline_images) go through the SAME decode arms, after the
+    XObjects."""
+    from lexoid_spark.kernels.pdf_md import (
+        pdf_image_xobjects,
+        pdf_inline_images,
+    )
 
     pages = []
-    for header, img in pdf_image_xobjects(payload):
+    for header, img in pdf_image_xobjects(payload) + pdf_inline_images(payload):
         if img.startswith(IMG_MAGIC) or img.startswith(_REAL_MAGICS):
             pages.append(_recognize(img))
             continue

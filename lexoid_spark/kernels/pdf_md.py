@@ -641,6 +641,13 @@ def _lex_content(data: bytes) -> List[Tuple[str, object]]:
     return toks
 
 
+class PdfInlineImageError(ValueError):
+    """A content stream carries a BI/ID/EI inline image: the text
+    interpreter cannot parse past the binary payload, so the document
+    must be rerouted to the OCR arm (or quarantined by callers that
+    cannot reroute)."""
+
+
 def _interpret_content(stream: bytes, height: float,
                        fonts: Dict[str, str], page: PdfPage) -> None:
     """Run the text/path operators of one content stream into ``page``.
@@ -808,6 +815,17 @@ def _interpret_content(stream: bytes, height: float,
             path_segs = []
             path_rects = []
             cur_pt = None
+        elif op == "BI":
+            # inline image (BI ... ID <binary> EI, ISO 32000-1 §8.9.7):
+            # binary follows in the RAW stream, so the text interpreter
+            # cannot continue past it. Signal the caller — the dispatch
+            # layer reroutes the document to the OCR arm, the same
+            # treatment image XObjects get via the has_image flag.
+            # (The reference's byte-scan flag misses inline images
+            # entirely — utils.py:467-481 looks for the '/Image'
+            # keyword — so this routing is a deliberate capability add.)
+            raise PdfInlineImageError(
+                "content stream carries a BI/ID/EI inline image")
         # every operator consumes its operands (lenient postfix model)
         stack.clear()
 
@@ -1724,6 +1742,122 @@ def pdf_image_payloads(data) -> List[bytes]:
     """Embedded /Subtype /Image XObject stream payloads, in object
     order — the input units for the OCR arm (P5)."""
     return [p for _h, p in pdf_image_xobjects(data)]
+
+
+# inline-image dict abbreviations (ISO 32000-1 Table 93/94) → the full
+# names the raster arms read; token-boundary regexes so /F never eats
+# /Fl and /D never eats /DP or /DCT
+_INLINE_ABBREVS = (
+    (b"BPC", b"BitsPerComponent"), (b"CS", b"ColorSpace"),
+    (b"DP", b"DecodeParms"), (b"IM", b"ImageMask"), (b"W", b"Width"),
+    (b"H", b"Height"), (b"F", b"Filter"), (b"L", b"Length"),
+    (b"G", b"DeviceGray"), (b"RGB", b"DeviceRGB"), (b"I", b"Interpolate"),
+    (b"D", b"Decode"), (b"Fl", b"FlateDecode"), (b"DCT", b"DCTDecode"),
+    (b"CCF", b"CCITTFaxDecode"), (b"AHx", b"ASCIIHexDecode"),
+)
+
+
+def _expand_inline_dict(d: bytes) -> bytes:
+    for abbr, full in _INLINE_ABBREVS:
+        d = re.sub(rb"/" + abbr + rb"(?![A-Za-z0-9])", b"/" + full, d)
+    return d
+
+
+def _page_content_streams(data: bytes) -> List[bytes]:
+    """Decoded (filters applied) content stream per page, in page
+    order — the object/page walk of parse_pdf without the text
+    interpretation (encrypted documents out of scope here: they
+    quarantine on the text path before inline extraction matters)."""
+    scanned = _parse_objects(bytes(data))
+    scanned.update(_objects_via_xref(data))
+    objs = _expand_object_streams(scanned)
+    page_nums: List[int] = []
+    for _num, obj in objs.items():
+        if b"/Type /Catalog" in obj:
+            pages_ref = _ref_after(obj, b"/Pages")
+            if pages_ref in objs:
+                page_nums = _refs_in_brackets(objs[pages_ref], b"/Kids")
+            break
+    if not page_nums:
+        page_nums = sorted(
+            n for n, o in objs.items()
+            if b"/Type /Page" in o and b"/Pages" not in o
+        )
+    out = []
+    for pnum in page_nums:
+        pobj = objs.get(pnum)
+        if pobj is None:
+            continue
+        crefs = _refs_in_brackets(pobj, b"/Contents")
+        if not crefs:
+            cref = _ref_after(pobj, b"/Contents")
+            crefs = [cref] if cref is not None else []
+        out.append(b"\n".join(
+            _stream_bytes(objs[r]) for r in crefs if r in objs))
+    return out
+
+
+_BI_RE = re.compile(rb"(?:^|[\s>])BI(?=[\s/])")
+_ID_RE = re.compile(rb"(?<=[\s>])ID(?=[\s])")
+_EI_RE = re.compile(rb"\sEI(?=\s|$)")
+
+
+def pdf_inline_images(data) -> List[Tuple[bytes, bytes]]:
+    """BI/ID/EI inline images (ISO 32000-1 §8.9.7) from every page
+    content stream, as ``(canonical_header, payload)`` — abbreviations
+    expanded to the full names so the same raster arms that consume
+    image XObjects (:func:`pdf_image_xobjects`) interpret them:
+    FlateDecode payloads come back inflated (PNG predictors stay
+    declared in the header for the caller's unfilter), DCTDecode JPEG
+    and CCITTFaxDecode fax bytes come back verbatim. The payload end
+    is the /L (Length) entry when present, else the first whitespace-
+    delimited EI (exact for unfiltered fixtures — raw 0/255 samples
+    can never contain it). Malformed inline images raise (→
+    quarantine), never a silent skip. The reference's has-image byte
+    scan (utils.py:467-481) misses inline images entirely; surfacing
+    them to the OCR arm is a deliberate capability add."""
+    if data is None:
+        return []
+    out: List[Tuple[bytes, bytes]] = []
+    for stream in _page_content_streams(bytes(data)):
+        pos = 0
+        while True:
+            m = _BI_RE.search(stream, pos)
+            if m is None:
+                break
+            id_m = _ID_RE.search(stream, m.end())
+            if id_m is None:
+                raise ValueError("inline image: BI without ID")
+            header = (b"<< /Subtype /Image "
+                      + _expand_inline_dict(stream[m.end():id_m.start()])
+                      + b" >>")
+            data_start = id_m.end() + 1  # ID + exactly one whitespace
+            length = _int_after(header, b"/Length")
+            if length is not None:
+                if data_start + length > len(stream):
+                    raise ValueError("inline image: /L beyond stream")
+                payload = stream[data_start:data_start + length]
+                pos = data_start + length
+            else:
+                e = _EI_RE.search(stream, data_start)
+                if e is None:
+                    raise ValueError("inline image: ID without EI")
+                payload = stream[data_start:e.start()]
+                pos = e.end()
+            if b"/ASCIIHexDecode" in header:
+                hx = re.sub(rb"[^0-9A-Fa-f]", b"", payload.rstrip(b">"))
+                if len(hx) % 2:
+                    hx += b"0"
+                payload = bytes.fromhex(hx.decode("latin-1"))
+            if b"/FlateDecode" in header:
+                import zlib
+                try:
+                    payload = zlib.decompress(payload)
+                except zlib.error as exc:
+                    raise ValueError(
+                        f"inline image: bad Flate payload: {exc}") from exc
+            out.append((header, payload))
+    return out
 
 
 def pdf_to_pages_with_bboxes(data, start: int = 0):
