@@ -3575,6 +3575,56 @@ FROM documents WHERE doc_id % 5 = 1 ORDER BY url
 """
 
 
+def _pdf_g3_scan(spark, sf):
+    """CCITT Group 3 fax scans (ITU-T T.4) through the FULL extract()
+    plan, rotating the two /K regimes on doc_id: pure 1-D MH (/K 0,
+    the PDF default) and mixed 2-D MR (/K 4, EOL+tag framed) — the
+    legacy-fax counterparts of the pdf_ocr_extract G4 arm. Route:
+    sniff → has_image flag → OCR arm → T.4 run-length decode → glyph
+    recognition. Reference reads such PDFs via pdfplumber/pypdfium
+    (static_parser.py:700-727); the codec itself has no reference
+    code. Recognition is a pure function of doc_id, so DuckDB
+    predicts the page text closed-form."""
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def g3_pdf(doc_ids: pd.Series) -> pd.Series:
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.ocr_glyph import render_text
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            arr = render_text(f"G3 FAX {d}\nrow {d % 6} ok", scale=2)
+            codec = "g3" if d % 2 == 0 else "g3-2d"
+            out.append(build_pdf(
+                [{"raster_images": [{"gray": arr, "codec": codec}]}]))
+        return pd.Series(out)
+
+    # 1-in-9 deterministic subset: build→scan→T.4-decode→recognize is
+    # honest per-doc pixel work; pdf_ocr_extract keeps the G4 arm
+    docs = _tp(spark, sf, "documents").filter(F.col("doc_id") % 9 == 0)
+    pages = docs.select(
+        F.concat(F.lit("http://g3pdf.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        g3_pdf("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(_materialize(pages), run_id="g3_pdf")["extracted"]
+    return out.select("url", "raw", "parser_used").orderBy("url")
+
+
+_PDF_G3_SCAN_SQL = """
+SELECT 'http://g3pdf.test/' || CAST(doc_id AS VARCHAR) AS url,
+       'G3 FAX ' || CAST(doc_id AS VARCHAR)
+       || ' row ' || CAST(doc_id % 6 AS VARCHAR) || ' ok' AS raw,
+       'OCR_PARSE' AS parser_used
+FROM documents WHERE doc_id % 9 = 0 ORDER BY url
+"""
+
+
 def _pdf_inline_image(spark, sf):
     """BI/ID/EI inline images through the FULL extract() plan,
     rotating five wild layouts on doc_id: Flate samples with /L,
@@ -6269,6 +6319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_glyph_scan": _ocr_glyph_scan,
         "ocr_mixed_case": _ocr_mixed_case,
         "ocr_noise_quarantine": _ocr_noise_quarantine,
+        "pdf_g3_scan": _pdf_g3_scan,
         "pdf_inline_image": _pdf_inline_image,
         "pdf_ocr_extract": _pdf_ocr_extract,
         "pdf_speed_arm": _pdf_speed_arm,
@@ -6416,6 +6467,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_glyph_scan": _OCR_GLYPH_SCAN_SQL,
         "ocr_mixed_case": _OCR_MIXED_CASE_SQL,
         "ocr_noise_quarantine": _OCR_NOISE_QUARANTINE_SQL,
+        "pdf_g3_scan": _PDF_G3_SCAN_SQL,
         "pdf_inline_image": _PDF_INLINE_IMAGE_SQL,
         "pdf_ocr_extract": _PDF_OCR_EXTRACT_SQL,
         "pdf_speed_arm": _PDF_SPEED_SQL,

@@ -401,20 +401,32 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
         # optionally PNG-predicted (/DecodeParms /Predictor 15 with a
         # per-row filter byte).
         for raster in page.get("raster_images", []):
-            if isinstance(raster, dict) and raster.get("codec") == "g4":
-                # B/W fax scan: ITU-T T.6 under /CCITTFaxDecode /K -1
-                from lexoid_spark.kernels.ccitt_g4 import g4_encode
+            if isinstance(raster, dict) and \
+                    raster.get("codec") in ("g4", "g3", "g3-2d"):
+                # B/W fax scan under /CCITTFaxDecode: "g4" = ITU-T T.6
+                # (/K -1), "g3" = pure 1-D T.4 MH (/K 0), "g3-2d" =
+                # mixed 2-D T.4 MR (/K 4, EOL+tag framed)
+                from lexoid_spark.kernels.ccitt_g4 import (
+                    g3_encode,
+                    g4_encode,
+                )
 
                 arr = raster["gray"]
                 ih, iw = arr.shape
-                enc = g4_encode(arr)
+                codec = raster["codec"]
+                if codec == "g4":
+                    enc, kparm = g4_encode(arr), -1
+                elif codec == "g3":
+                    enc, kparm = g3_encode(arr, 0), 0
+                else:
+                    enc, kparm = g3_encode(arr, 4), 4
                 img_nums_page.append(add(
                     (b"<< /Type /XObject /Subtype /Image /Width %d "
                      b"/Height %d /ColorSpace /DeviceGray "
                      b"/BitsPerComponent 1 /Filter /CCITTFaxDecode "
-                     b"/DecodeParms << /K -1 /Columns %d /Rows %d >> "
+                     b"/DecodeParms << /K %d /Columns %d /Rows %d >> "
                      b"/Length %d >>\nstream\n%s\nendstream"
-                     % (iw, ih, iw, ih, len(enc), enc))
+                     % (iw, ih, kparm, iw, ih, len(enc), enc))
                 ))
                 continue
             if isinstance(raster, dict) and "indexed" in raster:

@@ -207,75 +207,154 @@ def _find_b1_b2(ref: List[int], a0: int, color: int,
     return b1, b2
 
 
-def g4_decode(data: bytes, columns: int, rows: int) -> np.ndarray:
-    """T.6 bytes → (rows, columns) uint8, ink (black) = 0, white=255.
-    Raises :class:`CcittError` on malformed input."""
+def _check_dims(columns: int, rows: int) -> None:
     if columns <= 0 or rows <= 0 or columns > 1 << 16 or rows > 1 << 16 \
             or rows * columns > 1 << 28:
         # cap BOTH axes and the product: np.full allocates before any
         # decoding, so a hostile /Rows must fail as CcittError (→
         # quarantine), not as MemoryError escaping the typed-error path
         raise CcittError("bad dimensions")
+
+
+def _decode_line_2d(bits: _Bits, ref: List[int],
+                    columns: int) -> List[int]:
+    """One 2-D-coded line (shared by T.6 pure-MMR and T.4 /K>0 MR
+    lines): changing elements decoded against ``ref`` via V/H/P
+    modes. Returns the line's transition list."""
+    cur: List[int] = []
+    a0 = -1
+    color = 0  # 0 = white
+    while a0 < columns:
+        b1, b2 = _find_b1_b2(ref, a0, color, columns)
+        if bits.peek(1) == _MODE_V0[0]:
+            bits.skip(1)
+            a1 = b1
+        elif bits.peek(3) == _MODE_H[0]:
+            bits.skip(3)
+            base = max(a0, 0)
+            r1 = _read_run(bits, _BLACK_DEC if color else _WHITE_DEC)
+            r2 = _read_run(bits, _WHITE_DEC if color else _BLACK_DEC)
+            a1 = base + r1
+            a2 = a1 + r2
+            if a2 > columns or a1 > columns:
+                raise CcittError("H run overflows line")
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2
+            continue
+        elif bits.peek(4) == _MODE_P[0]:
+            bits.skip(4)
+            a0 = b2
+            continue
+        elif bits.peek(3) == _MODE_VR[1][0]:
+            bits.skip(3)
+            a1 = b1 + 1
+        elif bits.peek(3) == _MODE_VL[1][0]:
+            bits.skip(3)
+            a1 = b1 - 1
+        elif bits.peek(6) == _MODE_VR[2][0]:
+            bits.skip(6)
+            a1 = b1 + 2
+        elif bits.peek(6) == _MODE_VL[2][0]:
+            bits.skip(6)
+            a1 = b1 - 2
+        elif bits.peek(7) == _MODE_VR[3][0]:
+            bits.skip(7)
+            a1 = b1 + 3
+        elif bits.peek(7) == _MODE_VL[3][0]:
+            bits.skip(7)
+            a1 = b1 - 3
+        else:
+            raise CcittError("bad 2-D mode code")
+        if a1 < 0 or a1 > columns:
+            raise CcittError("vertical move out of line")
+        cur.append(a1)
+        a0 = a1
+        color ^= 1
+    return cur
+
+
+def _decode_line_1d(bits: _Bits, columns: int) -> List[int]:
+    """One T.4 1-D MH line: alternating white/black run lengths until
+    the line is exactly ``columns`` wide. Returns transitions."""
+    cur: List[int] = []
+    pos = 0
+    color = 0
+    while pos < columns:
+        if len(cur) > 2 * columns + 2:
+            # hostile zero-length-run streams advance bits but not
+            # pos; bound the transition list so they fail typed
+            raise CcittError("1-D line transition overflow")
+        run = _read_run(bits, _BLACK_DEC if color else _WHITE_DEC)
+        pos += run
+        if pos > columns:
+            raise CcittError("1-D run overflows line")
+        cur.append(pos)
+        color ^= 1
+    # the terminal transition at `columns` stays in (the painting
+    # convention 2-D lines use); the caller filters it for the
+    # reference line
+    return cur
+
+
+def _paint_line(out: np.ndarray, y: int, cur: List[int],
+                columns: int) -> None:
+    """Paint black segments (between even- and odd-indexed
+    transitions) into row ``y``."""
+    for i in range(0, len(cur) - 1 if len(cur) % 2 else len(cur), 2):
+        lo = cur[i]
+        hi = cur[i + 1] if i + 1 < len(cur) else columns
+        out[y, lo:min(hi, columns)] = 0
+
+
+def g4_decode(data: bytes, columns: int, rows: int) -> np.ndarray:
+    """T.6 bytes → (rows, columns) uint8, ink (black) = 0, white=255.
+    Raises :class:`CcittError` on malformed input."""
+    _check_dims(columns, rows)
     bits = _Bits(bytes(data))
     out = np.full((rows, columns), 255, dtype=np.uint8)
     ref: List[int] = []  # imaginary all-white line above row 0
     for y in range(rows):
-        cur: List[int] = []
-        a0 = -1
-        color = 0  # 0 = white
-        while a0 < columns:
-            b1, b2 = _find_b1_b2(ref, a0, color, columns)
-            if bits.peek(1) == _MODE_V0[0]:
-                bits.skip(1)
-                a1 = b1
-            elif bits.peek(3) == _MODE_H[0]:
-                bits.skip(3)
-                base = max(a0, 0)
-                r1 = _read_run(bits, _BLACK_DEC if color else _WHITE_DEC)
-                r2 = _read_run(bits, _WHITE_DEC if color else _BLACK_DEC)
-                a1 = base + r1
-                a2 = a1 + r2
-                if a2 > columns or a1 > columns:
-                    raise CcittError("H run overflows line")
-                cur.append(a1)
-                cur.append(a2)
-                a0 = a2
-                continue
-            elif bits.peek(4) == _MODE_P[0]:
-                bits.skip(4)
-                a0 = b2
-                continue
-            elif bits.peek(3) == _MODE_VR[1][0]:
-                bits.skip(3)
-                a1 = b1 + 1
-            elif bits.peek(3) == _MODE_VL[1][0]:
-                bits.skip(3)
-                a1 = b1 - 1
-            elif bits.peek(6) == _MODE_VR[2][0]:
-                bits.skip(6)
-                a1 = b1 + 2
-            elif bits.peek(6) == _MODE_VL[2][0]:
-                bits.skip(6)
-                a1 = b1 - 2
-            elif bits.peek(7) == _MODE_VR[3][0]:
-                bits.skip(7)
-                a1 = b1 + 3
-            elif bits.peek(7) == _MODE_VL[3][0]:
-                bits.skip(7)
-                a1 = b1 - 3
-            else:
-                raise CcittError("bad 2-D mode code")
-            if a1 < 0 or a1 > columns:
-                raise CcittError("vertical move out of line")
-            cur.append(a1)
-            a0 = a1
-            color ^= 1
-        # paint the line from its transitions (black segments are
-        # between even- and odd-indexed transitions)
-        for i in range(0, len(cur) - 1 if len(cur) % 2 else len(cur), 2):
-            lo = cur[i]
-            hi = cur[i + 1] if i + 1 < len(cur) else columns
-            out[y, lo:min(hi, columns)] = 0
+        cur = _decode_line_2d(bits, ref, columns)
+        _paint_line(out, y, cur, columns)
+        ref = [t for t in cur if t < columns]
+    return out
+
+
+_EOL = (0b000000000001, 12)
+
+
+def g3_decode(data: bytes, columns: int, rows: int,
+              k: int = 0) -> np.ndarray:
+    """CCITT Group 3 (ITU-T T.4) bytes → (rows, columns) uint8, ink
+    (black) = 0, white = 255 — the ``/CCITTFaxDecode`` arms with
+    ``/K >= 0``.
+
+    ``k == 0``: pure 1-D MH — lines are bit-continuous alternating
+    run-length codes with NO EOLs (the PDF default /EndOfLine false
+    layout). ``k > 0``: mixed 2-D MR — every line is prefixed by an
+    EOL code plus a tag bit (1 = the line is 1-D coded, 0 = 2-D coded
+    against the line above), the T.4 §4.2.1 framing 2-D G3 requires
+    to know each line's mode. Raises :class:`CcittError` on malformed
+    input (including a missing EOL where ``k > 0`` demands one)."""
+    _check_dims(columns, rows)
+    if k < 0:
+        raise CcittError("g3_decode wants /K >= 0 (use g4_decode)")
+    bits = _Bits(bytes(data))
+    out = np.full((rows, columns), 255, dtype=np.uint8)
+    ref: List[int] = []
+    for y in range(rows):
+        if k > 0:
+            if bits.peek(_EOL[1]) != _EOL[0]:
+                raise CcittError("2-D G3 line without EOL")
+            bits.skip(_EOL[1])
+            tag = bits.peek(1)
+            bits.skip(1)
+            cur = (_decode_line_1d(bits, columns) if tag
+                   else _decode_line_2d(bits, ref, columns))
+        else:
+            cur = _decode_line_1d(bits, columns)
+        _paint_line(out, y, cur, columns)
         ref = [t for t in cur if t < columns]
     return out
 
@@ -328,6 +407,57 @@ def _transitions(row: np.ndarray) -> List[int]:
     return d.tolist()
 
 
+def _encode_line_2d(w: _BitW, cur: List[int], ref: List[int],
+                    columns: int) -> None:
+    """Standard 2-D coding decision — P when b2 < a1, V when
+    |a1−b1| <= 3, else H — for one line's transitions against the
+    reference line (shared by T.6 and T.4 /K>0)."""
+    a0 = -1
+    color = 0
+    ci = 0  # index into cur of the next transition > a0
+    while a0 < columns:
+        b1, b2 = _find_b1_b2(ref, a0, color, columns)
+        a1 = cur[ci] if ci < len(cur) else columns
+        if b2 < a1:
+            w.write(*_MODE_P)
+            a0 = b2
+            continue
+        d = a1 - b1
+        if -3 <= d <= 3:
+            if d == 0:
+                w.write(*_MODE_V0)
+            elif d > 0:
+                w.write(*_MODE_VR[d])
+            else:
+                w.write(*_MODE_VL[-d])
+            a0 = a1
+            ci += 1
+            color ^= 1
+        else:
+            a2 = cur[ci + 1] if ci + 1 < len(cur) else columns
+            w.write(*_MODE_H)
+            base = max(a0, 0)
+            _write_run(w, a1 - base, color)
+            _write_run(w, a2 - a1, color ^ 1)
+            a0 = a2
+            ci += 2
+
+
+def _encode_line_1d(w: _BitW, cur: List[int], columns: int) -> None:
+    """One T.4 1-D MH line: alternating white/black run lengths."""
+    pos = 0
+    color = 0
+    for t in cur + [columns]:
+        if t > pos or color == 0:
+            # a leading black line still needs its 0-length white run;
+            # interior runs are never 0 (transitions are strict)
+            _write_run(w, t - pos, color)
+        pos = t
+        color ^= 1
+        if pos >= columns:
+            break
+
+
 def g4_encode(arr: np.ndarray) -> bytes:
     """(H, W) uint8 (ink=0, white=255) → T.6 bytes with EOFB."""
     if arr.ndim != 2:
@@ -337,36 +467,36 @@ def g4_encode(arr: np.ndarray) -> bytes:
     ref: List[int] = []
     for y in range(rows):
         cur = _transitions(arr[y])
-        a0 = -1
-        color = 0
-        ci = 0  # index into cur of the next transition > a0
-        while a0 < columns:
-            b1, b2 = _find_b1_b2(ref, a0, color, columns)
-            a1 = cur[ci] if ci < len(cur) else columns
-            if b2 < a1:
-                w.write(*_MODE_P)
-                a0 = b2
-                continue
-            d = a1 - b1
-            if -3 <= d <= 3:
-                if d == 0:
-                    w.write(*_MODE_V0)
-                elif d > 0:
-                    w.write(*_MODE_VR[d])
-                else:
-                    w.write(*_MODE_VL[-d])
-                a0 = a1
-                ci += 1
-                color ^= 1
-            else:
-                a2 = cur[ci + 1] if ci + 1 < len(cur) else columns
-                w.write(*_MODE_H)
-                base = max(a0, 0)
-                _write_run(w, a1 - base, color)
-                _write_run(w, a2 - a1, color ^ 1)
-                a0 = a2
-                ci += 2
+        _encode_line_2d(w, cur, ref, columns)
         ref = [t for t in cur if t < columns]
-    w.write(0b000000000001, 12)  # EOFB = two EOLs
-    w.write(0b000000000001, 12)
+    w.write(*_EOL)  # EOFB = two EOLs
+    w.write(*_EOL)
+    return w.done()
+
+
+def g3_encode(arr: np.ndarray, k: int = 0) -> bytes:
+    """(H, W) uint8 (ink=0, white=255) → T.4 bytes. ``k == 0``: pure
+    1-D MH, no EOLs (the PDF /EndOfLine false layout ``g3_decode``
+    expects). ``k > 0``: every line gets an EOL + tag bit; one 1-D
+    line every ``k`` lines, 2-D lines against the line above in
+    between — the T.4 §4.2.1 K-parameter cadence. Deterministic
+    bytes (fixtures/corpus only)."""
+    if arr.ndim != 2:
+        raise CcittError("g3_encode wants a 2-D array")
+    if k < 0:
+        raise CcittError("g3_encode wants k >= 0 (use g4_encode)")
+    rows, columns = arr.shape
+    w = _BitW()
+    ref: List[int] = []
+    for y in range(rows):
+        cur = _transitions(arr[y])
+        one_d = k == 0 or y % k == 0
+        if k > 0:
+            w.write(*_EOL)
+            w.write(1 if one_d else 0, 1)
+        if one_d:
+            _encode_line_1d(w, cur, columns)
+        else:
+            _encode_line_2d(w, cur, ref, columns)
+        ref = [t for t in cur if t < columns]
     return w.done()

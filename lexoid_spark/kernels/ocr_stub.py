@@ -159,33 +159,39 @@ def _raw_raster_array(header: bytes, payload: bytes):
 
 
 def _g4_raster_array(header: bytes, payload: bytes):
-    """B/W fax image XObject (/Filter /CCITTFaxDecode, /K < 0 = pure
-    Group 4/T.6) → (H, W) uint8 ink array, or None when the dict
-    isn't a supported G4 raster. Undecodable G4 data raises (→
-    quarantine) — a declared fax scan that doesn't decode must not
-    silently skip."""
+    """B/W fax image XObject (/Filter /CCITTFaxDecode) → (H, W) uint8
+    ink array, or None when the dict isn't a CCITT raster. All three
+    /K regimes decode: /K < 0 pure Group 4 (T.6 MMR), /K == 0 pure
+    1-D Group 3 (T.4 MH, the PDF default when /K is absent), /K > 0
+    mixed 2-D Group 3 (T.4 MR, EOL+tag framed). Undecodable fax data
+    raises (→ quarantine) — a declared fax scan that doesn't decode
+    must not silently skip."""
     if b"/CCITTFaxDecode" not in header:
         return None
     import re
 
     import numpy as np
 
-    from lexoid_spark.kernels.ccitt_g4 import CcittError, g4_decode
+    from lexoid_spark.kernels.ccitt_g4 import (
+        CcittError,
+        g3_decode,
+        g4_decode,
+    )
     from lexoid_spark.kernels.pdf_md import _int_after
 
     # /K needs its own signed parse (_int_after is unsigned, and bare
-    # find(b"/K") would also hit /Kids-style keys)
+    # find(b"/K") would also hit /Kids-style keys); absent /K means 0
     km = re.search(rb"/K\s+(-?\d+)", header)
-    if km is None or int(km.group(1)) >= 0:  # G3 1-D/mixed out of scope
-        return None
+    k = int(km.group(1)) if km is not None else 0
     w = _int_after(header, b"/Columns") or _int_after(header, b"/Width")
     h = _int_after(header, b"/Rows") or _int_after(header, b"/Height")
     if not w or not h:
         return None
     try:
-        arr = g4_decode(payload, w, h)
+        arr = (g4_decode(payload, w, h) if k < 0
+               else g3_decode(payload, w, h, k))
     except CcittError as e:
-        raise ValueError(f"undecodable CCITT G4 scan: {e}") from e
+        raise ValueError(f"undecodable CCITT fax scan: {e}") from e
     if b"/BlackIs1 true" in header:
         arr = np.uint8(255) - arr
     return arr

@@ -171,3 +171,80 @@ class TestFuzz:
             g4_decode(b"\x00" * 16, 65536, 999999999)
         with pytest.raises(CcittError):
             g4_decode(b"\x00" * 16, 1 << 15, 1 << 15)
+
+
+class TestGroup3:
+    """CCITT Group 3 (ITU-T T.4): /K == 0 pure 1-D MH (the PDF
+    default), /K > 0 mixed 2-D MR with EOL+tag framing."""
+
+    @pytest.mark.parametrize("k", [0, 1, 2, 4])
+    def test_glyph_text_roundtrip(self, k):
+        from lexoid_spark.kernels.ccitt_g4 import g3_decode, g3_encode
+        from lexoid_spark.kernels.ocr_glyph import render_text
+
+        arr = render_text("G3 FAX 7\nrow two ok", scale=2)
+        dec = g3_decode(g3_encode(arr, k), arr.shape[1], arr.shape[0], k)
+        assert (dec == arr).all()
+
+    @pytest.mark.parametrize("k", [0, 3])
+    def test_uniform_and_stripes(self, k):
+        from lexoid_spark.kernels.ccitt_g4 import g3_decode, g3_encode
+
+        for pat in [
+            np.zeros((5, 8), np.uint8),
+            np.full((5, 8), 255, np.uint8),
+            np.tile(np.array([0, 255], np.uint8), (5, 4)),
+        ]:
+            dec = g3_decode(g3_encode(pat, k),
+                            pat.shape[1], pat.shape[0], k)
+            assert (dec == pat).all()
+
+    @pytest.mark.parametrize("codec,kparm", [
+        ("g3", b"/K 0"), ("g3-2d", b"/K 4")])
+    def test_g3_scanned_pdf_ocr(self, codec, kparm):
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.ocr_stub import ocr_pdf_to_pages
+
+        arr = render_text("G3 SCAN 5\nmixed line", scale=2)
+        pdf = build_pdf([{"raster_images": [{"gray": arr, "codec": codec}]}])
+        assert kparm in pdf
+        assert [(p, t) for p, t, _b in ocr_pdf_to_pages(pdf)] == [
+            (1, "G3 SCAN 5 mixed line")]
+
+    def test_missing_eol_raises(self):
+        """K > 0 data without the required EOL framing fails typed."""
+        from lexoid_spark.kernels.ccitt_g4 import (
+            CcittError,
+            g3_decode,
+            g3_encode,
+        )
+
+        arr = np.tile(np.array([0, 255], np.uint8), (4, 4))
+        enc = g3_encode(arr, 0)  # 1-D stream has no EOLs
+        with pytest.raises(CcittError):
+            g3_decode(enc, 8, 4, 2)
+
+    def test_fuzz_random_bytes_terminate_typed(self):
+        """The G4 fuzz contract extended to both G3 regimes: decode
+        or CcittError, never a hang or foreign exception."""
+        import random
+
+        from lexoid_spark.kernels.ccitt_g4 import CcittError, g3_decode
+
+        rng = random.Random(41)
+        for _ in range(200):
+            blob = bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(1, 120)))
+            for k in (0, 2):
+                try:
+                    out = g3_decode(blob, 48, 12, k)
+                    assert out.shape == (12, 48)
+                except CcittError:
+                    pass
+
+    def test_hostile_dims_capped(self):
+        from lexoid_spark.kernels.ccitt_g4 import CcittError, g3_decode
+
+        with pytest.raises(CcittError):
+            g3_decode(b"\x00" * 16, 65536, 999999999, 0)
