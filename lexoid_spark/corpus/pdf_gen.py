@@ -221,7 +221,8 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
               encrypt: bool | str = False,
               stream_filter: str | None = None,
               cid_tounicode: bool = True,
-              cid_fontfile: str = "ttf") -> bytes:
+              cid_fontfile: str = "ttf",
+              cid_encoding: str = "Identity-H") -> bytes:
     """Assemble a full PDF from page specs. Deterministic bytes.
 
     ``compress=True`` FlateDecode-compresses every content stream
@@ -283,21 +284,48 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
         for ch in w["text"]
     })
     cidmap: Dict[str, int] = {}
-    if cid_chars and not cid_tounicode:
+    if cid_chars and cid_encoding != "Identity-H":
+        # predefined-CMap layout (cid_encoding e.g. "UniGB-UCS2-H", or
+        # a deliberately-unsupported name like "GBK-EUC-H" for the
+        # quarantine fixture): the shown 2-byte codes are the UCS-2
+        # code points of the text; no /ToUnicode, no font program —
+        # text is only recoverable from the predefined encoding itself
+        cidmap = {ch: ord(ch) for ch in cid_chars}
+        pages = [dict(p, _cidmap=cidmap) for p in pages]
+        desc_num = add((
+            "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /LexoidCJK "
+            "/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) "
+            "/Supplement 5 >> /DW 1000 >>"
+        ).encode("latin-1"))
+        font_objs["C1"] = add((
+            "<< /Type /Font /Subtype /Type0 /BaseFont /LexoidCJK "
+            "/Encoding /%s /DescendantFonts [%d 0 R] >>"
+            % (cid_encoding, desc_num)
+        ).encode("latin-1"))
+    elif cid_chars and not cid_tounicode:
         # no /ToUnicode: ship the mapping as an embedded TrueType
         # program instead (FontFile2 cmap: unicode -> gid == CID)
-        cidmap = {ch: i + 1 for i, ch in enumerate(cid_chars)}
-        pages = [dict(p, _cidmap=cidmap) for p in pages]
-        if cid_fontfile == "cff":
+        if cid_fontfile == "cff-cid":
+            # CID-keyed program (/ROS Adobe-UCS2): shown codes are the
+            # UCS-2 code points themselves; the charset declares them
+            from lexoid_spark.kernels.cff_cmap import cff_build_cid
+
+            cidmap = {ch: ord(ch) for ch in cid_chars}
+            prog = cff_build_cid(cidmap)
+            ff_key, ff_extra = "FontFile3", " /Subtype /Type1C"
+        elif cid_fontfile == "cff":
             from lexoid_spark.kernels.cff_cmap import cff_build
 
+            cidmap = {ch: i + 1 for i, ch in enumerate(cid_chars)}
             prog = cff_build(cidmap)
             ff_key, ff_extra = "FontFile3", " /Subtype /Type1C"
         else:
             from lexoid_spark.kernels.ttf_cmap import ttf_build
 
+            cidmap = {ch: i + 1 for i, ch in enumerate(cid_chars)}
             prog = ttf_build(cidmap)
             ff_key, ff_extra = "FontFile2", ""
+        pages = [dict(p, _cidmap=cidmap) for p in pages]
         if compress:
             import zlib
 
@@ -315,14 +343,26 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
             "/FontBBox [0 -200 1000 900] /ItalicAngle 0 /Ascent 800 "
             "/Descent -200 /CapHeight 700 /StemV 80 /%s %d 0 R >>"
             % (ff_key, ff_num)).encode("latin-1"))
-        w_arr = " ".join(str(600 + 50 * (c % 4))
-                         for c in range(1, len(cidmap) + 1))
-        desc_num = add((
-            "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /LexoidCJK "
-            "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
-            "/Supplement 0 >> /DW 1000 /W [1 [%s]] "
-            "/FontDescriptor %d 0 R >>" % (w_arr, fd_num)
-        ).encode("latin-1"))
+        if cid_fontfile == "cff-cid":
+            # CIDs are code points: /W keyed per-CID ranges; the
+            # Ordering names the UCS2 convention the parser decodes
+            w_arr = " ".join("%d %d %d" % (c, c, 600 + 50 * (c % 4))
+                             for c in sorted(cidmap.values()))
+            desc_num = add((
+                "<< /Type /Font /Subtype /CIDFontType0 /BaseFont "
+                "/LexoidCJK /CIDSystemInfo << /Registry (Adobe) "
+                "/Ordering (UCS2) /Supplement 0 >> /DW 1000 /W [%s] "
+                "/FontDescriptor %d 0 R >>" % (w_arr, fd_num)
+            ).encode("latin-1"))
+        else:
+            w_arr = " ".join(str(600 + 50 * (c % 4))
+                             for c in range(1, len(cidmap) + 1))
+            desc_num = add((
+                "<< /Type /Font /Subtype /CIDFontType2 /BaseFont "
+                "/LexoidCJK /CIDSystemInfo << /Registry (Adobe) "
+                "/Ordering (Identity) /Supplement 0 >> /DW 1000 "
+                "/W [1 [%s]] /FontDescriptor %d 0 R >>" % (w_arr, fd_num)
+            ).encode("latin-1"))
         font_objs["C1"] = add((
             "<< /Type /Font /Subtype /Type0 /BaseFont /LexoidCJK "
             "/Encoding /Identity-H /DescendantFonts [%d 0 R] >>"

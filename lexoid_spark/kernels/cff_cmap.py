@@ -19,8 +19,11 @@ printable-ASCII standard strings (SIDs 1–95, AGL values — note
 ``quoteright``/``quoteleft`` are U+2019/U+2018 per AGL, not ASCII)
 plus ``uniXXXX``/``uXXXX[XX]`` custom names; unknown names simply get
 no entry (the caller keeps its "�" fallback). CID-keyed CFFs (Top
-DICT carries /ROS) map gid→CID, not gid→name — returned as ``{}``,
-honestly out of scope. Malformed programs return ``{}``, never raise.
+DICT carries /ROS) map gid→CID, not gid→name: when the character
+collection is /Ordering (UCS2) the CID is the UCS-2 code point and
+the charset walk yields the decode map; other collections would need
+CID→Unicode tables — ``{}``, honestly out of scope. Malformed
+programs return ``{}``, never raise.
 
 Builder scope (fixtures/corpus only): a minimal parser-grade CFF with
 one name, a Top DICT (charset + CharStrings offsets via fixed-width
@@ -162,9 +165,51 @@ def _charset_sids(b: bytes, off: int, n_glyphs: int) -> List[int]:
     return sids
 
 
+def _sid_string(sid: int, strings: List[bytes]) -> str:
+    """SID → string for the custom range (ROS registry/ordering are
+    custom strings in practice; standard-range SIDs resolve to ''
+    here — none of them spell a CID ordering)."""
+    idx = sid - _N_STD_STRINGS
+    if 0 <= idx < len(strings):
+        return strings[idx].decode("latin-1", "ignore")
+    return ""
+
+
+def _cid_keyed_map(data: bytes, top: Dict[int, List[int]],
+                   strings: List[bytes]) -> Dict[int, str]:
+    """CID-keyed CFF (Top DICT carries /ROS): the charset maps
+    gid → CID, not gid → glyph name. Text is recoverable only when
+    the character collection pins CID semantics: with /Ordering
+    (UCS2) the CID IS the UCS-2 code point (the unicode-CID
+    convention some embedders use), so the decode map is
+    {cid: chr(cid)} over exactly the CIDs the charset declares —
+    a wrong charset walk surfaces as "�", never as wrong text. Any
+    other ordering (Adobe-GB1, Japan1, Identity subsets, ...) would
+    need the collection's CID→Unicode tables — out of scope, {}
+    (the caller keeps its "�" fallback). VERDICT r04 task 7."""
+    ros = top[1230]
+    ordering = _sid_string(ros[1], strings) if len(ros) >= 2 else ""
+    if ordering != "UCS2":
+        return {}
+    charset_off = top.get(15, [0])[0]
+    cs_off = top.get(17)
+    if charset_off <= 2 or not cs_off:
+        return {}
+    cstrings, _ = _read_index(data, cs_off[0])
+    cids = _charset_sids(data, charset_off, len(cstrings))
+    out: Dict[int, str] = {}
+    for cid in cids:
+        if not 0xD800 <= cid <= 0xDFFF:
+            out[cid] = chr(cid)
+    return out
+
+
 def gid_to_text(data: bytes) -> Dict[int, str]:
-    """CFF program bytes → {gid: unicode char}. ``{}`` on anything
-    unparseable or out of scope (CID-keyed, predefined charset)."""
+    """CFF program bytes → {code: unicode char} for the Identity-H
+    decode chain. Name-keyed programs key by gid (CID == GID);
+    CID-keyed /ROS programs key by CID via the charset
+    (:func:`_cid_keyed_map`). ``{}`` on anything unparseable or out
+    of scope (non-UCS2 CID collections, predefined charsets)."""
     try:
         if len(data) < 4 or data[0] != 1:
             return {}
@@ -176,7 +221,7 @@ def gid_to_text(data: bytes) -> Dict[int, str]:
             return {}
         top = _parse_dict(top_dicts[0])
         if 1230 in top:  # /ROS: CID-keyed, charset maps gid→CID
-            return {}
+            return _cid_keyed_map(data, top, strings)
         charset_off = top.get(15, [0])[0]
         cs_off = top.get(17)
         if charset_off <= 2 or not cs_off:
@@ -265,6 +310,48 @@ def cff_build(cidmap: Dict[str, int], charset_format: int = 0) -> bytes:
     # Top DICT with fixed-width offsets: two passes not needed
     def top_dict(charset_off: int, cstr_off: int) -> bytes:
         return (_op29(charset_off) + b"\x0f"     # op 15 charset
+                + _op29(cstr_off) + b"\x11")     # op 17 CharStrings
+    probe = _build_index([top_dict(0, 0)])
+    base = len(header) + len(name_ix) + len(probe) + len(string_ix) \
+        + len(gsubr_ix)
+    top_ix = _build_index([top_dict(base, base + len(charset))])
+    assert len(top_ix) == len(probe)
+    return (header + name_ix + top_ix + string_ix + gsubr_ix
+            + charset + cstr_ix)
+
+
+def cff_build_cid(cidmap: Dict[str, int],
+                  charset_format: int = 0) -> bytes:
+    """Minimal parser-grade CID-keyed CFF (Top DICT /ROS with
+    /Ordering (UCS2)): the charset maps gid → CID where
+    ``cidmap[ch]`` must equal ``ord(ch)`` (the unicode-CID
+    convention :func:`_cid_keyed_map` decodes). Not a renderable
+    font — no FDArray/FDSelect, one-byte endchar charstrings —
+    exactly what a text-extraction parser consumes."""
+    if charset_format not in (0, 2):
+        raise ValueError("charset_format must be 0 or 2")
+    for ch, cid in cidmap.items():
+        if cid != ord(ch):
+            raise ValueError("CID-keyed fixture wants cid == ord(ch)")
+    cids = sorted(cidmap.values())
+
+    header = bytes((1, 0, 4, 1))
+    name_ix = _build_index([b"LexoidCIDCFF"])
+    # SIDs 391, 392: the ROS registry/ordering strings
+    string_ix = _build_index([b"Adobe", b"UCS2"])
+    gsubr_ix = _build_index([])
+    cstr_ix = _build_index([b"\x0e"] * (len(cids) + 1))  # endchar
+
+    if charset_format == 0:
+        charset = b"\x00" + b"".join(struct.pack(">H", c) for c in cids)
+    else:
+        charset = b"\x02" + b"".join(
+            struct.pack(">HH", c, 0) for c in cids)
+
+    def top_dict(charset_off: int, cstr_off: int) -> bytes:
+        return (_op29(_N_STD_STRINGS) + _op29(_N_STD_STRINGS + 1)
+                + _op29(0) + b"\x0c\x1e"         # op 12 30 ROS
+                + _op29(charset_off) + b"\x0f"   # op 15 charset
                 + _op29(cstr_off) + b"\x11")     # op 17 CharStrings
     probe = _build_index([top_dict(0, 0)])
     base = len(header) + len(name_ix) + len(probe) + len(string_ix) \

@@ -688,7 +688,15 @@ def _interpret_content(stream: bytes, height: float,
             codes = [(raw[i] << 8) | raw[i + 1]
                      for i in range(0, len(raw) - 1, 2)]
             cmap = finfo["cmap"] or {}
-            text = "".join(cmap.get(c, "�") for c in codes)
+            if not cmap and finfo.get("enc") == "ucs2":
+                # predefined UCS2 CMap (/UniGB-UCS2-H family): the
+                # 2-byte code IS the UCS-2 code point — decode
+                # directly; lone surrogates fall back to "�"
+                text = "".join(
+                    chr(c) if not 0xD800 <= c <= 0xDFFF else "�"
+                    for c in codes)
+            else:
+                text = "".join(cmap.get(c, "�") for c in codes)
             wtab = finfo["widths"] or {}
             w = sum(wtab.get(c, finfo["dw"])
                     for c in codes) / 1000.0 * size
@@ -847,7 +855,8 @@ def _font_info(name: str) -> Dict:
     via the heuristic char table, or a /Widths array when present);
     Type0/CID fonts carry a ToUnicode cmap and a /W width table."""
     return {"name": name, "cid": False, "cmap": None, "widths": None,
-            "dw": 1000.0, "first_char": None, "simple_widths": None}
+            "dw": 1000.0, "first_char": None, "simple_widths": None,
+            "enc": "identity"}
 
 
 _DEFAULT_FONT = _font_info("Helvetica")
@@ -947,6 +956,20 @@ def _fontfile_cmap(dobj: bytes, objs: Dict[int, bytes]) -> Dict[int, str]:
     return {}
 
 
+class PdfUnsupportedEncodingError(ValueError):
+    """A Type0 font uses a predefined CMap this parser cannot decode
+    (variable-width code space) and carries no /ToUnicode: decoding
+    would garble silently, so the document must quarantine instead
+    (VERDICT r04 task 5 — no silent garble path)."""
+
+
+# fixed 2-byte predefined CMaps: Identity passes raw CIDs through,
+# the UCS2 family encodes the UCS-2 code point directly
+_ENCODING_NAME_RE = re.compile(rb"/Encoding\s*/([^\s/<>\[\]()]+)")
+_UCS2_CMAP_RE = re.compile(
+    rb"Uni(GB|CNS|JIS|JISX0213|KS)-UCS2-(H|V)\Z")
+
+
 def _parse_font_obj(fobj: bytes, objs: Dict[int, bytes]) -> Dict:
     bm = _BASEFONT_RE.search(fobj)
     # strip subset prefix "ABCDEF+Name"
@@ -955,6 +978,25 @@ def _parse_font_obj(fobj: bytes, objs: Dict[int, bytes]) -> Dict:
     info = _font_info(name)
     if b"/Type0" in fobj:
         info["cid"] = True
+        if re.search(rb"/Encoding\s+\d+\s+\d+\s+R", fobj):
+            # embedded CMap stream: codespace ranges we do not parse
+            raise PdfUnsupportedEncodingError(
+                "embedded CMap /Encoding stream is unsupported")
+        em = _ENCODING_NAME_RE.search(fobj)
+        enc_name = em.group(1) if em else b"Identity-H"
+        if enc_name in (b"Identity-H", b"Identity-V"):
+            info["enc"] = "identity"
+        elif _UCS2_CMAP_RE.match(enc_name):
+            info["enc"] = "ucs2"
+        else:
+            # any other predefined CMap (GBK-EUC-H, 90ms-RKSJ-H, ...)
+            # or an embedded CMap stream has a variable-width code
+            # space this 2-byte interpreter would garble — quarantine,
+            # even when a /ToUnicode is present (its keys are the same
+            # variable-width codes)
+            raise PdfUnsupportedEncodingError(
+                f"unsupported Type0 /Encoding "
+                f"{enc_name.decode('latin-1', 'replace')!r}")
         drefs = _refs_in_brackets(fobj, b"/DescendantFonts")
         dobj = objs.get(drefs[0]) if drefs else fobj
         if dobj is None:
@@ -967,12 +1009,14 @@ def _parse_font_obj(fobj: bytes, objs: Dict[int, bytes]) -> Dict:
         tobj = objs.get(tref) if tref is not None else None
         if tobj is not None:
             info["cmap"] = _parse_tounicode(_stream_bytes(tobj))
-        else:
+        elif info["enc"] == "identity":
             # No /ToUnicode: recover text from the embedded TrueType
             # program's own cmap table (Identity-H ⇒ CID == GID, so
             # inverting unicode→gid yields the decode map). Reference
             # reads such fonts via pdfplumber (static_parser.py:700-727).
             info["cmap"] = _fontfile_cmap(dobj, objs)
+        # else (ucs2): codes decode directly in emit(); a font program
+        # keyed by GID would be the WRONG map for UCS-2 codes
     else:
         fc = _int_after(fobj, b"/FirstChar")
         ws = _numbers_in_brackets(fobj, b"/Widths")

@@ -122,3 +122,43 @@ class TestAglNameEdges:
         assert _name_to_char("u10330") == "\U00010330"
         assert _name_to_char("u0041") == "A"
         assert _name_to_char("uni0041") == "A"
+
+
+class TestCidKeyed:
+    """CID-keyed CFF (/ROS) charset walk (VERDICT r04 task 7): with
+    /Ordering (UCS2) the CID is the UCS-2 code point and text
+    recovers; other collections honestly return {}."""
+
+    def test_roundtrip_formats(self):
+        from lexoid_spark.kernels.cff_cmap import cff_build_cid, gid_to_text
+
+        cidmap = {ch: ord(ch) for ch in "数据Az9Ü"}
+        for fmt in (0, 2):
+            assert gid_to_text(cff_build_cid(cidmap, fmt)) == {
+                ord(ch): ch for ch in cidmap}
+
+    def test_non_ucs2_ordering_returns_empty(self):
+        from lexoid_spark.kernels.cff_cmap import cff_build_cid, gid_to_text
+
+        prog = cff_build_cid({ch: ord(ch) for ch in "数据"})
+        assert gid_to_text(prog.replace(b"UCS2", b"GB1\x00")) == {}
+
+    def test_builder_rejects_non_unicode_cids(self):
+        import pytest as _pytest
+
+        from lexoid_spark.kernels.cff_cmap import cff_build_cid
+
+        with _pytest.raises(ValueError):
+            cff_build_cid({"数": 1})
+
+    def test_pdf_end_to_end(self):
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.pdf_md import pdf_to_pages
+
+        words = [{"text": "数据 查询", "x": 72.0, "y": 700.0,
+                  "size": 12.0, "font": "C1"}]
+        pdf = build_pdf([{"words": words}], cid_tounicode=False,
+                        cid_fontfile="cff-cid")
+        assert b"/CIDFontType0" in pdf and b"/ToUnicode" not in pdf
+        (_, md), = pdf_to_pages(pdf)
+        assert "数据" in md and "查询" in md

@@ -208,3 +208,72 @@ def test_pdf_flags_hyperlink():
 def test_cleanup_chain_no_empty_emphasis():
     md = pdf_to_md(build_pdf([_simple_page(words_line(["a", "b"], y=700))]))
     assert "** **" not in md and "` `" not in md
+
+
+class TestPredefinedCMaps:
+    """Type0 /Encoding handling (VERDICT r04 task 5): fixed 2-byte
+    predefined CMaps decode (Identity passes CIDs to /ToUnicode or
+    the font program; the UCS2 family IS the code point), everything
+    else quarantines typed — no silent garble path."""
+
+    WORDS = [{"text": "你好世界", "x": 72.0, "y": 700.0,
+              "size": 12.0, "font": "C1"},
+             {"text": "Ünïcode", "x": 72.0, "y": 680.0,
+              "size": 12.0, "font": "C1"}]
+
+    def test_ucs2_cmap_decodes_without_tounicode(self):
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.pdf_md import pdf_to_pages
+
+        pdf = build_pdf([{"words": self.WORDS}],
+                        cid_encoding="UniGB-UCS2-H")
+        assert b"/UniGB-UCS2-H" in pdf and b"/ToUnicode" not in pdf
+        (_, md), = pdf_to_pages(pdf)
+        assert "你好世界" in md and "Ünïcode" in md
+
+    def test_ucs2_v_variant_and_other_collections(self):
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.pdf_md import pdf_to_pages
+
+        for enc in ("UniJIS-UCS2-H", "UniKS-UCS2-V", "UniCNS-UCS2-H"):
+            pdf = build_pdf([{"words": self.WORDS}], cid_encoding=enc)
+            (_, md), = pdf_to_pages(pdf)
+            assert "你好世界" in md, enc
+
+    def test_unsupported_cmap_quarantines(self):
+        import pytest as _pytest
+
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.pdf_md import (
+            PdfUnsupportedEncodingError,
+            pdf_to_pages,
+        )
+
+        for enc in ("GBK-EUC-H", "90ms-RKSJ-H", "ETen-B5-H"):
+            pdf = build_pdf([{"words": self.WORDS}], cid_encoding=enc)
+            with _pytest.raises(PdfUnsupportedEncodingError):
+                pdf_to_pages(pdf)
+
+    def test_embedded_cmap_stream_quarantines(self):
+        import pytest as _pytest
+
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.pdf_md import (
+            PdfUnsupportedEncodingError,
+            pdf_to_pages,
+        )
+
+        pdf = build_pdf([{"words": self.WORDS}])
+        broken = pdf.replace(b"/Encoding /Identity-H",
+                             b"/Encoding 999 0 R")
+        with _pytest.raises(PdfUnsupportedEncodingError):
+            pdf_to_pages(broken)
+
+    def test_identity_h_regression(self):
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.pdf_md import pdf_to_pages
+
+        a = pdf_to_pages(build_pdf([{"words": self.WORDS}]))
+        b = pdf_to_pages(build_pdf([{"words": self.WORDS}],
+                                   cid_encoding="UniGB-UCS2-H"))
+        assert a == b
