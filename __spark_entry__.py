@@ -5625,6 +5625,93 @@ FROM j ORDER BY doc_id
 """
 
 
+def _char_span_winnow(spark, sf):
+    """Winnowing-sampled char-span dedup (Schleimer et al. 2003) —
+    char_span_removal's scale path: only the rightmost-minimal window
+    hash of every k-run is fingerprinted, so the per-char explode
+    drops to ~2/(k+1) density while every duplicated span >= w+k-1
+    chars is still detected (the winnowing theorem). Same injected
+    boilerplate as char_span_removal so the two variants' removal
+    behavior is directly comparable; the DuckDB mirror recomputes the
+    md5-prefix hashes AND the rightmost-argmin selection exactly
+    (1-based lambda index there, 0-based here)."""
+    from lexoid_spark.functions.curation import char_span_removal_winnow
+
+    docs = _t(spark, sf, "documents")
+    body = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("© lexoid-crawl.example/nav?id=1&s=2 | "
+                  "header—menu::links; "),
+            F.col("text"),
+            F.lit(" [footer:"), F.col("lang"),
+            F.lit("] contact/about/privacy—sitemap.rss"),
+        ).alias("body"),
+    )
+    return char_span_removal_winnow(
+        body, "doc_id", "body", w=40, k=8).orderBy("doc_id")
+
+
+_CHAR_WINNOW_SQL = """
+WITH base AS (
+  SELECT doc_id AS id,
+         '© lexoid-crawl.example/nav?id=1&s=2 | header—menu::links; '
+         || text || ' [footer:' || lang
+         || '] contact/about/privacy—sitemap.rss' AS txt
+  FROM documents
+),
+h AS (
+  SELECT id, txt,
+         CASE WHEN length(txt) >= 40 THEN
+           list_transform(range(0, length(txt) - 40 + 1),
+             i -> CAST(('0x' || substr(md5(
+                    substr(txt, CAST(i + 1 AS BIGINT), 40)), 1, 15))
+                  AS BIGINT))
+         ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM base
+),
+selpos AS (
+  SELECT id, hs,
+         CASE WHEN length(txt) >= 47 THEN
+           list_distinct(list_transform(range(0, len(hs) - 8 + 1),
+             t -> t + list_max(list_transform(hs[CAST(t + 1 AS BIGINT):CAST(t + 8 AS BIGINT)],
+                    (x, i) -> CASE WHEN x = list_min(
+                        hs[CAST(t + 1 AS BIGINT):CAST(t + 8 AS BIGINT)])
+                      THEN i ELSE 0 END)) - 1))
+         ELSE CAST([] AS BIGINT[]) END AS sel
+  FROM h
+),
+fps AS (
+  SELECT id, CAST(u.p AS BIGINT) AS pos,
+         hs[CAST(u.p + 1 AS BIGINT)] AS hv
+  FROM selpos, UNNEST(sel) AS u(p)
+),
+dup AS (
+  SELECT hv FROM (
+    SELECT hv, count(DISTINCT id) AS nd FROM fps GROUP BY hv
+  ) WHERE nd >= 2
+),
+starts AS (
+  SELECT id, list_sort(list(pos)) AS st
+  FROM fps JOIN dup USING (hv) GROUP BY id
+),
+j AS (
+  SELECT b.id, b.txt, COALESCE(s.st, CAST([] AS BIGINT[])) AS st
+  FROM base b LEFT JOIN starts s ON b.id = s.id
+)
+SELECT id AS doc_id,
+       CAST(length(txt) AS INT) AS n_chars,
+       CAST(len(st) AS INT) AS n_dup_starts,
+       COALESCE(array_to_string(
+         list_transform(
+           list_filter(range(0, length(txt)),
+             i -> len(list_filter(st, s -> s <= i AND i <= s + 39)) = 0),
+           i -> substr(txt, CAST(i + 1 AS BIGINT), 1)),
+         ''), '') AS text_clean
+FROM j ORDER BY doc_id
+"""
+
+
 def _tfidf_topk(spark, sf):
     """Top-5 characteristic terms per doc by exact-integer tf-idf
     (tf * ((N*10^6) div df)) — no float logs, rank ties broken (score
@@ -6400,6 +6487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_greedy": _semdedup_greedy,
         "dup_span_removal": _dup_span_removal,
         "char_span_removal": _char_span_removal,
+        "char_span_winnow": _char_span_winnow,
         "tfidf_topk": _tfidf_topk,
         "inverted_postings": _inverted_postings,
         "warc_ingest": _warc_ingest,
@@ -6550,6 +6638,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_greedy": _SEMDEDUP_GREEDY_SQL,
         "dup_span_removal": _DUP_SPAN_SQL,
         "char_span_removal": _CHAR_SPAN_SQL,
+        "char_span_winnow": _CHAR_WINNOW_SQL,
         "tfidf_topk": _TFIDF_SQL,
         "inverted_postings": _INVERTED_SQL,
         "warc_ingest": _WARC_INGEST_SQL,

@@ -128,6 +128,11 @@ def main() -> None:
         "char_span_removal",
         "pdf_ocr_extract", "pdf_cff_extract", "semdedup_greedy",
         "quality_classifier", "ann_sq8_topk", "ann_ivfpq_topk",
+        # round 5: winnowed char dedup (must land well under
+        # char_span_removal), mixed-case OCR, inline images, G3 fax,
+        # predefined-CMap + CID-keyed-CFF text recovery
+        "char_span_winnow", "ocr_mixed_case", "pdf_inline_image",
+        "pdf_g3_scan", "pdf_ucs2_extract", "pdf_cffcid_extract",
     ]
 
     def run_extract():

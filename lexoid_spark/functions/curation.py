@@ -888,9 +888,17 @@ def char_span_removal(df: DataFrame, id_col: str, text_col: str,
     j = base.join(starts, "id", "left").withColumn(
         "starts", F.coalesce("starts", F.array().cast("array<int>"))
     )
-    # fold sorted starts into disjoint [lo, hi] intervals (0-based,
-    # inclusive); adjacent intervals merge — identical output, fewer
-    # splices
+    return _splice_out_windows(j, id_col, w)
+
+
+def _splice_out_windows(j: DataFrame, id_col: str, w: int) -> DataFrame:
+    """Shared masking tail for the char-window dedup variants: given
+    ``(id, txt, starts)`` with sorted 0-based window starts, remove
+    every ``w``-char window and return ``(id, n_chars, n_dup_starts,
+    text_clean)``. Per-row native HOFs only — fold sorted starts into
+    disjoint [lo, hi] intervals (0-based, inclusive; adjacent
+    intervals merge — identical output, fewer splices), then splice
+    the gaps."""
     empty_iv = F.array().cast("array<struct<lo:int,hi:int>>")
     merged = F.aggregate(
         F.col("starts"),
@@ -932,3 +940,105 @@ def char_span_removal(df: DataFrame, id_col: str, text_col: str,
         F.size("starts").alias("n_dup_starts"),
         clean.alias("text_clean"),
     )
+
+
+def char_span_removal_winnow(df: DataFrame, id_col: str, text_col: str,
+                             w: int = 40, k: int = 8) -> DataFrame:
+    """Winnowing-sampled character-level dedup (Schleimer et al. 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting") — the
+    scale path for :func:`char_span_removal`, whose stride-1 windows
+    shuffle one row PER CHARACTER. Here only the winnowed fingerprints
+    shuffle: within every run of ``k`` consecutive window hashes, the
+    RIGHTMOST minimal one is selected; selection is a pure function of
+    the hash run, so two copies of a duplicated span select the same
+    windows at the same relative offsets.
+
+    Guarantee (the winnowing theorem): every duplicated span of at
+    least ``w + k - 1`` characters contains a full k-run of windows in
+    both copies, hence at least one SELECTED window with a matching
+    hash in each — the span is detected. Removal masks the selected
+    duplicated windows only (a subset of the exact variant's mask):
+    spans shorter than ``w + k - 1``, and up to ``w + k - 2`` chars at
+    a detected span's edges, can survive. Expected selection density
+    is 2/(k+1), so the explode/shuffle volume drops ~(k+1)/2 x vs the
+    exact variant.
+
+    Scale shape: window hashing is a per-row JVM higher-order
+    function (no explode); the rightmost-argmin selection is an
+    Arrow-batched numpy sliding-window kernel over the compact hash
+    arrays (an all-HOF formulation hangs Janino — the round-4
+    nested-HOF codegen trap); only selected fingerprints explode into
+    (id, pos, hash) rows; the duplicated-fingerprint set is the same
+    map-side-combinable two-level aggregation; masking is the shared
+    interval-fold splice. Two shuffles on bounded keys.
+
+    Returns ``(id, n_chars, n_dup_starts, text_clean)``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    )
+    n_wins = F.length("txt") - w + 1  # stride-1 window count
+    # window hashing stays JVM-side (single-level transform — the
+    # exact variant's proven-safe shape); guard the degenerate rows:
+    # F.sequence(1, 0) DESCENDS (CLAUDE.md)
+    hashes = F.transform(
+        F.sequence(F.lit(0), n_wins - 1),
+        lambda i: _md5_hash64(F.col("txt").substr(i + 1, F.lit(w))),
+    )
+    # selected[t] = t + rightmost argmin of hashes[t .. t+k-1]. An
+    # all-HOF formulation (transform over t with array_min/slice in
+    # the lambda) hangs Janino — the nested-HOF codegen trap from
+    # round 4 — so the selection runs as an Arrow-batched numpy
+    # kernel over the compact hash arrays: reversed sliding-window
+    # argmin (argmin takes the FIRST min of the reversed window =
+    # the RIGHTMOST of the original).
+
+    def _winnow_fn(hs_col):
+        out = []
+        for hs in hs_col:
+            n = len(hs)
+            if n < k:
+                out.append([])
+                continue
+            H = np.asarray(hs, dtype=np.int64)
+            W = np.lib.stride_tricks.sliding_window_view(H, k)[:, ::-1]
+            j = (k - 1) - W.argmin(axis=1)
+            sel = np.unique(np.arange(n - k + 1, dtype=np.int64) + j)
+            out.append(sel.astype("int32").tolist())
+        return pd.Series(out)
+
+    # non-decorator pandas_udf form: `from __future__ import
+    # annotations` stringizes hints, which the decorator rejects
+    winnow_sel = F.pandas_udf(_winnow_fn, T.ArrayType(T.IntegerType()))
+
+    picked = base.withColumn(
+        "hs", F.when(F.length("txt") >= w, hashes)
+              .otherwise(F.array().cast("array<long>"))
+    ).withColumn("sel", winnow_sel(F.col("hs")))
+    fps = picked.select(
+        "id",
+        F.explode("sel").alias("pos"),
+        F.col("hs").alias("hs"),
+    ).select(
+        "id", "pos",
+        F.element_at(F.col("hs"), F.col("pos") + 1).alias("h"),
+    )
+    dup = (
+        fps.groupBy("h")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    starts = (
+        fps.join(dup, "h")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    j = base.join(starts, "id", "left").withColumn(
+        "starts", F.coalesce("starts", F.array().cast("array<int>"))
+    )
+    return _splice_out_windows(j, id_col, w)

@@ -814,3 +814,93 @@ class TestLinearQualityClassifier:
             df, "doc_id", "text", n_buckets=4,
             weights={b: -1 for b in range(4)}).collect()}
         assert out == {1: False, 2: False}
+
+
+class TestCharSpanWinnow:
+    def test_matches_python_reference(self, spark):
+        """Exhaustive check vs a brute-force winnowing reference:
+        stride-1 window hashes, rightmost-minimal selection per k-run,
+        duplicated SELECTED fingerprints mask their windows."""
+        import hashlib
+
+        from lexoid_spark.functions.curation import char_span_removal_winnow
+
+        W, K = 20, 4
+        shared = "the quick brown fox jumps over the lazy dog!"
+        rows = [
+            (0, "aaa " + shared + " unique tail zero"),
+            (1, "bbb prefix " + shared + " unique tail one"),
+            (2, "totally unique document with no duplicated spans xy"),
+            (3, "short"),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {r["id"]: r for r in char_span_removal_winnow(
+            df, "id", "text", w=W, k=K).collect()}
+
+        def h64(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        def selected(t):
+            n = len(t) - W + 1
+            if n < K:
+                return []
+            H = [h64(t[p:p + W]) for p in range(n)]
+            sel = set()
+            for tt in range(n - K + 1):
+                win = H[tt:tt + K]
+                m = min(win)
+                sel.add(tt + max(j for j, x in enumerate(win) if x == m))
+            return sorted(sel)
+
+        fps = {}
+        for i, t in rows:
+            fps[i] = {(p, t[p:p + W]) for p in selected(t)}
+        from collections import defaultdict
+        by_g = defaultdict(set)
+        for i, s in fps.items():
+            for _p, g in s:
+                by_g[g].add(i)
+        dup = {g for g, ids in by_g.items() if len(ids) >= 2}
+        for i, t in rows:
+            starts = sorted(p for p, g in fps[i] if g in dup)
+            covered = set()
+            for s in starts:
+                covered.update(range(s, s + W))
+            clean = "".join(c for p, c in enumerate(t) if p not in covered)
+            assert got[i]["n_chars"] == len(t)
+            assert got[i]["n_dup_starts"] == len(starts), i
+            assert got[i]["text_clean"] == clean, (i, got[i]["text_clean"])
+
+    def test_long_spans_always_detected(self, spark):
+        """The winnowing guarantee: every duplicated span of at least
+        w + k - 1 chars is detected (some selected window inside it
+        fingerprints identically in both copies)."""
+        from lexoid_spark.functions.curation import char_span_removal_winnow
+
+        W, K = 20, 4
+        span = "Z" * 0 + "shared-span:0123456789abcdefghijklmnop"  # 38 >= 23
+        rows = [(0, "docA " + span + " tailA"),
+                (1, "docB prefix " + span + " tailB"),
+                (2, "unrelated content entirely its own here ok")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {r["id"]: r for r in char_span_removal_winnow(
+            df, "id", "text", w=W, k=K).collect()}
+        assert got[0]["n_dup_starts"] > 0
+        assert got[1]["n_dup_starts"] > 0
+        assert got[2]["n_dup_starts"] == 0
+
+    def test_selection_density_drops_explode_volume(self, spark):
+        """The point of winnowing: far fewer fingerprints than the
+        exact variant's one-per-char (expected density 2/(k+1))."""
+        from lexoid_spark.functions.curation import char_span_removal_winnow
+
+        text = "the quick brown fox jumps over the lazy dog " * 8
+        rows = [(0, text + "zero"), (1, text + "one")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = {r["id"]: r for r in char_span_removal_winnow(
+            df, "id", "text", w=40, k=8).collect()}
+        n_wins = len(text + "zero") - 40 + 1
+        # selected duplicated fingerprints are a small fraction of
+        # the stride-1 windows (2/(k+1) ~ 0.22 expected)
+        assert 0 < out[0]["n_dup_starts"] < 0.5 * n_wins

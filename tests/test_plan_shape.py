@@ -326,3 +326,23 @@ def test_quality_classifier_zero_shuffle(spark):
         df, "id", "text", n_buckets=16, weights={0: 3}))
     assert "BroadcastNestedLoopJoin" in custom or "BroadcastExchange" in custom
     assert "CartesianProduct" not in custom
+
+
+def test_char_span_winnow_shape(spark):
+    """char_span_winnow keeps the exact variant's scale shape (no
+    window function, no cartesian, one generator per consumer) while
+    the explode feeds from the winnowed selection — the hash arrays
+    stay JVM-side, only the compact argmin kernel is Python
+    (ArrowEvalPython present, row-at-a-time BatchEvalPython absent)."""
+    from lexoid_spark.functions.curation import char_span_removal_winnow
+
+    df = spark.createDataFrame(
+        [(i, ("shared boilerplate text that is long enough! " * 2)
+          + "tail%d" % i) for i in range(10)],
+        "id long, text string")
+    plan = _formatted(char_span_removal_winnow(df, "id", "text", w=40, k=8))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate (") <= 2
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
