@@ -1019,14 +1019,19 @@ def char_span_removal_winnow(df: DataFrame, id_col: str, text_col: str,
         "hs", F.when(F.length("txt") >= w, hashes)
               .otherwise(F.array().cast("array<long>"))
     ).withColumn("sel", winnow_sel(F.col("hs")))
-    fps = picked.select(
-        "id",
-        F.explode("sel").alias("pos"),
-        F.col("hs").alias("hs"),
-    ).select(
-        "id", "pos",
-        F.element_at(F.col("hs"), F.col("pos") + 1).alias("h"),
+    # pair (pos, hash) BEFORE exploding: an explode that carries the
+    # full hash array per fingerprint row would copy O(len) data per
+    # selected window — exactly the blowup winnowing exists to avoid
+    pairs = F.transform(
+        F.col("sel"),
+        lambda p: F.struct(
+            p.alias("pos"),
+            F.element_at(F.col("hs"), p + 1).alias("h"),
+        ),
     )
+    fps = picked.select(
+        "id", F.explode(pairs).alias("ph")
+    ).select("id", F.col("ph.pos").alias("pos"), F.col("ph.h").alias("h"))
     dup = (
         fps.groupBy("h")
         .agg(F.countDistinct("id").alias("nd"))

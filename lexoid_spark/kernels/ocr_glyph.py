@@ -273,16 +273,26 @@ def _to_ink(arr: np.ndarray) -> np.ndarray:
     return a < 128
 
 
+def _axis_runs(a: np.ndarray) -> np.ndarray:
+    """Maximal ink-run lengths along axis 1 for EVERY row at once
+    (one vectorized diff instead of a Python loop per line —
+    recognition is in the extraction hot path)."""
+    h, w = a.shape
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = a
+    d = np.diff(padded, axis=1)
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    return ends - starts  # row-major flat indices align pairwise
+
+
 def _detect_scale(ink: np.ndarray) -> int:
     """Integer render scale = gcd of every maximal ink-run length
     (both axes): each run is scale * (a cell run whose per-glyph gcd
     is 1 — asserted at import), so the gcd over any non-empty text is
     exactly the scale."""
-    runs = _ink_runs(ink)
-    g = 0
-    for r in runs:
-        g = gcd(g, int(r))
-    return max(g, 1)
+    runs = np.concatenate([_axis_runs(ink), _axis_runs(ink.T)])
+    return max(int(np.gcd.reduce(runs)), 1) if len(runs) else 1
 
 
 def _cell_bits(ink: np.ndarray, r0: int, c0: int, c1: int,
