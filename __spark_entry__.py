@@ -3744,6 +3744,71 @@ FROM documents WHERE doc_id % 13 = 0 ORDER BY url
 """
 
 
+def _pdf_type3_extract(spark, sf):
+    """Type3 glyph-procedure fonts through the FULL extract() plan:
+    the fixture assigns DELIBERATELY remapped byte codes (code 0x41+j
+    for lowercase/digit glyphs — reading the raw bytes garbles), so a
+    hash match proves the /Encoding /Differences walk + AGL
+    glyph-name resolution (kernels/pdf_md._parse_differences,
+    kernels/cff_cmap.glyph_name_to_char) and the /FontMatrix-scaled
+    /Widths are exact. Closed-form text from doc_id — DuckDB predicts
+    the markdown without touching a byte of PDF. Reference reads
+    Type3 fonts via pdfplumber (static_parser.py:700-727)."""
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def t3_pdf(doc_ids: pd.Series) -> pd.Series:
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            k = d % 3 + 2
+            words = [
+                {"text": f"t3w{j}q{d % 5}", "x": 72.0 + 100.0 * j,
+                 "y": 700.0, "size": 12.0, "font": "T1"}
+                for j in range(k)
+            ]
+            words.append({"text": f"t3x{d}", "x": 72.0, "y": 660.0,
+                          "size": 12.0, "font": "F1"})
+            words.append({"text": "doc", "x": 120.0, "y": 660.0,
+                          "size": 12.0, "font": "F1"})
+            out.append(build_pdf([{"words": words}], compress=True))
+        return pd.Series(out)
+
+    docs = _tp(spark, sf, "documents")
+    pages = docs.select(
+        F.concat(F.lit("http://type3.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        t3_pdf("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(_materialize(pages), run_id="type3_check")["extracted"]
+    return out.select("url", "raw", "n_chars").orderBy("url")
+
+
+_PDF_TYPE3_SQL = """
+WITH base AS (
+  SELECT doc_id AS d, doc_id % 3 + 2 AS k,
+         CAST(doc_id % 5 AS VARCHAR) AS m
+  FROM documents
+),
+r AS (
+  SELECT 'http://type3.test/' || CAST(d AS VARCHAR) AS url,
+         't3w0q' || m || ' t3w1q' || m
+         || CASE WHEN k >= 3 THEN ' t3w2q' || m ELSE '' END
+         || CASE WHEN k >= 4 THEN ' t3w3q' || m ELSE '' END
+         || chr(10) || chr(10)
+         || ' t3x' || CAST(d AS VARCHAR) || ' doc'
+         || chr(10) || chr(10) AS raw
+  FROM base
+)
+SELECT url, raw, length(raw) AS n_chars FROM r ORDER BY url
+"""
+
+
 def _ocr_noise_quarantine(spark, sf):
     """The never-silently-wrong gate as a query: renders with
     above-threshold noise (four whole glyph cells of the leading
@@ -6467,6 +6532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_noise_quarantine": _ocr_noise_quarantine,
         "pdf_g3_scan": _pdf_g3_scan,
         "pdf_inline_image": _pdf_inline_image,
+        "pdf_type3_extract": _pdf_type3_extract,
         "pdf_ocr_extract": _pdf_ocr_extract,
         "pdf_speed_arm": _pdf_speed_arm,
         "pii_redact_docs": _pii_redact_docs,
@@ -6618,6 +6684,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_noise_quarantine": _OCR_NOISE_QUARANTINE_SQL,
         "pdf_g3_scan": _PDF_G3_SCAN_SQL,
         "pdf_inline_image": _PDF_INLINE_IMAGE_SQL,
+        "pdf_type3_extract": _PDF_TYPE3_SQL,
         "pdf_ocr_extract": _PDF_OCR_EXTRACT_SQL,
         "pdf_speed_arm": _PDF_SPEED_SQL,
         "pii_redact_docs": _PII_REDACT_SQL,

@@ -79,10 +79,14 @@ def page_content_stream(page: Dict) -> bytes:
         return _compact_text_stream(page)
     parts: List[str] = []
     cidmap = page.get("_cidmap") or {}
+    t3map = page.get("_t3map") or {}
     for w in page.get("words", []):
         font = w.get("font", "F1")
         if font.startswith("C") and cidmap:
             shown = _cid_hex(w["text"], cidmap)
+        elif font.startswith("T") and t3map:
+            shown = "(%s)" % _esc(
+                "".join(chr(t3map[ch]) for ch in w["text"]))
         else:
             shown = "(%s)" % _esc(w["text"])
         parts.append(
@@ -408,6 +412,55 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
             "<< /Type /Font /Subtype /Type0 /BaseFont /LexoidCJK "
             "/Encoding /Identity-H /DescendantFonts [%d 0 R] "
             "/ToUnicode %d 0 R >>" % (desc_num, tounicode_num)
+        ).encode("latin-1"))
+    # Type3 font graph for any "T*" font keys: glyph procedures under
+    # /CharProcs, a /Differences encoding that assigns DELIBERATELY
+    # remapped byte codes (code ≠ ord(char) whenever the text allows),
+    # /FontMatrix [0.001 ...] and a /Widths array — the layout where
+    # text is only recoverable by resolving glyph NAMES through the
+    # Differences map (AGL conventions), never by decoding the raw
+    # bytes (ISO 32000-1 §9.6.5).
+    t3_chars = sorted({
+        ch
+        for page in pages
+        for w in page.get("words", [])
+        if w.get("font", "F1").startswith("T")
+        for ch in w["text"]
+    })
+    if t3_chars:
+        from lexoid_spark.kernels.cff_cmap import (
+            STD_GLYPH_NAMES, glyph_name_to_char)
+
+        if len(t3_chars) > 62:
+            raise ValueError("Type3 fixture font caps at 62 glyphs")
+        t3map = {ch: 0x41 + j for j, ch in enumerate(t3_chars)}
+        pages = [dict(p, _t3map=t3map) for p in pages]
+        name_by_char = {
+            glyph_name_to_char(n): n for n in STD_GLYPH_NAMES}
+
+        def gname(ch: str) -> str:
+            return name_by_char.get(ch) or "uni%04X" % ord(ch)
+
+        proc_entries = []
+        for ch in t3_chars:
+            # minimal glyph procedure: advance width via d0 (ISO
+            # 32000-1 §9.6.5 Type3 glyph program form)
+            proc = b"500 0 d0"
+            pn = add(b"<< /Length %d >>\nstream\n%s\nendstream"
+                     % (len(proc), proc))
+            proc_entries.append("/%s %d 0 R" % (gname(ch), pn))
+        charprocs_num = add(
+            ("<< %s >>" % " ".join(proc_entries)).encode("latin-1"))
+        diffs = "%d %s" % (
+            0x41, " ".join("/" + gname(ch) for ch in t3_chars))
+        widths = " ".join(["500"] * len(t3_chars))
+        font_objs["T1"] = add((
+            "<< /Type /Font /Subtype /Type3 /FontBBox [0 0 1000 1000] "
+            "/FontMatrix [0.001 0 0 0.001 0 0] /CharProcs %d 0 R "
+            "/Encoding << /Type /Encoding /Differences [%s] >> "
+            "/FirstChar %d /LastChar %d /Widths [%s] >>"
+            % (charprocs_num, diffs, 0x41,
+               0x41 + len(t3_chars) - 1, widths)
         ).encode("latin-1"))
     font_dict = " ".join("/%s %d 0 R" % (k, n) for k, n in font_objs.items())
 

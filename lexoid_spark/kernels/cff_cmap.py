@@ -48,6 +48,44 @@ _STD_SID_CHARS[8] = "’"   # quoteright
 _STD_SID_CHARS[65] = "‘"  # quoteleft
 _N_STD_STRINGS = 391
 
+# The same 95 ISO-Adobe names spelled out (SID order == ASCII order)
+# — shared with the PDF /Encoding /Differences parser (Type3 and
+# custom-encoded simple fonts name glyphs with exactly these).
+STD_GLYPH_NAMES: Tuple[str, ...] = (
+    "space", "exclam", "quotedbl", "numbersign", "dollar", "percent",
+    "ampersand", "quoteright", "parenleft", "parenright", "asterisk",
+    "plus", "comma", "hyphen", "period", "slash",
+    "zero", "one", "two", "three", "four", "five", "six", "seven",
+    "eight", "nine", "colon", "semicolon", "less", "equal", "greater",
+    "question", "at",
+    "A", "B", "C", "D", "E", "F", "G", "H", "I", "J", "K", "L", "M",
+    "N", "O", "P", "Q", "R", "S", "T", "U", "V", "W", "X", "Y", "Z",
+    "bracketleft", "backslash", "bracketright", "asciicircum",
+    "underscore", "quoteleft",
+    "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+    "n", "o", "p", "q", "r", "s", "t", "u", "v", "w", "x", "y", "z",
+    "braceleft", "bar", "braceright", "asciitilde",
+)
+_NAME_CHARS: Dict[str, str] = {
+    n: _STD_SID_CHARS[i + 1] for i, n in enumerate(STD_GLYPH_NAMES)
+}
+# WinAnsi/PDFDoc spellings for the two code points whose Standard
+# names are the typographic quotes (AGL: quotesingle=U+0027,
+# grave=U+0060)
+_NAME_CHARS["quotesingle"] = "'"
+_NAME_CHARS["grave"] = "`"
+
+
+def glyph_name_to_char(name: str) -> Optional[str]:
+    """Glyph name → character by AGL conventions: the 95 ISO-Adobe
+    standard names (plus quotesingle/grave), else uniXXXX/uXXXX[XX].
+    ``None`` for names outside that coverage — callers keep their own
+    replacement-char fallback."""
+    ch = _NAME_CHARS.get(name)
+    if ch is not None:
+        return ch
+    return _name_to_char(name)
+
 
 def _name_to_char(name: str) -> Optional[str]:
     """AGL uniXXXX / uXXXX[X[X]] convention → character. Surrogate

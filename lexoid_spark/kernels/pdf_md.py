@@ -702,14 +702,27 @@ def _interpret_content(stream: bytes, height: float,
                     for c in codes) / 1000.0 * size
         else:
             text = raw.decode("latin-1") if hex_ else _unesc(raw)
+            # byte codes BEFORE any encoding remap: /Widths is keyed
+            # by code, not by decoded character
+            codes = [ord(ch) for ch in text]
+            emap = finfo.get("enc_map")
+            if emap is not None or finfo.get("t3"):
+                emap = emap or {}
+                if finfo.get("t3"):
+                    # a Type3 code outside /Differences names only a
+                    # glyph procedure — no silent latin-1 guess
+                    text = "".join(emap.get(o, "�") for o in codes)
+                else:
+                    text = "".join(emap.get(o, chr(o)) for o in codes)
             if finfo["simple_widths"] is not None:
                 fc = finfo["first_char"]
                 ws = finfo["simple_widths"]
                 fb = _CHAR_W.get(fontname, _DEFAULT_CHAR_W) * 1000.0
+                wscale = finfo.get("wscale") or 0.001
                 w = sum(
                     (ws[o - fc] if 0 <= o - fc < len(ws) else fb)
-                    for o in (ord(ch) for ch in text)
-                ) / 1000.0 * size
+                    for o in codes
+                ) * wscale * size
             else:
                 cw = _CHAR_W.get(fontname, _DEFAULT_CHAR_W)
                 w = cw * size * len(text)
@@ -856,7 +869,8 @@ def _font_info(name: str) -> Dict:
     Type0/CID fonts carry a ToUnicode cmap and a /W width table."""
     return {"name": name, "cid": False, "cmap": None, "widths": None,
             "dw": 1000.0, "first_char": None, "simple_widths": None,
-            "enc": "identity"}
+            "enc": "identity", "enc_map": None, "t3": False,
+            "wscale": None}
 
 
 _DEFAULT_FONT = _font_info("Helvetica")
@@ -1023,7 +1037,62 @@ def _parse_font_obj(fobj: bytes, objs: Dict[int, bytes]) -> Dict:
         if fc is not None and ws:
             info["first_char"] = fc
             info["simple_widths"] = ws
+        is_t3 = b"/Type3" in fobj
+        diff = _parse_differences(fobj)
+        if diff is None:
+            # /Encoding may be an indirect encoding dict
+            eref = _ref_after(fobj, b"/Encoding")
+            eobj = objs.get(eref) if eref is not None else None
+            if eobj is not None:
+                diff = _parse_differences(eobj)
+        if diff or is_t3:
+            # Type3 / custom-encoded simple font: byte codes decode
+            # through the /Encoding /Differences glyph-name map (AGL
+            # conventions). A Type3 code outside the map has no text
+            # meaning at all (only a glyph procedure) → "�"; a simple
+            # font falls back to its base encoding (≈ latin-1 for the
+            # Standard/WinAnsi printable range this parser handles).
+            info["enc_map"] = diff
+            info["t3"] = is_t3
+        if is_t3:
+            # Type3 glyph space → text space via /FontMatrix (usually
+            # [0.001 0 0 0.001 0 0]); only the x-scale matters for
+            # word-box widths
+            mnums = _numbers_in_brackets(fobj, b"/FontMatrix")
+            info["wscale"] = float(mnums[0]) if mnums else 0.001
     return info
+
+
+_DIFF_TOK_RE = re.compile(rb"/([^\s/<>\[\]()]+)|([+-]?\d+)")
+
+
+def _parse_differences(fobj: bytes) -> Optional[Dict[int, str]]:
+    """/Encoding << /Differences [c₁ /n₁ /n₂ … c₂ /m₁ …] >> →
+    {code: char}: each integer resets the running code, each name
+    consumes one code (PDF spec §9.6.6.1). Names outside AGL coverage
+    keep no entry (the caller's fallback applies). ``None`` when the
+    font has no /Differences array at all."""
+    d_idx = fobj.find(b"/Differences")
+    if d_idx == -1:
+        return None
+    tail = fobj[d_idx + len(b"/Differences"):]
+    b_start = tail.find(b"[")
+    b_end = tail.find(b"]")
+    if b_start == -1 or b_end == -1 or b_end < b_start:
+        return None
+    from lexoid_spark.kernels.cff_cmap import glyph_name_to_char
+
+    out: Dict[int, str] = {}
+    code = 0
+    for m in _DIFF_TOK_RE.finditer(tail[b_start + 1:b_end]):
+        if m.group(2) is not None:
+            code = int(m.group(2))
+            continue
+        ch = glyph_name_to_char(m.group(1).decode("latin-1"))
+        if ch is not None and 0 <= code <= 0xFF:
+            out[code] = ch
+        code += 1
+    return out
 
 
 def _page_fonts(pobj: bytes, objs: Dict[int, bytes]) -> Dict[str, Dict]:

@@ -277,3 +277,66 @@ class TestPredefinedCMaps:
         b = pdf_to_pages(build_pdf([{"words": self.WORDS}],
                                    cid_encoding="UniGB-UCS2-H"))
         assert a == b
+
+
+class TestType3Fonts:
+    """Type3 glyph-procedure fonts (VERDICT r04 "What's missing" #4):
+    byte codes decode through /Encoding /Differences glyph names (AGL
+    conventions), never through latin-1 — the fixture's codes are
+    deliberately remapped so a raw-byte read would garble."""
+
+    WORDS = [{"text": "hello world!", "x": 72.0, "y": 700.0,
+              "size": 12.0, "font": "T1"},
+             {"text": "t3 fix 42", "x": 72.0, "y": 660.0,
+              "size": 12.0, "font": "T1"}]
+
+    def test_differences_decode(self):
+        pdf = build_pdf([{"words": self.WORDS}])
+        assert b"/Type3" in pdf and b"/Differences" in pdf
+        # the shown bytes really are remapped, not the text itself
+        assert b"(hello world!)" not in pdf
+        (_, md), = pdf_to_pages(pdf)
+        assert "hello world!" in md and "t3 fix 42" in md
+
+    def test_matches_plain_font_layout(self):
+        t3 = pdf_to_md(build_pdf([{"words": self.WORDS}]))
+        plain = pdf_to_md(build_pdf(
+            [{"words": [dict(w, font="F1") for w in self.WORDS]}]))
+        assert t3 == plain
+
+    def test_flate_and_objstm_dialects(self):
+        for kw in ({"compress": True},
+                   {"compress": True, "objstm": True}):
+            (_, md), = pdf_to_pages(
+                build_pdf([{"words": self.WORDS}], **kw))
+            assert "hello world!" in md, kw
+
+    def test_unicode_glyph_names(self):
+        words = [{"text": "héllo•", "x": 72.0, "y": 700.0,
+                  "size": 12.0, "font": "T1"}]
+        pdf = build_pdf([{"words": words}])
+        assert b"/uni00E9" in pdf and b"/uni2022" in pdf
+        (_, md), = pdf_to_pages(pdf)
+        assert "héllo•" in md
+
+    def test_unmapped_code_is_replacement_not_latin1(self):
+        pdf = build_pdf([{"words": [
+            {"text": "ab", "x": 72.0, "y": 700.0,
+             "size": 12.0, "font": "T1"}]}])
+        # append a code outside /Differences into the shown string:
+        # 'ab' maps to codes A,B — inject 'Z' (unassigned)
+        broken = pdf.replace(b"(AB)", b"(ABZ)")
+        assert broken != pdf
+        (_, md), = pdf_to_pages(broken)
+        assert "ab\N{REPLACEMENT CHARACTER}" in md
+
+    def test_simple_font_differences_fallback_latin1(self):
+        # a NON-Type3 simple font with /Differences: mapped codes
+        # decode by name, unmapped codes keep their latin-1 meaning
+        from lexoid_spark.kernels.pdf_md import _parse_font_obj
+
+        fobj = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+                b"/Encoding << /Differences [65 /zero /one] >> >>")
+        info = _parse_font_obj(fobj, {})
+        assert info["enc_map"] == {65: "0", 66: "1"}
+        assert not info["t3"]
