@@ -3682,6 +3682,57 @@ FROM documents WHERE doc_id % 9 = 0 ORDER BY url
 """
 
 
+def _pdf_jbig2_scan(spark, sf):
+    """JBIG2 (ITU-T T.88) scans through the FULL extract() plan,
+    rotating the two coding modes on doc_id: MMR generic regions
+    (T.6 data inside JBIG2 segments) and MQ-arithmetic GBTEMPLATE-0
+    regions — the archival-scanner layout next to CCITT G4. Route:
+    sniff → has_image flag → OCR arm → kernels/jbig2.py segment parse
+    + region decode → glyph recognition. Reference reads such PDFs
+    via pdfplumber/pypdfium (static_parser.py:700-727); the codec has
+    no reference code. Recognition is a pure function of doc_id, so
+    DuckDB predicts the page text closed-form."""
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def jbig2_pdf(doc_ids: pd.Series) -> pd.Series:
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.ocr_glyph import render_text
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            arr = render_text(f"JBIG2 SCAN {d}\nrow {d % 6} ok",
+                              scale=2)
+            codec = "jbig2" if d % 2 == 0 else "jbig2-arith"
+            out.append(build_pdf(
+                [{"raster_images": [{"gray": arr, "codec": codec}]}]))
+        return pd.Series(out)
+
+    # 1-in-17 deterministic subset: build→scan→segment-parse→MQ/MMR
+    # decode→recognize is honest per-doc pixel work
+    docs = _tp(spark, sf, "documents").filter(F.col("doc_id") % 17 == 0)
+    pages = docs.select(
+        F.concat(F.lit("http://jbig2pdf.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        jbig2_pdf("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(_materialize(pages), run_id="jbig2_pdf")["extracted"]
+    return out.select("url", "raw", "parser_used").orderBy("url")
+
+
+_PDF_JBIG2_SCAN_SQL = """
+SELECT 'http://jbig2pdf.test/' || CAST(doc_id AS VARCHAR) AS url,
+       'JBIG2 SCAN ' || CAST(doc_id AS VARCHAR)
+       || ' row ' || CAST(doc_id % 6 AS VARCHAR) || ' ok' AS raw,
+       'OCR_PARSE' AS parser_used
+FROM documents WHERE doc_id % 17 = 0 ORDER BY url
+"""
+
+
 def _pdf_inline_image(spark, sf):
     """BI/ID/EI inline images through the FULL extract() plan,
     rotating five wild layouts on doc_id: Flate samples with /L,
@@ -6533,6 +6584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_g3_scan": _pdf_g3_scan,
         "pdf_inline_image": _pdf_inline_image,
         "pdf_type3_extract": _pdf_type3_extract,
+        "pdf_jbig2_scan": _pdf_jbig2_scan,
         "pdf_ocr_extract": _pdf_ocr_extract,
         "pdf_speed_arm": _pdf_speed_arm,
         "pii_redact_docs": _pii_redact_docs,
@@ -6685,6 +6737,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_g3_scan": _PDF_G3_SCAN_SQL,
         "pdf_inline_image": _PDF_INLINE_IMAGE_SQL,
         "pdf_type3_extract": _PDF_TYPE3_SQL,
+        "pdf_jbig2_scan": _PDF_JBIG2_SCAN_SQL,
         "pdf_ocr_extract": _PDF_OCR_EXTRACT_SQL,
         "pdf_speed_arm": _PDF_SPEED_SQL,
         "pii_redact_docs": _PII_REDACT_SQL,

@@ -522,6 +522,27 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
                      % (iw, ih, kparm, iw, ih, len(enc), enc))
                 ))
                 continue
+            if isinstance(raster, dict) and \
+                    raster.get("codec") in ("jbig2", "jbig2-arith"):
+                # B/W scan under /JBIG2Decode (ITU-T T.88 embedded
+                # stream): "jbig2" = MMR-coded generic region (T.6
+                # data), "jbig2-arith" = MQ-coded GBTEMPLATE-0 region
+                from lexoid_spark.kernels.jbig2 import jbig2_encode
+
+                arr = raster["gray"]
+                ih, iw = arr.shape
+                enc = jbig2_encode(
+                    arr, mode=("arith" if raster["codec"].endswith(
+                        "arith") else "mmr"),
+                    tpgdon=bool(raster.get("tpgdon")))
+                img_nums_page.append(add(
+                    (b"<< /Type /XObject /Subtype /Image /Width %d "
+                     b"/Height %d /ColorSpace /DeviceGray "
+                     b"/BitsPerComponent 1 /Filter /JBIG2Decode "
+                     b"/Length %d >>\nstream\n%s\nendstream"
+                     % (iw, ih, len(enc), enc))
+                ))
+                continue
             if isinstance(raster, dict) and "indexed" in raster:
                 # palette image: ink maps to a non-trivial palette slot
                 # so decode requires a REAL lookup, not value passthrough

@@ -197,6 +197,36 @@ def _g4_raster_array(header: bytes, payload: bytes):
     return arr
 
 
+def _jbig2_raster_array(header: bytes, payload: bytes):
+    """JBIG2 image XObject (/Filter /JBIG2Decode) → (H, W) uint8 ink
+    array, or None when the dict isn't a JBIG2 raster. The kernel
+    consumes the embedded segment stream directly (page bitmap, ink
+    = 0) rather than the packed 1-bit filter output, so no /Decode
+    inversion applies. Symbol-dictionary streams and a /JBIG2Globals
+    reference (an indirect stream this object scan does not chase)
+    raise (→ quarantine) — a declared JBIG2 scan that doesn't decode
+    must not silently skip."""
+    if b"/JBIG2Decode" not in header:
+        return None
+    from lexoid_spark.kernels.jbig2 import Jbig2Error, jbig2_decode
+    from lexoid_spark.kernels.pdf_md import _int_after
+
+    if b"/JBIG2Globals" in header:
+        raise ValueError(
+            "JBIG2 scan with external /JBIG2Globals is unsupported")
+    w = _int_after(header, b"/Width")
+    h = _int_after(header, b"/Height")
+    try:
+        arr = jbig2_decode(payload)
+    except Jbig2Error as e:
+        raise ValueError(f"undecodable JBIG2 scan: {e}") from e
+    if w and h and arr.shape != (h, w):
+        raise ValueError(
+            f"JBIG2 page bitmap {arr.shape} contradicts the XObject "
+            f"dict ({h}, {w})")
+    return arr
+
+
 def ocr_pdf_to_pages(payload, start: int = 0) -> List[Tuple[int, str, List[WordBox]]]:
     """Image-bearing PDF → [(page, text, bboxes)]: OCR every embedded
     /Subtype /Image XObject, one logical page per image (the
@@ -218,6 +248,8 @@ def ocr_pdf_to_pages(payload, start: int = 0) -> List[Tuple[int, str, List[WordB
             pages.append(_recognize(img))
             continue
         arr = _g4_raster_array(header, img)
+        if arr is None:
+            arr = _jbig2_raster_array(header, img)
         if arr is None:
             arr = _raw_raster_array(header, img)
         if arr is not None:

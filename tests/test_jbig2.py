@@ -1,0 +1,167 @@
+"""JBIG2 (ITU-T T.88) kernel tests: MQ-coder + generic-region
+round-trips over adversarial bitmaps, typed-error behavior on
+malformed/out-of-scope streams, and the scanned-PDF OCR arm end to
+end (mirrors tests/test_ccitt_g4.py for the fax arms)."""
+
+import numpy as np
+import pytest
+
+from lexoid_spark.kernels.jbig2 import (
+    Jbig2Error,
+    _MQDecoder,
+    _MQEncoder,
+    jbig2_decode,
+    jbig2_encode,
+)
+
+
+class TestMQCoder:
+    def test_bit_sequence_roundtrip(self):
+        rng = np.random.default_rng(11)
+        bits = (rng.random(5000) < 0.3).astype(int).tolist()
+        enc = _MQEncoder()
+        cx = [0, 0]
+        for b in bits:
+            enc.encode(b, cx)
+        data = enc.done()
+        dec = _MQDecoder(data)
+        cx = [0, 0]
+        assert [dec.decode(cx) for _ in bits] == bits
+
+    def test_multi_context_roundtrip(self):
+        rng = np.random.default_rng(12)
+        ctxs = rng.integers(0, 8, 2000)
+        bits = (rng.random(2000) < 0.5).astype(int)
+        enc = _MQEncoder()
+        states = [[0, 0] for _ in range(8)]
+        for c, b in zip(ctxs, bits):
+            enc.encode(int(b), states[c])
+        data = enc.done()
+        dec = _MQDecoder(data)
+        states = [[0, 0] for _ in range(8)]
+        out = [dec.decode(states[c]) for c in ctxs]
+        assert out == list(bits)
+
+    def test_skewed_streams_compress(self):
+        # 10k near-constant bits must code far below 1 bit/symbol
+        enc = _MQEncoder()
+        cx = [0, 0]
+        for i in range(10_000):
+            enc.encode(1 if i % 500 == 0 else 0, cx)
+        assert len(enc.done()) < 200
+
+
+class TestGenericRegion:
+    @pytest.mark.parametrize("mode", ["mmr", "arith"])
+    @pytest.mark.parametrize("density", [0.02, 0.5, 0.98])
+    def test_random_bitmaps(self, mode, density):
+        rng = np.random.default_rng(int(density * 100))
+        arr = np.where(rng.random((41, 97)) < density, 0, 255).astype(
+            np.uint8)
+        assert np.array_equal(jbig2_decode(jbig2_encode(arr, mode=mode)),
+                              arr)
+
+    @pytest.mark.parametrize("mode", ["mmr", "arith"])
+    def test_uniform_and_single_pixel(self, mode):
+        for v in (0, 255):
+            a = np.full((17, 33), v, np.uint8)
+            assert np.array_equal(jbig2_decode(jbig2_encode(a, mode=mode)), a)
+        a = np.array([[0]], np.uint8)
+        assert np.array_equal(jbig2_decode(jbig2_encode(a, mode=mode)), a)
+
+    def test_tpgdon_repeated_rows(self):
+        arr = np.zeros((60, 80), np.uint8)
+        arr[::4] = 255
+        enc_tp = jbig2_encode(arr, mode="arith", tpgdon=True)
+        enc_no = jbig2_encode(arr, mode="arith", tpgdon=False)
+        assert np.array_equal(jbig2_decode(enc_tp), arr)
+        # typical prediction must pay off on a row-repetitive bitmap
+        assert len(enc_tp) < len(enc_no)
+
+    def test_glyph_text_roundtrip(self):
+        from lexoid_spark.kernels.ocr_glyph import recognize_pixels, render_text
+
+        text = "JBIG2 OK 42"
+        arr = render_text(text, scale=2)
+        for mode in ("mmr", "arith"):
+            out = jbig2_decode(jbig2_encode(arr, mode=mode))
+            assert recognize_pixels(out)[0] == text
+
+
+class TestTypedErrors:
+    def test_fuzz_random_bytes_terminate_typed(self):
+        rng = np.random.default_rng(99)
+        for n in (0, 1, 7, 64, 513):
+            blob = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            try:
+                jbig2_decode(blob)
+            except Jbig2Error:
+                pass  # typed, never a hang or foreign exception
+
+    def test_symbol_segments_quarantine(self):
+        # a symbol-dictionary segment header (type 0) must raise
+        import struct
+        hdr = struct.pack(">IBBBI", 0, 0, 0, 1, 0)
+        with pytest.raises(Jbig2Error, match="unsupported"):
+            jbig2_decode(hdr)
+
+    def test_truncated_segment_raises(self):
+        good = jbig2_encode(np.zeros((4, 4), np.uint8))
+        with pytest.raises(Jbig2Error):
+            jbig2_decode(good[: len(good) - 3])
+
+    def test_hostile_dims_capped(self):
+        import struct
+        page = struct.pack(">IIIIBH", 1 << 20, 1 << 20, 0, 0, 1, 0)
+        blob = struct.pack(">IBBBI", 0, 48, 0, 1, len(page)) + page
+        with pytest.raises(Jbig2Error, match="implausible"):
+            jbig2_decode(blob)
+
+    def test_nonzero_template_quarantines(self):
+        enc = bytearray(jbig2_encode(np.zeros((4, 4), np.uint8),
+                                     mode="arith"))
+        # generic flags byte sits right after the 17-byte region info
+        # of the SECOND segment (page info segment is 11+19 bytes)
+        flags_off = (11 + 19) + 11 + 17
+        assert enc[flags_off] == 0x00
+        enc[flags_off] = 0x02  # GBTEMPLATE 1
+        with pytest.raises(Jbig2Error, match="GBTEMPLATE"):
+            jbig2_decode(bytes(enc))
+
+
+class TestScannedPdfOcr:
+    @pytest.mark.parametrize("codec", ["jbig2", "jbig2-arith"])
+    def test_jbig2_scanned_pdf_ocr(self, codec):
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.ocr_stub import ocr_pdf_to_pages
+
+        arr = render_text("JBIG2 FAX 9\nrow 2 ok", scale=2)
+        pdf = build_pdf([{"raster_images": [{"gray": arr,
+                                             "codec": codec}]}])
+        assert b"/JBIG2Decode" in pdf
+        (page, text, boxes), = ocr_pdf_to_pages(pdf)
+        assert page == 1 and text == "JBIG2 FAX 9 row 2 ok"
+        assert boxes
+
+    def test_corrupt_jbig2_quarantines(self):
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.ocr_stub import ocr_pdf_to_pages
+
+        arr = render_text("BAD", scale=2)
+        pdf = build_pdf([{"raster_images": [{"gray": arr,
+                                             "codec": "jbig2"}]}])
+        broken = pdf.replace(b"/JBIG2Decode", b"/JBIG2Decode")
+        idx = broken.find(b"stream\n", broken.find(b"/JBIG2Decode"))
+        broken = broken[:idx + 10] + b"\x00\x00" + broken[idx + 12:]
+        with pytest.raises(ValueError):
+            ocr_pdf_to_pages(broken)
+
+    def test_globals_reference_quarantines(self):
+        from lexoid_spark.kernels.ocr_stub import _jbig2_raster_array
+
+        hdr = (b"<< /Subtype /Image /Width 4 /Height 4 /Filter "
+               b"/JBIG2Decode /DecodeParms << /JBIG2Globals 9 0 R >> >>")
+        with pytest.raises(ValueError, match="JBIG2Globals"):
+            _jbig2_raster_array(hdr, b"")
