@@ -3733,6 +3733,57 @@ FROM documents WHERE doc_id % 17 = 0 ORDER BY url
 """
 
 
+def _pdf_jpx_scan(spark, sf):
+    """JPEG 2000 (ITU-T T.800) scans through the FULL extract() plan,
+    rotating the two container shapes on doc_id: raw codestreams and
+    JP2 boxes under /JPXDecode. Route: sniff → has_image flag → OCR
+    arm → kernels/jpx.py (5/3 reversible DWT + EBCOT Tier-1 through
+    the shared MQ coder + tag-tree packet headers) → glyph
+    recognition. Reference reads such PDFs via pdfplumber/pypdfium
+    (static_parser.py:700-727); the codec has no reference code.
+    Recognition is a pure function of doc_id, so DuckDB predicts the
+    page text closed-form."""
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def jpx_pdf(doc_ids: pd.Series) -> pd.Series:
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.ocr_glyph import render_text
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            arr = render_text(f"JPX SCAN {d}\nrow {d % 6} ok",
+                              scale=2)
+            codec = "jpx" if d % 2 == 0 else "jpx-jp2"
+            out.append(build_pdf(
+                [{"raster_images": [{"gray": arr, "codec": codec}]}]))
+        return pd.Series(out)
+
+    # 1-in-19 deterministic subset: build→scan→DWT+EBCOT→recognize is
+    # honest per-doc pixel work
+    docs = _tp(spark, sf, "documents").filter(F.col("doc_id") % 19 == 0)
+    pages = docs.select(
+        F.concat(F.lit("http://jpxpdf.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        jpx_pdf("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(_materialize(pages), run_id="jpx_pdf")["extracted"]
+    return out.select("url", "raw", "parser_used").orderBy("url")
+
+
+_PDF_JPX_SCAN_SQL = """
+SELECT 'http://jpxpdf.test/' || CAST(doc_id AS VARCHAR) AS url,
+       'JPX SCAN ' || CAST(doc_id AS VARCHAR)
+       || ' row ' || CAST(doc_id % 6 AS VARCHAR) || ' ok' AS raw,
+       'OCR_PARSE' AS parser_used
+FROM documents WHERE doc_id % 19 = 0 ORDER BY url
+"""
+
+
 def _pdf_inline_image(spark, sf):
     """BI/ID/EI inline images through the FULL extract() plan,
     rotating five wild layouts on doc_id: Flate samples with /L,
@@ -6585,6 +6636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_inline_image": _pdf_inline_image,
         "pdf_type3_extract": _pdf_type3_extract,
         "pdf_jbig2_scan": _pdf_jbig2_scan,
+        "pdf_jpx_scan": _pdf_jpx_scan,
         "pdf_ocr_extract": _pdf_ocr_extract,
         "pdf_speed_arm": _pdf_speed_arm,
         "pii_redact_docs": _pii_redact_docs,
@@ -6738,6 +6790,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_inline_image": _PDF_INLINE_IMAGE_SQL,
         "pdf_type3_extract": _PDF_TYPE3_SQL,
         "pdf_jbig2_scan": _PDF_JBIG2_SCAN_SQL,
+        "pdf_jpx_scan": _PDF_JPX_SCAN_SQL,
         "pdf_ocr_extract": _PDF_OCR_EXTRACT_SQL,
         "pdf_speed_arm": _PDF_SPEED_SQL,
         "pii_redact_docs": _PII_REDACT_SQL,

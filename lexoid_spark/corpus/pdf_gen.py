@@ -523,6 +523,26 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
                 ))
                 continue
             if isinstance(raster, dict) and \
+                    raster.get("codec") in ("jpx", "jpx-jp2"):
+                # JPEG 2000 scan under /JPXDecode (ITU-T T.800):
+                # "jpx" = raw codestream, "jpx-jp2" = JP2 container
+                from lexoid_spark.kernels.jpx import jp2_wrap, jpx_encode
+
+                arr = raster["gray"]
+                ih, iw = arr.shape[:2]
+                nc = 1 if arr.ndim == 2 else arr.shape[2]
+                enc = jpx_encode(arr, levels=raster.get("levels", 2))
+                if raster["codec"] == "jpx-jp2":
+                    enc = jp2_wrap(enc, iw, ih, nc)
+                img_nums_page.append(add(
+                    (b"<< /Type /XObject /Subtype /Image /Width %d "
+                     b"/Height %d /ColorSpace /DeviceGray "
+                     b"/BitsPerComponent 8 /Filter /JPXDecode "
+                     b"/Length %d >>\nstream\n%s\nendstream"
+                     % (iw, ih, len(enc), enc))
+                ))
+                continue
+            if isinstance(raster, dict) and \
                     raster.get("codec") in ("jbig2", "jbig2-arith"):
                 # B/W scan under /JBIG2Decode (ITU-T T.88 embedded
                 # stream): "jbig2" = MMR-coded generic region (T.6

@@ -1,0 +1,1004 @@
+"""JPEG 2000 (ITU-T T.800 / ISO 15444-1) decode for PDF
+``/JPXDecode`` rasters — the last still-image codec arm after
+PNG/GIF/JPEG/CCITT/JBIG2, closing the "JPX" seam from the round-4
+verdict.
+
+Scope (decode): raw codestreams (SOC..EOC) and JP2 containers (the
+``jp2c`` box is located and its codestream decoded):
+
+- SIZ: single tile, 1–4 components, identical component dims, 8-bit
+  unsigned samples, no subsampling;
+- COD: **reversible 5/3 wavelet** (lifting per Annex F), LRCP
+  progression, single layer, default (maximal) precincts, no MCT,
+  plain code-block style (no bypass/reset/termall/causal/predictable
+  termination/segmentation symbols);
+- QCD: no-quantization style (reversible), guard bits + per-subband
+  exponents;
+- EBCOT Tier-1 code-block decoding (significance propagation,
+  magnitude refinement, cleanup passes over the 19-context model of
+  §D) through the shared MQ coder (``kernels/jbig2._MQDecoder`` — the
+  T.88 Annex E coder is bit-identical to T.800 Annex C);
+- Tier-2 packet headers: tag-tree inclusion + zero-bitplane coding,
+  pass counts, Lblock length codes, 0xFF bit-stuffing.
+
+Anything outside that — multiple tiles, the irreversible 9/7 path,
+multiple layers, custom precincts, coding-style option bits, bit
+depths over 8, subsampled components — raises a typed
+:class:`JpxError` so the document QUARANTINES instead of parsing to
+garbage pixels (the contract shared by the CCITT/JBIG2/crypt
+kernels).
+
+Honesty note mirroring ``kernels/jbig2``: with no third-party JPX
+sample available in this sandbox, conformance of the EBCOT context
+model is evidenced by encoder↔decoder round-trips over adversarial
+images (tests/test_jpx.py); the arithmetic coder itself rides the
+JBIG2 kernel's round-trip-tested implementation. The encoder half
+exists for fixtures/corpus only (single layer, one terminated MQ
+segment per code-block).
+
+Reference parity: the reference consumes JPX-bearing PDFs through
+pdfplumber/pypdfium (``lexoid/core/parse_type/static_parser.py:
+700-727``); the codec itself has no reference code to mirror.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from lexoid_spark.kernels.jbig2 import _MQDecoder, _MQEncoder
+
+
+class JpxError(ValueError):
+    """Malformed or out-of-scope JPEG 2000 data (→ quarantine)."""
+
+
+_MAX_DIM = 1 << 14
+_MAX_PIXELS = 1 << 26
+
+# ---------------------------------------------------------------------------
+# 5/3 reversible wavelet (T.800 Annex F lifting, symmetric extension)
+# ---------------------------------------------------------------------------
+
+
+def _dwt53_fwd_1d(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    n = x.shape[-1]
+    if n == 1:
+        return x.copy(), x[..., :0].copy()
+    ev = x[..., 0::2].astype(np.int32)
+    od = x[..., 1::2].astype(np.int32)
+    # predict: d[i] = od[i] - floor((ev[i] + ev[i+1]) / 2)
+    ev_r = np.concatenate([ev[..., 1:], ev[..., -2:-1]] if ev.shape[-1] > 1
+                          else [ev], axis=-1)[..., :od.shape[-1]]
+    d = od - ((ev[..., :od.shape[-1]] + ev_r) >> 1)
+    # update: s[i] = ev[i] + floor((d[i-1] + d[i] + 2) / 4)
+    d_l = np.concatenate([d[..., :1], d[..., :-1]], axis=-1)
+    d_r = d
+    if ev.shape[-1] > d.shape[-1]:          # odd length: last even
+        d_l = np.concatenate([d_l, d[..., -1:]], axis=-1)
+        d_r = np.concatenate([d_r, d[..., -1:]], axis=-1)
+    s = ev + ((d_l + d_r + 2) >> 2)
+    return s, d
+
+
+def _dwt53_inv_1d(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+    ns, nd = s.shape[-1], d.shape[-1]
+    if nd == 0:
+        return s.copy()
+    d_l = np.concatenate([d[..., :1], d[..., :-1]], axis=-1)
+    d_r = d
+    if ns > nd:
+        d_l = np.concatenate([d_l, d[..., -1:]], axis=-1)
+        d_r = np.concatenate([d_r, d[..., -1:]], axis=-1)
+    ev = s - ((d_l + d_r + 2) >> 2)
+    ev_r = np.concatenate([ev[..., 1:], ev[..., -2:-1]] if ns > 1
+                          else [ev], axis=-1)[..., :nd]
+    od = d + ((ev[..., :nd] + ev_r) >> 1)
+    out = np.empty(s.shape[:-1] + (ns + nd,), dtype=np.int32)
+    out[..., 0::2] = ev
+    out[..., 1::2] = od
+    return out
+
+
+def _dwt53_fwd(img: np.ndarray, levels: int) -> List[Dict[str, np.ndarray]]:
+    """(H, W) int32 → list of per-level subband dicts, coarse last:
+    [{HL, LH, HH} × levels] with the final LL appended under "LL"."""
+    out: List[Dict[str, np.ndarray]] = []
+    ll = img.astype(np.int32)
+    for _ in range(levels):
+        lo_c, hi_c = _dwt53_fwd_1d(ll)                    # along rows (x)
+        lo = np.ascontiguousarray(lo_c)
+        hi = np.ascontiguousarray(hi_c)
+        ll_s, lh = _dwt53_fwd_1d(lo.T)                    # along cols (y)
+        hl, hh = _dwt53_fwd_1d(hi.T)
+        out.append({"HL": np.ascontiguousarray(hl.T),
+                    "LH": np.ascontiguousarray(lh.T),
+                    "HH": np.ascontiguousarray(hh.T)})
+        ll = np.ascontiguousarray(ll_s.T)
+    out.append({"LL": ll})
+    return out
+
+
+def _dwt53_inv(bands: List[Dict[str, np.ndarray]]) -> np.ndarray:
+    ll = bands[-1]["LL"]
+    for lvl in reversed(bands[:-1]):
+        hl, lh, hh = lvl["HL"], lvl["LH"], lvl["HH"]
+        lo = _dwt53_inv_1d(ll.T, lh.T).T
+        hi = _dwt53_inv_1d(hl.T, hh.T).T
+        ll = _dwt53_inv_1d(np.ascontiguousarray(lo),
+                           np.ascontiguousarray(hi))
+    return ll
+
+
+# ---------------------------------------------------------------------------
+# EBCOT Tier-1 (T.800 Annex D): 19-context model, three passes
+# ---------------------------------------------------------------------------
+
+# significance-coding context from neighbor significance counts
+# (sum_h, sum_v, sum_d) per subband orientation (Table D.1)
+
+
+def _zc_context(sh: int, sv: int, sd: int, band: str) -> int:
+    if band == "HL":            # transpose: swap H and V roles
+        sh, sv = sv, sh
+    if band != "HH":
+        if sh == 2:
+            return 8
+        if sh == 1:
+            return 7 if sv >= 1 else (6 if sd >= 1 else 5)
+        if sv == 2:
+            return 4
+        if sv == 1:
+            return 3
+        return min(sd, 2)
+    # HH
+    if sd >= 3:
+        return 8
+    if sd == 2:
+        return 7 if sh + sv >= 1 else 6
+    if sd == 1:
+        return 5 if sh + sv >= 2 else (4 if sh + sv == 1 else 3)
+    return min(sh + sv, 2)
+
+
+# sign-coding: (h_contrib, v_contrib) in {-1,0,1} → (context, xor)
+# (Table D.3); contexts 9..13
+_SC_TABLE = {
+    (1, 1): (13, 0), (1, 0): (12, 0), (1, -1): (11, 0),
+    (0, 1): (10, 0), (0, 0): (9, 0), (0, -1): (10, 1),
+    (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1),
+}
+
+_CTX_RL = 17        # run-length context
+_CTX_UNI = 18       # uniform context
+_N_CTX = 19
+
+
+def _fresh_contexts() -> List[List[int]]:
+    cx = [[0, 0] for _ in range(_N_CTX)]
+    cx[0] = [4, 0]          # zero-coding context 0 starts at state 4
+    cx[_CTX_RL] = [3, 0]    # run-length starts at state 3
+    cx[_CTX_UNI] = [46, 0]  # uniform starts at state 46
+    return cx
+
+
+class _BlockCoder:
+    """Shared scaffolding for one code-block: significance map, sign
+    map, refinement map, and the stripe-of-4 scan order (§D.2)."""
+
+    def __init__(self, h: int, w: int, band: str) -> None:
+        self.h, self.w, self.band = h, w, band
+        self.sig = np.zeros((h + 2, w + 2), dtype=np.int8)   # padded
+        self.sgn = np.zeros((h + 2, w + 2), dtype=np.int8)
+        self.refined = np.zeros((h, w), dtype=bool)
+        self.visited = np.zeros((h, w), dtype=bool)
+
+    def _neighbor_counts(self, y: int, x: int) -> Tuple[int, int, int]:
+        s = self.sig
+        yy, xx = y + 1, x + 1
+        sh = s[yy, xx - 1] + s[yy, xx + 1]
+        sv = s[yy - 1, xx] + s[yy + 1, xx]
+        sd = (s[yy - 1, xx - 1] + s[yy - 1, xx + 1]
+              + s[yy + 1, xx - 1] + s[yy + 1, xx + 1])
+        return int(sh), int(sv), int(sd)
+
+    def _sign_context(self, y: int, x: int) -> Tuple[int, int]:
+        s, g = self.sig, self.sgn
+        yy, xx = y + 1, x + 1
+
+        def contrib(sig_a, sgn_a, sig_b, sgn_b) -> int:
+            va = sgn_a if sig_a else 0    # +1 positive, -1 negative
+            vb = sgn_b if sig_b else 0
+            t = va + vb
+            return 1 if t > 0 else (-1 if t < 0 else 0)
+
+        hc = contrib(s[yy, xx - 1], g[yy, xx - 1],
+                     s[yy, xx + 1], g[yy, xx + 1])
+        vc = contrib(s[yy - 1, xx], g[yy - 1, xx],
+                     s[yy + 1, xx], g[yy + 1, xx])
+        return _SC_TABLE[(hc, vc)]
+
+    def stripes(self):
+        for y0 in range(0, self.h, 4):
+            for x in range(self.w):
+                for y in range(y0, min(y0 + 4, self.h)):
+                    yield y0, y, x
+
+
+def _t1_decode_block(data: bytes, h: int, w: int, band: str,
+                     zero_bp: int, n_passes: int,
+                     max_bp: int) -> np.ndarray:
+    """One code-block's MQ data → int32 coefficients (sign-magnitude
+    applied)."""
+    bc = _BlockCoder(h, w, band)
+    mag = np.zeros((h, w), dtype=np.int64)
+    cx = _fresh_contexts()
+    mq = _MQDecoder(data)
+    p = max_bp - 1 - zero_bp          # current bitplane
+    pass_kind = 2                      # first pass is cleanup
+    for _ in range(n_passes):
+        if p < 0:
+            raise JpxError("more coding passes than bitplanes")
+        bit = 1 << p
+        if pass_kind == 0:
+            # significance propagation
+            for _, y, x in bc.stripes():
+                if bc.sig[y + 1, x + 1]:
+                    continue
+                sh, sv, sd = bc._neighbor_counts(y, x)
+                if sh + sv + sd == 0:
+                    continue
+                ctx = _zc_context(sh, sv, sd, band)
+                bc.visited[y, x] = True
+                if mq.decode(cx[ctx]):
+                    sctx, xorbit = bc._sign_context(y, x)
+                    sbit = mq.decode(cx[sctx]) ^ xorbit
+                    bc.sig[y + 1, x + 1] = 1
+                    bc.sgn[y + 1, x + 1] = -1 if sbit else 1
+                    mag[y, x] |= bit
+        elif pass_kind == 1:
+            # magnitude refinement
+            for _, y, x in bc.stripes():
+                if not bc.sig[y + 1, x + 1] or bc.visited[y, x]:
+                    continue
+                if bc.refined[y, x]:
+                    ctx = 16
+                else:
+                    sh, sv, sd = bc._neighbor_counts(y, x)
+                    ctx = 15 if sh + sv + sd else 14
+                if mq.decode(cx[ctx]):
+                    mag[y, x] |= bit
+                bc.refined[y, x] = True
+        else:
+            # cleanup
+            x_cur = -1
+            run_skip = 0
+            for y0, y, x in bc.stripes():
+                if x != x_cur or y == y0:
+                    x_cur = x
+                    run_skip = 0
+                    # run-length mode: full stripe of 4, all
+                    # insignificant, no significant neighbors
+                    if (y == y0 and y0 + 4 <= h
+                            and not bc.visited[y0:y0 + 4, x].any()
+                            and not bc.sig[y0:y0 + 6,
+                                           x:x + 3].any()):
+                        if not mq.decode(cx[_CTX_RL]):
+                            run_skip = 4
+                        else:
+                            r = (mq.decode(cx[_CTX_UNI]) << 1)
+                            r |= mq.decode(cx[_CTX_UNI])
+                            run_skip = r
+                            # the r-th pixel is significant by
+                            # construction: decode its sign directly
+                            yy = y0 + r
+                            sctx, xorbit = bc._sign_context(yy, x)
+                            sbit = mq.decode(cx[sctx]) ^ xorbit
+                            bc.sig[yy + 1, x + 1] = 1
+                            bc.sgn[yy + 1, x + 1] = -1 if sbit else 1
+                            mag[yy, x] |= bit
+                            run_skip = r + 1   # resume after it
+                if y - y0 < run_skip:
+                    continue
+                if bc.sig[y + 1, x + 1] or bc.visited[y, x]:
+                    continue
+                sh, sv, sd = bc._neighbor_counts(y, x)
+                ctx = _zc_context(sh, sv, sd, band)
+                if mq.decode(cx[ctx]):
+                    sctx, xorbit = bc._sign_context(y, x)
+                    sbit = mq.decode(cx[sctx]) ^ xorbit
+                    bc.sig[y + 1, x + 1] = 1
+                    bc.sgn[y + 1, x + 1] = -1 if sbit else 1
+                    mag[y, x] |= bit
+            bc.visited[:] = False
+            p -= 1
+        pass_kind = (pass_kind + 1) % 3
+    sgn = bc.sgn[1:-1, 1:-1].astype(np.int64)
+    return np.where(sgn < 0, -mag, mag).astype(np.int32)
+
+
+def _t1_encode_block(coef: np.ndarray, band: str,
+                     max_bp: int) -> Tuple[bytes, int, int]:
+    """int32 coefficients → (MQ data, zero_bitplanes, n_passes).
+    Single terminated segment, all passes down to bitplane 0."""
+    h, w = coef.shape
+    mag_in = np.abs(coef.astype(np.int64))
+    neg_in = coef < 0
+    top = int(mag_in.max())
+    need = top.bit_length()
+    if need > max_bp:
+        raise JpxError("coefficient exceeds the declared bit depth")
+    zero_bp = max_bp - need
+    if need == 0:
+        return b"", max_bp - 1 if max_bp else 0, 1  # one empty cleanup
+    bc = _BlockCoder(h, w, band)
+    cx = _fresh_contexts()
+    mq = _MQEncoder()
+    p = need - 1
+    pass_kind = 2
+    n_passes = 3 * need - 2
+    for _ in range(n_passes):
+        bit = 1 << p
+        if pass_kind == 0:
+            for _, y, x in bc.stripes():
+                if bc.sig[y + 1, x + 1]:
+                    continue
+                sh, sv, sd = bc._neighbor_counts(y, x)
+                if sh + sv + sd == 0:
+                    continue
+                ctx = _zc_context(sh, sv, sd, band)
+                bc.visited[y, x] = True
+                b = 1 if mag_in[y, x] & bit else 0
+                mq.encode(b, cx[ctx])
+                if b:
+                    sctx, xorbit = bc._sign_context(y, x)
+                    mq.encode((1 if neg_in[y, x] else 0) ^ xorbit,
+                              cx[sctx])
+                    bc.sig[y + 1, x + 1] = 1
+                    bc.sgn[y + 1, x + 1] = -1 if neg_in[y, x] else 1
+        elif pass_kind == 1:
+            for _, y, x in bc.stripes():
+                if not bc.sig[y + 1, x + 1] or bc.visited[y, x]:
+                    continue
+                if bc.refined[y, x]:
+                    ctx = 16
+                else:
+                    sh, sv, sd = bc._neighbor_counts(y, x)
+                    ctx = 15 if sh + sv + sd else 14
+                mq.encode(1 if mag_in[y, x] & bit else 0, cx[ctx])
+                bc.refined[y, x] = True
+        else:
+            x_cur = -1
+            run_skip = 0
+            for y0, y, x in bc.stripes():
+                if x != x_cur or y == y0:
+                    x_cur = x
+                    run_skip = 0
+                    if (y == y0 and y0 + 4 <= h
+                            and not bc.visited[y0:y0 + 4, x].any()
+                            and not bc.sig[y0:y0 + 6,
+                                           x:x + 3].any()):
+                        col = mag_in[y0:y0 + 4, x] & bit
+                        nz = np.nonzero(col)[0]
+                        if len(nz) == 0:
+                            mq.encode(0, cx[_CTX_RL])
+                            run_skip = 4
+                        else:
+                            mq.encode(1, cx[_CTX_RL])
+                            r = int(nz[0])
+                            mq.encode((r >> 1) & 1, cx[_CTX_UNI])
+                            mq.encode(r & 1, cx[_CTX_UNI])
+                            yy = y0 + r
+                            sctx, xorbit = bc._sign_context(yy, x)
+                            mq.encode(
+                                (1 if neg_in[yy, x] else 0) ^ xorbit,
+                                cx[sctx])
+                            bc.sig[yy + 1, x + 1] = 1
+                            bc.sgn[yy + 1, x + 1] = (
+                                -1 if neg_in[yy, x] else 1)
+                            run_skip = r + 1
+                if y - y0 < run_skip:
+                    continue
+                if bc.sig[y + 1, x + 1] or bc.visited[y, x]:
+                    continue
+                sh, sv, sd = bc._neighbor_counts(y, x)
+                ctx = _zc_context(sh, sv, sd, band)
+                b = 1 if mag_in[y, x] & bit else 0
+                mq.encode(b, cx[ctx])
+                if b:
+                    sctx, xorbit = bc._sign_context(y, x)
+                    mq.encode((1 if neg_in[y, x] else 0) ^ xorbit,
+                              cx[sctx])
+                    bc.sig[y + 1, x + 1] = 1
+                    bc.sgn[y + 1, x + 1] = -1 if neg_in[y, x] else 1
+            bc.visited[:] = False
+            p -= 1
+        pass_kind = (pass_kind + 1) % 3
+    return mq.done(), zero_bp, n_passes
+
+
+# ---------------------------------------------------------------------------
+# Tag trees (§B.10.2)
+# ---------------------------------------------------------------------------
+
+
+class _TagTree:
+    """§B.10.2 tag tree. Per node: ``state`` (the lower bound already
+    communicated), ``known`` (value fully coded), ``value`` (encoder:
+    true minima via :meth:`set_values`; decoder: filled when known —
+    a coded 1-bit means value == state). Bits flow only through the
+    shared walk, so encoder and decoder stay in lockstep as long as
+    both visit the same leaves in the same order."""
+
+    def __init__(self, w: int, h: int) -> None:
+        self.levels: List[Tuple[int, int]] = []
+        while True:
+            self.levels.append((w, h))
+            if w == 1 and h == 1:
+                break
+            w, h = (w + 1) // 2, (h + 1) // 2
+        self.levels.reverse()          # root first
+        self.value = [np.zeros((lh, lw), dtype=np.int32)
+                      for (lw, lh) in self.levels]
+        self.state = [np.zeros((lh, lw), dtype=np.int32)
+                      for (lw, lh) in self.levels]
+        self.known = [np.zeros((lh, lw), dtype=bool)
+                      for (lw, lh) in self.levels]
+
+    def set_values(self, vals: np.ndarray) -> None:
+        """Encoder: leaf values → internal minima."""
+        self.value[-1][:] = vals
+        for li in range(len(self.levels) - 2, -1, -1):
+            below = self.value[li + 1]
+            lw, lh = self.levels[li]
+            cur = self.value[li]
+            for y in range(lh):
+                for x in range(lw):
+                    blk = below[2 * y:2 * y + 2, 2 * x:2 * x + 2]
+                    cur[y, x] = int(blk.min())
+
+    def encode(self, bits: "_BitWriter", x: int, y: int,
+               threshold: int) -> None:
+        low = 0
+        n = len(self.levels)
+        for li in range(n):
+            lx, ly = x >> (n - 1 - li), y >> (n - 1 - li)
+            st, kn = self.state[li], self.known[li]
+            if st[ly, lx] < low:
+                st[ly, lx] = low
+            v = int(self.value[li][ly, lx])
+            while st[ly, lx] < threshold and not kn[ly, lx]:
+                if st[ly, lx] == v:
+                    bits.put(1)        # value == state: resolved
+                    kn[ly, lx] = True
+                else:
+                    bits.put(0)        # value > state
+                    st[ly, lx] += 1
+            low = int(st[ly, lx])
+
+    def decode(self, bits: "_BitReader", x: int, y: int,
+               threshold: int) -> int:
+        """Leaf value when it resolves below ``threshold``, else
+        ``threshold`` (meaning: value >= threshold so far)."""
+        low = 0
+        n = len(self.levels)
+        for li in range(n):
+            lx, ly = x >> (n - 1 - li), y >> (n - 1 - li)
+            st, kn = self.state[li], self.known[li]
+            if st[ly, lx] < low:
+                st[ly, lx] = low
+            while st[ly, lx] < threshold and not kn[ly, lx]:
+                if bits.get():
+                    kn[ly, lx] = True  # value == state
+                else:
+                    st[ly, lx] += 1
+            if not kn[ly, lx]:
+                return threshold       # >= threshold at this node
+            low = int(st[ly, lx])
+        return low
+
+
+class _BitWriter:
+    """Packet-header bit packer with 0xFF stuffing (§B.10.1)."""
+
+    def __init__(self) -> None:
+        self.bytes = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def put(self, bit: int) -> None:
+        limit = 7 if self.bytes and self.bytes[-1] == 0xFF else 8
+        if self.nbits == limit:
+            self.bytes.append(self.cur)
+            self.cur, self.nbits = 0, 0
+            limit = 7 if self.bytes[-1] == 0xFF else 8
+        self.cur = (self.cur << 1) | bit
+        self.nbits += 1
+
+    def put_bits(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.put((v >> i) & 1)
+
+    def done(self) -> bytes:
+        if self.nbits:
+            limit = 7 if self.bytes and self.bytes[-1] == 0xFF else 8
+            self.bytes.append(self.cur << (limit - self.nbits))
+        if self.bytes and self.bytes[-1] == 0xFF:
+            self.bytes.append(0)
+        return bytes(self.bytes)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.cur = 0
+        self.nbits = 0
+        self.prev_ff = False
+
+    def get(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise JpxError("packet header overrun")
+            self.cur = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 7 if self.prev_ff else 8
+            self.prev_ff = self.cur == 0xFF
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def get_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get()
+        return v
+
+    def align(self) -> int:
+        """Consume the stuffing byte after a trailing 0xFF and return
+        the byte offset where packet bodies start."""
+        self.nbits = 0
+        if self.prev_ff:
+            if self.pos < len(self.data):
+                self.pos += 1
+            self.prev_ff = False
+        return self.pos
+
+
+def _put_npasses(bits: _BitWriter, n: int) -> None:
+    if n == 1:
+        bits.put(0)
+    elif n == 2:
+        bits.put_bits(0b10, 2)
+    elif n <= 5:
+        bits.put_bits(0b11, 2)
+        bits.put_bits(n - 3, 2)
+    elif n <= 36:
+        bits.put_bits(0b1111, 4)
+        bits.put_bits(n - 6, 5)
+    elif n <= 164:
+        bits.put_bits(0b111111111, 9)
+        bits.put_bits(n - 37, 7)
+    else:
+        raise JpxError("pass count out of range")
+
+
+def _get_npasses(bits: _BitReader) -> int:
+    if not bits.get():
+        return 1
+    if not bits.get():
+        return 2
+    v = bits.get_bits(2)
+    if v < 3:
+        return 3 + v
+    v = bits.get_bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + bits.get_bits(7)
+
+
+# ---------------------------------------------------------------------------
+# Codestream structure
+# ---------------------------------------------------------------------------
+
+_SOC = 0xFF4F
+_SIZ = 0xFF51
+_COD = 0xFF52
+_QCD = 0xFF5C
+_SOT = 0xFF90
+_SOD = 0xFF93
+_EOC = 0xFFD9
+
+# subband gain (log2) for Mb computation
+_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+_GUARD_BITS = 2
+
+
+def _band_dims(w: int, h: int, levels: int):
+    """Subband dims per resolution level for one component, matching
+    the encoder's DWT splits: returns [(level_bands...)] with the
+    same coarse-last ordering as :func:`_dwt53_fwd`."""
+    dims = []
+    cw, ch = w, h
+    for _ in range(levels):
+        lw, lh = (cw + 1) // 2, (ch + 1) // 2   # low-pass sizes
+        hw, hh = cw - lw, ch - lh
+        dims.append({"HL": (hw, lh), "LH": (lw, hh), "HH": (hw, hh)})
+        cw, ch = lw, lh
+    dims.append({"LL": (cw, ch)})
+    return dims
+
+
+def _cb_grid(bw: int, bh: int, cb: int):
+    """Code-block grid over a bw×bh subband anchored at 0."""
+    nx = max(1, (bw + cb - 1) // cb)
+    ny = max(1, (bh + cb - 1) // cb)
+    return nx, ny
+
+
+def jpx_decode(data: bytes) -> np.ndarray:
+    """JP2 container or raw codestream → (H, W) or (H, W, C) uint8."""
+    b = bytes(data)
+    if b[:4] == b"\x00\x00\x00\x0c" and b[4:8] == b"jP  ":
+        cs = _find_jp2c(b)
+    elif len(b) >= 2 and struct.unpack(">H", b[:2])[0] == _SOC:
+        cs = b
+    else:
+        raise JpxError("neither a JP2 container nor a codestream")
+    return _decode_codestream(cs)
+
+
+def _find_jp2c(b: bytes) -> bytes:
+    pos = 0
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        box = b[pos + 4:pos + 8]
+        if ln == 1:
+            if pos + 16 > len(b):
+                raise JpxError("truncated JP2 XLBox")
+            (xln,) = struct.unpack_from(">Q", b, pos + 8)
+            body, nxt = b[pos + 16:pos + xln], pos + xln
+        elif ln == 0:
+            body, nxt = b[pos + 8:], len(b)
+        else:
+            body, nxt = b[pos + 8:pos + ln], pos + ln
+        if box == b"jp2c":
+            return body
+        if nxt <= pos:
+            raise JpxError("malformed JP2 box length")
+        pos = nxt
+    raise JpxError("JP2 container carries no jp2c codestream box")
+
+
+def _decode_codestream(b: bytes) -> np.ndarray:
+    pos = 0
+    siz = cod = qcd = None
+    body = None
+    try:
+        while pos + 4 <= len(b):
+            (marker,) = struct.unpack_from(">H", b, pos)
+            if marker == _SOC:
+                pos += 2
+                continue
+            if marker == _EOC:
+                break
+            if marker == _SOD:
+                body = b[pos + 2:]
+                if body[-2:] == b"\xff\xd9":   # strip trailing EOC
+                    body = body[:-2]
+                break
+            if 0xFF30 <= marker <= 0xFF3F:
+                pos += 2
+                continue       # segment-less markers
+            (ln,) = struct.unpack_from(">H", b, pos + 2)
+            seg = b[pos + 4:pos + 2 + ln]
+            if marker == _SIZ:
+                siz = _parse_siz(seg)
+            elif marker == _COD:
+                cod = _parse_cod(seg)
+            elif marker == _QCD:
+                qcd = _parse_qcd(seg)
+            elif marker == _SOT:
+                if struct.unpack_from(">H", seg, 0)[0] != 0:
+                    raise JpxError("multiple tiles are unsupported")
+            elif marker in (0xFF53, 0xFF5D, 0xFF5E, 0xFF5F):
+                # COC/QCC/RGN/POC would override the global
+                # COD/QCD assumptions — no silent misdecode
+                raise JpxError(
+                    f"marker {marker:#06x} overrides are unsupported")
+            pos += 2 + ln
+    except struct.error as e:
+        raise JpxError(f"truncated codestream: {e}") from e
+    if siz is None or cod is None or qcd is None or body is None:
+        raise JpxError("codestream misses SIZ/COD/QCD/SOD")
+    w, h, ncomp = siz
+    levels, cb = cod
+    guard, exps = qcd
+    if len(exps) < 3 * levels + 1:
+        raise JpxError("QCD carries too few subband exponents")
+    dims = _band_dims(w, h, levels)
+    # packet walk: LRCP, 1 layer, 1 precinct → r-major then component
+    bands_per_comp: List[List[Dict[str, np.ndarray]]] = [
+        [dict() for _ in range(levels + 1)] for _ in range(ncomp)]
+    off = 0
+    for r in range(levels + 1):
+        for c in range(ncomp):
+            off = _read_packet(body, off, r, levels, cb, dims,
+                               guard, exps, bands_per_comp[c])
+    out = []
+    for c in range(ncomp):
+        per_level: List[Dict[str, np.ndarray]] = []
+        for li in range(levels):
+            per_level.append(bands_per_comp[c][levels - li])
+        per_level.append(bands_per_comp[c][0])
+        img = _dwt53_inv(per_level)
+        img = np.clip(img + 128, 0, 255).astype(np.uint8)
+        if img.shape != (h, w):
+            raise JpxError("reconstructed dims mismatch SIZ")
+        out.append(img)
+    if ncomp == 1:
+        return out[0]
+    return np.stack(out, axis=-1)
+
+
+def _parse_qcd(seg: bytes) -> Tuple[int, List[int]]:
+    if not seg:
+        raise JpxError("empty QCD")
+    sqcd = seg[0]
+    if sqcd & 0x1F:
+        raise JpxError("only the no-quantization QCD style is "
+                       "supported (reversible 5/3)")
+    guard = sqcd >> 5
+    exps = [e >> 3 for e in seg[1:]]
+    return guard, exps
+
+
+def _qcd_max_bp(name: str, r: int, guard: int, exps: List[int]) -> int:
+    idx = 0 if r == 0 else 1 + 3 * (r - 1) + ("HL", "LH", "HH").index(name)
+    # Mb = G + eps_b - 1 (T.800 Equation E-2, reversible path)
+    return guard + exps[idx] - 1
+
+
+def _read_packet(buf: bytes, off: int, r: int, levels: int, cb: int,
+                 dims, guard: int, exps: List[int],
+                 comp_bands: List[Dict[str, np.ndarray]]) -> int:
+    """Decode one packet (single layer, single precinct) for
+    resolution r into comp_bands[r]; returns the new offset."""
+    if r == 0:
+        band_list = [("LL", dims[levels]["LL"])]
+    else:
+        lvl = levels - r          # dims index for this resolution
+        band_list = [(n, dims[lvl][n]) for n in ("HL", "LH", "HH")]
+    bits = _BitReader(buf[off:])
+    if not bits.get():            # empty packet
+        start = bits.align()
+        for name, (bw, bh) in band_list:
+            comp_bands[r][name] = np.zeros((bh, bw), dtype=np.int32)
+        return off + start
+    todo = []
+    for name, (bw, bh) in band_list:
+        comp_bands[r][name] = np.zeros((bh, bw), dtype=np.int32)
+        if bw == 0 or bh == 0:
+            continue
+        nx, ny = _cb_grid(bw, bh, cb)
+        inc = _TagTree(nx, ny)
+        zbp = _TagTree(nx, ny)
+        for cy in range(ny):
+            for cx_ in range(nx):
+                included = inc.decode(bits, cx_, cy, 1) < 1
+                if not included:
+                    continue
+                # zero bitplanes: raise threshold until resolved
+                t = 1
+                while True:
+                    v = zbp.decode(bits, cx_, cy, t)
+                    if v < t:
+                        break
+                    t += 1
+                zero_bp = v
+                n_passes = _get_npasses(bits)
+                lblock = 3
+                while bits.get():
+                    lblock += 1
+                nbits = lblock + int(math.floor(math.log2(n_passes)))
+                length = bits.get_bits(nbits)
+                todo.append((name, cx_, cy, zero_bp, n_passes, length))
+    start = bits.align()
+    pos = off + start
+    for name, cx_, cy, zero_bp, n_passes, length in todo:
+        bw, bh = dict(band_list)[name]
+        x0, y0 = cx_ * cb, cy * cb
+        cw = min(cb, bw - x0)
+        ch = min(cb, bh - y0)
+        max_bp = _qcd_max_bp(name, r, guard, exps)
+        if pos + length > len(buf):
+            raise JpxError("code-block data overruns the tile part")
+        blk = _t1_decode_block(buf[pos:pos + length], ch, cw, name,
+                               zero_bp, n_passes, max_bp)
+        comp_bands[r][name][y0:y0 + ch, x0:x0 + cw] = blk
+        pos += length
+    return pos
+
+
+def _parse_siz(seg: bytes) -> Tuple[int, int, int]:
+    if len(seg) < 36:
+        raise JpxError("truncated SIZ")
+    xsiz, ysiz, xos, yos, xt, yt, xto, yto, ncomp = struct.unpack_from(
+        ">IIIIIIIIH", seg, 2)
+    if xos or yos or xto or yto:
+        raise JpxError("image/tile offsets are unsupported")
+    if xt < xsiz or yt < ysiz:
+        raise JpxError("multiple tiles are unsupported")
+    w, h = xsiz, ysiz
+    if not (0 < w <= _MAX_DIM and 0 < h <= _MAX_DIM
+            and w * h <= _MAX_PIXELS):
+        raise JpxError(f"implausible dims {w}x{h}")
+    if not 1 <= ncomp <= 4:
+        raise JpxError(f"{ncomp} components unsupported")
+    for c in range(ncomp):
+        ssiz, xr, yr = struct.unpack_from(">BBB", seg, 36 + 3 * c)
+        if ssiz != 7:            # 8-bit unsigned
+            raise JpxError("only 8-bit unsigned components supported")
+        if xr != 1 or yr != 1:
+            raise JpxError("subsampled components are unsupported")
+    return w, h, ncomp
+
+
+def _parse_cod(seg: bytes) -> Tuple[int, int]:
+    if len(seg) < 10:
+        raise JpxError("truncated COD")
+    scod, prog, nlayers, mct, levels, xcb, ycb, style, wav = \
+        struct.unpack_from(">BBHBBBBBB", seg, 0)
+    if scod & 0x07:
+        raise JpxError("precinct/SOP/EPH coding styles unsupported")
+    if prog != 0:
+        raise JpxError("only LRCP progression supported")
+    if nlayers != 1:
+        raise JpxError("multiple layers are unsupported")
+    if mct != 0:
+        raise JpxError("component transform is unsupported")
+    if style != 0:
+        raise JpxError("code-block style option bits unsupported")
+    if wav != 1:
+        raise JpxError("only the reversible 5/3 wavelet is supported")
+    if xcb != ycb:
+        raise JpxError("non-square code-blocks unsupported")
+    cb = 1 << (xcb + 2)
+    if not 4 <= cb <= 64:
+        raise JpxError("code-block size out of range")
+    if levels > 10:
+        raise JpxError("implausible decomposition level count")
+    return levels, cb
+
+
+# ---------------------------------------------------------------------------
+# Fixture encoder (corpus/tests only)
+# ---------------------------------------------------------------------------
+
+
+def jpx_encode(img: np.ndarray, levels: int = 2, cb: int = 32) -> bytes:
+    """(H, W) or (H, W, C≤4) uint8 → lossless JPEG 2000 codestream
+    (single tile/layer/precinct, 5/3 reversible, LRCP). Deterministic
+    bytes (fixtures/corpus only)."""
+    a = np.asarray(img)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ncomp = a.shape
+    if ncomp > 4:
+        raise JpxError("at most 4 components")
+    levels = max(0, min(levels, max(0, int(math.log2(max(2, min(h, w)))) - 1)))
+    dims = _band_dims(w, h, levels)
+    # headers
+    out = bytearray()
+    out += struct.pack(">H", _SOC)
+    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp)
+    siz += b"".join(struct.pack(">BBB", 7, 1, 1) for _ in range(ncomp))
+    out += struct.pack(">HH", _SIZ, len(siz) + 2) + siz
+    xcb = int(math.log2(cb)) - 2
+    cod = struct.pack(">BBHBBBBBB", 0, 0, 1, 0, levels, xcb, xcb, 0, 1)
+    out += struct.pack(">HH", _COD, len(cod) + 2) + cod
+    # QCD: no quantization (style 0x20 | guard<<5? — style byte:
+    # Sqcd = (guard << 5) | 0x00 for no quant), exponents per subband
+    nband = 3 * levels + 1
+    exps = []
+    exps.append((8 + _GAIN["LL"]))
+    for r in range(1, levels + 1):
+        for name in ("HL", "LH", "HH"):
+            exps.append(8 + _GAIN[name])
+    qcd = bytes([(_GUARD_BITS << 5) | 0x00])
+    qcd += bytes([(e << 3) for e in exps[:nband]])
+    out += struct.pack(">HH", _QCD, len(qcd) + 2) + qcd
+    # tile part
+    bodies = bytearray()
+    per_comp_bands = []
+    for c in range(ncomp):
+        shifted = a[:, :, c].astype(np.int32) - 128
+        per_comp_bands.append(_dwt53_fwd(shifted, levels))
+    for r in range(levels + 1):
+        for c in range(ncomp):
+            bodies += _write_packet(per_comp_bands[c], r, levels, cb,
+                                    dims)
+    # Psot = SOT marker segment (12) + SOD marker (2) + body
+    psot = 12 + 2 + len(bodies)
+    out += struct.pack(">HHHIBB", _SOT, 10, 0, psot, 0, 1)
+    out += struct.pack(">H", _SOD)
+    out += bodies
+    out += struct.pack(">H", _EOC)
+    return bytes(out)
+
+
+def jp2_wrap(codestream: bytes, w: int, h: int, ncomp: int) -> bytes:
+    """Wrap a raw codestream in the minimal JP2 container (signature,
+    ftyp, jp2h with ihdr+colr, jp2c) — the box layout PDF writers
+    commonly embed under /JPXDecode (ISO 15444-1 Annex I)."""
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    sig = box(b"jP  ", b"\x0d\x0a\x87\x0a")
+    ftyp = box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+    ihdr = box(b"ihdr", struct.pack(">IIHBBBB", h, w, ncomp, 7, 7, 0, 0))
+    colr = box(b"colr", struct.pack(">BBBI", 1, 0, 0,
+                                    17 if ncomp == 1 else 16))
+    jp2h = box(b"jp2h", ihdr + colr)
+    return sig + ftyp + jp2h + box(b"jp2c", codestream)
+
+
+def _write_packet(bands: List[Dict[str, np.ndarray]], r: int,
+                  levels: int, cb: int, dims) -> bytes:
+    if r == 0:
+        band_list = [("LL", bands[levels]["LL"])]
+    else:
+        band_list = [(n, bands[levels - r][n])
+                     for n in ("HL", "LH", "HH")]
+    bits = _BitWriter()
+    bits.put(1)                   # non-empty packet
+    blocks = []
+    for name, arr in band_list:
+        bh, bw = arr.shape
+        if bw == 0 or bh == 0:
+            continue
+        nx, ny = _cb_grid(bw, bh, cb)
+        inc = _TagTree(nx, ny)
+        zbp = _TagTree(nx, ny)
+        max_bp = _GUARD_BITS + (8 + _GAIN[name]) - 1
+        metas = []
+        incvals = np.zeros((ny, nx), dtype=np.int32)
+        zvals = np.full((ny, nx), 31, dtype=np.int32)  # excluded: high
+        for cy in range(ny):
+            for cx_ in range(nx):
+                x0, y0 = cx_ * cb, cy * cb
+                blk = arr[y0:y0 + cb, x0:x0 + cb]
+                if not blk.any():
+                    incvals[cy, cx_] = 1      # not included in layer 0
+                    metas.append((cx_, cy, None, 0, 0))
+                    continue
+                data, zero_bp, n_passes = _t1_encode_block(
+                    blk, name, max_bp)
+                zvals[cy, cx_] = zero_bp
+                metas.append((cx_, cy, data, zero_bp, n_passes))
+        inc.set_values(incvals)
+        zbp.set_values(zvals)
+        for cx_, cy, data, zero_bp, n_passes in metas:
+            inc.encode(bits, cx_, cy, 1)     # included iff value < 1
+            if data is None:
+                continue
+            t = 1
+            while True:
+                zbp.encode(bits, cx_, cy, t)
+                if zero_bp < t:
+                    break
+                t += 1
+            _put_npasses(bits, n_passes)
+            lblock = 3
+            nbits = lblock + int(math.floor(math.log2(n_passes)))
+            while len(data) >= (1 << nbits):
+                bits.put(1)
+                lblock += 1
+                nbits += 1
+            bits.put(0)
+            bits.put_bits(len(data), nbits)
+            blocks.append(data)
+    return bits.done() + b"".join(blocks)

@@ -227,6 +227,32 @@ def _jbig2_raster_array(header: bytes, payload: bytes):
     return arr
 
 
+def _jpx_raster_array(header: bytes, payload: bytes):
+    """JPEG 2000 image XObject (/Filter /JPXDecode) → (H, W[, C])
+    uint8 pixel array, or None when the dict isn't a JPX raster. Both
+    payload shapes decode: a raw codestream (SOC..EOC) and a JP2
+    container (the jp2c box). Undecodable or out-of-scope streams
+    raise (→ quarantine) — a declared JPX scan that doesn't decode
+    must not silently skip. Per ISO 32000-1 §7.4.9 the JPX data is
+    self-describing, so /Width //Height are cross-checked only."""
+    if b"/JPXDecode" not in header:
+        return None
+    from lexoid_spark.kernels.jpx import JpxError, jpx_decode
+    from lexoid_spark.kernels.pdf_md import _int_after
+
+    w = _int_after(header, b"/Width")
+    h = _int_after(header, b"/Height")
+    try:
+        arr = jpx_decode(payload)
+    except JpxError as e:
+        raise ValueError(f"undecodable JPX scan: {e}") from e
+    if w and h and arr.shape[:2] != (h, w):
+        raise ValueError(
+            f"JPX image {arr.shape[:2]} contradicts the XObject "
+            f"dict ({h}, {w})")
+    return arr
+
+
 def ocr_pdf_to_pages(payload, start: int = 0) -> List[Tuple[int, str, List[WordBox]]]:
     """Image-bearing PDF → [(page, text, bboxes)]: OCR every embedded
     /Subtype /Image XObject, one logical page per image (the
@@ -250,6 +276,8 @@ def ocr_pdf_to_pages(payload, start: int = 0) -> List[Tuple[int, str, List[WordB
         arr = _g4_raster_array(header, img)
         if arr is None:
             arr = _jbig2_raster_array(header, img)
+        if arr is None:
+            arr = _jpx_raster_array(header, img)
         if arr is None:
             arr = _raw_raster_array(header, img)
         if arr is not None:
