@@ -2365,6 +2365,62 @@ FROM documents ORDER BY doc_id, frame_idx
 """
 
 
+def _video_frame_ocr(spark, sf):
+    """frame_ocr over REAL Annex-B H.264 elementary streams: each doc
+    carries doc_id%3+2 I_PCM IDR frames of glyph-rendered text
+    (kernels/h264.py encoder twin); the operator decodes actual luma
+    pixels and OCRs every 2nd frame. A hash match proves NAL framing,
+    emulation prevention, SPS cropping, the I_PCM macroblock walk AND
+    the glyph recognizer end to end. Reference has no video path —
+    this is LLM-pipeline surface. Closed-form per (doc_id, frame), so
+    DuckDB predicts every row."""
+    from lexoid_spark.functions.multimodal import frame_ocr
+
+    @F.pandas_udf("binary")
+    def h264_vid(doc_ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from lexoid_spark.kernels.h264 import h264_encode_ipcm
+        from lexoid_spark.kernels.ocr_glyph import render_text
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            k = d % 3 + 2
+            fr = [render_text(f"VID {d % 100} F {i}", scale=2)
+                  for i in range(k)]
+            H = max(a.shape[0] for a in fr)
+            W = max(a.shape[1] for a in fr)
+            H += H % 2
+            W += W % 2
+            padded = np.stack([
+                np.pad(a, ((0, H - a.shape[0]), (0, W - a.shape[1])),
+                       constant_values=255)
+                for a in fr
+            ])
+            out.append(h264_encode_ipcm(padded))
+        return pd.Series(out)
+
+    # 1-in-13 subset: encode+decode+OCR of k frames is honest
+    # per-doc pixel work
+    docs = _tp(spark, sf, "documents").filter(F.col("doc_id") % 13 == 0)
+    vids = docs.select("doc_id", h264_vid("doc_id").alias("payload"))
+    return (
+        frame_ocr(vids, every_n=2, id_col="doc_id", bin_col="payload")
+        .select(F.col("id").alias("doc_id"), "frame_idx", "text")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+_VIDEO_FRAME_OCR_SQL = """
+SELECT doc_id,
+       CAST(UNNEST(range(0, doc_id % 3 + 2, 2)) AS INT) AS frame_idx,
+       'VID ' || CAST(doc_id % 100 AS VARCHAR) || ' F '
+       || CAST(UNNEST(range(0, doc_id % 3 + 2, 2)) AS VARCHAR) AS text
+FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id, frame_idx
+"""
+
+
 def _wav_meta(spark, sf):
     """audio_meta over REAL RIFF/WAVE bytes: sample rate and frame
     count come out of the stdlib chunk walk (kernels/wav_meta.py), so
@@ -6600,6 +6656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp4_frames": _mp4_frames,
         "image_resize": _image_resize,
         "video_frames": _video_frames,
+        "video_frame_ocr": _video_frame_ocr,
         "audio_meta": _audio_meta,
         "audio_chunks": _audio_chunks,
         "extract_html_h1": _extract_html_h1,
@@ -6754,6 +6811,7 @@ def oracle_sql() -> dict[str, str]:
         "mp4_frames": _MP4_FRAMES_SQL,
         "image_resize": _IMAGE_RESIZE_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
+        "video_frame_ocr": _VIDEO_FRAME_OCR_SQL,
         "audio_meta": _AUDIO_META_SQL,
         "audio_chunks": _AUDIO_CHUNKS_SQL,
         "extract_html_h1": _EXTRACT_HTML_SQL,

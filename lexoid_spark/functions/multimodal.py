@@ -103,9 +103,32 @@ def decode_video_header(b: bytes) -> tuple[int, int, int] | None:
         # real MP4/ISO-BMFF: stdlib box walk (kernels/mp4_meta.py)
         from lexoid_spark.kernels.mp4_meta import mp4_header
         return mp4_header(b)
+    from lexoid_spark.kernels.h264 import h264_header, looks_like_h264
+    if looks_like_h264(b):
+        # real Annex-B H.264 elementary stream (kernels/h264.py)
+        return h264_header(b)
     if b[:4] != VID_MAGIC:
         return None
     return struct.unpack(">HHH", b[4:10])
+
+
+def decode_video_frames(b: bytes) -> "np.ndarray":
+    """Real video pixel decode: Annex-B H.264 elementary streams
+    (I_PCM baseline scope, kernels/h264.py) → (n, H, W) uint8 luma
+    frames. The FAKE container and MP4 box trees carry metadata only
+    — both raise a typed error (caller quarantines or falls back to
+    the header path)."""
+    b = bytes(b)
+    from lexoid_spark.kernels.h264 import (
+        H264Error,
+        h264_decode_frames,
+        looks_like_h264,
+    )
+
+    if looks_like_h264(b):
+        return h264_decode_frames(b)
+    raise H264Error("payload carries no decodable video pixels "
+                    "(FAKE/MP4 containers are metadata-only)")
 
 
 def decode_image_pixels(b: bytes) -> "np.ndarray":
@@ -272,6 +295,51 @@ def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "id",
             yield pd.DataFrame(out)
 
     return src.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+FRAME_OCR_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def frame_ocr(df: DataFrame, every_n: int = 10, id_col: str = "id",
+              bin_col: str = "payload") -> DataFrame:
+    """Sample every Nth frame from a video binary column and OCR the
+    REAL decoded luma pixels (kernels/h264.py → glyph recognizer) —
+    the frame-level text-extraction primitive of a video curation
+    pipeline, one output row per sampled frame. Payloads without
+    decodable pixels (FAKE/MP4 metadata containers, foreign codecs)
+    are skipped, mirroring :func:`frame_sample`'s undecodable-header
+    behavior; a failed RECOGNITION on decoded pixels yields a NULL
+    text row (frame seen, no confident read) — never a silent wrong
+    read."""
+    src = df.select(F.col(id_col).cast("long").alias("id"),
+                    F.col(bin_col).alias("payload"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lexoid_spark.kernels.h264 import H264Error
+        from lexoid_spark.kernels.ocr_glyph import recognize_pixels
+
+        for b in batches:
+            out = {"id": [], "frame_idx": [], "text": []}
+            for i, payload in zip(b["id"], b["payload"]):
+                try:
+                    frames = decode_video_frames(payload)
+                except H264Error:
+                    continue
+                for fi in range(0, frames.shape[0], every_n):
+                    try:
+                        text = recognize_pixels(frames[fi])[0]
+                    except ValueError:
+                        text = None   # below-confidence / unsegmentable
+                    out["id"].append(i)
+                    out["frame_idx"].append(fi)
+                    out["text"].append(text)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(kernel, FRAME_OCR_SCHEMA)
 
 
 AUDIO_META_SCHEMA = T.StructType([

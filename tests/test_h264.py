@@ -1,0 +1,147 @@
+"""H.264 (ITU-T H.264) kernel tests: Annex-B framing, emulation
+prevention, SPS/PPS/IDR parse, I_PCM macroblock round-trips, typed
+errors on out-of-scope streams, and the frame_ocr operator surface
+(mirrors tests/test_jbig2.py / test_jpx.py for the raster arms)."""
+
+import numpy as np
+import pytest
+
+from lexoid_spark.kernels.h264 import (
+    H264Error,
+    _ebsp_to_rbsp,
+    _rbsp_to_ebsp,
+    h264_decode_frames,
+    h264_encode_ipcm,
+    h264_header,
+    looks_like_h264,
+)
+
+
+class TestEmulationPrevention:
+    @pytest.mark.parametrize("raw", [
+        b"", b"\x00", b"\x00\x00", b"\x00\x00\x00",
+        b"\x00\x00\x01", b"\x00\x00\x02", b"\x00\x00\x03",
+        b"a\x00\x00\x00\x00\x01b", b"\x00" * 10, b"\xff\x00\x00\x03",
+    ])
+    def test_roundtrip(self, raw):
+        assert _ebsp_to_rbsp(_rbsp_to_ebsp(raw)) == raw
+
+    def test_no_start_code_in_ebsp(self):
+        ebsp = _rbsp_to_ebsp(b"\x00" * 64 + b"\x00\x00\x01" + b"\x00" * 8)
+        assert b"\x00\x00\x01" not in ebsp
+        assert b"\x00\x00\x00" not in ebsp
+
+
+class TestRoundtrip:
+    @pytest.mark.parametrize("shape", [(1, 16, 16), (3, 32, 48),
+                                       (2, 46, 126), (1, 2, 2),
+                                       (4, 30, 50)])
+    def test_random_frames(self, shape):
+        rng = np.random.default_rng(sum(shape))
+        frames = rng.integers(0, 256, shape).astype(np.uint8)
+        enc = h264_encode_ipcm(frames)
+        assert looks_like_h264(enc)
+        assert h264_header(enc) == (shape[2], shape[1], shape[0])
+        assert np.array_equal(h264_decode_frames(enc), frames)
+
+    def test_zero_frames_exercise_emulation_prevention(self):
+        z = np.zeros((2, 16, 32), np.uint8)
+        enc = h264_encode_ipcm(z)
+        assert b"\x00\x00\x03" in enc    # stuffing actually happened
+        assert np.array_equal(h264_decode_frames(enc), z)
+
+    def test_glyph_frames_ocr(self):
+        from lexoid_spark.kernels.ocr_glyph import (
+            recognize_pixels,
+            render_text,
+        )
+
+        arr = render_text("VIDEO FRAME 3", scale=2)
+        if arr.shape[0] % 2 or arr.shape[1] % 2:
+            arr = np.pad(arr, ((0, arr.shape[0] % 2),
+                               (0, arr.shape[1] % 2)),
+                         constant_values=255)
+        dec = h264_decode_frames(h264_encode_ipcm(arr))
+        assert recognize_pixels(dec[0])[0] == "VIDEO FRAME 3"
+
+    def test_odd_dims_rejected(self):
+        with pytest.raises(H264Error, match="even"):
+            h264_encode_ipcm(np.zeros((1, 15, 16), np.uint8))
+
+
+class TestTypedErrors:
+    def test_fuzz_random_bytes_terminate_typed(self):
+        rng = np.random.default_rng(31)
+        for n in (0, 3, 17, 100, 700):
+            blob = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            try:
+                h264_decode_frames(blob)
+            except H264Error:
+                pass
+
+    def test_fuzz_corrupted_valid_stream(self):
+        rng = np.random.default_rng(32)
+        frames = rng.integers(0, 256, (1, 16, 16)).astype(np.uint8)
+        cs = h264_encode_ipcm(frames)
+        for _ in range(40):
+            i = int(rng.integers(5, len(cs)))
+            mut = bytearray(cs)
+            mut[i] ^= int(rng.integers(1, 256))
+            try:
+                out = h264_decode_frames(bytes(mut))
+                assert out.dtype == np.uint8
+            except H264Error:
+                pass
+
+    def test_cabac_quarantines(self):
+        # flip the PPS entropy_coding_mode bit (first bit after the
+        # two ue(0) id codes = bits 2)
+        frames = np.zeros((1, 16, 16), np.uint8)
+        cs = bytearray(h264_encode_ipcm(frames))
+        # locate PPS NAL (type 8): start code + header byte 0x68
+        i = cs.find(b"\x00\x00\x00\x01\x68")
+        cs[i + 5] ^= 0x20            # bit 2 of the PPS RBSP
+        with pytest.raises(H264Error, match="CABAC"):
+            h264_decode_frames(bytes(cs))
+
+    def test_non_ipcm_quarantines(self):
+        frames = np.zeros((1, 16, 16), np.uint8)
+        cs = bytearray(h264_encode_ipcm(frames))
+        i = cs.find(b"\x00\x00\x00\x01\x65")     # IDR NAL
+        # slice header for this stream is 2 bytes; mb_type ue(25)
+        # starts mid-byte — zero the rest of the slice payload so the
+        # first ue() reads a small mb_type instead
+        for j in range(i + 6, min(i + 12, len(cs))):
+            cs[j] = 0xFF
+        with pytest.raises(H264Error):
+            h264_decode_frames(bytes(cs))
+
+    def test_metadata_containers_raise(self):
+        from lexoid_spark.functions.multimodal import (
+            decode_video_frames,
+            encode_fake_video,
+        )
+
+        with pytest.raises(H264Error, match="metadata-only"):
+            decode_video_frames(encode_fake_video(320, 240, 10))
+
+
+class TestHeaderSurface:
+    def test_decode_video_header_h264(self):
+        from lexoid_spark.functions.multimodal import decode_video_header
+
+        frames = np.zeros((5, 30, 48), np.uint8)
+        enc = h264_encode_ipcm(frames)
+        assert decode_video_header(enc) == (48, 30, 5)
+
+    def test_fake_and_mp4_headers_still_work(self):
+        from lexoid_spark.functions.multimodal import (
+            decode_video_header,
+            encode_fake_video,
+        )
+        from lexoid_spark.kernels.mp4_meta import make_test_mp4
+
+        assert decode_video_header(
+            encode_fake_video(320, 240, 10)) == (320, 240, 10)
+        assert decode_video_header(
+            make_test_mp4(640, 360, 24)) == (640, 360, 24)
