@@ -346,3 +346,19 @@ def test_char_span_winnow_shape(spark):
     assert plan.count("Generate (") <= 2
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_frame_ocr_is_map_only(spark):
+    """frame_ocr is a row-expanding mapInPandas over the video
+    column — per-frame OCR must ride the scan with NO Exchange (at
+    10^12 docs the frame fan-out must stay inside the input
+    partitioning; any shuffle here would move raw video bytes)."""
+    from lexoid_spark.functions.multimodal import frame_ocr
+
+    df = spark.createDataFrame(
+        [(i, b"\x00\x00\x00\x01\x67") for i in range(8)],
+        "id long, payload binary",
+    )
+    plan = _formatted(frame_ocr(df, every_n=2))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
