@@ -89,6 +89,15 @@ def decode_image_header(b: bytes) -> tuple[int, int, int] | None:
     if b[:4] in (b"II*\x00", b"MM\x00*"):
         from lexoid_spark.kernels.tiff_bmp import tiff_header
         return tiff_header(b)
+    if b[:8] == b"\x00\x00\x00\x0cjP  " or b[:2] == b"\xff\x4f":
+        # JPEG 2000: JP2 container or raw codestream (kernels/jpx.py)
+        from lexoid_spark.kernels.jpx import JpxError, jpx_decode
+        try:
+            arr = jpx_decode(b)
+        except JpxError:
+            return None
+        return (arr.shape[1], arr.shape[0],
+                1 if arr.ndim == 2 else arr.shape[2])
     if len(b) < 9 or b[:4] != IMG_MAGIC:
         return None
     w, h, c = struct.unpack(">HHB", b[4:9])
@@ -150,6 +159,9 @@ def decode_image_pixels(b: bytes) -> "np.ndarray":
     if b[:3] == b"\xff\xd8\xff":
         from lexoid_spark.kernels.jpeg_codec import jpeg_decode
         return jpeg_decode(b)
+    if b[:8] == b"\x00\x00\x00\x0cjP  " or b[:2] == b"\xff\x4f":
+        from lexoid_spark.kernels.jpx import jpx_decode
+        return jpx_decode(b)
     raise NotImplementedError(
         "no real decode for this format (PNG/GIF/baseline JPEG are "
         "implemented; the FAKE container carries no pixel payload)"

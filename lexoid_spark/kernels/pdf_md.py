@@ -2003,7 +2003,8 @@ def sniff_doctype(payload) -> str:
         return "pdf"
     if b.startswith(b"PK\x03\x04"):
         return "zip"
-    if b.startswith((b"IMG!", b"\x89PNG", b"\xff\xd8\xff", b"GIF8")):
+    if b.startswith((b"IMG!", b"\x89PNG", b"\xff\xd8\xff", b"GIF8",
+                 b"\x00\x00\x00\x0cjP  ", b"\xff\x4f")):
         return "image"
     if b.startswith((b"\xff\xfe", b"\xfe\xff", b"\x00\x00\xfe\xff")):
         # UTF-16/32 BOM: run the text probes on the DECODED head (the

@@ -60,7 +60,11 @@ def with_doctype(df: DataFrame, payload_col: str = "html") -> DataFrame:
                 "89504E47",  # PNG
                 "47494638",  # GIF8
             )
-            | (F.hex(F.substring(F.col(payload_col), 1, 3)) == "FFD8FF"),
+            | (F.hex(F.substring(F.col(payload_col), 1, 3)) == "FFD8FF")
+            # JPEG 2000: JP2 signature box / raw SOC codestream
+            | (F.hex(F.substring(F.col(payload_col), 1, 8))
+               == "0000000C6A502020")
+            | (F.hex(F.substring(F.col(payload_col), 1, 2)) == "FF4F"),
             F.lit("image"),  # → OCR arm (P5)
         )
         # UTF-32 BOM first (see _u32bom comment), then UTF-16: probe

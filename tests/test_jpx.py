@@ -177,3 +177,42 @@ class TestScannedPdfOcr:
                b"/JPXDecode >>")
         with pytest.raises(ValueError, match="contradicts"):
             _jpx_raster_array(hdr, cs)
+
+
+class TestStandaloneImageSurface:
+    def test_image_header_and_pixels(self):
+        from lexoid_spark.functions.multimodal import (
+            decode_image_header,
+            decode_image_pixels,
+        )
+
+        rng = np.random.default_rng(6)
+        img = rng.integers(0, 256, (18, 26)).astype(np.uint8)
+        cs = jpx_encode(img)
+        assert decode_image_header(cs) == (26, 18, 1)
+        assert np.array_equal(decode_image_pixels(cs), img)
+        wrapped = jp2_wrap(cs, 26, 18, 1)
+        assert decode_image_header(wrapped) == (26, 18, 1)
+        assert np.array_equal(decode_image_pixels(wrapped), img)
+
+    def test_image_doc_routes_to_ocr(self):
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.ocr_stub import ocr_image_to_page
+
+        arr = render_text("JP2 IMAGE DOC", scale=2)
+        text, boxes = ocr_image_to_page(jpx_encode(arr))
+        assert text == "JP2 IMAGE DOC" and boxes
+
+    def test_sniff_classifies_jp2_as_image(self, spark):
+        from lexoid_spark.kernels.pdf_md import sniff_doctype
+        from lexoid_spark.operators.routing import with_doctype
+
+        img = np.zeros((8, 8), np.uint8)
+        payloads = [jpx_encode(img), jp2_wrap(jpx_encode(img), 8, 8, 1)]
+        # kernel twin
+        assert [sniff_doctype(p) for p in payloads] == ["image", "image"]
+        # native column twin must agree
+        df = spark.createDataFrame([(p,) for p in payloads],
+                                   "html binary")
+        out = with_doctype(df).select("doctype").collect()
+        assert [r[0] for r in out] == ["image", "image"]
