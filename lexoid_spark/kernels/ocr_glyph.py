@@ -296,17 +296,17 @@ def _detect_scale(ink: np.ndarray) -> int:
 
 
 def _cell_bits(ink: np.ndarray, r0: int, c0: int, c1: int,
-               s: int) -> np.ndarray:
-    """Observed glyph bitmap: image rows r0..r0+7s x cols c0..c1,
-    zero-filled out of bounds, block-averaged down to cell grid
-    (mean >= 0.5 — tolerant of sub-cell codec noise)."""
+               s: int, n_rows: int = GLYPH_H) -> np.ndarray:
+    """Observed glyph bitmap: image rows r0..r0+n_rows*s x cols
+    c0..c1, zero-filled out of bounds, block-averaged down to the
+    cell grid (mean >= 0.5 — tolerant of sub-cell codec noise)."""
     h, w = ink.shape
     wc = (c1 - c0) // s
-    window = np.zeros((GLYPH_H * s, wc * s), dtype=bool)
-    rr0, rr1 = max(r0, 0), min(r0 + GLYPH_H * s, h)
+    window = np.zeros((n_rows * s, wc * s), dtype=bool)
+    rr0, rr1 = max(r0, 0), min(r0 + n_rows * s, h)
     if rr1 > rr0:
         window[rr0 - r0:rr1 - r0, :] = ink[rr0:rr1, c0:c1]
-    cells = window.reshape(GLYPH_H, s, wc, s).mean(axis=(1, 3))
+    cells = window.reshape(n_rows, s, wc, s).mean(axis=(1, 3))
     return cells >= 0.5
 
 
@@ -368,24 +368,43 @@ def recognize_pixels(arr: np.ndarray) -> Tuple[str, List[WordBox]]:
                                  "multiple (unknown font or non-text ink)")
         # the band's cell-top offset is ambiguous for x-height-only
         # lines: try every feasible offset, keep the lowest-total-
-        # distance interpretation (ties -> smallest offset)
+        # distance interpretation (ties -> smallest offset). The
+        # block-mean runs ONCE per glyph run over the full vertical
+        # span; each offset is then just a 7-row slice of that cell
+        # grid, scored against every template in one XOR — the
+        # recognition hot path (extraction OCR arm) stays vectorized.
         max_off = GLYPH_H - -(-(bot - top) // s)  # 7 - ceil(band/s)
-        best_total, best_scored, runner_total = None, None, None
-        for off in range(max_off + 1):
-            r0 = top - off * s
-            scored = [_score_run(ink, r0, c0, c1, s) for c0, c1 in runs]
-            total = sum(d for _, d, _2 in scored)
-            if best_total is None or total < best_total:
-                best_total, runner_total = total, best_total
-                best_scored = scored
-            elif runner_total is None or total < runner_total:
-                runner_total = total
-        assert best_scored is not None
-        if runner_total is not None and runner_total == best_total:
+        n_off = max_off + 1
+        off_rows = ((max_off - np.arange(n_off))[:, None]
+                    + np.arange(GLYPH_H)[None, :])
+        run_dists = []               # (n_off, n_templates) per run
+        for c0, c1 in runs:
+            wc = (c1 - c0) // s
+            entry = _BY_WIDTH.get(wc)
+            if entry is None:
+                raise ValueError(f"no glyph template of width {wc}")
+            _, templates = entry
+            span = _cell_bits(ink, top - max_off * s, c0, c1, s,
+                              n_rows=max_off + GLYPH_H)
+            bits_all = span[off_rows]            # (n_off, 7, wc)
+            run_dists.append(
+                (templates[None] ^ bits_all[:, None]).sum((2, 3)))
+        totals = sum(d.min(axis=1) for d in run_dists)
+        best_total = int(totals.min())
+        if int((totals == best_total).sum()) > 1:
             # two alignments explain the ink equally well (a line of
             # only floating punctuation, e.g. "...") — never guess
             raise ValueError("ambiguous vertical alignment for line "
                              "(floating-punctuation-only band)")
+        best_off = int(np.argmin(totals))        # first minimum
+        best_scored = []
+        for (c0, c1), d in zip(runs, run_dists):
+            chars, _ = _BY_WIDTH[(c1 - c0) // s]
+            dvec = d[best_off]
+            order = np.argsort(dvec, kind="stable")
+            best = int(order[0])
+            second = int(dvec[order[1]]) if len(order) > 1 else 10_000
+            best_scored.append((chars[best], int(dvec[best]), second))
         cur: List[str] = []
         cur_x0 = None
         prev_end = None
