@@ -187,39 +187,43 @@ def _fresh_contexts() -> List[List[int]]:
 
 class _BlockCoder:
     """Shared scaffolding for one code-block: significance map, sign
-    map, refinement map, and the stripe-of-4 scan order (§D.2)."""
+    map, refinement map, and the stripe-of-4 scan order (§D.2).
+
+    Storage is plain Python rows (bytearrays), not numpy: every map
+    access in Tier-1 is a SCALAR read inside a per-pixel loop, where
+    bytearray indexing is ~10x cheaper than numpy scalar indexing —
+    this is the extraction OCR arm's hot path for /JPXDecode scans.
+    sgn encodes 0 = insignificant, 1 = positive, 2 = negative."""
+
+    __slots__ = ("h", "w", "band", "sig", "sgn", "refined", "visited")
 
     def __init__(self, h: int, w: int, band: str) -> None:
         self.h, self.w, self.band = h, w, band
-        self.sig = np.zeros((h + 2, w + 2), dtype=np.int8)   # padded
-        self.sgn = np.zeros((h + 2, w + 2), dtype=np.int8)
-        self.refined = np.zeros((h, w), dtype=bool)
-        self.visited = np.zeros((h, w), dtype=bool)
+        self.sig = [bytearray(w + 2) for _ in range(h + 2)]  # padded
+        self.sgn = [bytearray(w + 2) for _ in range(h + 2)]
+        self.refined = [bytearray(w) for _ in range(h)]
+        self.visited = [bytearray(w) for _ in range(h)]
 
     def _neighbor_counts(self, y: int, x: int) -> Tuple[int, int, int]:
         s = self.sig
-        yy, xx = y + 1, x + 1
-        sh = s[yy, xx - 1] + s[yy, xx + 1]
-        sv = s[yy - 1, xx] + s[yy + 1, xx]
-        sd = (s[yy - 1, xx - 1] + s[yy - 1, xx + 1]
-              + s[yy + 1, xx - 1] + s[yy + 1, xx + 1])
-        return int(sh), int(sv), int(sd)
+        xx = x + 1
+        up, mid, dn = s[y], s[y + 1], s[y + 2]
+        return (mid[xx - 1] + mid[xx + 1],
+                up[xx] + dn[xx],
+                up[xx - 1] + up[xx + 1] + dn[xx - 1] + dn[xx + 1])
 
     def _sign_context(self, y: int, x: int) -> Tuple[int, int]:
-        s, g = self.sig, self.sgn
-        yy, xx = y + 1, x + 1
-
-        def contrib(sig_a, sgn_a, sig_b, sgn_b) -> int:
-            va = sgn_a if sig_a else 0    # +1 positive, -1 negative
-            vb = sgn_b if sig_b else 0
-            t = va + vb
-            return 1 if t > 0 else (-1 if t < 0 else 0)
-
-        hc = contrib(s[yy, xx - 1], g[yy, xx - 1],
-                     s[yy, xx + 1], g[yy, xx + 1])
-        vc = contrib(s[yy - 1, xx], g[yy - 1, xx],
-                     s[yy + 1, xx], g[yy + 1, xx])
+        g = self.sgn
+        xx = x + 1
+        _V = _SGN_VAL
+        t = _V[g[y + 1][xx - 1]] + _V[g[y + 1][xx + 1]]
+        hc = 1 if t > 0 else (-1 if t < 0 else 0)
+        t = _V[g[y][xx]] + _V[g[y + 2][xx]]
+        vc = 1 if t > 0 else (-1 if t < 0 else 0)
         return _SC_TABLE[(hc, vc)]
+
+    def clear_visited(self) -> None:
+        self.visited = [bytearray(self.w) for _ in range(self.h)]
 
     def stripes(self):
         for y0 in range(0, self.h, 4):
@@ -228,15 +232,40 @@ class _BlockCoder:
                     yield y0, y, x
 
 
+_SGN_VAL = (0, 1, -1)    # sgn byte → sign contribution
+
+_STRIPE_CACHE: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
+
+
+def _stripe_order(h: int, w: int) -> List[Tuple[int, int]]:
+    """Flat §D.2 scan order (stripe-of-4, column-major inside each
+    stripe), cached per block shape — the generator overhead was ~20%
+    of Tier-1 time on the extraction hot path."""
+    key = (h, w)
+    got = _STRIPE_CACHE.get(key)
+    if got is None:
+        got = [(y, x)
+               for y0 in range(0, h, 4)
+               for x in range(w)
+               for y in range(y0, min(y0 + 4, h))]
+        if len(_STRIPE_CACHE) < 64:
+            _STRIPE_CACHE[key] = got
+        else:
+            return got
+    return got
+
+
 def _t1_decode_block(data: bytes, h: int, w: int, band: str,
                      zero_bp: int, n_passes: int,
                      max_bp: int) -> np.ndarray:
     """One code-block's MQ data → int32 coefficients (sign-magnitude
     applied)."""
     bc = _BlockCoder(h, w, band)
-    mag = np.zeros((h, w), dtype=np.int64)
+    mag = [[0] * w for _ in range(h)]
     cx = _fresh_contexts()
     mq = _MQDecoder(data)
+    dec = mq.decode
+    sig, sgn = bc.sig, bc.sgn
     p = max_bp - 1 - zero_bp          # current bitplane
     pass_kind = 2                      # first pass is cleanup
     for _ in range(n_passes):
@@ -245,35 +274,39 @@ def _t1_decode_block(data: bytes, h: int, w: int, band: str,
         bit = 1 << p
         if pass_kind == 0:
             # significance propagation
-            for _, y, x in bc.stripes():
-                if bc.sig[y + 1, x + 1]:
+            vis = bc.visited
+            for y, x in _stripe_order(h, w):
+                if sig[y + 1][x + 1]:
                     continue
                 sh, sv, sd = bc._neighbor_counts(y, x)
                 if sh + sv + sd == 0:
                     continue
                 ctx = _zc_context(sh, sv, sd, band)
-                bc.visited[y, x] = True
-                if mq.decode(cx[ctx]):
+                vis[y][x] = 1
+                if dec(cx[ctx]):
                     sctx, xorbit = bc._sign_context(y, x)
-                    sbit = mq.decode(cx[sctx]) ^ xorbit
-                    bc.sig[y + 1, x + 1] = 1
-                    bc.sgn[y + 1, x + 1] = -1 if sbit else 1
-                    mag[y, x] |= bit
+                    sbit = dec(cx[sctx]) ^ xorbit
+                    sig[y + 1][x + 1] = 1
+                    sgn[y + 1][x + 1] = 2 if sbit else 1
+                    mag[y][x] |= bit
         elif pass_kind == 1:
             # magnitude refinement
-            for _, y, x in bc.stripes():
-                if not bc.sig[y + 1, x + 1] or bc.visited[y, x]:
+            vis = bc.visited
+            ref = bc.refined
+            for y, x in _stripe_order(h, w):
+                if not sig[y + 1][x + 1] or vis[y][x]:
                     continue
-                if bc.refined[y, x]:
+                if ref[y][x]:
                     ctx = 16
                 else:
                     sh, sv, sd = bc._neighbor_counts(y, x)
                     ctx = 15 if sh + sv + sd else 14
-                if mq.decode(cx[ctx]):
-                    mag[y, x] |= bit
-                bc.refined[y, x] = True
+                if dec(cx[ctx]):
+                    mag[y][x] |= bit
+                ref[y][x] = 1
         else:
             # cleanup
+            vis = bc.visited
             x_cur = -1
             run_skip = 0
             for y0, y, x in bc.stripes():
@@ -283,41 +316,46 @@ def _t1_decode_block(data: bytes, h: int, w: int, band: str,
                     # run-length mode: full stripe of 4, all
                     # insignificant, no significant neighbors
                     if (y == y0 and y0 + 4 <= h
-                            and not bc.visited[y0:y0 + 4, x].any()
-                            and not bc.sig[y0:y0 + 6,
-                                           x:x + 3].any()):
-                        if not mq.decode(cx[_CTX_RL]):
+                            and not (vis[y0][x] or vis[y0 + 1][x]
+                                     or vis[y0 + 2][x]
+                                     or vis[y0 + 3][x])
+                            and not any(
+                                sig[r][x] or sig[r][x + 1]
+                                or sig[r][x + 2]
+                                for r in range(y0, y0 + 6))):
+                        if not dec(cx[_CTX_RL]):
                             run_skip = 4
                         else:
-                            r = (mq.decode(cx[_CTX_UNI]) << 1)
-                            r |= mq.decode(cx[_CTX_UNI])
-                            run_skip = r
+                            r = (dec(cx[_CTX_UNI]) << 1)
+                            r |= dec(cx[_CTX_UNI])
                             # the r-th pixel is significant by
                             # construction: decode its sign directly
                             yy = y0 + r
                             sctx, xorbit = bc._sign_context(yy, x)
-                            sbit = mq.decode(cx[sctx]) ^ xorbit
-                            bc.sig[yy + 1, x + 1] = 1
-                            bc.sgn[yy + 1, x + 1] = -1 if sbit else 1
-                            mag[yy, x] |= bit
+                            sbit = dec(cx[sctx]) ^ xorbit
+                            sig[yy + 1][x + 1] = 1
+                            sgn[yy + 1][x + 1] = 2 if sbit else 1
+                            mag[yy][x] |= bit
                             run_skip = r + 1   # resume after it
                 if y - y0 < run_skip:
                     continue
-                if bc.sig[y + 1, x + 1] or bc.visited[y, x]:
+                if sig[y + 1][x + 1] or vis[y][x]:
                     continue
                 sh, sv, sd = bc._neighbor_counts(y, x)
                 ctx = _zc_context(sh, sv, sd, band)
-                if mq.decode(cx[ctx]):
+                if dec(cx[ctx]):
                     sctx, xorbit = bc._sign_context(y, x)
-                    sbit = mq.decode(cx[sctx]) ^ xorbit
-                    bc.sig[y + 1, x + 1] = 1
-                    bc.sgn[y + 1, x + 1] = -1 if sbit else 1
-                    mag[y, x] |= bit
-            bc.visited[:] = False
+                    sbit = dec(cx[sctx]) ^ xorbit
+                    sig[y + 1][x + 1] = 1
+                    sgn[y + 1][x + 1] = 2 if sbit else 1
+                    mag[y][x] |= bit
+            bc.clear_visited()
             p -= 1
         pass_kind = (pass_kind + 1) % 3
-    sgn = bc.sgn[1:-1, 1:-1].astype(np.int64)
-    return np.where(sgn < 0, -mag, mag).astype(np.int32)
+    out = np.array(mag, dtype=np.int64).reshape(h, w)
+    neg = np.array([[sgn[y + 1][x + 1] == 2 for x in range(w)]
+                    for y in range(h)])
+    return np.where(neg, -out, out).astype(np.int32)
 
 
 def _t1_encode_block(coef: np.ndarray, band: str,
@@ -337,40 +375,47 @@ def _t1_encode_block(coef: np.ndarray, band: str,
     bc = _BlockCoder(h, w, band)
     cx = _fresh_contexts()
     mq = _MQEncoder()
+    enc = mq.encode
+    sig, sgn = bc.sig, bc.sgn
+    magl = [[int(v) for v in row] for row in mag_in]
+    negl = [[1 if v else 0 for v in row] for row in neg_in]
     p = need - 1
     pass_kind = 2
     n_passes = 3 * need - 2
     for _ in range(n_passes):
         bit = 1 << p
         if pass_kind == 0:
-            for _, y, x in bc.stripes():
-                if bc.sig[y + 1, x + 1]:
+            vis = bc.visited
+            for y, x in _stripe_order(h, w):
+                if sig[y + 1][x + 1]:
                     continue
                 sh, sv, sd = bc._neighbor_counts(y, x)
                 if sh + sv + sd == 0:
                     continue
                 ctx = _zc_context(sh, sv, sd, band)
-                bc.visited[y, x] = True
-                b = 1 if mag_in[y, x] & bit else 0
-                mq.encode(b, cx[ctx])
+                vis[y][x] = 1
+                b = 1 if magl[y][x] & bit else 0
+                enc(b, cx[ctx])
                 if b:
                     sctx, xorbit = bc._sign_context(y, x)
-                    mq.encode((1 if neg_in[y, x] else 0) ^ xorbit,
-                              cx[sctx])
-                    bc.sig[y + 1, x + 1] = 1
-                    bc.sgn[y + 1, x + 1] = -1 if neg_in[y, x] else 1
+                    enc(negl[y][x] ^ xorbit, cx[sctx])
+                    sig[y + 1][x + 1] = 1
+                    sgn[y + 1][x + 1] = 2 if negl[y][x] else 1
         elif pass_kind == 1:
-            for _, y, x in bc.stripes():
-                if not bc.sig[y + 1, x + 1] or bc.visited[y, x]:
+            vis = bc.visited
+            ref = bc.refined
+            for y, x in _stripe_order(h, w):
+                if not sig[y + 1][x + 1] or vis[y][x]:
                     continue
-                if bc.refined[y, x]:
+                if ref[y][x]:
                     ctx = 16
                 else:
                     sh, sv, sd = bc._neighbor_counts(y, x)
                     ctx = 15 if sh + sv + sd else 14
-                mq.encode(1 if mag_in[y, x] & bit else 0, cx[ctx])
-                bc.refined[y, x] = True
+                enc(1 if magl[y][x] & bit else 0, cx[ctx])
+                ref[y][x] = 1
         else:
+            vis = bc.visited
             x_cur = -1
             run_skip = 0
             for y0, y, x in bc.stripes():
@@ -378,43 +423,45 @@ def _t1_encode_block(coef: np.ndarray, band: str,
                     x_cur = x
                     run_skip = 0
                     if (y == y0 and y0 + 4 <= h
-                            and not bc.visited[y0:y0 + 4, x].any()
-                            and not bc.sig[y0:y0 + 6,
-                                           x:x + 3].any()):
-                        col = mag_in[y0:y0 + 4, x] & bit
-                        nz = np.nonzero(col)[0]
-                        if len(nz) == 0:
-                            mq.encode(0, cx[_CTX_RL])
+                            and not (vis[y0][x] or vis[y0 + 1][x]
+                                     or vis[y0 + 2][x]
+                                     or vis[y0 + 3][x])
+                            and not any(
+                                sig[r][x] or sig[r][x + 1]
+                                or sig[r][x + 2]
+                                for r in range(y0, y0 + 6))):
+                        r = -1
+                        for j in range(4):
+                            if magl[y0 + j][x] & bit:
+                                r = j
+                                break
+                        if r < 0:
+                            enc(0, cx[_CTX_RL])
                             run_skip = 4
                         else:
-                            mq.encode(1, cx[_CTX_RL])
-                            r = int(nz[0])
-                            mq.encode((r >> 1) & 1, cx[_CTX_UNI])
-                            mq.encode(r & 1, cx[_CTX_UNI])
+                            enc(1, cx[_CTX_RL])
+                            enc((r >> 1) & 1, cx[_CTX_UNI])
+                            enc(r & 1, cx[_CTX_UNI])
                             yy = y0 + r
                             sctx, xorbit = bc._sign_context(yy, x)
-                            mq.encode(
-                                (1 if neg_in[yy, x] else 0) ^ xorbit,
-                                cx[sctx])
-                            bc.sig[yy + 1, x + 1] = 1
-                            bc.sgn[yy + 1, x + 1] = (
-                                -1 if neg_in[yy, x] else 1)
+                            enc(negl[yy][x] ^ xorbit, cx[sctx])
+                            sig[yy + 1][x + 1] = 1
+                            sgn[yy + 1][x + 1] = 2 if negl[yy][x] else 1
                             run_skip = r + 1
                 if y - y0 < run_skip:
                     continue
-                if bc.sig[y + 1, x + 1] or bc.visited[y, x]:
+                if sig[y + 1][x + 1] or vis[y][x]:
                     continue
                 sh, sv, sd = bc._neighbor_counts(y, x)
                 ctx = _zc_context(sh, sv, sd, band)
-                b = 1 if mag_in[y, x] & bit else 0
-                mq.encode(b, cx[ctx])
+                b = 1 if magl[y][x] & bit else 0
+                enc(b, cx[ctx])
                 if b:
                     sctx, xorbit = bc._sign_context(y, x)
-                    mq.encode((1 if neg_in[y, x] else 0) ^ xorbit,
-                              cx[sctx])
-                    bc.sig[y + 1, x + 1] = 1
-                    bc.sgn[y + 1, x + 1] = -1 if neg_in[y, x] else 1
-            bc.visited[:] = False
+                    enc(negl[y][x] ^ xorbit, cx[sctx])
+                    sig[y + 1][x + 1] = 1
+                    sgn[y + 1][x + 1] = 2 if negl[y][x] else 1
+            bc.clear_visited()
             p -= 1
         pass_kind = (pass_kind + 1) % 3
     return mq.done(), zero_bp, n_passes
