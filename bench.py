@@ -133,6 +133,10 @@ def main() -> None:
         # predefined-CMap + CID-keyed-CFF text recovery
         "char_span_winnow", "ocr_mixed_case", "pdf_inline_image",
         "pdf_g3_scan", "pdf_ucs2_extract", "pdf_cffcid_extract",
+        # round 5 wave 2: Type3 fonts, JBIG2 + JPX raster decode,
+        # real H.264 frame OCR
+        "pdf_type3_extract", "pdf_jbig2_scan", "pdf_jpx_scan",
+        "video_frame_ocr",
     ]
 
     def run_extract():
