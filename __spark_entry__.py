@@ -2366,14 +2366,16 @@ FROM documents ORDER BY doc_id, frame_idx
 
 
 def _video_frame_ocr(spark, sf):
-    """frame_ocr over REAL Annex-B H.264 elementary streams: each doc
-    carries doc_id%3+2 I_PCM IDR frames of glyph-rendered text
-    (kernels/h264.py encoder twin); the operator decodes actual luma
+    """frame_ocr over REAL H.264 video, rotating the two container
+    shapes on doc_id: raw Annex-B elementary streams (even) and MP4
+    files carrying an avc1 track with full sample tables + avcC
+    (odd; kernels/mp4_avc.py). Each doc carries doc_id%3+2 I_PCM IDR
+    frames of glyph-rendered text; the operator decodes actual luma
     pixels and OCRs every 2nd frame. A hash match proves NAL framing,
-    emulation prevention, SPS cropping, the I_PCM macroblock walk AND
-    the glyph recognizer end to end. Reference has no video path —
-    this is LLM-pipeline surface. Closed-form per (doc_id, frame), so
-    DuckDB predicts every row."""
+    emulation prevention, SPS cropping, the MP4 sample-table walk,
+    the I_PCM macroblock walk AND the glyph recognizer end to end.
+    Reference has no video path — this is LLM-pipeline surface.
+    Closed-form per (doc_id, frame), so DuckDB predicts every row."""
     from lexoid_spark.functions.multimodal import frame_ocr
 
     @F.pandas_udf("binary")
@@ -2381,6 +2383,7 @@ def _video_frame_ocr(spark, sf):
         import numpy as np
 
         from lexoid_spark.kernels.h264 import h264_encode_ipcm
+        from lexoid_spark.kernels.mp4_avc import make_test_mp4_h264
         from lexoid_spark.kernels.ocr_glyph import render_text
 
         out = []
@@ -2398,7 +2401,8 @@ def _video_frame_ocr(spark, sf):
                        constant_values=255)
                 for a in fr
             ])
-            out.append(h264_encode_ipcm(padded))
+            out.append(h264_encode_ipcm(padded) if d % 2 == 0
+                       else make_test_mp4_h264(padded))
         return pd.Series(out)
 
     # 1-in-13 subset: encode+decode+OCR of k frames is honest

@@ -122,11 +122,12 @@ def decode_video_header(b: bytes) -> tuple[int, int, int] | None:
 
 
 def decode_video_frames(b: bytes) -> "np.ndarray":
-    """Real video pixel decode: Annex-B H.264 elementary streams
-    (I_PCM baseline scope, kernels/h264.py) → (n, H, W) uint8 luma
-    frames. The FAKE container and MP4 box trees carry metadata only
-    — both raise a typed error (caller quarantines or falls back to
-    the header path)."""
+    """Real video pixel decode → (n, H, W) uint8 luma frames: Annex-B
+    H.264 elementary streams (I_PCM baseline scope, kernels/h264.py)
+    and MP4 files carrying an avc1 track (sample tables + avcC,
+    kernels/mp4_avc.py). The FAKE container and track-less MP4 box
+    trees carry metadata only — both raise a typed error (caller
+    quarantines or falls back to the header path)."""
     b = bytes(b)
     from lexoid_spark.kernels.h264 import (
         H264Error,
@@ -136,8 +137,14 @@ def decode_video_frames(b: bytes) -> "np.ndarray":
 
     if looks_like_h264(b):
         return h264_decode_frames(b)
+    from lexoid_spark.kernels.mp4_meta import looks_like_mp4
+
+    if looks_like_mp4(b):
+        from lexoid_spark.kernels.mp4_avc import mp4_h264_frames
+
+        return mp4_h264_frames(b)
     raise H264Error("payload carries no decodable video pixels "
-                    "(FAKE/MP4 containers are metadata-only)")
+                    "(the FAKE container is metadata-only)")
 
 
 def decode_image_pixels(b: bytes) -> "np.ndarray":
@@ -332,6 +339,7 @@ def frame_ocr(df: DataFrame, every_n: int = 10, id_col: str = "id",
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from lexoid_spark.kernels.h264 import H264Error
+        from lexoid_spark.kernels.mp4_meta import Mp4Error
         from lexoid_spark.kernels.ocr_glyph import recognize_pixels
 
         for b in batches:
@@ -339,7 +347,7 @@ def frame_ocr(df: DataFrame, every_n: int = 10, id_col: str = "id",
             for i, payload in zip(b["id"], b["payload"]):
                 try:
                     frames = decode_video_frames(payload)
-                except H264Error:
+                except (H264Error, Mp4Error):
                     continue
                 for fi in range(0, frames.shape[0], every_n):
                     try:

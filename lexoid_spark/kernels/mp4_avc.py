@@ -1,0 +1,229 @@
+"""H.264 tracks inside MP4 / ISO-BMFF containers (ISO 14496-15):
+locate the ``avc1`` sample entry, read parameter sets from its
+``avcC`` configuration box, walk the sample tables (``stsz`` sizes,
+``stsc`` sample-to-chunk, ``stco``/``co64`` chunk offsets), convert
+the length-prefixed sample NALs to an Annex-B stream and decode
+through ``kernels/h264.py`` — so real wild-shaped MP4 video files
+yield FRAMES, not just box-tree metadata (``kernels/mp4_meta.py``).
+
+Scope follows the H.264 kernel: I_PCM baseline IDR samples decode,
+anything else quarantines typed. Fragmented MP4 (``moof``) and
+encrypted tracks raise :class:`Mp4Error`. The builder twin emits a
+spec-shaped ftyp+mdat+moov file with a full sample-table graph for
+fixtures/corpus only.
+
+Reference parity: none — the reference has no video path; this is
+LLM-pipeline surface (video → frame sampling → per-frame ops).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from lexoid_spark.kernels.mp4_meta import Mp4Error, _boxes, looks_like_mp4
+
+MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _walk_collect(b: bytes, start: int, end: int, found: dict) -> None:
+    for btype, body, bend in _boxes(b, start, end):
+        if btype in MP4_CONTAINERS:
+            _walk_collect(b, body, bend, found)
+        elif btype in (b"stsd", b"stsz", b"stsc", b"stco", b"co64",
+                       b"moof") and btype not in found:
+            found[btype] = (body, bend)
+
+
+def _parse_avcc(b: bytes, body: int, bend: int) -> Tuple[bytes, int]:
+    """avcC box body → (Annex-B SPS+PPS prefix, NAL length size)."""
+    if bend - body < 7:
+        raise Mp4Error("truncated avcC")
+    if b[body] != 1:
+        raise Mp4Error("unknown avcC configurationVersion")
+    length_size = (b[body + 4] & 3) + 1
+    out = bytearray()
+    p = body + 5
+    n_sps = b[p] & 0x1F
+    p += 1
+    for _ in range(n_sps):
+        (ln,) = struct.unpack_from(">H", b, p)
+        p += 2
+        out += b"\x00\x00\x00\x01" + b[p:p + ln]
+        p += ln
+    if p >= bend:
+        raise Mp4Error("truncated avcC PPS array")
+    n_pps = b[p]
+    p += 1
+    for _ in range(n_pps):
+        (ln,) = struct.unpack_from(">H", b, p)
+        p += 2
+        out += b"\x00\x00\x00\x01" + b[p:p + ln]
+        p += ln
+    return bytes(out), length_size
+
+
+def _find_avcc(b: bytes, stsd_body: int, stsd_end: int):
+    """stsd → first avc1 entry → its avcC child."""
+    if stsd_end - stsd_body < 8:
+        raise Mp4Error("truncated stsd")
+    for btype, body, bend in _boxes(b, stsd_body + 8, stsd_end):
+        if btype != b"avc1":
+            continue
+        # avc1 sample entry: 78 bytes of fields before child boxes
+        for ctype, cbody, cend in _boxes(b, body + 78, bend):
+            if ctype == b"avcC":
+                return _parse_avcc(b, cbody, cend)
+        raise Mp4Error("avc1 entry carries no avcC")
+    raise Mp4Error("no avc1 sample entry (not an H.264 track)")
+
+
+def _u32s(b: bytes, pos: int, n: int) -> List[int]:
+    return list(struct.unpack_from(">%dI" % n, b, pos))
+
+
+def mp4_h264_frames(data: bytes) -> np.ndarray:
+    """MP4 bytes → (n_frames, H, W) uint8 luma frames via the avc1
+    track's sample tables. Raises :class:`Mp4Error` (or the H.264
+    kernel's typed error) when the track is absent or out of scope."""
+    b = bytes(data)
+    if not looks_like_mp4(b):
+        raise Mp4Error("no ftyp/moov box")
+    found: dict = {}
+    _walk_collect(b, 0, len(b), found)
+    if b"moof" in found:
+        raise Mp4Error("fragmented MP4 (moof) is unsupported")
+    for need in (b"stsd", b"stsz", b"stsc"):
+        if need not in found:
+            raise Mp4Error(f"box tree misses {need.decode()}")
+    prefix, length_size = _find_avcc(b, *found[b"stsd"])
+    # sample sizes
+    body, bend = found[b"stsz"]
+    sample_size, n_samples = struct.unpack_from(">II", b, body + 4)
+    if n_samples > 1 << 20:
+        raise Mp4Error("implausible sample count")
+    if sample_size:
+        sizes = [sample_size] * n_samples
+    else:
+        if body + 12 + 4 * n_samples > bend:
+            raise Mp4Error("truncated stsz")
+        sizes = _u32s(b, body + 12, n_samples)
+    # chunk offsets
+    if b"stco" in found:
+        body, bend = found[b"stco"]
+        (n_chunks,) = struct.unpack_from(">I", b, body + 4)
+        if body + 8 + 4 * n_chunks > bend or n_chunks > 1 << 20:
+            raise Mp4Error("truncated stco")
+        offsets = _u32s(b, body + 8, n_chunks)
+    elif b"co64" in found:
+        body, bend = found[b"co64"]
+        (n_chunks,) = struct.unpack_from(">I", b, body + 4)
+        if body + 8 + 8 * n_chunks > bend or n_chunks > 1 << 20:
+            raise Mp4Error("truncated co64")
+        offsets = list(struct.unpack_from(">%dQ" % n_chunks, b,
+                                          body + 8))
+    else:
+        raise Mp4Error("box tree misses stco/co64")
+    # sample→chunk: entries (first_chunk, samples_per_chunk, desc_id)
+    body, bend = found[b"stsc"]
+    (n_entries,) = struct.unpack_from(">I", b, body + 4)
+    if body + 8 + 12 * n_entries > bend or n_entries > 1 << 20:
+        raise Mp4Error("truncated stsc")
+    entries = [struct.unpack_from(">III", b, body + 8 + 12 * i)
+               for i in range(n_entries)]
+    # expand to per-chunk sample counts
+    per_chunk: List[int] = []
+    for i, (first, spc, _desc) in enumerate(entries):
+        last = (entries[i + 1][0] - 1 if i + 1 < len(entries)
+                else len(offsets))
+        per_chunk += [spc] * max(0, last - (first - 1))
+    # assemble the Annex-B stream sample by sample
+    out = bytearray(prefix)
+    si = 0
+    for ci, off in enumerate(offsets):
+        pos = off
+        spc = per_chunk[ci] if ci < len(per_chunk) else 0
+        for _ in range(spc):
+            if si >= n_samples:
+                break
+            size = sizes[si]
+            si += 1
+            end = pos + size
+            if end > len(b):
+                raise Mp4Error("sample overruns the file")
+            while pos + length_size <= end:
+                ln = int.from_bytes(b[pos:pos + length_size], "big")
+                pos += length_size
+                if ln == 0 or pos + ln > end:
+                    raise Mp4Error("bad NAL length in sample")
+                out += b"\x00\x00\x00\x01" + b[pos:pos + ln]
+                pos += ln
+            pos = end
+    if si != n_samples:
+        raise Mp4Error("sample tables disagree on sample count")
+    from lexoid_spark.kernels.h264 import h264_decode_frames
+
+    return h264_decode_frames(bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# Fixture builder (corpus/tests only)
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def make_test_mp4_h264(frames: np.ndarray, timescale: int = 600,
+                       fps: int = 30) -> bytes:
+    """(n, H, W) uint8 luma → MP4 file with a real avc1 track: I_PCM
+    IDR samples (kernels/h264.py), avcC parameter sets, and the full
+    stsd/stts/stsc/stsz/stco graph. Layout ftyp+mdat+moov so chunk
+    offsets are known before moov is sized. Deterministic bytes."""
+    from lexoid_spark.kernels.h264 import _split_nals, h264_encode_ipcm
+
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[None]
+    n, h, w = a.shape
+    annexb = h264_encode_ipcm(a)
+    nals = _split_nals(annexb)
+    sps = [x for x in nals if x[0] & 0x1F == 7]
+    pps = [x for x in nals if x[0] & 0x1F == 8]
+    idrs = [x for x in nals if x[0] & 0x1F == 5]
+    samples = [struct.pack(">I", len(x)) + x for x in idrs]
+    sizes = [len(s) for s in samples]
+    mdat = _box(b"mdat", b"".join(samples))
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2avc1")
+    chunk_off = len(ftyp) + 8          # first sample, inside mdat
+    avcc = (bytes([1, sps[0][1], sps[0][2], sps[0][3], 0xFF, 0xE1])
+            + struct.pack(">H", len(sps[0])) + sps[0]
+            + bytes([1]) + struct.pack(">H", len(pps[0])) + pps[0])
+    avc1 = (bytes(6) + struct.pack(">H", 1) + bytes(16)
+            + struct.pack(">HH", w, h)
+            + struct.pack(">II", 0x00480000, 0x00480000)
+            + bytes(4) + struct.pack(">H", 1) + bytes(32)
+            + struct.pack(">Hh", 24, -1) + _box(b"avcC", avcc))
+    stsd = bytes(4) + struct.pack(">I", 1) + _box(b"avc1", avc1)
+    stts = (bytes(4) + struct.pack(">I", 1)
+            + struct.pack(">II", n, timescale // fps))
+    stsc = (bytes(4) + struct.pack(">I", 1)
+            + struct.pack(">III", 1, n, 1))
+    stsz = (bytes(4) + struct.pack(">II", 0, n)
+            + b"".join(struct.pack(">I", s) for s in sizes))
+    stco = bytes(4) + struct.pack(">I", 1) + struct.pack(">I", chunk_off)
+    stbl = _box(b"stbl", _box(b"stsd", stsd) + _box(b"stts", stts)
+                + _box(b"stsc", stsc) + _box(b"stsz", stsz)
+                + _box(b"stco", stco))
+    mdia = _box(b"mdia", _box(b"minf", stbl))
+    duration = n * timescale // fps
+    mvhd = (bytes([0, 0, 0, 0]) + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, duration) + bytes(80))
+    tkhd = (bytes([0, 0, 0, 7]) + bytes(76)
+            + struct.pack(">II", w << 16, h << 16))
+    trak = _box(b"trak", _box(b"tkhd", tkhd) + mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    return ftyp + mdat + moov

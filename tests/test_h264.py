@@ -3,6 +3,8 @@ prevention, SPS/PPS/IDR parse, I_PCM macroblock round-trips, typed
 errors on out-of-scope streams, and the frame_ocr operator surface
 (mirrors tests/test_jbig2.py / test_jpx.py for the raster arms)."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -145,3 +147,53 @@ class TestHeaderSurface:
             encode_fake_video(320, 240, 10)) == (320, 240, 10)
         assert decode_video_header(
             make_test_mp4(640, 360, 24)) == (640, 360, 24)
+
+
+class TestMp4Track:
+    @pytest.mark.parametrize("shape", [(1, 16, 16), (3, 32, 48),
+                                       (2, 46, 126)])
+    def test_mp4_roundtrip(self, shape):
+        from lexoid_spark.kernels.mp4_avc import (
+            make_test_mp4_h264,
+            mp4_h264_frames,
+        )
+        from lexoid_spark.kernels.mp4_meta import mp4_header
+
+        rng = np.random.default_rng(sum(shape))
+        frames = rng.integers(0, 256, shape).astype(np.uint8)
+        mp4 = make_test_mp4_h264(frames)
+        assert mp4_header(mp4) == (shape[2], shape[1], shape[0])
+        assert np.array_equal(mp4_h264_frames(mp4), frames)
+
+    def test_decode_video_frames_dispatch(self):
+        from lexoid_spark.functions.multimodal import decode_video_frames
+        from lexoid_spark.kernels.mp4_avc import make_test_mp4_h264
+
+        frames = np.zeros((2, 16, 16), np.uint8)
+        assert np.array_equal(decode_video_frames(
+            make_test_mp4_h264(frames)), frames)
+
+    def test_trackless_mp4_raises_typed(self):
+        from lexoid_spark.functions.multimodal import decode_video_frames
+        from lexoid_spark.kernels.mp4_meta import Mp4Error, make_test_mp4
+
+        with pytest.raises(Mp4Error):
+            decode_video_frames(make_test_mp4(320, 240, 10))
+
+    def test_fuzz_corrupted_mp4_terminates_typed(self):
+        from lexoid_spark.kernels.mp4_avc import make_test_mp4_h264, \
+            mp4_h264_frames
+        from lexoid_spark.kernels.mp4_meta import Mp4Error
+
+        rng = np.random.default_rng(55)
+        mp4 = make_test_mp4_h264(
+            rng.integers(0, 256, (1, 16, 16)).astype(np.uint8))
+        for _ in range(40):
+            i = int(rng.integers(4, len(mp4)))
+            mut = bytearray(mp4)
+            mut[i] ^= int(rng.integers(1, 256))
+            try:
+                out = mp4_h264_frames(bytes(mut))
+                assert out.dtype == np.uint8
+            except (Mp4Error, ValueError, struct.error):
+                pass
