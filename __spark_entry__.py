@@ -3744,9 +3744,12 @@ FROM documents WHERE doc_id % 9 = 0 ORDER BY url
 
 def _pdf_jbig2_scan(spark, sf):
     """JBIG2 (ITU-T T.88) scans through the FULL extract() plan,
-    rotating the two coding modes on doc_id: MMR generic regions
-    (T.6 data inside JBIG2 segments) and MQ-arithmetic GBTEMPLATE-0
-    regions — the archival-scanner layout next to CCITT G4. Route:
+    rotating the three coding modes on doc_id: MMR generic regions
+    (T.6 data inside JBIG2 segments), MQ-arithmetic GBTEMPLATE-0
+    regions, and SYMBOL mode (dictionary + text region — the
+    jbig2enc layout, exercising the Annex-A integer arithmetic
+    procedures) — the archival-scanner layouts next to CCITT G4.
+    Route:
     sniff → has_image flag → OCR arm → kernels/jbig2.py segment parse
     + region decode → glyph recognition. Reference reads such PDFs
     via pdfplumber/pypdfium (static_parser.py:700-727); the codec has
@@ -3764,7 +3767,7 @@ def _pdf_jbig2_scan(spark, sf):
             d = int(d)
             arr = render_text(f"JBIG2 SCAN {d}\nrow {d % 6} ok",
                               scale=2)
-            codec = "jbig2" if d % 2 == 0 else "jbig2-arith"
+            codec = ("jbig2", "jbig2-arith", "jbig2-sym")[d % 3]
             out.append(build_pdf(
                 [{"raster_images": [{"gray": arr, "codec": codec}]}]))
         return pd.Series(out)

@@ -543,18 +543,27 @@ def build_pdf(pages: Sequence[Dict], compress: bool = False,
                 ))
                 continue
             if isinstance(raster, dict) and \
-                    raster.get("codec") in ("jbig2", "jbig2-arith"):
+                    raster.get("codec") in ("jbig2", "jbig2-arith",
+                                            "jbig2-sym"):
                 # B/W scan under /JBIG2Decode (ITU-T T.88 embedded
                 # stream): "jbig2" = MMR-coded generic region (T.6
-                # data), "jbig2-arith" = MQ-coded GBTEMPLATE-0 region
-                from lexoid_spark.kernels.jbig2 import jbig2_encode
+                # data), "jbig2-arith" = MQ-coded GBTEMPLATE-0
+                # region, "jbig2-sym" = symbol dictionary + text
+                # region (the jbig2enc layout)
+                from lexoid_spark.kernels.jbig2 import (
+                    jbig2_encode,
+                    jbig2_encode_symbols,
+                )
 
                 arr = raster["gray"]
                 ih, iw = arr.shape
-                enc = jbig2_encode(
-                    arr, mode=("arith" if raster["codec"].endswith(
-                        "arith") else "mmr"),
-                    tpgdon=bool(raster.get("tpgdon")))
+                if raster["codec"] == "jbig2-sym":
+                    enc = jbig2_encode_symbols(arr)
+                else:
+                    enc = jbig2_encode(
+                        arr, mode=("arith" if raster["codec"].endswith(
+                            "arith") else "mmr"),
+                        tpgdon=bool(raster.get("tpgdon")))
                 img_nums_page.append(add(
                     (b"<< /Type /XObject /Subtype /Image /Width %d "
                      b"/Height %d /ColorSpace /DeviceGray "

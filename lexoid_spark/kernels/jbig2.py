@@ -12,11 +12,18 @@ header — segment headers immediately) with
   or **arithmetically coded** with ``GBTEMPLATE 0`` at the nominal
   AT-pixel positions, with or without TPGDON typical prediction
   (§6.2.5.7) through a from-scratch MQ coder (Annex E),
+- **symbol dictionaries (type 0) + immediate text regions (types
+  6/7)** — the jbig2enc symbol mode: arithmetic height-class symbol
+  decode (shared generic-region contexts, §6.5), export runs, and
+  strip-decoded instance placement via the Annex-A integer
+  arithmetic procedures (IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT + the
+  IAID tree),
 - end-of-page / end-of-stripe / end-of-file segments (49/50/51).
 
-Everything else — symbol dictionaries + text regions (the jbig2enc
-symbol mode), halftone/refinement regions, templates 1–3, non-nominal
-AT pixels, unknown-length segments — raises a typed
+Everything else — Huffman-coded dictionaries/regions, refinement and
+aggregate coding, halftone regions, templates 1–3, non-nominal
+AT pixels, transposed/non-TOPLEFT text regions, unknown-length
+segments — raises a typed
 :class:`Jbig2Error` so the document QUARANTINES rather than parsing
 to garbage pixels, the same never-silently-wrong contract as the
 CCITT and crypt kernels. ``/JBIG2Globals`` content is accepted as a
@@ -375,6 +382,7 @@ def _parse_segment_header(b: bytes, pos: int) -> Tuple[Dict, int]:
 
 
 _REGION_TYPES = frozenset((36, 38, 39))
+_TEXT_TYPES = frozenset((4, 6, 7))
 _SKIP_TYPES = frozenset((49, 50, 51, 62))  # end-of-*, extension
 
 
@@ -422,9 +430,34 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     pos = 0
     page_bm: Optional[np.ndarray] = None
     page_default = 0
+    symbols: List[np.ndarray] = []
     while pos < len(b):
         seg, pos = _parse_segment_header(b, pos)
         t = seg["type"]
+        if t == 0:                        # symbol dictionary
+            symbols = _decode_symbol_dict(seg["data"], symbols)
+            continue
+        if t in _TEXT_TYPES:
+            if t == 4:
+                raise Jbig2Error(
+                    "intermediate text regions are unsupported")
+            bm, x, y, combop = _decode_text_region(seg["data"], symbols)
+            if page_bm is None:
+                page_bm = bm
+            else:
+                h, w = bm.shape
+                ph, pw = page_bm.shape
+                if y + h > ph or x + w > pw:
+                    raise Jbig2Error("region exceeds the page bitmap")
+                win = page_bm[y:y + h, x:x + w]
+                if combop == 0:
+                    np.bitwise_or(win, bm, out=win)
+                elif combop == 4:
+                    win[:] = bm
+                else:
+                    raise Jbig2Error(
+                        f"region combination op {combop} unsupported")
+            continue
         if t == 48:                       # page information
             d = seg["data"]
             if len(d) < 17:
@@ -457,7 +490,7 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
         else:
             raise Jbig2Error(
                 f"segment type {t} is unsupported "
-                "(symbol/text/halftone regions quarantine)")
+                "(halftone/refinement regions quarantine)")
     if page_bm is None:
         raise Jbig2Error("stream carries no page or region")
     return np.where(page_bm, np.uint8(0), np.uint8(255))
@@ -504,3 +537,420 @@ def jbig2_encode(arr: np.ndarray, mode: str = "mmr",
     out += _segment_header(1, 39, 1, len(region)) + region
     out += _segment_header(2, 49, 1, 0)             # end of page
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Integer arithmetic decoding procedures (T.88 Annex A)
+# ---------------------------------------------------------------------------
+
+OOB = object()          # out-of-band sentinel (Annex A.2)
+
+# (prefix-one count, value bits, offset) per Annex A.2 ranges
+_INT_RANGES = ((0, 2, 0), (1, 4, 4), (2, 6, 20), (3, 8, 84),
+               (4, 12, 340), (5, 32, 4436))
+
+
+class _IntCtx:
+    """One IAx procedure's 512-state context tree."""
+
+    __slots__ = ("cx",)
+
+    def __init__(self) -> None:
+        self.cx = [[0, 0] for _ in range(512)]
+
+
+def _int_decode(mq: _MQDecoder, ictx: _IntCtx):
+    """IAx decode → int or OOB."""
+    cx = ictx.cx
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = mq.decode(cx[prev])
+        prev = ((prev << 1) | b if prev < 256
+                else ((((prev << 1) | b) & 511) | 256))
+        return b
+
+    s = bit()
+    for ones, nbits, off in _INT_RANGES:
+        if ones == 5 or not bit():
+            v = 0
+            for _ in range(nbits):
+                v = (v << 1) | bit()
+            v += off
+            if s and v == 0:
+                return OOB
+            return -v if s else v
+    raise Jbig2Error("unreachable integer range")
+
+
+def _int_encode(mq: _MQEncoder, ictx: _IntCtx, value) -> None:
+    """IAx encode of int or OOB (fixtures only)."""
+    cx = ictx.cx
+    prev = 1
+
+    def bit(b: int) -> None:
+        nonlocal prev
+        mq.encode(b, cx[prev])
+        prev = ((prev << 1) | b if prev < 256
+                else ((((prev << 1) | b) & 511) | 256))
+
+    if value is OOB:
+        s, v = 1, 0
+    else:
+        s = 1 if value < 0 else 0
+        v = -value if value < 0 else value
+    bit(s)
+    for i, (ones, nbits, off) in enumerate(_INT_RANGES):
+        hi = off + (1 << nbits) - 1 if nbits < 32 else None
+        if hi is None or v <= hi:
+            for _ in range(ones):
+                bit(1)
+            if ones < 5:
+                bit(0)
+            rem = v - off
+            for k in range(nbits - 1, -1, -1):
+                bit((rem >> k) & 1)
+            return
+    raise Jbig2Error("integer out of encodable range")
+
+
+def _iaid_decode(mq: _MQDecoder, cx: List[List[int]],
+                 codelen: int) -> int:
+    """IAID decode (Annex A.3): a codelen-bit tree."""
+    prev = 1
+    for _ in range(codelen):
+        prev = (prev << 1) | mq.decode(cx[prev])
+    return prev - (1 << codelen)
+
+
+def _iaid_encode(mq: _MQEncoder, cx: List[List[int]],
+                 codelen: int, value: int) -> None:
+    prev = 1
+    for k in range(codelen - 1, -1, -1):
+        b = (value >> k) & 1
+        mq.encode(b, cx[prev])
+        prev = (prev << 1) | b
+
+
+# ---------------------------------------------------------------------------
+# Symbol dictionary (type 0) + text region (types 4-7), §6.4 / §6.5
+# ---------------------------------------------------------------------------
+
+_MAX_SYMBOLS = 1 << 14
+
+
+def _decode_symbol_dict(data: bytes,
+                        input_syms: List[np.ndarray]) -> List[np.ndarray]:
+    """Arithmetic symbol dictionary → exported symbol bitmaps (0/1).
+    Scope: SDHUFF=0, SDREFAGG=0, GBTEMPLATE 0 at nominal AT — the
+    jbig2enc non-refinement layout; anything else raises."""
+    if len(data) < 2:
+        raise Jbig2Error("truncated symbol dictionary")
+    flags = struct.unpack_from(">H", data, 0)[0]
+    if flags & 1:
+        raise Jbig2Error("Huffman symbol dictionaries are unsupported")
+    if flags & 2:
+        raise Jbig2Error("refinement/aggregate dictionaries are "
+                         "unsupported")
+    template = (flags >> 10) & 3
+    if template != 0:
+        raise Jbig2Error("symbol dict GBTEMPLATE != 0 unsupported")
+    pos = 2
+    at = tuple(data[pos:pos + 8])
+    pos += 8
+    if at != _NOMINAL_AT0:
+        raise Jbig2Error("non-nominal AT pixels are unsupported")
+    n_ex, n_new = _u32(data, pos), _u32(data, pos + 4)
+    pos += 8
+    if n_new > _MAX_SYMBOLS or n_ex > _MAX_SYMBOLS:
+        raise Jbig2Error("implausible symbol count")
+    mq = _MQDecoder(data[pos:])
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    gbcx = [[0, 0] for _ in range(1 << 16)]
+    new_syms: List[np.ndarray] = []
+    hc_height = 0
+    while len(new_syms) < n_new:
+        dh = _int_decode(mq, iadh)
+        if dh is OOB:
+            raise Jbig2Error("OOB height-class delta")
+        hc_height += dh
+        sym_width = 0
+        while True:
+            dw = _int_decode(mq, iadw)
+            if dw is OOB:
+                break
+            sym_width += dw
+            if not (0 < sym_width <= _MAX_DIM
+                    and 0 < hc_height <= _MAX_DIM):
+                raise Jbig2Error("implausible symbol dims")
+            if len(new_syms) >= n_new:
+                raise Jbig2Error("symbol count overrun")
+            new_syms.append(
+                _generic_decode(mq, sym_width, hc_height, False, gbcx))
+    # export runs (§6.5.10): alternate skip/export over input+new
+    all_syms = list(input_syms) + new_syms
+    exported: List[np.ndarray] = []
+    idx = 0
+    exflag = 0
+    while idx < len(all_syms) and len(exported) < n_ex:
+        run = _int_decode(mq, iaex)
+        if run is OOB or run < 0:
+            raise Jbig2Error("bad export run length")
+        if exflag:
+            exported.extend(all_syms[idx:idx + run])
+        idx += run
+        exflag ^= 1
+    if len(exported) != n_ex:
+        raise Jbig2Error("export runs disagree with SDNUMEXSYMS")
+    return exported
+
+
+def _decode_text_region(data: bytes, symbols: List[np.ndarray]):
+    """Arithmetic text region → (bitmap 0/1, x, y, combop). Scope:
+    SBHUFF=0, no refinement, untransposed, TOPLEFT reference corner,
+    OR composition — the jbig2enc non-refinement layout."""
+    if len(data) < 23:
+        raise Jbig2Error("truncated text region")
+    w, h, x, y = (_u32(data, 0), _u32(data, 4),
+                  _u32(data, 8), _u32(data, 12))
+    if not (0 < w <= _MAX_DIM and 0 < h <= _MAX_DIM
+            and w * h <= _MAX_PIXELS):
+        raise Jbig2Error(f"implausible region dims {w}x{h}")
+    combop = data[16] & 0x07
+    flags = struct.unpack_from(">H", data, 17)[0]
+    if flags & 1:
+        raise Jbig2Error("Huffman text regions are unsupported")
+    if flags & 2:
+        raise Jbig2Error("refinement text regions are unsupported")
+    log_strips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    sb_combop = (flags >> 7) & 3
+    defpixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32          # 5-bit signed
+    if transposed:
+        raise Jbig2Error("transposed text regions are unsupported")
+    if refcorner != 1:
+        raise Jbig2Error("only TOPLEFT reference corner is supported")
+    if sb_combop != 0:
+        raise Jbig2Error("only OR symbol composition is supported")
+    n_instances = _u32(data, 19)
+    if not symbols:
+        raise Jbig2Error("text region without a symbol dictionary")
+    if n_instances > _MAX_SYMBOLS * 8:
+        raise Jbig2Error("implausible instance count")
+    strips = 1 << log_strips
+    codelen = max(1, (len(symbols) - 1).bit_length())
+    mq = _MQDecoder(data[23:])
+    iadt, iafs, iads, iait = (_IntCtx(), _IntCtx(), _IntCtx(),
+                              _IntCtx())
+    idcx = [[0, 0] for _ in range(1 << (codelen + 1))]
+    bm = np.full((h, w), defpixel, dtype=np.uint8)
+    dt = _int_decode(mq, iadt)
+    if dt is OOB:
+        raise Jbig2Error("OOB initial strip T")
+    stript = -dt * strips
+    firsts = 0
+    n_done = 0
+    while n_done < n_instances:
+        dt = _int_decode(mq, iadt)
+        if dt is OOB:
+            raise Jbig2Error("OOB strip delta")
+        stript += dt * strips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                dfs = _int_decode(mq, iafs)
+                if dfs is OOB:
+                    raise Jbig2Error("OOB first-symbol S")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = _int_decode(mq, iads)
+                if ids is OOB:
+                    break          # end of strip
+                curs += ids + dsoffset
+            curt = _int_decode(mq, iait) if strips > 1 else 0
+            if curt is OOB:
+                raise Jbig2Error("OOB in-strip T")
+            ti = stript + curt
+            sid = _iaid_decode(mq, idcx, codelen)
+            if sid >= len(symbols):
+                raise Jbig2Error("symbol id out of range")
+            sym = symbols[sid]
+            hs, ws = sym.shape
+            if not (0 <= curs and curs + ws <= w
+                    and 0 <= ti and ti + hs <= h):
+                raise Jbig2Error("symbol instance exceeds the region")
+            win = bm[ti:ti + hs, curs:curs + ws]
+            np.bitwise_or(win, sym, out=win)
+            curs += ws - 1
+            n_done += 1
+            if n_done >= n_instances:
+                break
+    return bm, x, y, combop
+
+
+def _cc_label(bm: np.ndarray) -> List[Tuple[int, int, np.ndarray]]:
+    """8-connected components of a 0/1 bitmap → [(x, y, sub-bitmap)]
+    in raster order of each component's top-left corner (pure-python
+    BFS; fixture-scale inputs only)."""
+    h, w = bm.shape
+    seen = np.zeros_like(bm, dtype=bool)
+    comps = []
+    for y0 in range(h):
+        for x0 in range(w):
+            if not bm[y0, x0] or seen[y0, x0]:
+                continue
+            stack = [(y0, x0)]
+            seen[y0, x0] = True
+            px = []
+            while stack:
+                cy, cx_ = stack.pop()
+                px.append((cy, cx_))
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ny, nx = cy + dy, cx_ + dx
+                        if (0 <= ny < h and 0 <= nx < w
+                                and bm[ny, nx] and not seen[ny, nx]):
+                            seen[ny, nx] = True
+                            stack.append((ny, nx))
+            ys = [p[0] for p in px]
+            xs = [p[1] for p in px]
+            top, left = min(ys), min(xs)
+            sub = np.zeros((max(ys) - top + 1, max(xs) - left + 1),
+                           dtype=np.uint8)
+            for cy, cx_ in px:
+                sub[cy - top, cx_ - left] = 1
+            comps.append((left, top, sub))
+    comps.sort(key=lambda c: (c[1], c[0]))
+    return comps
+
+
+def jbig2_encode_symbols(arr: np.ndarray) -> bytes:
+    """(H, W) uint8 (ink = 0, white = 255) → PDF-embedded JBIG2
+    stream in SYMBOL mode: connected components become a symbol
+    dictionary (deduplicated), placed by an immediate text region —
+    the jbig2enc layout shape. Deterministic bytes (fixtures only)."""
+    if arr.ndim != 2:
+        raise Jbig2Error("jbig2_encode_symbols wants a 2-D array")
+    h, w = arr.shape
+    bm = (np.asarray(arr) < 128).astype(np.uint8)
+    comps = _cc_label(bm)
+    if not comps:
+        raise Jbig2Error("blank page has no symbols to encode")
+    # dedupe identical bitmaps; the id space is the dictionary's
+    # EXPORT order = height-class order (height, then width, then
+    # bytes — matching the encode loop below)
+    def skey(sub):
+        return (sub.shape[0].to_bytes(2, "big")
+                + sub.shape[1].to_bytes(2, "big") + sub.tobytes())
+
+    uniq: Dict[bytes, np.ndarray] = {}
+    for _x, _y, sub in comps:
+        uniq.setdefault(skey(sub), sub)
+    symbols = [uniq[k] for k in sorted(uniq)]
+    if len(symbols) > _MAX_SYMBOLS:
+        raise Jbig2Error("too many distinct symbols")
+    # --- symbol dictionary segment ---
+    mq = _MQEncoder()
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    gbcx = [[0, 0] for _ in range(1 << 16)]
+    by_height: Dict[int, List[np.ndarray]] = {}
+    for s in symbols:
+        by_height.setdefault(s.shape[0], []).append(s)
+    hc_height = 0
+    for hgt in sorted(by_height):
+        _int_encode(mq, iadh, hgt - hc_height)
+        hc_height = hgt
+        sym_width = 0
+        for s in by_height[hgt]:
+            _int_encode(mq, iadw, s.shape[1] - sym_width)
+            sym_width = s.shape[1]
+            _generic_encode_into(mq, gbcx, s)
+        _int_encode(mq, iadw, OOB)
+    _int_encode(mq, iaex, 0)                 # skip run
+    _int_encode(mq, iaex, len(symbols))      # export run
+    sd_body = mq.done()
+    ordered = [s for hgt in sorted(by_height) for s in by_height[hgt]]
+    sym_id = {skey(s): i for i, s in enumerate(ordered)}
+    instances = [(y0, x0, sym_id[skey(sub)], sub.shape)
+                 for x0, y0, sub in comps]
+    instances.sort()
+    sd = (struct.pack(">H", 0) + bytes(_NOMINAL_AT0)
+          + struct.pack(">II", len(symbols), len(symbols)) + sd_body)
+    # --- text region segment (immediate, type 6) ---
+    codelen = max(1, (len(symbols) - 1).bit_length())
+    mq = _MQEncoder()
+    iadt, iafs, iads = _IntCtx(), _IntCtx(), _IntCtx()
+    idcx = [[0, 0] for _ in range(1 << (codelen + 1))]
+    strips: Dict[int, List[Tuple[int, int, Tuple[int, int]]]] = {}
+    for y0, x0, sid, shape in instances:
+        strips.setdefault(y0, []).append((x0, sid, shape))
+    _int_encode(mq, iadt, 0)                 # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    for t in sorted(strips):
+        _int_encode(mq, iadt, t - stript)
+        stript = t
+        row = sorted(strips[t])
+        first = True
+        curs = 0
+        for x0, sid, shape in row:
+            if first:
+                _int_encode(mq, iafs, x0 - firsts)
+                firsts = x0
+                curs = x0
+                first = False
+            else:
+                _int_encode(mq, iads, x0 - curs)
+                curs = x0
+            _iaid_encode(mq, idcx, codelen, sid)
+            curs += shape[1] - 1
+        _int_encode(mq, iads, OOB)
+    tr_body = mq.done()
+    n_inst = len(instances)
+    tr = (struct.pack(">IIIIB", w, h, 0, 0, 0)        # region info, OR
+          + struct.pack(">H", 1 << 4)                 # TOPLEFT, arith
+          + struct.pack(">I", n_inst) + tr_body)
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
+    out = bytearray()
+    out += _segment_header(0, 48, 1, len(page_info)) + page_info
+    out += _segment_header(1, 0, 1, len(sd)) + sd
+    out += _segment_header_ref(2, 6, 1, (1,), len(tr)) + tr
+    out += _segment_header(3, 49, 1, 0)
+    return bytes(out)
+
+
+def _segment_header_ref(number: int, seg_type: int, page: int,
+                        refs: Tuple[int, ...], length: int) -> bytes:
+    """Segment header with referred-to segments (short form)."""
+    rts = len(refs) << 5
+    ref_bytes = bytes(refs)      # segment numbers <= 256 → 1 byte
+    return (struct.pack(">IB", number, seg_type & 0x3F)
+            + bytes([rts]) + ref_bytes + bytes([page])
+            + struct.pack(">I", length))
+
+
+def _generic_encode_into(mq: _MQEncoder, cx: List[List[int]],
+                         bm: np.ndarray) -> None:
+    """Template-0 generic encode of one bitmap into a SHARED MQ
+    encoder + context (the symbol-dictionary coding regime, §6.5.8)."""
+    height, width = bm.shape
+    zrow = np.zeros(width, dtype=np.uint8)
+    for y in range(height):
+        prev1 = bm[y - 1] if y >= 1 else zrow
+        prev2 = bm[y - 2] if y >= 2 else zrow
+        tops = _row_contexts(prev2, prev1, width)
+        row = bm[y]
+        w4 = 0
+        enc = mq.encode
+        for x in range(width):
+            bit = int(row[x])
+            enc(bit, cx[tops[x] | w4])
+            w4 = ((w4 << 1) | bit) & 0xF

@@ -12,6 +12,7 @@ from lexoid_spark.kernels.jbig2 import (
     _MQEncoder,
     jbig2_decode,
     jbig2_encode,
+    jbig2_encode_symbols,
 )
 
 
@@ -98,11 +99,17 @@ class TestTypedErrors:
             except Jbig2Error:
                 pass  # typed, never a hang or foreign exception
 
-    def test_symbol_segments_quarantine(self):
-        # a symbol-dictionary segment header (type 0) must raise
+    def test_halftone_segments_quarantine(self):
+        # an immediate halftone region header (type 22) must raise
+        import struct
+        hdr = struct.pack(">IBBBI", 0, 22, 0, 1, 0)
+        with pytest.raises(Jbig2Error, match="unsupported"):
+            jbig2_decode(hdr)
+
+    def test_truncated_symbol_dict_raises_typed(self):
         import struct
         hdr = struct.pack(">IBBBI", 0, 0, 0, 1, 0)
-        with pytest.raises(Jbig2Error, match="unsupported"):
+        with pytest.raises(Jbig2Error, match="truncated symbol"):
             jbig2_decode(hdr)
 
     def test_truncated_segment_raises(self):
@@ -165,3 +172,124 @@ class TestScannedPdfOcr:
                b"/JBIG2Decode /DecodeParms << /JBIG2Globals 9 0 R >> >>")
         with pytest.raises(ValueError, match="JBIG2Globals"):
             _jbig2_raster_array(hdr, b"")
+
+
+class TestSymbolMode:
+    """Symbol dictionary + text region (the jbig2enc layout): Annex-A
+    integer arithmetic procedures, height-class symbol decode, strip
+    placement."""
+
+    def test_int_arith_roundtrip(self):
+        from lexoid_spark.kernels.jbig2 import (
+            OOB,
+            _IntCtx,
+            _int_decode,
+            _int_encode,
+        )
+        from lexoid_spark.kernels.jbig2 import _MQDecoder, _MQEncoder
+
+        vals = [0, 1, -1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+                100000, -4436, -87, OOB, 7, OOB, -2]
+        enc = _MQEncoder()
+        ictx = _IntCtx()
+        for v in vals:
+            _int_encode(enc, ictx, v)
+        data = enc.done()
+        dec = _MQDecoder(data)
+        ictx = _IntCtx()
+        out = [_int_decode(dec, ictx) for _ in vals]
+        assert out == vals
+
+    def test_iaid_roundtrip(self):
+        from lexoid_spark.kernels.jbig2 import (
+            _MQDecoder,
+            _MQEncoder,
+            _iaid_decode,
+            _iaid_encode,
+        )
+
+        ids = [0, 5, 7, 3, 3, 6, 1, 0, 7]
+        enc = _MQEncoder()
+        cx = [[0, 0] for _ in range(16)]
+        for i in ids:
+            _iaid_encode(enc, cx, 3, i)
+        data = enc.done()
+        dec = _MQDecoder(data)
+        cx = [[0, 0] for _ in range(16)]
+        assert [_iaid_decode(dec, cx, 3) for _ in ids] == ids
+
+    def test_glyph_page_roundtrip(self):
+        from lexoid_spark.kernels.ocr_glyph import (
+            recognize_pixels,
+            render_text,
+        )
+
+        text = "SYMBOL MODE 42"
+        arr = render_text(text + "\nrow 3 ok", scale=2)
+        enc = jbig2_encode_symbols(arr)
+        dec = jbig2_decode(enc)
+        assert np.array_equal(dec, arr)
+        assert recognize_pixels(dec)[0] == text + " row 3 ok"
+
+    def test_symbol_dedup_compresses(self):
+        from lexoid_spark.kernels.ocr_glyph import render_text
+
+        rep = render_text("AAAAAAAA AAAAAAAA", scale=2)
+        mix = render_text("ABCDEFGH IJKLMNOP", scale=2)
+        enc_rep = jbig2_encode_symbols(rep)
+        enc_mix = jbig2_encode_symbols(mix)
+        assert np.array_equal(jbig2_decode(enc_rep), rep)
+        assert np.array_equal(jbig2_decode(enc_mix), mix)
+        # one dictionary entry vs sixteen: the stream must show it
+        # (the fixed segment-header + page scaffolding is ~60 bytes)
+        assert len(enc_rep) < len(enc_mix) * 0.6
+
+    def test_random_component_pages(self):
+        rng = np.random.default_rng(17)
+        for _ in range(5):
+            arr = np.full((40, 80), 255, np.uint8)
+            for _b in range(12):
+                y = int(rng.integers(0, 34))
+                x = int(rng.integers(0, 72))
+                bh = int(rng.integers(1, 6))
+                bw = int(rng.integers(1, 8))
+                arr[y:y + bh, x:x + bw] = 0
+            enc = jbig2_encode_symbols(arr)
+            assert np.array_equal(jbig2_decode(enc), arr)
+
+    def test_symbol_pdf_through_ocr_arm(self):
+        from lexoid_spark.corpus.pdf_gen import build_pdf
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.ocr_stub import ocr_pdf_to_pages
+
+        arr = render_text("JBIG2 SYM 5\nrow 1 ok", scale=2)
+        pdf = build_pdf([{"raster_images": [{"gray": arr,
+                                             "codec": "jbig2-sym"}]}])
+        (page, text, boxes), = ocr_pdf_to_pages(pdf)
+        assert text == "JBIG2 SYM 5 row 1 ok" and boxes
+
+    def test_huffman_dict_quarantines(self):
+        import struct as _s
+
+        from lexoid_spark.kernels.jbig2 import _decode_symbol_dict
+
+        data = _s.pack(">H", 1) + bytes(16)   # SDHUFF set
+        with pytest.raises(Jbig2Error, match="Huffman"):
+            _decode_symbol_dict(data, [])
+
+    def test_text_region_without_dict_quarantines(self):
+        from lexoid_spark.kernels.ocr_glyph import render_text
+
+        enc = bytearray(jbig2_encode_symbols(render_text("A", scale=2)))
+        # drop the symbol-dictionary segment (number 1) from the
+        # stream: page info (11+19) then dict header+data
+        import struct as _s
+        sd_start = 11 + 19
+        (sd_len,) = _s.unpack_from(">I", enc, sd_start + 7)
+        del enc[sd_start:sd_start + 11 + sd_len]
+        with pytest.raises(Jbig2Error, match="symbol dictionary"):
+            jbig2_decode(bytes(enc))
+
+    def test_blank_page_encoder_raises(self):
+        with pytest.raises(Jbig2Error, match="blank"):
+            jbig2_encode_symbols(np.full((8, 8), 255, np.uint8))
