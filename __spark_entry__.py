@@ -2425,6 +2425,59 @@ FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id, frame_idx
 """
 
 
+def _flac_meta(spark, sf):
+    """audio surface over REAL FLAC bytes (kernels/flac.py): sample
+    rate + frame count from the STREAMINFO walk AND the integer SUM
+    of every decoded sample — so a hash match pins the actual
+    fixed-predictor + Rice-residual decode (rotating FIXED orders
+    0-2 on doc_id), not just header parsing. CRCs are verified
+    in-kernel. The sample pattern is closed-form in (doc_id, i), so
+    DuckDB predicts the sums exactly (integer arithmetic end to
+    end). Reference has no audio path — LLM-pipeline surface."""
+
+    @F.pandas_udf("struct<sample_rate:int, n_samples:bigint, "
+                  "sample_sum:bigint>")
+    def fl(doc_ids: pd.Series) -> pd.DataFrame:
+        from lexoid_spark.functions.multimodal import (
+            decode_audio_header,
+            decode_audio_samples,
+        )
+        from lexoid_spark.kernels.flac import make_test_flac
+
+        rows = []
+        for d in doc_ids:
+            d = int(d)
+            b = make_test_flac(16000, d % 800 + 160, seed=d % 32,
+                               order=d % 3)
+            sr, n = decode_audio_header(b)
+            s = decode_audio_samples(b)
+            rows.append((sr, n, int(s.sum())))
+        return pd.DataFrame(
+            rows, columns=["sample_rate", "n_samples", "sample_sum"])
+
+    docs = _tp(spark, sf, "documents")
+    return (
+        docs.select("doc_id", fl("doc_id").alias("m"))
+        .select("doc_id", "m.sample_rate", "m.n_samples",
+                "m.sample_sum")
+        .orderBy("doc_id")
+    )
+
+
+_FLAC_META_SQL = """
+WITH base AS (
+  SELECT doc_id AS d, doc_id % 800 + 160 AS n, doc_id % 32 AS seed
+  FROM documents
+)
+SELECT d AS doc_id, 16000 AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST((SELECT SUM(((i * 97 + seed * 31) % 2048) - 1024)
+             FROM UNNEST(range(0, n)) AS t(i)) AS BIGINT)
+         AS sample_sum
+FROM base ORDER BY doc_id
+"""
+
+
 def _wav_meta(spark, sf):
     """audio_meta over REAL RIFF/WAVE bytes: sample rate and frame
     count come out of the stdlib chunk walk (kernels/wav_meta.py), so
@@ -6664,6 +6717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": _image_resize,
         "video_frames": _video_frames,
         "video_frame_ocr": _video_frame_ocr,
+        "flac_meta": _flac_meta,
         "audio_meta": _audio_meta,
         "audio_chunks": _audio_chunks,
         "extract_html_h1": _extract_html_h1,
@@ -6819,6 +6873,7 @@ def oracle_sql() -> dict[str, str]:
         "image_resize": _IMAGE_RESIZE_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "video_frame_ocr": _VIDEO_FRAME_OCR_SQL,
+        "flac_meta": _FLAC_META_SQL,
         "audio_meta": _AUDIO_META_SQL,
         "audio_chunks": _AUDIO_CHUNKS_SQL,
         "extract_html_h1": _EXTRACT_HTML_SQL,

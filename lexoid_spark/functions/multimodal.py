@@ -64,9 +64,30 @@ def decode_audio_header(b: bytes) -> tuple[int, int] | None:
         from lexoid_spark.kernels.wav_meta import wav_header
         hdr = wav_header(b)
         return (hdr[0], hdr[3]) if hdr else None
+    if b[:4] == b"fLaC":
+        # real FLAC: STREAMINFO walk (kernels/flac.py)
+        from lexoid_spark.kernels.flac import flac_header
+        hdr = flac_header(b)
+        return (hdr[0], hdr[3]) if hdr else None
     if b[:4] != AUD_MAGIC:
         return None
     return struct.unpack(">II", b[4:12])
+
+
+def decode_audio_samples(b: bytes) -> "np.ndarray":
+    """Real sample decode → (n, ch) int array: PCM16 WAV
+    (kernels/wav_meta.py) and FLAC (kernels/flac.py — fixed/LPC
+    prediction, Rice residuals, stereo decorrelation, CRC-verified).
+    The FAKE container carries no samples — typed error."""
+    b = bytes(b)
+    if b[:4] == b"RIFF":
+        from lexoid_spark.kernels.wav_meta import wav_decode
+        return wav_decode(b)
+    if b[:4] == b"fLaC":
+        from lexoid_spark.kernels.flac import flac_decode
+        return flac_decode(b)[0]
+    raise ValueError("payload carries no decodable audio samples "
+                     "(the FAKE container is metadata-only)")
 
 
 def decode_image_header(b: bytes) -> tuple[int, int, int] | None:
