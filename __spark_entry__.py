@@ -2429,8 +2429,8 @@ def _flac_meta(spark, sf):
     """audio surface over REAL FLAC bytes (kernels/flac.py): sample
     rate + frame count from the STREAMINFO walk AND the integer SUM
     of every decoded sample — so a hash match pins the actual
-    fixed-predictor + Rice-residual decode (rotating FIXED orders
-    0-2 on doc_id), not just header parsing. CRCs are verified
+    predictor + Rice-residual decode (rotating FIXED orders 0-2 AND
+    the LPC subframe layout on doc_id), not just header parsing. CRCs are verified
     in-kernel. The sample pattern is closed-form in (doc_id, i), so
     DuckDB predicts the sums exactly (integer arithmetic end to
     end). Reference has no audio path — LLM-pipeline surface."""
@@ -2448,7 +2448,8 @@ def _flac_meta(spark, sf):
         for d in doc_ids:
             d = int(d)
             b = make_test_flac(16000, d % 800 + 160, seed=d % 32,
-                               order=d % 3)
+                               order=d % 3,
+                               lpc=(d % 2 == 1 and d % 3 > 0))
             sr, n = decode_audio_header(b)
             s = decode_audio_samples(b)
             rows.append((sr, n, int(s.sum())))

@@ -413,11 +413,14 @@ def _rice_encode(w: _BitW, resid: List[int]) -> None:
 
 
 def flac_encode(samples: np.ndarray, sample_rate: int,
-                order: int = 1) -> bytes:
+                order: int = 1, lpc: bool = False) -> bytes:
     """(n,) or (n, ch≤2) int16 → FLAC bytes: fixed 4096-sample
     blocks, independent channels, FIXED order-``order`` subframes
-    with Rice residuals (order 0 disables prediction). Deterministic
-    (fixtures/corpus only)."""
+    with Rice residuals (order 0 disables prediction). With
+    ``lpc=True`` the same predictor ships as an LPC subframe instead
+    (quantized coefficients at shift 5) so the decoder's LPC branch
+    is exercised by genuine streams. Deterministic (fixtures/corpus
+    only)."""
     a = np.asarray(samples, dtype=np.int64)
     if a.ndim == 1:
         a = a[:, None]
@@ -426,6 +429,8 @@ def flac_encode(samples: np.ndarray, sample_rate: int,
         raise FlacError("at most 2 channels")
     if order not in (0, 1, 2):
         raise FlacError("fixture encoder supports FIXED orders 0-2")
+    if lpc and order == 0:
+        raise FlacError("LPC subframes need order >= 1")
     bits = 16
     packed = (sample_rate << 44) | ((ch - 1) << 41) \
         | ((bits - 1) << 36) | n
@@ -477,18 +482,31 @@ def flac_encode(samples: np.ndarray, sample_rate: int,
             w.u(byte, 8)
         w.u(_crc8(header), 8)
         o = min(order, bs)         # a block shorter than the order
-        ocoefs = _FIXED_COEFS[o]
+        use_lpc = lpc and o >= 1
+        shift = 5
+        ocoefs = ([cf << shift for cf in _FIXED_COEFS[o]] if use_lpc
+                  else _FIXED_COEFS[o])
         for c in range(ch):
             col = [int(x) for x in block[:, c]]
             w.u(0, 1)
-            w.u(8 + o, 6)          # FIXED subframe
+            if use_lpc:
+                w.u(32 + (o - 1), 6)   # LPC subframe, order o
+            else:
+                w.u(8 + o, 6)          # FIXED subframe
             w.u(0, 1)              # no wasted bits
             for i in range(o):
                 w.s(col[i], 16)
+            if use_lpc:
+                w.u(8 - 1, 4)      # qlp precision 8
+                w.s(shift, 5)
+                for cf in ocoefs:
+                    w.s(cf, 8)
             resid = []
             for i in range(o, bs):
                 pred = sum(cf * col[i - j - 1]
                            for j, cf in enumerate(ocoefs))
+                if use_lpc:
+                    pred >>= shift
                 resid.append(col[i] - pred)
             _rice_encode(w, resid)
         body = w.done()
@@ -497,10 +515,11 @@ def flac_encode(samples: np.ndarray, sample_rate: int,
 
 
 def make_test_flac(sample_rate: int, n_samples: int, seed: int = 0,
-                   n_channels: int = 1, order: int = 1) -> bytes:
+                   n_channels: int = 1, order: int = 1,
+                   lpc: bool = False) -> bytes:
     """Deterministic synthetic FLAC (same integer pattern as
     make_test_wav) — corpus builder for oracled real-FLAC queries."""
     i = np.arange(n_samples * n_channels, dtype=np.int64)
     samples = (((i * 97 + seed * 31) % 2048) - 1024).astype(np.int16)
     return flac_encode(samples.reshape(n_samples, n_channels),
-                       sample_rate, order=order)
+                       sample_rate, order=order, lpc=lpc)

@@ -111,3 +111,22 @@ class TestAudioSurface:
 
         with pytest.raises(ValueError, match="metadata-only"):
             decode_audio_samples(encode_fake_audio(16000, 100))
+
+
+class TestLpcSubframes:
+    @pytest.mark.parametrize("order", [1, 2])
+    @pytest.mark.parametrize("ch", [1, 2])
+    def test_lpc_roundtrip(self, order, ch):
+        rng = np.random.default_rng(order * 10 + ch)
+        s = rng.integers(-30000, 30000, (5000, ch)).astype(np.int16)
+        b = flac_encode(s, 16000, order=order, lpc=True)
+        out, _ = flac_decode(b)
+        assert np.array_equal(out, s)
+
+    def test_lpc_stream_really_carries_lpc(self):
+        s = (np.arange(600) % 500).astype(np.int16)
+        b_lpc = flac_encode(s, 16000, order=2, lpc=True)
+        b_fix = flac_encode(s, 16000, order=2)
+        assert b_lpc != b_fix
+        assert np.array_equal(flac_decode(b_lpc)[0],
+                              flac_decode(b_fix)[0])
