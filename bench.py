@@ -136,7 +136,7 @@ def main() -> None:
         # round 5 wave 2: Type3 fonts, JBIG2 + JPX raster decode,
         # real H.264 frame OCR
         "pdf_type3_extract", "pdf_jbig2_scan", "pdf_jpx_scan",
-        "video_frame_ocr",
+        "video_frame_ocr", "flac_meta",
     ]
 
     def run_extract():
