@@ -91,6 +91,13 @@ def mp4_h264_frames(data: bytes) -> np.ndarray:
     b = bytes(data)
     if not looks_like_mp4(b):
         raise Mp4Error("no ftyp/moov box")
+    try:
+        return _frames_from_tables(b)
+    except (struct.error, IndexError) as e:
+        raise Mp4Error(f"truncated sample tables: {e}") from e
+
+
+def _frames_from_tables(b: bytes) -> np.ndarray:
     found: dict = {}
     _walk_collect(b, 0, len(b), found)
     if b"moof" in found:
