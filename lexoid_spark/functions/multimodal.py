@@ -111,14 +111,9 @@ def decode_image_header(b: bytes) -> tuple[int, int, int] | None:
         from lexoid_spark.kernels.tiff_bmp import tiff_header
         return tiff_header(b)
     if b[:8] == b"\x00\x00\x00\x0cjP  " or b[:2] == b"\xff\x4f":
-        # JPEG 2000: JP2 container or raw codestream (kernels/jpx.py)
-        from lexoid_spark.kernels.jpx import JpxError, jpx_decode
-        try:
-            arr = jpx_decode(b)
-        except JpxError:
-            return None
-        return (arr.shape[1], arr.shape[0],
-                1 if arr.ndim == 2 else arr.shape[2])
+        # JPEG 2000: O(header) SIZ probe, no pixel work
+        from lexoid_spark.kernels.jpx import jpx_header
+        return jpx_header(b)
     if len(b) < 9 or b[:4] != IMG_MAGIC:
         return None
     w, h, c = struct.unpack(">HHB", b[4:9])

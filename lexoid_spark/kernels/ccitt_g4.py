@@ -345,8 +345,17 @@ def g3_decode(data: bytes, columns: int, rows: int,
     ref: List[int] = []
     for y in range(rows):
         if k > 0:
-            if bits.peek(_EOL[1]) != _EOL[0]:
-                raise CcittError("2-D G3 line without EOL")
+            # ITU-T T.4 §4.1.2 allows FILL (variable-length run of 0
+            # bits) before each EOL; a 1 bit before the EOL completes
+            # is a framing error. Cap the fill to bound hostile input.
+            fill = 0
+            while bits.peek(_EOL[1]) != _EOL[0]:
+                if bits.peek(1) != 0:
+                    raise CcittError("2-D G3 line without EOL")
+                bits.skip(1)
+                fill += 1
+                if fill > 4096:
+                    raise CcittError("implausible FILL run before EOL")
             bits.skip(_EOL[1])
             tag = bits.peek(1)
             bits.skip(1)

@@ -70,8 +70,10 @@ def _dwt53_fwd_1d(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         return x.copy(), x[..., :0].copy()
     ev = x[..., 0::2].astype(np.int32)
     od = x[..., 1::2].astype(np.int32)
-    # predict: d[i] = od[i] - floor((ev[i] + ev[i+1]) / 2)
-    ev_r = np.concatenate([ev[..., 1:], ev[..., -2:-1]] if ev.shape[-1] > 1
+    # predict: d[i] = od[i] - floor((ev[i] + ev[i+1]) / 2); the right
+    # edge uses whole-sample symmetric extension X(N) = X(N-2) — for
+    # an even-length signal that is the LAST even sample (T.800 §F.3)
+    ev_r = np.concatenate([ev[..., 1:], ev[..., -1:]] if ev.shape[-1] > 1
                           else [ev], axis=-1)[..., :od.shape[-1]]
     d = od - ((ev[..., :od.shape[-1]] + ev_r) >> 1)
     # update: s[i] = ev[i] + floor((d[i-1] + d[i] + 2) / 4)
@@ -94,7 +96,7 @@ def _dwt53_inv_1d(s: np.ndarray, d: np.ndarray) -> np.ndarray:
         d_l = np.concatenate([d_l, d[..., -1:]], axis=-1)
         d_r = np.concatenate([d_r, d[..., -1:]], axis=-1)
     ev = s - ((d_l + d_r + 2) >> 2)
-    ev_r = np.concatenate([ev[..., 1:], ev[..., -2:-1]] if ns > 1
+    ev_r = np.concatenate([ev[..., 1:], ev[..., -1:]] if ns > 1
                           else [ev], axis=-1)[..., :nd]
     od = d + ((ev[..., :nd] + ev_r) >> 1)
     out = np.empty(s.shape[:-1] + (ns + nd,), dtype=np.int32)
@@ -805,7 +807,43 @@ def _parse_qcd(seg: bytes) -> Tuple[int, List[int]]:
 def _qcd_max_bp(name: str, r: int, guard: int, exps: List[int]) -> int:
     idx = 0 if r == 0 else 1 + 3 * (r - 1) + ("HL", "LH", "HH").index(name)
     # Mb = G + eps_b - 1 (T.800 Equation E-2, reversible path)
-    return guard + exps[idx] - 1
+    mb = guard + exps[idx] - 1
+    if mb > 30:
+        # 8-bit images never legitimately reach 2^30 coefficients; a
+        # hostile QCD exponent would otherwise overflow the int32
+        # output SILENTLY (never-silently-wrong contract)
+        raise JpxError(f"implausible coefficient depth Mb={mb}")
+    return mb
+
+
+def jpx_header(b: bytes) -> Optional[Tuple[int, int, int]]:
+    """(width, height, n_components) from the SIZ marker alone —
+    O(header) dims probe (no Tier-1/DWT work), or None when the
+    bytes aren't a JPX payload."""
+    b = bytes(b)
+    try:
+        if b[:4] == b"\x00\x00\x00\x0c" and b[4:8] == b"jP  ":
+            cs = _find_jp2c(b)
+        elif len(b) >= 2 and struct.unpack(">H", b[:2])[0] == _SOC:
+            cs = b
+        else:
+            return None
+        pos = 2
+        while pos + 4 <= len(cs):
+            (marker,) = struct.unpack_from(">H", cs, pos)
+            if marker == _SIZ:
+                (ln,) = struct.unpack_from(">H", cs, pos + 2)
+                return _parse_siz(cs[pos + 4:pos + 2 + ln])
+            if marker in (_SOD, _EOC):
+                return None
+            if 0xFF30 <= marker <= 0xFF3F:
+                pos += 2
+                continue
+            (ln,) = struct.unpack_from(">H", cs, pos + 2)
+            pos += 2 + ln
+        return None
+    except (JpxError, struct.error):
+        return None
 
 
 def _read_packet(buf: bytes, off: int, r: int, levels: int, cb: int,

@@ -25,16 +25,28 @@ import numpy as np
 
 from lexoid_spark.kernels.mp4_meta import Mp4Error, _boxes, looks_like_mp4
 
-MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+MP4_CONTAINERS = {b"moov", b"mdia", b"minf", b"stbl"}
+_TABLE_BOXES = (b"stsd", b"stsz", b"stsc", b"stco", b"co64")
 
 
-def _walk_collect(b: bytes, start: int, end: int, found: dict) -> None:
+def _walk_collect(b: bytes, start: int, end: int,
+                  traks: List[dict], cur: Optional[dict],
+                  top: dict) -> None:
+    """Collect sample-table boxes PER TRAK (a legal file lists the
+    audio track first; only the avc1 trak's tables apply) plus
+    top-level structure flags (moof)."""
     for btype, body, bend in _boxes(b, start, end):
-        if btype in MP4_CONTAINERS:
-            _walk_collect(b, body, bend, found)
-        elif btype in (b"stsd", b"stsz", b"stsc", b"stco", b"co64",
-                       b"moof") and btype not in found:
-            found[btype] = (body, bend)
+        if btype == b"trak":
+            trak: dict = {}
+            traks.append(trak)
+            _walk_collect(b, body, bend, traks, trak, top)
+        elif btype in MP4_CONTAINERS:
+            _walk_collect(b, body, bend, traks, cur, top)
+        elif btype in _TABLE_BOXES and cur is not None \
+                and btype not in cur:
+            cur[btype] = (body, bend)
+        elif btype == b"moof":
+            top[b"moof"] = (body, bend)
 
 
 def _parse_avcc(b: bytes, body: int, bend: int) -> Tuple[bytes, int]:
@@ -98,14 +110,29 @@ def mp4_h264_frames(data: bytes) -> np.ndarray:
 
 
 def _frames_from_tables(b: bytes) -> np.ndarray:
-    found: dict = {}
-    _walk_collect(b, 0, len(b), found)
-    if b"moof" in found:
+    traks: List[dict] = []
+    top: dict = {}
+    _walk_collect(b, 0, len(b), traks, None, top)
+    if b"moof" in top:
         raise Mp4Error("fragmented MP4 (moof) is unsupported")
-    for need in (b"stsd", b"stsz", b"stsc"):
+    # pick the first trak whose stsd carries an avc1 entry (the video
+    # track need not be first — audio-first muxing is common)
+    found = prefix = None
+    for trak in traks:
+        if b"stsd" not in trak:
+            continue
+        try:
+            prefix, length_size = _find_avcc(b, *trak[b"stsd"])
+        except Mp4Error:
+            continue
+        found = trak
+        break
+    if found is None:
+        raise Mp4Error("no avc1 sample entry in any trak "
+                       "(not an H.264 file)")
+    for need in (b"stsz", b"stsc"):
         if need not in found:
-            raise Mp4Error(f"box tree misses {need.decode()}")
-    prefix, length_size = _find_avcc(b, *found[b"stsd"])
+            raise Mp4Error(f"avc1 trak misses {need.decode()}")
     # sample sizes
     body, bend = found[b"stsz"]
     sample_size, n_samples = struct.unpack_from(">II", b, body + 4)

@@ -248,3 +248,35 @@ class TestGroup3:
 
         with pytest.raises(CcittError):
             g3_decode(b"\x00" * 16, 65536, 999999999, 0)
+
+
+def test_g3_2d_fill_bits_before_eol_decode():
+    """ITU-T T.4 §4.1.2 allows FILL (0 bits) before each EOL — a
+    conformant stream with fill must decode, a stray 1 bit must
+    still raise."""
+    import numpy as np
+
+    from lexoid_spark.kernels.ccitt_g4 import (
+        CcittError,
+        _BitW,
+        _EOL,
+        _transitions,
+        _encode_line_1d,
+        g3_decode,
+    )
+
+    arr = np.full((3, 16), 255, dtype=np.uint8)
+    arr[1, 4:9] = 0
+    w = _BitW()
+    for y in range(3):
+        w.write(0, 6)          # FILL before every EOL
+        w.write(*_EOL)
+        w.write(1, 1)          # 1-D line
+        _encode_line_1d(w, _transitions(arr[y]), 16)
+    assert np.array_equal(g3_decode(w.done(), 16, 3, k=4), arr)
+    # a 1 bit where fill/EOL is required still raises
+    bad = _BitW()
+    bad.write(0b101010, 6)
+    import pytest as _pytest
+    with _pytest.raises(CcittError):
+        g3_decode(bad.done(), 16, 3, k=4)

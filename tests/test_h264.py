@@ -197,3 +197,33 @@ class TestMp4Track:
                 assert out.dtype == np.uint8
             except (Mp4Error, ValueError, struct.error):
                 pass
+
+
+def test_audio_first_mp4_finds_the_video_trak():
+    """A legal MP4 often lists a (non-AVC) audio track first — the
+    sample-table walk must pick the avc1 trak, not trak #1."""
+    import struct as _s
+
+    from lexoid_spark.kernels.mp4_avc import (
+        _box,
+        make_test_mp4_h264,
+        mp4_h264_frames,
+    )
+
+    frames = np.full((2, 16, 16), 77, np.uint8)
+    mp4 = bytearray(make_test_mp4_h264(frames))
+    # build a decoy audio trak (mp4a stsd, no stsz/stsc) and splice
+    # it BEFORE the video trak inside moov
+    mp4a = bytes(6) + _s.pack(">H", 1) + bytes(20)
+    stsd = bytes(4) + _s.pack(">I", 1) + _box(b"mp4a", mp4a)
+    audio_trak = _box(b"trak", _box(b"mdia", _box(
+        b"minf", _box(b"stbl", _box(b"stsd", stsd)))))
+    i = bytes(mp4).find(b"moov")
+    insert_at = i + 4          # right after the moov header
+    out = bytes(mp4[:insert_at]) + audio_trak + bytes(mp4[insert_at:])
+    # fix the moov box length
+    (old_len,) = _s.unpack_from(">I", out, i - 4)
+    out = (out[:i - 4]
+           + _s.pack(">I", old_len + len(audio_trak))
+           + out[i:])
+    assert np.array_equal(mp4_h264_frames(out), frames)

@@ -293,3 +293,22 @@ class TestSymbolMode:
     def test_blank_page_encoder_raises(self):
         with pytest.raises(Jbig2Error, match="blank"):
             jbig2_encode_symbols(np.full((8, 8), 255, np.uint8))
+
+
+def test_qe_table_matches_published_spec():
+    """Pin the MQ Qe column against ITU-T T.88 Table E.1 (= T.800
+    Table C-2): a slip here breaks interop with every real-world
+    encoder while round-trips stay green (both halves share the
+    table) — exactly the failure a review caught in rows 10-13."""
+    from lexoid_spark.kernels.jbig2 import _QE
+
+    published_qe = [
+        0x5601, 0x3401, 0x1801, 0x0AC1, 0x0521, 0x0221, 0x5601,
+        0x5401, 0x4801, 0x3801, 0x3401, 0x3001, 0x2801, 0x2401,
+        0x5601, 0x5401, 0x5101, 0x4801, 0x3801, 0x3401, 0x3001,
+        0x2801, 0x2401, 0x2201, 0x1C01, 0x1801, 0x1601, 0x1401,
+        0x1201, 0x1101, 0x0AC1, 0x09C1, 0x08A1, 0x0521, 0x0441,
+        0x02A1, 0x0221, 0x0141, 0x0111, 0x0085, 0x0049, 0x0025,
+        0x0015, 0x0009, 0x0005, 0x0001, 0x5601,
+    ]
+    assert [row[0] for row in _QE] == published_qe

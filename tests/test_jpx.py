@@ -216,3 +216,34 @@ class TestStandaloneImageSurface:
                                    "html binary")
         out = with_doctype(df).select("doctype").collect()
         assert [r[0] for r in out] == ["image", "image"]
+
+
+def test_dwt_right_edge_extension_is_spec():
+    """Whole-sample symmetric extension X(N) = X(N-2): for an
+    even-length signal the predict step's right neighbor is the LAST
+    even sample (T.800 §F.3) — d[1] of [0,0,2,4] must be 2, not the
+    3 a mirrored-one-too-far extension produces. Self round-trips
+    cannot catch this (fwd and inv share the extension)."""
+    from lexoid_spark.kernels.jpx import _dwt53_fwd_1d
+
+    _s, d = _dwt53_fwd_1d(np.array([[0, 0, 2, 4]], dtype=np.int32))
+    assert int(d[0, 1]) == 2
+
+
+def test_jpx_header_is_cheap_and_exact():
+    from lexoid_spark.kernels.jpx import jpx_header
+
+    img = np.zeros((18, 26), np.uint8)
+    cs = jpx_encode(img)
+    assert jpx_header(cs) == (26, 18, 1)
+    assert jpx_header(jp2_wrap(cs, 26, 18, 1)) == (26, 18, 1)
+    assert jpx_header(b"not a codestream") is None
+
+
+def test_hostile_qcd_depth_quarantines():
+    img = np.zeros((8, 8), np.uint8)
+    cs = bytearray(jpx_encode(img, levels=0))
+    i = cs.find(struct.pack(">H", 0xFF5C))
+    cs[i + 5] = 31 << 3        # exponent 31 → Mb way past int32
+    with pytest.raises(JpxError, match="coefficient depth"):
+        jpx_decode(bytes(cs))
