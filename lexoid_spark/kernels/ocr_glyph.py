@@ -310,24 +310,6 @@ def _cell_bits(ink: np.ndarray, r0: int, c0: int, c1: int,
     return cells >= 0.5
 
 
-def _score_run(ink: np.ndarray, r0: int, c0: int, c1: int,
-               s: int) -> Tuple[str, int, int]:
-    """(best_char, best_dist, runner_up_dist) for one column run at
-    cell-top row ``r0``; runner_up is a large sentinel when the width
-    class holds a single template."""
-    wc = (c1 - c0) // s
-    entry = _BY_WIDTH.get(wc)
-    if entry is None:
-        raise ValueError(f"no glyph template of width {wc}")
-    chars, templates = entry
-    bits = _cell_bits(ink, r0, c0, c1, s)
-    dists = (templates ^ bits[None]).sum(axis=(1, 2))
-    order = np.argsort(dists, kind="stable")
-    best = int(order[0])
-    second = int(dists[order[1]]) if len(order) > 1 else 10_000
-    return chars[best], int(dists[best]), second
-
-
 def recognize_pixels(arr: np.ndarray) -> Tuple[str, List[WordBox]]:
     """Template-match a rendered image back to its text. Returns
     (words joined by spaces in reading order, normalized word boxes) —

@@ -1913,6 +1913,43 @@ def _page_content_streams(data: bytes) -> List[bytes]:
 _BI_RE = re.compile(rb"(?:^|[\s>])BI(?=[\s/])")
 _ID_RE = re.compile(rb"(?<=[\s>])ID(?=[\s])")
 _EI_RE = re.compile(rb"\sEI(?=\s|$)")
+_SKIP_START_RE = re.compile(rb"[(<%]")
+_COMMENT_EOL_RE = re.compile(rb"[\r\n]")
+
+
+def _scan_operator(stream: bytes, pos: int,
+                   op_re: "re.Pattern[bytes]"):
+    """Next ``op_re`` match at *operator* level: literal strings, hex
+    strings and comments are skipped, so a match inside a ``(text)``
+    operand is data, not an operator. (A raw regex scan false-
+    positived on e.g. ``(A BI B) Tj`` and quarantined clean text
+    PDFs.) Dict delimiters ``<<``/``>>`` are stepped over so strings
+    INSIDE dicts are still skipped."""
+    n = len(stream)
+    while pos < n:
+        head = stream[pos:pos + 1]
+        if head == b"(":
+            _, pos = _scan_string(stream, pos)
+            continue
+        if head == b"<":
+            if stream[pos:pos + 2] == b"<<":
+                pos += 2
+            else:
+                j = stream.find(b">", pos + 1)
+                pos = n if j == -1 else j + 1
+            continue
+        if head == b"%":
+            e = _COMMENT_EOL_RE.search(stream, pos)
+            pos = n if e is None else e.end()
+            continue
+        m = op_re.search(stream, pos)
+        if m is None:
+            return None
+        skip = _SKIP_START_RE.search(stream, pos, m.start())
+        if skip is None:
+            return m
+        pos = skip.start()
+    return None
 
 
 def pdf_inline_images(data) -> List[Tuple[bytes, bytes]]:
@@ -1935,10 +1972,10 @@ def pdf_inline_images(data) -> List[Tuple[bytes, bytes]]:
     for stream in _page_content_streams(bytes(data)):
         pos = 0
         while True:
-            m = _BI_RE.search(stream, pos)
+            m = _scan_operator(stream, pos, _BI_RE)
             if m is None:
                 break
-            id_m = _ID_RE.search(stream, m.end())
+            id_m = _scan_operator(stream, m.end(), _ID_RE)
             if id_m is None:
                 raise ValueError("inline image: BI without ID")
             header = (b"<< /Subtype /Image "

@@ -121,3 +121,43 @@ class TestMalformed:
         broken = pdf[:idx] + b"\xff\xff\xff\xff" + pdf[idx + 4:]
         with pytest.raises(ValueError):
             pdf_inline_images(broken)
+
+
+class TestOperatorLevelScan:
+    """'BI' inside a string operand is data, not an operator — the
+    raw-regex scan false-positived on it ('BI without ID') and
+    quarantined clean text PDFs (review finding, round 5)."""
+
+    def test_bi_inside_string_operand_is_not_an_image(self):
+        pdf = build_pdf([{"words": [
+            {"text": "A BI /Also (BI nested) fine", "x": 72.0,
+             "y": 700.0, "size": 12.0, "font": "F1"},
+        ]}])
+        assert pdf_inline_images(pdf) == []
+        (page, md), = pdf_to_pages(pdf)
+        assert "A BI /Also" in md
+
+    def test_bi_inside_comment_and_hexstring_skipped(self):
+        pdf = build_pdf([{"words": [{"text": "ok", "x": 72.0,
+                                     "y": 700.0, "size": 12.0,
+                                     "font": "F1"}]}])
+        # splice a comment and a hex string carrying ' BI ' into the
+        # content stream ahead of the text — both are operand/comment
+        # bytes, not operators
+        marker = b"BT"
+        i = pdf.index(marker)
+        spliced = (pdf[:i] + b"% BI /W 8\n<20424920> "
+                   + pdf[i:])
+        # (content stream /Length is now stale — the lexer scans the
+        # stream body by object boundaries, so parsing still works for
+        # pdf_inline_images' page-stream walk)
+        assert pdf_inline_images(spliced) == []
+
+    def test_real_bi_after_string_decoy_still_found(self):
+        spec = {"gray": _render()}
+        pdf = build_pdf([{
+            "words": [{"text": "decoy BI here", "x": 72.0, "y": 700.0,
+                       "size": 12.0, "font": "F1"}],
+            "inline_images": [spec],
+        }])
+        assert len(pdf_inline_images(pdf)) == 1
