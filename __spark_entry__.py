@@ -3901,6 +3901,66 @@ FROM documents WHERE doc_id % 19 = 0 ORDER BY url
 """
 
 
+def _tiff_ocr_scan(spark, sf):
+    """Standalone TIFF and BMP documents through the FULL extract()
+    plan, rotating all NINE decode arms on doc_id: TIFF uncompressed /
+    PackBits / LZW / LZW+Predictor-2 / CCITT MH / G3 1-D / G3 2-D /
+    G4 (kernels/tiff_codec.py reusing the repo's own T.4/T.6 + LZW
+    decoders) and 8-bit paletted BMP. Route: sniff (TIFF magics; BMP
+    'BM' + DIB-size check) → OCR arm → pixel decode → glyph
+    recognition. Scanned-document archives ship exactly these fax
+    TIFF layouts; the reference reads them via PIL inside PaddleOCR
+    (static_parser.py:751-798). Recognition is a pure function of
+    doc_id, so DuckDB predicts the page text closed-form."""
+    from lexoid_spark.plans.extract import extract
+
+    @F.pandas_udf("binary")
+    def tiff_scan(doc_ids: pd.Series) -> pd.Series:
+        from lexoid_spark.kernels.ocr_glyph import render_text
+        from lexoid_spark.kernels.tiff_codec import (
+            bmp_encode_gray,
+            tiff_encode_gray,
+        )
+
+        comps = ["none", "packbits", "lzw", "lzw-pred",
+                 "mh", "g3", "g3-2d", "g4"]
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            arr = render_text(f"TIFF SCAN {d}\nrow {d % 6} ok",
+                              scale=2)
+            v = d % 9
+            if v == 8:
+                out.append(bmp_encode_gray(arr))
+            else:
+                out.append(tiff_encode_gray(
+                    arr, comps[v], rows_per_strip=32))
+        return pd.Series(out)
+
+    # 1-in-7 deterministic subset: render→encode→decode→recognize is
+    # honest per-doc pixel work across nine codec arms
+    docs = _tp(spark, sf, "documents").filter(F.col("doc_id") % 7 == 0)
+    pages = docs.select(
+        F.concat(F.lit("http://tiff.test/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        tiff_scan("doc_id").alias("html"),
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = extract(_materialize(pages), run_id="tiff_ocr")["extracted"]
+    return out.select("url", "raw", "parser_used").orderBy("url")
+
+
+_TIFF_OCR_SCAN_SQL = """
+SELECT 'http://tiff.test/' || CAST(doc_id AS VARCHAR) AS url,
+       'TIFF SCAN ' || CAST(doc_id AS VARCHAR)
+       || ' row ' || CAST(doc_id % 6 AS VARCHAR) || ' ok' AS raw,
+       'OCR_PARSE' AS parser_used
+FROM documents WHERE doc_id % 7 = 0 ORDER BY url
+"""
+
+
 def _pdf_inline_image(spark, sf):
     """BI/ID/EI inline images through the FULL extract() plan,
     rotating five wild layouts on doc_id: Flate samples with /L,
@@ -6756,6 +6816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_type3_extract": _pdf_type3_extract,
         "pdf_jbig2_scan": _pdf_jbig2_scan,
         "pdf_jpx_scan": _pdf_jpx_scan,
+        "tiff_ocr_scan": _tiff_ocr_scan,
         "pdf_ocr_extract": _pdf_ocr_extract,
         "pdf_speed_arm": _pdf_speed_arm,
         "pii_redact_docs": _pii_redact_docs,
@@ -6912,6 +6973,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_type3_extract": _PDF_TYPE3_SQL,
         "pdf_jbig2_scan": _PDF_JBIG2_SCAN_SQL,
         "pdf_jpx_scan": _PDF_JPX_SCAN_SQL,
+        "tiff_ocr_scan": _TIFF_OCR_SCAN_SQL,
         "pdf_ocr_extract": _PDF_OCR_EXTRACT_SQL,
         "pdf_speed_arm": _PDF_SPEED_SQL,
         "pii_redact_docs": _PII_REDACT_SQL,

@@ -137,6 +137,9 @@ def main() -> None:
         # real H.264 frame OCR
         "pdf_type3_extract", "pdf_jbig2_scan", "pdf_jpx_scan",
         "video_frame_ocr", "flac_meta",
+        # round 5 wave 3: standalone TIFF/BMP scan decode (CCITT/LZW/
+        # PackBits strips through the OCR arm)
+        "tiff_ocr_scan",
     ]
 
     def run_extract():

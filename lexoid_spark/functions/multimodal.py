@@ -5,10 +5,13 @@ The Spark-side plumbing is real — schemas, mapInPandas batch shape,
 partition behavior — and so are the image codecs: PNG, GIF and
 baseline JPEG decode/encode from scratch on numpy + the stdlib
 (``kernels/png_codec.py`` / ``gif_codec.py`` / ``jpeg_codec.py``),
-WAV/MP4/BMP/TIFF read real headers. Only the ``FAKE`` container
-below remains a deterministic stand-in (for payload shapes no real
-codec covers); swapping in PIL/ffmpeg later only changes the
-``_decode_*`` internals, not one line of the DataFrame plumbing.
+JPEG 2000 (``kernels/jpx.py``), TIFF and BMP (``kernels/
+tiff_codec.py``: CCITT G3/G4, LZW, PackBits, uncompressed strips),
+WAV/MP4 read real headers with H.264 I_PCM frame decode. Only the
+``FAKE`` container below remains a deterministic stand-in (for
+payload shapes no real codec covers); swapping in PIL/ffmpeg later
+only changes the ``_decode_*`` internals, not one line of the
+DataFrame plumbing.
 
 Reference parity hook: ``resize_image_meta`` reproduces the reference's
 resize rule — downscale so max(dim) <= max_size, preserving aspect
@@ -185,6 +188,12 @@ def decode_image_pixels(b: bytes) -> "np.ndarray":
     if b[:8] == b"\x00\x00\x00\x0cjP  " or b[:2] == b"\xff\x4f":
         from lexoid_spark.kernels.jpx import jpx_decode
         return jpx_decode(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from lexoid_spark.kernels.tiff_codec import tiff_decode
+        return tiff_decode(b)
+    if b[:2] == b"BM":
+        from lexoid_spark.kernels.tiff_codec import bmp_decode
+        return bmp_decode(b)
     raise NotImplementedError(
         "no real decode for this format (PNG/GIF/baseline JPEG are "
         "implemented; the FAKE container carries no pixel payload)"

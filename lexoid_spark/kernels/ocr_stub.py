@@ -34,7 +34,8 @@ WordBox = Tuple[str, Tuple[float, float, float, float]]
 # real raster formats the pixel path decodes (routing twin of
 # decode_image_pixels in functions/multimodal.py)
 _REAL_MAGICS = (b"\x89PNG", b"GIF8", b"\xff\xd8\xff",
-                b"\x00\x00\x00\x0cjP  ", b"\xff\x4f")
+                b"\x00\x00\x00\x0cjP  ", b"\xff\x4f",
+                b"II*\x00", b"MM\x00*", b"BM")
 
 
 def _recognize_fake(payload: bytes) -> Tuple[str, List[WordBox]]:

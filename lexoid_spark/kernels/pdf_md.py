@@ -2041,7 +2041,13 @@ def sniff_doctype(payload) -> str:
     if b.startswith(b"PK\x03\x04"):
         return "zip"
     if b.startswith((b"IMG!", b"\x89PNG", b"\xff\xd8\xff", b"GIF8",
-                 b"\x00\x00\x00\x0cjP  ", b"\xff\x4f")):
+                 b"\x00\x00\x00\x0cjP  ", b"\xff\x4f",
+                 b"II*\x00", b"MM\x00*")):
+        return "image"
+    if b[:2] == b"BM" and len(b) >= 18 and int.from_bytes(
+            b[14:18], "little") in (40, 52, 56, 108, 124):
+        # BMP needs the DIB-header-size check: 'BM' alone is a
+        # plausible text prefix ("BM industries,…" would misroute)
         return "image"
     if b.startswith((b"\xff\xfe", b"\xfe\xff", b"\x00\x00\xfe\xff")):
         # UTF-16/32 BOM: run the text probes on the DECODED head (the

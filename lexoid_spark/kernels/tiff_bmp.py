@@ -1,7 +1,8 @@
-"""BMP and TIFF dimension/metadata readers on the stdlib — the last
-two stdlib-feasible raster formats for the image-metadata family
-(pixel DECODING for these stays behind the real-codec seam like JPEG
-DCT; the header walk below is complete and real).
+"""BMP and TIFF dimension/metadata readers on the stdlib — the cheap
+O(header) probes for the image-metadata family. Pixel DECODING for
+both formats lives in :mod:`lexoid_spark.kernels.tiff_codec`
+(TIFF 6.0 baseline incl. CCITT G3/G4/LZW/PackBits strips; BMP 8/24-bit
+BI_RGB), so standalone TIFF/BMP documents route through the OCR arm.
 
 BMP: BITMAPFILEHEADER (14 bytes, 'BM') + BITMAPINFOHEADER — width at
 offset 18 (le32), height at 22 (le32, negative = top-down), bit depth

@@ -64,7 +64,16 @@ def with_doctype(df: DataFrame, payload_col: str = "html") -> DataFrame:
             # JPEG 2000: JP2 signature box / raw SOC codestream
             | (F.hex(F.substring(F.col(payload_col), 1, 8))
                == "0000000C6A502020")
-            | (F.hex(F.substring(F.col(payload_col), 1, 2)) == "FF4F"),
+            | (F.hex(F.substring(F.col(payload_col), 1, 2)) == "FF4F")
+            # TIFF: II*\0 little / MM\0* big endian
+            | F.hex(F.substring(F.col(payload_col), 1, 4)).isin(
+                "49492A00", "4D4D002A")
+            # BMP: 'BM' + a known DIB header size at offset 14 ('BM'
+            # alone is a plausible text prefix)
+            | ((F.hex(F.substring(F.col(payload_col), 1, 2)) == "424D")
+               & F.hex(F.substring(F.col(payload_col), 15, 4)).isin(
+                   "28000000", "34000000", "38000000",
+                   "6C000000", "7C000000")),
             F.lit("image"),  # → OCR arm (P5)
         )
         # UTF-32 BOM first (see _u32bom comment), then UTF-16: probe
