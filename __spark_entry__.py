@@ -6173,6 +6173,74 @@ FROM documents ORDER BY url
 """
 
 
+def _warc_gz_ingest(spark, sf):
+    """The ACTUAL Common-Crawl archive layout: ``.warc.gz`` blobs made
+    of one gzip member PER RECORD (RFC 1952 member concatenation, so
+    readers can seek+inflate a single record), exploded by the same
+    map-only WARC seam — the kernel sniffs the gzip magic and inflates
+    members under a zip-bomb cap before framing. Same closed-form
+    record set as ``warc_ingest`` on a 1-in-3 doc subset, so the
+    oracle recomputes url/index/byte-count straight from the documents
+    table; hostile/truncated members quarantine typed (pinned in
+    tests/test_warc.py)."""
+    from lexoid_spark.sources.warc import read_warc_blobs
+
+    @F.pandas_udf("binary")
+    def gz_blob(sources: pd.Series, payload: pd.Series) -> pd.Series:
+        from lexoid_spark.kernels.warc import build_record
+
+        out = []
+        for src, recs in zip(sources, payload):
+            out.append(b"".join(
+                build_record("response", r["url"],
+                             "2024-01-01T00:00:00Z",
+                             r["http"].encode(), gz=True)
+                for r in recs))
+        return pd.Series(out)
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0)
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/doc/"),
+                   F.col("doc_id").cast("string"))
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        F.lit("<html><body>"), F.col("text"), F.lit("</body></html>"),
+    )
+    blobs = (
+        docs.select("source",
+                    F.struct(F.col("doc_id"), url.alias("url"),
+                             http.alias("http")).alias("s"))
+        .groupBy("source")
+        .agg(F.transform(
+            F.array_sort(F.collect_list("s")),
+            lambda s: F.struct(s["url"].alias("url"),
+                               s["http"].alias("http")),
+        ).alias("recs"))
+        .select(
+            F.regexp_extract("source", r"(\d+)", 1).cast("long")
+            .alias("id"),
+            gz_blob("source", "recs").alias("data"),
+        )
+    )
+    out = read_warc_blobs(blobs, "id", "data", strip_http=True)
+    return out.select(
+        "url", "rec_idx", "warc_type", "warc_date", "n_bytes", "error"
+    ).orderBy("url")
+
+
+_WARC_GZ_INGEST_SQL = """
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+            - 1 AS INT) AS rec_idx,
+       'response' AS warc_type,
+       '2024-01-01T00:00:00Z' AS warc_date,
+       octet_length(encode('<html><body>' || text || '</body></html>'))
+         AS n_bytes,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents WHERE doc_id % 3 = 0 ORDER BY url
+"""
+
+
 def _robots_check(spark, sf):
     """RFC 9309 crawl-permission check, fully relational: per-host
     robots.txt (a specific lexoidbot group with a digit-prefix
@@ -6841,6 +6909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _tfidf_topk,
         "inverted_postings": _inverted_postings,
         "warc_ingest": _warc_ingest,
+        "warc_gz_ingest": _warc_gz_ingest,
         "robots_check": _robots_check,
         "sitemap_frontier": _sitemap_frontier,
         "crawl_schedule": _crawl_schedule,
@@ -6998,6 +7067,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _TFIDF_SQL,
         "inverted_postings": _INVERTED_SQL,
         "warc_ingest": _WARC_INGEST_SQL,
+        "warc_gz_ingest": _WARC_GZ_INGEST_SQL,
         "robots_check": _ROBOTS_CHECK_SQL,
         "sitemap_frontier": _SITEMAP_FRONTIER_SQL,
         "crawl_schedule": _CRAWL_SCHEDULE_SQL,

@@ -138,8 +138,8 @@ def main() -> None:
         "pdf_type3_extract", "pdf_jbig2_scan", "pdf_jpx_scan",
         "video_frame_ocr", "flac_meta",
         # round 5 wave 3: standalone TIFF/BMP scan decode (CCITT/LZW/
-        # PackBits strips through the OCR arm)
-        "tiff_ocr_scan",
+        # PackBits strips through the OCR arm), gzip-member WARC
+        "tiff_ocr_scan", "warc_gz_ingest",
     ]
 
     def run_extract():

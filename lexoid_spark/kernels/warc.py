@@ -16,11 +16,44 @@ Pure bytes → list-of-dicts, no Spark imports: the Spark seam lives in
 
 from __future__ import annotations
 
+import zlib
+
 WARC_MAGIC = b"WARC/"
+_GZ_MAGIC = b"\x1f\x8b"
+# zip-bomb cap: a hostile blob must fail TYPED before allocating
+# unbounded inflated bytes (a ~1000:1 deflate bomb would otherwise
+# turn a 1 MB input into a GB-scale allocation inside an executor)
+MAX_INFLATED = 1 << 28
 
 
 class WarcError(ValueError):
     """Malformed WARC framing (caller quarantines the blob)."""
+
+
+def _gunzip_members(b: bytes) -> bytes:
+    """Concatenated gzip members → concatenated plain bytes — the
+    actual Common-Crawl ``.warc.gz`` layout (ONE member per record so
+    readers can seek to an offset and inflate just that record;
+    RFC 1952 allows member concatenation). ``zlib`` with ``wbits=31``
+    stops at each member boundary and exposes the remainder as
+    ``unused_data``. Inflated size is capped at :data:`MAX_INFLATED`
+    (hostile deflate bombs → typed error, never an allocation)."""
+    out = bytearray()
+    rest = b
+    while rest[:2] == _GZ_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(rest, MAX_INFLATED + 1 - len(out))
+        except zlib.error as e:
+            raise WarcError(f"bad gzip member: {e}") from e
+        if len(out) > MAX_INFLATED or d.unconsumed_tail:
+            raise WarcError("inflated WARC exceeds cap")
+        if not d.eof:
+            raise WarcError("truncated gzip member")
+        rest = d.unused_data
+    if rest.strip(b"\r\n"):
+        raise WarcError("trailing bytes after gzip members")
+    return bytes(out)
 
 
 def warc_records(b: bytes) -> list[dict]:
@@ -36,6 +69,8 @@ def warc_records(b: bytes) -> list[dict]:
     if b is None:
         return []
     b = bytes(b)
+    if b[:2] == _GZ_MAGIC:           # .warc.gz: per-record gzip members
+        b = _gunzip_members(b)
     recs: list[dict] = []
     pos, n = 0, len(b)
     while pos < n:
@@ -82,9 +117,12 @@ def http_body(payload: bytes) -> bytes:
 
 
 def build_record(warc_type: str, url: str, date: str,
-                 payload: bytes) -> bytes:
+                 payload: bytes, gz: bool = False) -> bytes:
     """Serialize one WARC record (test/fixture helper — the framing
-    rules are the same ones ``warc_records`` enforces)."""
+    rules are the same ones ``warc_records`` enforces). ``gz=True``
+    wraps the record in its own gzip member (the Common-Crawl
+    ``.warc.gz`` layout); zlib writes MTIME 0 for ``wbits=31``
+    streams, so the bytes stay deterministic."""
     head = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {warc_type}\r\n"
@@ -93,4 +131,8 @@ def build_record(warc_type: str, url: str, date: str,
         f"Content-Length: {len(payload)}\r\n"
         f"\r\n"
     ).encode()
-    return head + payload + b"\r\n\r\n"
+    rec = head + payload + b"\r\n\r\n"
+    if not gz:
+        return rec
+    c = zlib.compressobj(9, zlib.DEFLATED, 31)
+    return c.compress(rec) + c.flush()

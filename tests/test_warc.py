@@ -166,3 +166,65 @@ class TestWarcStreaming:
         er = spark.read.parquet(errs + "/batch=*").collect()
         assert [(e["url"], e["stage"]) for e in er] == [
             ("warc:1", "warc_ingest")]
+
+
+class TestWarcGzip:
+    """.warc.gz: per-record gzip members — the layout Common Crawl
+    actually ships (seekable member-per-record, RFC 1952
+    concatenation)."""
+
+    def test_member_per_record_round_trip(self):
+        blob = b"".join(
+            build_record("response", f"https://g/{i}",
+                         "2024-01-01T00:00:00Z",
+                         f"HTTP/1.1 200 OK\r\n\r\nbody {i}".encode(),
+                         gz=True)
+            for i in range(7)
+        )
+        recs = warc_records(blob)
+        assert [r["url"] for r in recs] == [
+            f"https://g/{i}" for i in range(7)]
+        assert recs[4]["payload"].endswith(b"body 4")
+
+    def test_deterministic_bytes(self):
+        a = build_record("response", "https://g/0", "d", b"p", gz=True)
+        b = build_record("response", "https://g/0", "d", b"p", gz=True)
+        assert a == b
+        assert a[:8] == b"\x1f\x8b\x08\x00\x00\x00\x00\x00"  # MTIME 0
+
+    def test_whole_blob_single_member_also_reads(self):
+        # some writers gzip the whole archive as ONE member — the
+        # member walk handles that too
+        import zlib
+
+        plain = b"".join(
+            build_record("response", f"https://w/{i}", "d", b"x")
+            for i in range(3))
+        c = zlib.compressobj(9, zlib.DEFLATED, 31)
+        blob = c.compress(plain) + c.flush()
+        assert len(warc_records(blob)) == 3
+
+    def test_truncated_member_quarantines(self):
+        blob = build_record("response", "https://g/0", "d",
+                            b"HTTP/1.1 200 OK\r\n\r\n" + b"y" * 500,
+                            gz=True)
+        with pytest.raises(WarcError):
+            warc_records(blob[:-6])
+
+    def test_trailing_garbage_quarantines(self):
+        blob = build_record("response", "https://g/0", "d", b"p",
+                            gz=True)
+        with pytest.raises(WarcError):
+            warc_records(blob + b"not gzip")
+
+    def test_zip_bomb_caps_typed(self, monkeypatch):
+        import zlib
+
+        import lexoid_spark.kernels.warc as wk
+
+        monkeypatch.setattr(wk, "MAX_INFLATED", 1 << 16)
+        c = zlib.compressobj(9, zlib.DEFLATED, 31)
+        bomb = c.compress(b"\x00" * (1 << 20)) + c.flush()
+        assert len(bomb) < 1 << 16          # compresses ~1000:1
+        with pytest.raises(WarcError, match="cap"):
+            warc_records(bomb)
