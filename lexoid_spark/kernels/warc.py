@@ -105,15 +105,88 @@ def warc_records(b: bytes) -> list[dict]:
     return recs
 
 
+def _dechunk(body: bytes) -> bytes:
+    """RFC 9112 §7.1 chunked transfer coding → plain bytes. Chunk-size
+    lines are hex with optional ``;ext``; the terminal 0-chunk may be
+    followed by trailer fields (skipped). Malformed framing raises."""
+    out = bytearray()
+    pos, n = 0, len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise WarcError("unterminated chunk-size line")
+        size_str = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_str, 16)
+        except ValueError as e:
+            raise WarcError("bad chunk size") from e
+        if size < 0 or size > MAX_INFLATED - len(out):
+            raise WarcError("chunked body exceeds cap")
+        if size == 0:
+            return bytes(out)        # trailers (if any) ignored
+        pos = eol + 2
+        if pos + size + 2 > n:
+            raise WarcError("truncated chunk")
+        out += body[pos:pos + size]
+        if body[pos + size:pos + size + 2] != b"\r\n":
+            raise WarcError("chunk missing CRLF terminator")
+        pos = pos + size + 2
+
+
+def _decode_content(body: bytes, coding: str) -> bytes:
+    """``Content-Encoding`` decode: gzip / x-gzip / deflate (both the
+    zlib-wrapped and raw-deflate dialects real servers emit) /
+    identity. Unknown codings raise (→ quarantine, never garble)."""
+    if coding in ("", "identity"):
+        return body
+    if coding in ("gzip", "x-gzip"):
+        d = zlib.decompressobj(wbits=31)
+    elif coding == "deflate":
+        # RFC says zlib-wrapped; many servers send raw deflate —
+        # wbits=-15 fallback below
+        d = zlib.decompressobj(wbits=15)
+    else:
+        raise WarcError(f"unsupported Content-Encoding {coding!r}")
+    try:
+        out = d.decompress(body, MAX_INFLATED + 1)
+    except zlib.error:
+        if coding != "deflate":
+            raise WarcError("bad compressed HTTP body") from None
+        d = zlib.decompressobj(wbits=-15)
+        try:
+            out = d.decompress(body, MAX_INFLATED + 1)
+        except zlib.error as e:
+            raise WarcError("bad deflate HTTP body") from e
+    if len(out) > MAX_INFLATED or d.unconsumed_tail:
+        raise WarcError("inflated HTTP body exceeds cap")
+    return out
+
+
 def http_body(payload: bytes) -> bytes:
     """Strip the HTTP response envelope from a WARC response payload
-    (status line + headers up to the first blank line); payloads that
-    don't start with ``HTTP/`` pass through unchanged."""
-    if payload[:5] == b"HTTP/":
-        i = payload.find(b"\r\n\r\n")
-        if i >= 0:
-            return payload[i + 4:]
-    return payload
+    (status line + headers up to the first blank line), undoing
+    ``Transfer-Encoding: chunked`` framing and ``Content-Encoding``
+    gzip/deflate compression when the headers declare them — wild
+    WARC captures store the response bytes AS SENT. Payloads that
+    don't start with ``HTTP/`` pass through unchanged; malformed
+    framing raises (→ quarantine)."""
+    if payload[:5] != b"HTTP/":
+        return payload
+    i = payload.find(b"\r\n\r\n")
+    if i < 0:
+        return payload
+    body = payload[i + 4:]
+    te = ce = ""
+    for line in payload[:i].split(b"\r\n")[1:]:
+        name, _, value = line.partition(b":")
+        lname = name.strip().lower()
+        if lname == b"transfer-encoding":
+            te = value.strip().lower().decode("latin-1")
+        elif lname == b"content-encoding":
+            ce = value.strip().lower().decode("latin-1")
+    if "chunked" in te:
+        body = _dechunk(body)
+    return _decode_content(body, ce)
 
 
 def build_record(warc_type: str, url: str, date: str,

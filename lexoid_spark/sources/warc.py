@@ -58,7 +58,17 @@ def read_warc_blobs(df: DataFrame, id_col: str = "id",
                 for k, r in enumerate(recs):
                     payload = r["payload"]
                     if strip_http and r["warc_type"] == "response":
-                        payload = http_body(payload)
+                        try:
+                            payload = http_body(payload)
+                        except WarcError as e:
+                            # per-RECORD isolation: one bad chunked/
+                            # compressed HTTP body quarantines that
+                            # record, not the blob's other records
+                            rows.append((i, k, r["warc_type"],
+                                         r["url"], r["warc_date"],
+                                         None, len(payload),
+                                         str(e)[:200]))
+                            continue
                     rows.append((i, k, r["warc_type"], r["url"],
                                  r["warc_date"], payload,
                                  len(payload), None))

@@ -228,3 +228,71 @@ class TestWarcGzip:
         assert len(bomb) < 1 << 16          # compresses ~1000:1
         with pytest.raises(WarcError, match="cap"):
             warc_records(bomb)
+
+
+class TestHttpTransferAndContentCoding:
+    """Wild WARC captures store responses AS SENT: chunked transfer
+    framing and gzip/deflate content coding must be undone before the
+    bytes reach the extraction kernels; malformed framing quarantines
+    per record."""
+
+    DOC = b"<html><body>hello coded world</body></html>"
+
+    def _chunk(self, body):
+        out = b""
+        for piece in (body[:9], body[9:20], body[20:]):
+            out += f"{len(piece):x}".encode() + b"\r\n" + piece + b"\r\n"
+        return out + b"0\r\n\r\n"
+
+    def test_chunked(self):
+        p = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+             + self._chunk(self.DOC))
+        assert http_body(p) == self.DOC
+
+    @pytest.mark.parametrize("coding,wbits", [
+        ("gzip", 31), ("x-gzip", 31), ("deflate", 15), ("deflate", -15),
+    ])
+    def test_content_encodings(self, coding, wbits):
+        import zlib
+
+        c = zlib.compressobj(9, zlib.DEFLATED, wbits)
+        p = (f"HTTP/1.1 200 OK\r\nContent-Encoding: {coding}\r\n\r\n"
+             .encode() + c.compress(self.DOC) + c.flush())
+        assert http_body(p) == self.DOC
+
+    def test_chunked_plus_gzip(self):
+        import zlib
+
+        c = zlib.compressobj(9, zlib.DEFLATED, 31)
+        gz = c.compress(self.DOC) + c.flush()
+        p = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+             b"Content-Encoding: gzip\r\n\r\n" + self._chunk(gz))
+        assert http_body(p) == self.DOC
+
+    def test_malformed_and_unknown_raise_typed(self):
+        with pytest.raises(WarcError):
+            http_body(b"HTTP/1.1 200 OK\r\n"
+                      b"Transfer-Encoding: chunked\r\n\r\nzz\r\n")
+        with pytest.raises(WarcError, match="Content-Encoding"):
+            http_body(b"HTTP/1.1 200 OK\r\n"
+                      b"Content-Encoding: br\r\n\r\nxx")
+
+    def test_per_record_isolation_in_source(self, spark):
+        from lexoid_spark.sources.warc import read_warc_blobs
+
+        good = build_record(
+            "response", "https://c.test/good", "2024-01-01T00:00:00Z",
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            + self._chunk(self.DOC))
+        bad = build_record(
+            "response", "https://c.test/bad", "2024-01-01T00:00:00Z",
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"not-hex\r\n")
+        df = spark.createDataFrame([(0, bytearray(good + bad))],
+                                   "id long, data binary")
+        out = {r["url"]: (bytes(r["payload"]) if r["payload"] is not None
+                          else None, r["error"])
+               for r in read_warc_blobs(df).collect()}
+        assert out["https://c.test/good"] == (self.DOC, None)
+        assert out["https://c.test/bad"][0] is None
+        assert "chunk" in out["https://c.test/bad"][1]
