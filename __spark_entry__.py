@@ -5977,8 +5977,10 @@ def _char_span_winnow(spark, sf):
     chars is still detected (the winnowing theorem). Same injected
     boilerplate as char_span_removal so the two variants' removal
     behavior is directly comparable; the DuckDB mirror recomputes the
-    md5-prefix hashes AND the rightmost-argmin selection exactly
-    (1-based lambda index there, 0-based here)."""
+    double 32-bit polynomial window hashes (Horner mod 2^32 over the
+    codepoints, HUGEINT arithmetic — integer-exact on both engines)
+    AND the rightmost-argmin selection exactly (1-based lambda index
+    there, 0-based here)."""
     from lexoid_spark.functions.curation import char_span_removal_winnow
 
     docs = _t(spark, sf, "documents")
@@ -6004,15 +6006,28 @@ WITH base AS (
          || '] contact/about/privacy—sitemap.rss' AS txt
   FROM documents
 ),
+cps AS (
+  SELECT id, txt,
+         list_transform(range(1, length(txt) + 1),
+           i -> CAST(unicode(substr(txt, CAST(i AS BIGINT), 1))
+                AS HUGEINT)) AS c
+  FROM base
+),
 h AS (
   SELECT id, txt,
          CASE WHEN length(txt) >= 40 THEN
            list_transform(range(0, length(txt) - 40 + 1),
-             i -> CAST(('0x' || substr(md5(
-                    substr(txt, CAST(i + 1 AS BIGINT), 40)), 1, 15))
-                  AS BIGINT))
+             i -> CAST(
+               ((list_reduce(
+                    c[CAST(i + 1 AS BIGINT):CAST(i + 40 AS BIGINT)],
+                    (a, x) -> (a * 1000003 + x) % 4294967296)
+                 % 2147483648) * 4294967296)
+               + list_reduce(
+                    c[CAST(i + 1 AS BIGINT):CAST(i + 40 AS BIGINT)],
+                    (a, x) -> (a * 999983 + x) % 4294967296)
+             AS BIGINT))
          ELSE CAST([] AS BIGINT[]) END AS hs
-  FROM base
+  FROM cps
 ),
 selpos AS (
   SELECT id, hs,

@@ -942,6 +942,14 @@ def _splice_out_windows(j: DataFrame, id_col: str, w: int) -> DataFrame:
     )
 
 
+#: bases of the two independent 32-bit polynomial window hashes the
+#: winnowing variant fingerprints with (both odd, so powers stay units
+#: mod 2^32); the DuckDB oracle recomputes the identical values with
+#: HUGEINT Horner folds — ``(a * B + cp) % 2^32`` per codepoint.
+WINNOW_B1 = 1000003
+WINNOW_B2 = 999983
+
+
 def char_span_removal_winnow(df: DataFrame, id_col: str, text_col: str,
                              w: int = 40, k: int = 8) -> DataFrame:
     """Winnowing-sampled character-level dedup (Schleimer et al. 2003,
@@ -963,12 +971,16 @@ def char_span_removal_winnow(df: DataFrame, id_col: str, text_col: str,
     is 2/(k+1), so the explode/shuffle volume drops ~(k+1)/2 x vs the
     exact variant.
 
-    Scale shape: window hashing is a per-row JVM higher-order
-    function (no explode); the rightmost-argmin selection is an
-    Arrow-batched numpy sliding-window kernel over the compact hash
-    arrays (an all-HOF formulation hangs Janino — the round-4
-    nested-HOF codegen trap); only selected fingerprints explode into
-    (id, pos, hash) rows; the duplicated-fingerprint set is the same
+    Scale shape: hashing AND selection run in ONE Arrow-batched numpy
+    mapInPandas kernel that emits the selected ``(id, pos, hash)``
+    fingerprint rows directly — no per-window md5 (the exact variant's
+    dominant cost: ~w bytes digested per character), no materialized
+    per-row hash arrays, no explode. The window hash is a pair of
+    independent 32-bit polynomial hashes over the codepoints
+    (``sum cp[i+j] * B^(w-1-j) mod 2^32``, exact in int64: products
+    < 2^53, window sums < 2^59), packed into one non-negative int64 —
+    integer-exact on both engines, so the DuckDB oracle reproduces
+    selection bit-for-bit. The duplicated-fingerprint set is the same
     map-side-combinable two-level aggregation; masking is the shared
     interval-fold splice. Two shuffles on bounded keys.
 
@@ -976,62 +988,51 @@ def char_span_removal_winnow(df: DataFrame, id_col: str, text_col: str,
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql import types as T
 
     base = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
     )
-    n_wins = F.length("txt") - w + 1  # stride-1 window count
-    # window hashing stays JVM-side (single-level transform — the
-    # exact variant's proven-safe shape); guard the degenerate rows:
-    # F.sequence(1, 0) DESCENDS (CLAUDE.md)
-    hashes = F.transform(
-        F.sequence(F.lit(0), n_wins - 1),
-        lambda i: _md5_hash64(F.col("txt").substr(i + 1, F.lit(w))),
-    )
-    # selected[t] = t + rightmost argmin of hashes[t .. t+k-1]. An
-    # all-HOF formulation (transform over t with array_min/slice in
-    # the lambda) hangs Janino — the nested-HOF codegen trap from
-    # round 4 — so the selection runs as an Arrow-batched numpy
-    # kernel over the compact hash arrays: reversed sliding-window
-    # argmin (argmin takes the FIRST min of the reversed window =
-    # the RIGHTMOST of the original).
+    pw1 = np.array([pow(WINNOW_B1, w - 1 - j, 2 ** 32) for j in range(w)],
+                   dtype=np.int64)
+    pw2 = np.array([pow(WINNOW_B2, w - 1 - j, 2 ** 32) for j in range(w)],
+                   dtype=np.int64)
 
-    def _winnow_fn(hs_col):
-        out = []
-        for hs in hs_col:
-            n = len(hs)
-            if n < k:
-                out.append([])
-                continue
-            H = np.asarray(hs, dtype=np.int64)
-            W = np.lib.stride_tricks.sliding_window_view(H, k)[:, ::-1]
-            j = (k - 1) - W.argmin(axis=1)
-            sel = np.unique(np.arange(n - k + 1, dtype=np.int64) + j)
-            out.append(sel.astype("int32").tolist())
-        return pd.Series(out)
+    def _fps_batches(batches):
+        for pdf in batches:
+            ids, poss, hvs = [], [], []
+            for did, txt in zip(pdf["id"].to_numpy(), pdf["txt"]):
+                nw = len(txt) - w + 1  # stride-1 window count
+                if nw < k:  # no full k-run → nothing selected
+                    continue
+                cp = np.frombuffer(
+                    txt.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                win = np.lib.stride_tricks.sliding_window_view(cp, w)
+                h1 = (win @ pw1) & 0xFFFFFFFF
+                h2 = (win @ pw2) & 0xFFFFFFFF
+                hv = ((h1 & 0x7FFFFFFF) << 32) | h2  # < 2^63
+                # rightmost argmin per k-run: argmin takes the FIRST
+                # min of the reversed window = the RIGHTMOST original
+                rev = np.lib.stride_tricks.sliding_window_view(
+                    hv, k)[:, ::-1]
+                jj = (k - 1) - rev.argmin(axis=1)
+                sel = np.unique(
+                    np.arange(nw - k + 1, dtype=np.int64) + jj)
+                ids.append(np.full(sel.size, did, dtype=np.int64))
+                poss.append(sel.astype(np.int32))
+                hvs.append(hv[sel])
+            if ids:
+                yield pd.DataFrame({
+                    "id": np.concatenate(ids),
+                    "pos": np.concatenate(poss),
+                    "h": np.concatenate(hvs),
+                })
 
-    # non-decorator pandas_udf form: `from __future__ import
-    # annotations` stringizes hints, which the decorator rejects
-    winnow_sel = F.pandas_udf(_winnow_fn, T.ArrayType(T.IntegerType()))
-
-    picked = base.withColumn(
-        "hs", F.when(F.length("txt") >= w, hashes)
-              .otherwise(F.array().cast("array<long>"))
-    ).withColumn("sel", winnow_sel(F.col("hs")))
-    # pair (pos, hash) BEFORE exploding: an explode that carries the
-    # full hash array per fingerprint row would copy O(len) data per
-    # selected window — exactly the blowup winnowing exists to avoid
-    pairs = F.transform(
-        F.col("sel"),
-        lambda p: F.struct(
-            p.alias("pos"),
-            F.element_at(F.col("hs"), p + 1).alias("h"),
-        ),
-    )
-    fps = picked.select(
-        "id", F.explode(pairs).alias("ph")
-    ).select("id", F.col("ph.pos").alias("pos"), F.col("ph.h").alias("h"))
+    # pre-prune rows that cannot select (F.length is UTF-16 units ≥
+    # the kernel's codepoint count, so this passes a superset; the
+    # kernel re-checks with codepoint semantics)
+    fps = base.filter(F.length("txt") >= w + k - 1).mapInPandas(
+        _fps_batches, schema="id long, pos int, h long")
     dup = (
         fps.groupBy("h")
         .agg(F.countDistinct("id").alias("nd"))

@@ -819,11 +819,12 @@ class TestLinearQualityClassifier:
 class TestCharSpanWinnow:
     def test_matches_python_reference(self, spark):
         """Exhaustive check vs a brute-force winnowing reference:
-        stride-1 window hashes, rightmost-minimal selection per k-run,
-        duplicated SELECTED fingerprints mask their windows."""
-        import hashlib
-
-        from lexoid_spark.functions.curation import char_span_removal_winnow
+        stride-1 window hashes (double 32-bit polynomial, Horner mod
+        2^32 — the oracle-mirrorable hash), rightmost-minimal
+        selection per k-run, duplicated SELECTED fingerprints mask
+        their windows."""
+        from lexoid_spark.functions.curation import (
+            WINNOW_B1, WINNOW_B2, char_span_removal_winnow)
 
         W, K = 20, 4
         shared = "the quick brown fox jumps over the lazy dog!"
@@ -839,7 +840,11 @@ class TestCharSpanWinnow:
             df, "id", "text", w=W, k=K).collect()}
 
         def h64(s):
-            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            a = b = 0
+            for ch in s:
+                a = (a * WINNOW_B1 + ord(ch)) % 2 ** 32
+                b = (b * WINNOW_B2 + ord(ch)) % 2 ** 32
+            return (a % 2 ** 31) * 2 ** 32 + b
 
         def selected(t):
             n = len(t) - W + 1

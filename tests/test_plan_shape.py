@@ -330,10 +330,10 @@ def test_quality_classifier_zero_shuffle(spark):
 
 def test_char_span_winnow_shape(spark):
     """char_span_winnow keeps the exact variant's scale shape (no
-    window function, no cartesian, one generator per consumer) while
-    the explode feeds from the winnowed selection — the hash arrays
-    stay JVM-side, only the compact argmin kernel is Python
-    (ArrowEvalPython present, row-at-a-time BatchEvalPython absent)."""
+    window function, no cartesian) while hashing + selection ride the
+    scan in ONE Arrow-batched mapInPandas kernel that emits the
+    selected fingerprints directly — no explode, no per-row hash
+    arrays, no per-window md5, no row-at-a-time Python."""
     from lexoid_spark.functions.curation import char_span_removal_winnow
 
     df = spark.createDataFrame(
@@ -343,8 +343,8 @@ def test_char_span_winnow_shape(spark):
     plan = _formatted(char_span_removal_winnow(df, "id", "text", w=40, k=8))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("Generate (") <= 2
-    assert "ArrowEvalPython" in plan
+    assert "Generate (" not in plan
+    assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
 
 
