@@ -850,30 +850,27 @@ def char_span_removal(df: DataFrame, id_col: str, text_col: str,
     fully covered by duplicated windows, so the removal set matches
     the suffix-array method for spans ≥ w).
 
-    Scale shape: one posexplode produces (id, pos, window-hash) rows
-    (one per char — the same cardinality class as the word variant's
-    token rows); the duplicated-window set is a map-side-combinable
-    two-level aggregation (countDistinct ids per hash — boilerplate
-    shared by 10^9 pages partially aggregates, no hot keys). Masking
-    is per-row: sorted starts fold into disjoint intervals (O(starts)
-    — NOT a per-char exists scan), then the kept text is spliced with
-    O(intervals) substrings. Two shuffles on bounded keys, no window
-    functions, no second explode.
+    Scale shape: one Arrow-batched mapInPandas pass emits (id, pos,
+    window-hash) rows (one per char — the same cardinality class as
+    the word variant's token rows; see :func:`_char_window_fps` for
+    the vectorized polynomial hash); the duplicated-window set is a
+    map-side-combinable two-level aggregation (countDistinct ids per
+    hash — boilerplate shared by 10^9 pages partially aggregates, no
+    hot keys). Masking is per-row: sorted starts fold into disjoint
+    intervals (O(starts) — NOT a per-char exists scan), then the kept
+    text is spliced with O(intervals) substrings. Two shuffles on
+    bounded keys, no window functions, no explode.
 
     Returns ``(id, n_chars, n_dup_starts, text_clean)``.
     """
     base = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
     )
-    wins = base.filter(F.length("txt") >= w).select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.length("txt") - w),
-                lambda i: _md5_hash64(F.col("txt").substr(i + 1, F.lit(w))),
-            )
-        ).alias("pos", "h"),
-    )
+    # k=1 degenerates the winnowing selection to EVERY window position
+    # — the exact stride-1 semantics — while sharing the vectorized
+    # polynomial-hash kernel (the per-window md5 this replaced was the
+    # dominant cost: ~w bytes digested per character)
+    wins = _char_window_fps(base, w=w, k=1)
     dup = (
         wins.groupBy("h")
         .agg(F.countDistinct("id").alias("nd"))
@@ -950,6 +947,68 @@ WINNOW_B1 = 1000003
 WINNOW_B2 = 999983
 
 
+def _char_window_fps(base: DataFrame, w: int, k: int) -> DataFrame:
+    """Shared fingerprint kernel for the char-window dedup variants:
+    ``(id, txt)`` → the selected ``(id, pos, h)`` fingerprint rows,
+    where ``h`` packs two independent 32-bit polynomial window hashes
+    over the codepoints (``sum cp[i+j] * B^(w-1-j) mod 2^32``, exact
+    in int64: products < 2^53, window sums < 2^59) into one
+    non-negative int64, and selection keeps the RIGHTMOST minimal
+    hash of every ``k``-run (``k=1`` = every stride-1 position — the
+    exact variant). Hashing AND selection run vectorized in ONE
+    Arrow-batched mapInPandas pass that emits the fingerprints
+    directly — no per-window digest, no materialized per-row hash
+    arrays, no explode."""
+    import numpy as np
+    import pandas as pd
+
+    pw1 = np.array([pow(WINNOW_B1, w - 1 - j, 2 ** 32) for j in range(w)],
+                   dtype=np.int64)
+    pw2 = np.array([pow(WINNOW_B2, w - 1 - j, 2 ** 32) for j in range(w)],
+                   dtype=np.int64)
+
+    def _fps_batches(batches):
+        for pdf in batches:
+            ids, poss, hvs = [], [], []
+            for did, txt in zip(pdf["id"].to_numpy(), pdf["txt"]):
+                nw = len(txt) - w + 1  # stride-1 window count
+                if nw < k:  # no full k-run → nothing selected
+                    continue
+                cp = np.frombuffer(
+                    txt.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                win = np.lib.stride_tricks.sliding_window_view(cp, w)
+                h1 = (win @ pw1) & 0xFFFFFFFF
+                h2 = (win @ pw2) & 0xFFFFFFFF
+                hv = ((h1 & 0x7FFFFFFF) << 32) | h2  # < 2^63
+                if k == 1:
+                    sel = np.arange(nw, dtype=np.int64)
+                else:
+                    # rightmost argmin per k-run: argmin takes the
+                    # FIRST min of the reversed window = the
+                    # RIGHTMOST of the original
+                    rev = np.lib.stride_tricks.sliding_window_view(
+                        hv, k)[:, ::-1]
+                    jj = (k - 1) - rev.argmin(axis=1)
+                    sel = np.unique(
+                        np.arange(nw - k + 1, dtype=np.int64) + jj)
+                ids.append(np.full(sel.size, did, dtype=np.int64))
+                poss.append(sel.astype(np.int32))
+                hvs.append(hv[sel])
+            if ids:
+                yield pd.DataFrame({
+                    "id": np.concatenate(ids),
+                    "pos": np.concatenate(poss),
+                    "h": np.concatenate(hvs),
+                })
+
+    # pre-prune rows that cannot select (F.length is UTF-16 units ≥
+    # the kernel's codepoint count, so this passes a superset; the
+    # kernel re-checks with codepoint semantics)
+    return base.filter(F.length("txt") >= w + k - 1).mapInPandas(
+        _fps_batches, schema="id long, pos int, h long")
+
+
 def char_span_removal_winnow(df: DataFrame, id_col: str, text_col: str,
                              w: int = 40, k: int = 8) -> DataFrame:
     """Winnowing-sampled character-level dedup (Schleimer et al. 2003,
@@ -986,53 +1045,10 @@ def char_span_removal_winnow(df: DataFrame, id_col: str, text_col: str,
 
     Returns ``(id, n_chars, n_dup_starts, text_clean)``.
     """
-    import numpy as np
-    import pandas as pd
-
     base = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
     )
-    pw1 = np.array([pow(WINNOW_B1, w - 1 - j, 2 ** 32) for j in range(w)],
-                   dtype=np.int64)
-    pw2 = np.array([pow(WINNOW_B2, w - 1 - j, 2 ** 32) for j in range(w)],
-                   dtype=np.int64)
-
-    def _fps_batches(batches):
-        for pdf in batches:
-            ids, poss, hvs = [], [], []
-            for did, txt in zip(pdf["id"].to_numpy(), pdf["txt"]):
-                nw = len(txt) - w + 1  # stride-1 window count
-                if nw < k:  # no full k-run → nothing selected
-                    continue
-                cp = np.frombuffer(
-                    txt.encode("utf-32-le"), dtype=np.uint32
-                ).astype(np.int64)
-                win = np.lib.stride_tricks.sliding_window_view(cp, w)
-                h1 = (win @ pw1) & 0xFFFFFFFF
-                h2 = (win @ pw2) & 0xFFFFFFFF
-                hv = ((h1 & 0x7FFFFFFF) << 32) | h2  # < 2^63
-                # rightmost argmin per k-run: argmin takes the FIRST
-                # min of the reversed window = the RIGHTMOST original
-                rev = np.lib.stride_tricks.sliding_window_view(
-                    hv, k)[:, ::-1]
-                jj = (k - 1) - rev.argmin(axis=1)
-                sel = np.unique(
-                    np.arange(nw - k + 1, dtype=np.int64) + jj)
-                ids.append(np.full(sel.size, did, dtype=np.int64))
-                poss.append(sel.astype(np.int32))
-                hvs.append(hv[sel])
-            if ids:
-                yield pd.DataFrame({
-                    "id": np.concatenate(ids),
-                    "pos": np.concatenate(poss),
-                    "h": np.concatenate(hvs),
-                })
-
-    # pre-prune rows that cannot select (F.length is UTF-16 units ≥
-    # the kernel's codepoint count, so this passes a superset; the
-    # kernel re-checks with codepoint semantics)
-    fps = base.filter(F.length("txt") >= w + k - 1).mapInPandas(
-        _fps_batches, schema="id long, pos int, h long")
+    fps = _char_window_fps(base, w=w, k=k)
     dup = (
         fps.groupBy("h")
         .agg(F.countDistinct("id").alias("nd"))

@@ -282,7 +282,8 @@ def test_char_span_removal_no_window_no_cartesian(spark):
     """char_span_removal keeps the same scale shape as the word
     variant: two-level map-side-combinable dup detection, interval
     masking via per-row HOF folds — never a window function, never a
-    cartesian, and exactly one generator (posexplode) in the plan."""
+    cartesian; fingerprints come straight from the Arrow-batched
+    mapInPandas kernel (no explode, no row-at-a-time Python)."""
     from lexoid_spark.functions.curation import char_span_removal
 
     df = spark.createDataFrame(
@@ -292,9 +293,9 @@ def test_char_span_removal_no_window_no_cartesian(spark):
     plan = _formatted(char_span_removal(df, "id", "text", w=40))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
-    # one posexplode, recomputed once for each consumer (dup set +
-    # starts) — never a third
-    assert plan.count("Generate (") <= 2
+    assert "Generate (" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_tfidf_scalar_broadcast(spark):
