@@ -2611,6 +2611,45 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _html_charset_1252(spark, sf):
+    """Charset-sniffed extraction (the Common-Crawl reality that pages
+    are NOT all UTF-8): windows-1252 pages declaring iso-8859-1 via
+    http-equiv meta — smart quotes / em-dash / ellipsis in the
+    0x80-0x9F range that real iso-8859-1 does not define — must decode
+    through the WHATWG sniff (BOM → meta prescan → strict UTF-8 →
+    total 1252 fallback) to the exact codepoints. The reference
+    reaches the same behavior class through BeautifulSoup's
+    UnicodeDammit + iso-8859-1 retry (utils.py:356-363); the old
+    errors='ignore' path would silently DROP every non-UTF-8 byte."""
+    from lexoid_spark.functions.udfs import html_to_md_udf
+
+    docs = _t(spark, sf, "documents")
+    pre = ('<html><head><meta http-equiv="Content-Type" '
+           'content="text/html; charset=iso-8859-1"></head>'
+           "<body><h1>Doc ").encode("ascii")
+    # cp1252 bytes: “café—naïve”…±© (0x93/0x97/0x94/0x85 are 1252-only)
+    post = b"\x93caf\xe9\x97na\xefve\x94\x85\xb1\xa9</p></body></html>"
+    payload = F.concat(
+        F.lit(bytearray(pre)),
+        F.encode(F.col("doc_id").cast("string"), "US-ASCII"),
+        F.lit(bytearray(b"</h1><p>")),
+        F.lit(bytearray(post)),
+    )
+    return docs.select(
+        "doc_id", html_to_md_udf(payload).getField("raw").alias("raw")
+    ).orderBy("doc_id")
+
+
+_HTML_CHARSET_SQL = """
+SELECT doc_id,
+       chr(10) || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+       || repeat('=', 4 + length(CAST(doc_id AS VARCHAR)))
+       || chr(10) || chr(10) || '“café—naïve”…±©' || chr(10) || chr(10)
+       AS raw
+FROM documents ORDER BY doc_id
+"""
+
+
 def _extract_segments_n(spark, sf):
     from lexoid_spark.functions.udfs import html_to_md_udf, segment_md_udf
 
@@ -6865,6 +6904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": _audio_meta,
         "audio_chunks": _audio_chunks,
         "extract_html_h1": _extract_html_h1,
+        "html_charset_1252": _html_charset_1252,
         "extract_html_main": _extract_html_main,
         "extract_segments_n": _extract_segments_n,
         "email_embed": _email_embed,
@@ -7023,6 +7063,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_meta": _AUDIO_META_SQL,
         "audio_chunks": _AUDIO_CHUNKS_SQL,
         "extract_html_h1": _EXTRACT_HTML_SQL,
+        "html_charset_1252": _HTML_CHARSET_SQL,
         "extract_html_main": _EXTRACT_HTML_MAIN_SQL,
         "extract_segments_n": _EXTRACT_SEGMENTS_SQL,
         "email_embed": _EMAIL_EMBED_SQL,

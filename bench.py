@@ -140,6 +140,8 @@ def main() -> None:
         # round 5 wave 3: standalone TIFF/BMP scan decode (CCITT/LZW/
         # PackBits strips through the OCR arm), gzip-member WARC
         "tiff_ocr_scan", "warc_gz_ingest",
+        # round 5 wave 4: WHATWG charset-sniffed extraction
+        "html_charset_1252",
     ]
 
     def run_extract():

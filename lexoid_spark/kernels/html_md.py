@@ -527,9 +527,14 @@ def strip_boilerplate(root: Node) -> Node:
 def html_to_md(html, main_content: bool = False) -> str:
     """Convert an HTML payload (str or bytes) to markdown.
 
-    Bytes are decoded BOM-aware (UTF-8/16/32 BOM honored), else UTF-8
-    with ``errors="ignore"`` — the reference's invalid-byte tolerance
-    (``static_parser.py:90-92``, ``tests/test_parser.py:177-212``).
+    Bytes are decoded by the WHATWG-style charset sniff
+    (:func:`lexoid_spark.kernels.text_ops.sniff_decode_html`): BOM,
+    then a ``<meta>``-declared charset in the 1024-byte prescan
+    window (windows-1252/latin-1 family decoded exactly; unsupported
+    CJK labels raise typed → quarantine), then strict UTF-8 with a
+    total windows-1252 fallback — the behavior class the reference
+    reaches through BeautifulSoup's UnicodeDammit + its iso-8859-1
+    retry (``utils.py:356-363``).
 
     ``main_content=True`` additionally prunes navigation/ads/social
     chrome via :func:`strip_boilerplate` before emission (the
@@ -540,9 +545,9 @@ def html_to_md(html, main_content: bool = False) -> str:
     if html is None:
         return ""
     if isinstance(html, (bytes, bytearray, memoryview)):
-        from lexoid_spark.kernels.text_ops import decode_payload
+        from lexoid_spark.kernels.text_ops import sniff_decode_html
 
-        html = decode_payload(html)
+        html = sniff_decode_html(html)
     root = parse_html(html)
     if main_content:
         root = strip_boilerplate(root)

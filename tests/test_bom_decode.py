@@ -90,3 +90,67 @@ class TestUtf16Extraction:
         assert out and all("Wide" in r["raw"] for r in out)
         errs = extract(pages, repartition=False)["errors"].count()
         assert errs == 0
+
+
+class TestCharsetSniff:
+    """WHATWG-style meta-charset sniff (text_ops.sniff_decode_html):
+    the reference reaches the same behavior class via BeautifulSoup's
+    UnicodeDammit + iso-8859-1 retry (utils.py:356-363)."""
+
+    def test_declared_windows_1252_decodes_exactly(self):
+        from lexoid_spark.kernels.text_ops import sniff_decode_html
+
+        body = b'<html><head><meta charset="windows-1252"></head>' \
+               b"<body><p>\x93caf\xe9\x94 \x97 dash</p></body></html>"
+        got = sniff_decode_html(body)
+        assert "“caf\xe9” — dash" in got
+
+    def test_iso_8859_1_label_means_windows_1252(self):
+        from lexoid_spark.kernels.text_ops import sniff_decode_html
+
+        body = (b"<meta http-equiv='Content-Type' "
+                b"content='text/html; charset=iso-8859-1'>"
+                b"<p>tr\xe8s \x85 bien</p>")
+        # 0x85 is undefined in real iso-8859-1 prose; wild pages mean
+        # cp1252's ellipsis - exactly why WHATWG aliases the label
+        assert "tr\xe8s … bien" in sniff_decode_html(body)
+
+    def test_bom_beats_meta(self):
+        from lexoid_spark.kernels.text_ops import sniff_decode_html
+
+        s = '<meta charset="windows-1252"><p>caf\xe9</p>'
+        assert sniff_decode_html(b"\xef\xbb\xbf" + s.encode()) == s
+
+    def test_unsupported_declared_charset_quarantines(self):
+        from lexoid_spark.kernels.text_ops import (
+            CharsetError, sniff_decode_html)
+
+        body = b'<meta charset="shift_jis"><p>\x83e\x83L\x83X\x83g</p>'
+        with pytest.raises(CharsetError):
+            sniff_decode_html(body)
+        with pytest.raises(CharsetError):
+            html_to_md(body)  # the html arm propagates -> quarantine
+
+    def test_undeclared_invalid_utf8_falls_back_total_1252(self):
+        from lexoid_spark.kernels.text_ops import sniff_decode_html
+
+        # errors='ignore' used to DROP the byte; 1252 keeps a char
+        assert sniff_decode_html(b"<p>caf\xe9</p>") == "<p>caf\xe9</p>"
+
+    def test_meta_outside_prescan_window_is_ignored(self):
+        from lexoid_spark.kernels.text_ops import sniff_decode_html
+
+        body = (b"<!--" + b"x" * 1024 + b"-->"
+                b'<meta charset="shift_jis"><p>ok</p>')
+        assert "ok" in sniff_decode_html(body)  # no CharsetError
+
+    def test_meta_utf16_label_means_utf8(self):
+        from lexoid_spark.kernels.text_ops import sniff_decode_html
+
+        body = '<meta charset="utf-16"><p>caf\xe9</p>'.encode()
+        assert "caf\xe9" in sniff_decode_html(body)
+
+    def test_valid_utf8_without_meta_unchanged(self):
+        from lexoid_spark.kernels.text_ops import sniff_decode_html
+
+        assert sniff_decode_html(HTML.encode()) == HTML

@@ -5,6 +5,8 @@ deterministic output, segmentation that loses no content."""
 
 import string
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -23,9 +25,19 @@ def test_sniff_total_and_closed(payload):
 @settings(max_examples=100, deadline=None)
 @given(st.binary(max_size=2048))
 def test_html_kernel_total_on_arbitrary_bytes(payload):
-    """Any byte soup converts without raising and deterministically
-    (web-scale inputs include truncated/mangled HTML)."""
-    a = html_to_md(payload)
+    """Any byte soup converts deterministically (web-scale inputs
+    include truncated/mangled HTML); the ONE typed escape is
+    CharsetError for a declared-but-unsupported charset — the
+    quarantine contract shared with the raster kernels — which must
+    itself be deterministic."""
+    from lexoid_spark.kernels.text_ops import CharsetError
+
+    try:
+        a = html_to_md(payload)
+    except CharsetError:
+        with pytest.raises(CharsetError):
+            html_to_md(payload)
+        return
     b = html_to_md(payload)
     assert isinstance(a, str) and a == b
 
