@@ -140,8 +140,9 @@ def main() -> None:
         # round 5 wave 3: standalone TIFF/BMP scan decode (CCITT/LZW/
         # PackBits strips through the OCR arm), gzip-member WARC
         "tiff_ocr_scan", "warc_gz_ingest",
-        # round 5 wave 4: WHATWG charset-sniffed extraction
-        "html_charset_1252",
+        # round 5 wave 4: WHATWG charset-sniffed extraction; sampled
+        # BPE training (learn on the hash subsample, apply fused)
+        "html_charset_1252", "phrase_merges_sampled",
     ]
 
     def run_extract():

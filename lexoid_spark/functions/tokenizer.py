@@ -51,13 +51,24 @@ def _rx_replacement(tok: str) -> str:
 
 def phrase_merges(df: DataFrame, id_col: str, text_col: str,
                   n_merges: int = 3, sep: str = "_",
-                  checkpoint_every: int = 4) -> DataFrame:
+                  checkpoint_every: int = 4,
+                  sample_mod: int = 0) -> DataFrame:
     """Learn and apply ``n_merges`` corpus-wide adjacent-pair merges.
 
     Tie-break: (count desc, a asc, b asc) — deterministic and
     SQL-mirrorable. Returns ``(id, n_tokens_in, n_tokens_out,
     text_merged)``; the learned merges are also available on the
     returned DataFrame as ``.merges`` (list of (a, b, count)).
+
+    ``sample_mod >= 2`` trains on the deterministic 1/sample_mod
+    document subsample (md5-prefix hash of the id — the portable
+    bucketing used throughout) and then applies ALL learned merges to
+    the FULL corpus in ONE fused projection (a chain of greedy regex
+    scans over the double-space encoding; the chain composes because
+    each rewrite consumes one boundary space per side and re-emits
+    it). This is how a real tokenizer trainer handles 100 TB — the
+    iterated pair-count passes touch only the sample; the corpus is
+    touched once — at the cost that merges reflect sample statistics.
 
     Every ``checkpoint_every`` iterations the working frame is
     ``localCheckpoint``-ed (same lineage-truncation pattern as the
@@ -75,7 +86,14 @@ def phrase_merges(df: DataFrame, id_col: str, text_col: str,
     base = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
     )
-    cur = base
+    if sample_mod >= 2:
+        from lexoid_spark.functions.dedup import _md5_hash64
+
+        cur = base.filter(
+            F.pmod(_md5_hash64(F.col("id").cast("string")),
+                   F.lit(sample_mod)) == 0)
+    else:
+        cur = base
     merges: list[tuple[str, str, int]] = []
     for _step in range(n_merges):
         pairs = (
@@ -132,6 +150,38 @@ def phrase_merges(df: DataFrame, id_col: str, text_col: str,
         )
         if checkpoint_every > 0 and (_step + 1) % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
+
+    if sample_mod >= 2:
+        # apply the learned merges to the FULL corpus in one fused
+        # projection: the greedy rewrites compose directly on the
+        # double-space encoding (each match consumes one boundary
+        # space per side and re-emits it, so the invariant survives
+        # the chain); patterns/replacements ride one broadcast row —
+        # chain length depends only on the static merge count, never
+        # on values, so codegen compiles once
+        if merges:
+            patrow = spark.createDataFrame(
+                [(
+                    [" " + _rx_literal(a) + "  " + _rx_literal(b) + " "
+                     for a, b, _c in merges],
+                    [" " + _rx_replacement(a + sep + b) + " "
+                     for a, b, _c in merges],
+                )],
+                "pats array<string>, reps array<string>",
+            )
+            enc = F.concat(F.lit(" "), F.array_join("t", "  "),
+                           F.lit(" "))
+            for i in range(len(merges)):
+                enc = F.regexp_replace(
+                    enc, F.element_at("pats", i + 1),
+                    F.element_at("reps", i + 1))
+            applied = F.when(
+                F.size("t") < 2, F.col("t")
+            ).otherwise(F.split(F.trim(enc), "  "))
+            cur = base.crossJoin(F.broadcast(patrow)).select(
+                "id", applied.alias("t"))
+        else:
+            cur = base
 
     out = (
         base.select("id", F.size("t").alias("n_tokens_in"))

@@ -107,3 +107,38 @@ class TestPhraseMerges:
         # cartesian against the corpus
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" in plan
+
+
+class TestPhraseMergesSampled:
+    """sample_mod >= 2: merges are learned from the deterministic
+    md5-hash subsample only, then applied to the FULL corpus in one
+    fused regex chain."""
+
+    def test_merges_reflect_sample_statistics_only(self, spark):
+        from lexoid_spark.functions.tokenizer import phrase_merges
+
+        # md5-prefix hash % 3 == 0 for ids {0,2,3,4,9,10}
+        rows = [(i, "x y filler%d" % i) for i in (0, 2, 3, 4)]
+        rows += [(i, "p q p q p q") for i in (1, 5, 6, 7, 8)]
+        rows += [(11, "x y tail")]   # NOT in the sample
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = phrase_merges(df, "id", "text", n_merges=1, sample_mod=3)
+        got = {r["id"]: r["text_merged"] for r in out.collect()}
+        # (p,q) dominates the corpus but is invisible to the sample
+        assert out.merges == [("x", "y", 4)]
+        # ...and the full corpus is rewritten, sample or not
+        assert got[11] == "x_y tail"
+        assert got[0].startswith("x_y")
+        assert got[1] == "p q p q p q"   # no (p,q) merge learned
+
+    def test_fused_chain_composes_dependent_merges(self, spark):
+        from lexoid_spark.functions.tokenizer import phrase_merges
+
+        rows = [(0, "a b c"), (2, "a b c"),          # sampled
+                (1, "z a b c")]                       # not sampled
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = phrase_merges(df, "id", "text", n_merges=2, sample_mod=3)
+        got = {r["id"]: r["text_merged"] for r in out.collect()}
+        assert [m[:2] for m in out.merges] == [("a", "b"), ("a_b", "c")]
+        assert got[0] == "a_b_c"
+        assert got[1] == "z a_b_c"   # stage-2 merge applied on top of 1
