@@ -2425,6 +2425,62 @@ FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id, frame_idx
 """
 
 
+def _video_mjpeg_ocr(spark, sf):
+    """frame_ocr over Motion-JPEG MP4 files (QTFF ``jpeg`` sample
+    entry — the camera/scanner container): every sample is one
+    grayscale JPEG from the from-scratch encoder, decoded back by the
+    from-scratch baseline decoder, luma-OCR'd per sampled frame. A
+    hash match pins the QTFF sample-table walk, per-sample JPEG
+    Huffman+IDCT decode AND glyph recognition under real quantization
+    noise (q=90 artifacts must stay inside the recognizer's
+    confidence margin). Closed-form per (doc_id, frame), so DuckDB
+    predicts every row. Reference has no video path — LLM-pipeline
+    surface."""
+    from lexoid_spark.functions.multimodal import frame_ocr
+
+    @F.pandas_udf("binary")
+    def mjpeg_vid(doc_ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from lexoid_spark.kernels.mp4_avc import make_test_mp4_mjpeg
+        from lexoid_spark.kernels.ocr_glyph import render_text
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            k = d % 3 + 2
+            fr = [render_text(f"MJ {d % 100} F {i}", scale=2)
+                  for i in range(k)]
+            H = max(a.shape[0] for a in fr)
+            W = max(a.shape[1] for a in fr)
+            padded = np.stack([
+                np.pad(a, ((0, H - a.shape[0]), (0, W - a.shape[1])),
+                       constant_values=255)
+                for a in fr
+            ])
+            out.append(make_test_mp4_mjpeg(padded, quality=90))
+        return pd.Series(out)
+
+    # 1-in-11 subset (offset from video_frame_ocr's 1-in-13):
+    # encode+decode of k JPEG frames is honest per-doc pixel work
+    docs = _tp(spark, sf, "documents").filter(F.col("doc_id") % 11 == 7)
+    vids = docs.select("doc_id", mjpeg_vid("doc_id").alias("payload"))
+    return (
+        frame_ocr(vids, every_n=2, id_col="doc_id", bin_col="payload")
+        .select(F.col("id").alias("doc_id"), "frame_idx", "text")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+_VIDEO_MJPEG_OCR_SQL = """
+SELECT doc_id,
+       CAST(UNNEST(range(0, doc_id % 3 + 2, 2)) AS INT) AS frame_idx,
+       'MJ ' || CAST(doc_id % 100 AS VARCHAR) || ' F '
+       || CAST(UNNEST(range(0, doc_id % 3 + 2, 2)) AS VARCHAR) AS text
+FROM documents WHERE doc_id % 11 = 7 ORDER BY doc_id, frame_idx
+"""
+
+
 def _flac_meta(spark, sf):
     """audio surface over REAL FLAC bytes (kernels/flac.py): sample
     rate + frame count from the STREAMINFO walk AND the integer SUM
@@ -6929,6 +6985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": _image_resize,
         "video_frames": _video_frames,
         "video_frame_ocr": _video_frame_ocr,
+        "video_mjpeg_ocr": _video_mjpeg_ocr,
         "flac_meta": _flac_meta,
         "audio_meta": _audio_meta,
         "audio_chunks": _audio_chunks,
@@ -7089,6 +7146,7 @@ def oracle_sql() -> dict[str, str]:
         "image_resize": _IMAGE_RESIZE_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "video_frame_ocr": _VIDEO_FRAME_OCR_SQL,
+        "video_mjpeg_ocr": _VIDEO_MJPEG_OCR_SQL,
         "flac_meta": _FLAC_META_SQL,
         "audio_meta": _AUDIO_META_SQL,
         "audio_chunks": _AUDIO_CHUNKS_SQL,

@@ -141,8 +141,9 @@ def main() -> None:
         # PackBits strips through the OCR arm), gzip-member WARC
         "tiff_ocr_scan", "warc_gz_ingest",
         # round 5 wave 4: WHATWG charset-sniffed extraction; sampled
-        # BPE training (learn on the hash subsample, apply fused)
-        "html_charset_1252", "phrase_merges_sampled",
+        # BPE training (learn on the hash subsample, apply fused);
+        # Motion-JPEG MP4 frame decode + OCR
+        "html_charset_1252", "phrase_merges_sampled", "video_mjpeg_ocr",
     ]
 
     def run_extract():

@@ -143,10 +143,11 @@ def decode_video_header(b: bytes) -> tuple[int, int, int] | None:
 def decode_video_frames(b: bytes) -> "np.ndarray":
     """Real video pixel decode → (n, H, W) uint8 luma frames: Annex-B
     H.264 elementary streams (I_PCM baseline scope, kernels/h264.py)
-    and MP4 files carrying an avc1 track (sample tables + avcC,
-    kernels/mp4_avc.py). The FAKE container and track-less MP4 box
-    trees carry metadata only — both raise a typed error (caller
-    quarantines or falls back to the header path)."""
+    and MP4 files carrying an avc1 or Motion-JPEG track (sample
+    tables + avcC / per-sample JPEG decode, kernels/mp4_avc.py). The
+    FAKE container and track-less MP4 box trees carry metadata only —
+    both raise a typed error (caller quarantines or falls back to the
+    header path)."""
     b = bytes(b)
     from lexoid_spark.kernels.h264 import (
         H264Error,
@@ -159,9 +160,9 @@ def decode_video_frames(b: bytes) -> "np.ndarray":
     from lexoid_spark.kernels.mp4_meta import looks_like_mp4
 
     if looks_like_mp4(b):
-        from lexoid_spark.kernels.mp4_avc import mp4_h264_frames
+        from lexoid_spark.kernels.mp4_avc import mp4_video_frames
 
-        return mp4_h264_frames(b)
+        return mp4_video_frames(b)
     raise H264Error("payload carries no decodable video pixels "
                     "(the FAKE container is metadata-only)")
 

@@ -6,11 +6,14 @@ the length-prefixed sample NALs to an Annex-B stream and decode
 through ``kernels/h264.py`` — so real wild-shaped MP4 video files
 yield FRAMES, not just box-tree metadata (``kernels/mp4_meta.py``).
 
-Scope follows the H.264 kernel: I_PCM baseline IDR samples decode,
-anything else quarantines typed. Fragmented MP4 (``moof``) and
-encrypted tracks raise :class:`Mp4Error`. The builder twin emits a
-spec-shaped ftyp+mdat+moov file with a full sample-table graph for
-fixtures/corpus only.
+Motion-JPEG tracks (QTFF ``jpeg``/``mjpa`` sample entries — every
+sample one complete JPEG image) decode through the from-scratch
+baseline JPEG codec, so camera-style MJPEG files yield real frames
+too. Scope otherwise follows the H.264 kernel: I_PCM baseline IDR
+samples decode, anything else quarantines typed. Fragmented MP4
+(``moof``) and encrypted tracks raise :class:`Mp4Error`. The builder
+twins emit spec-shaped ftyp+mdat+moov files with full sample-table
+graphs for fixtures/corpus only.
 
 Reference parity: none — the reference has no video path; this is
 LLM-pipeline surface (video → frame sampling → per-frame ops).
@@ -77,29 +80,46 @@ def _parse_avcc(b: bytes, body: int, bend: int) -> Tuple[bytes, int]:
     return bytes(out), length_size
 
 
-def _find_avcc(b: bytes, stsd_body: int, stsd_end: int):
-    """stsd → first avc1 entry → its avcC child."""
+#: Motion-JPEG sample entry types (QuickTime File Format video sample
+#: descriptions): every sample is one complete JFIF image
+_MJPEG_ENTRIES = (b"jpeg", b"mjpa")
+
+
+def _find_video_entry(b: bytes, stsd_body: int, stsd_end: int):
+    """stsd → the first supported video sample entry:
+
+    - ``("avc1", annexb_prefix, nal_length_size)`` for H.264 (the
+      avcC parameter sets converted to an Annex-B prefix), or
+    - ``("mjpeg", None, 0)`` for Motion-JPEG (``jpeg``/``mjpa``
+      entries — each sample is a standalone JPEG image, no
+      configuration box).
+    """
     if stsd_end - stsd_body < 8:
         raise Mp4Error("truncated stsd")
     for btype, body, bend in _boxes(b, stsd_body + 8, stsd_end):
+        if btype in _MJPEG_ENTRIES:
+            return "mjpeg", None, 0
         if btype != b"avc1":
             continue
         # avc1 sample entry: 78 bytes of fields before child boxes
         for ctype, cbody, cend in _boxes(b, body + 78, bend):
             if ctype == b"avcC":
-                return _parse_avcc(b, cbody, cend)
+                prefix, length_size = _parse_avcc(b, cbody, cend)
+                return "avc1", prefix, length_size
         raise Mp4Error("avc1 entry carries no avcC")
-    raise Mp4Error("no avc1 sample entry (not an H.264 track)")
+    raise Mp4Error("no supported video sample entry "
+                   "(neither avc1 nor Motion-JPEG)")
 
 
 def _u32s(b: bytes, pos: int, n: int) -> List[int]:
     return list(struct.unpack_from(">%dI" % n, b, pos))
 
 
-def mp4_h264_frames(data: bytes) -> np.ndarray:
-    """MP4 bytes → (n_frames, H, W) uint8 luma frames via the avc1
-    track's sample tables. Raises :class:`Mp4Error` (or the H.264
-    kernel's typed error) when the track is absent or out of scope."""
+def mp4_video_frames(data: bytes) -> np.ndarray:
+    """MP4 bytes → (n_frames, H, W) uint8 luma frames via the video
+    track's sample tables (avc1 H.264 or Motion-JPEG). Raises
+    :class:`Mp4Error` (or the H.264/JPEG kernel's typed error) when
+    the track is absent or out of scope."""
     b = bytes(data)
     if not looks_like_mp4(b):
         raise Mp4Error("no ftyp/moov box")
@@ -115,24 +135,26 @@ def _frames_from_tables(b: bytes) -> np.ndarray:
     _walk_collect(b, 0, len(b), traks, None, top)
     if b"moof" in top:
         raise Mp4Error("fragmented MP4 (moof) is unsupported")
-    # pick the first trak whose stsd carries an avc1 entry (the video
-    # track need not be first — audio-first muxing is common)
-    found = prefix = None
+    # pick the first trak whose stsd carries a supported video entry
+    # (the video track need not be first — audio-first muxing is
+    # common)
+    found = prefix = kind = None
     for trak in traks:
         if b"stsd" not in trak:
             continue
         try:
-            prefix, length_size = _find_avcc(b, *trak[b"stsd"])
+            kind, prefix, length_size = _find_video_entry(
+                b, *trak[b"stsd"])
         except Mp4Error:
             continue
         found = trak
         break
     if found is None:
-        raise Mp4Error("no avc1 sample entry in any trak "
-                       "(not an H.264 file)")
+        raise Mp4Error("no supported video sample entry in any trak "
+                       "(neither avc1 nor Motion-JPEG)")
     for need in (b"stsz", b"stsc"):
         if need not in found:
-            raise Mp4Error(f"avc1 trak misses {need.decode()}")
+            raise Mp4Error(f"video trak misses {need.decode()}")
     # sample sizes
     body, bend = found[b"stsz"]
     sample_size, n_samples = struct.unpack_from(">II", b, body + 4)
@@ -173,8 +195,8 @@ def _frames_from_tables(b: bytes) -> np.ndarray:
         last = (entries[i + 1][0] - 1 if i + 1 < len(entries)
                 else len(offsets))
         per_chunk += [spc] * max(0, last - (first - 1))
-    # assemble the Annex-B stream sample by sample
-    out = bytearray(prefix)
+    # resolve per-sample byte ranges from the chunk map
+    spans: List[Tuple[int, int]] = []
     si = 0
     for ci, off in enumerate(offsets):
         pos = off
@@ -184,22 +206,58 @@ def _frames_from_tables(b: bytes) -> np.ndarray:
                 break
             size = sizes[si]
             si += 1
-            end = pos + size
-            if end > len(b):
+            if pos + size > len(b):
                 raise Mp4Error("sample overruns the file")
-            while pos + length_size <= end:
-                ln = int.from_bytes(b[pos:pos + length_size], "big")
-                pos += length_size
-                if ln == 0 or pos + ln > end:
-                    raise Mp4Error("bad NAL length in sample")
-                out += b"\x00\x00\x00\x01" + b[pos:pos + ln]
-                pos += ln
-            pos = end
+            spans.append((pos, pos + size))
+            pos += size
     if si != n_samples:
         raise Mp4Error("sample tables disagree on sample count")
+
+    if kind == "mjpeg":
+        return _decode_mjpeg_samples(b, spans)
+
+    # avc1: convert length-prefixed sample NALs to one Annex-B stream
+    out = bytearray(prefix)
+    for pos, end in spans:
+        while pos + length_size <= end:
+            ln = int.from_bytes(b[pos:pos + length_size], "big")
+            pos += length_size
+            if ln == 0 or pos + ln > end:
+                raise Mp4Error("bad NAL length in sample")
+            out += b"\x00\x00\x00\x01" + b[pos:pos + ln]
+            pos += ln
     from lexoid_spark.kernels.h264 import h264_decode_frames
 
     return h264_decode_frames(bytes(out))
+
+
+def _decode_mjpeg_samples(b: bytes,
+                          spans: List[Tuple[int, int]]) -> np.ndarray:
+    """Motion-JPEG samples → (n, H, W) uint8 luma: each sample is a
+    complete JPEG image, decoded by the from-scratch baseline codec;
+    RGB frames reduce to BT.601 integer luma
+    ((77R + 150G + 29B + 128) >> 8 — deterministic, no float). All
+    frames must share one geometry (one track = one coded size)."""
+    from lexoid_spark.kernels.jpeg_codec import JpegError, jpeg_decode
+
+    if not spans:
+        raise Mp4Error("Motion-JPEG track carries no samples")
+    frames = []
+    for pos, end in spans:
+        try:
+            px = jpeg_decode(b[pos:end])
+        except JpegError as e:
+            raise Mp4Error(f"bad Motion-JPEG sample: {e}") from e
+        if px.ndim == 3 and px.shape[2] == 3:
+            p32 = px.astype(np.uint32)
+            luma = ((77 * p32[:, :, 0] + 150 * p32[:, :, 1]
+                     + 29 * p32[:, :, 2] + 128) >> 8).astype(np.uint8)
+        else:
+            luma = px.reshape(px.shape[0], px.shape[1])
+        frames.append(luma)
+    if len({f.shape for f in frames}) != 1:
+        raise Mp4Error("Motion-JPEG samples disagree on frame size")
+    return np.stack(frames)
 
 
 # ---------------------------------------------------------------------------
@@ -261,3 +319,53 @@ def make_test_mp4_h264(frames: np.ndarray, timescale: int = 600,
     trak = _box(b"trak", _box(b"tkhd", tkhd) + mdia)
     moov = _box(b"moov", _box(b"mvhd", mvhd) + trak)
     return ftyp + mdat + moov
+
+
+def make_test_mp4_mjpeg(frames: np.ndarray, quality: int = 90,
+                        timescale: int = 600, fps: int = 30) -> bytes:
+    """(n, H, W) uint8 luma → MP4 file with a Motion-JPEG track
+    (QTFF ``jpeg`` sample entry): every sample is one grayscale JPEG
+    from the from-scratch encoder, with the full
+    stsd/stts/stsc/stsz/stco graph. Deterministic bytes
+    (fixtures/corpus only)."""
+    from lexoid_spark.kernels.jpeg_codec import jpeg_encode
+
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[None]
+    n, h, w = a.shape
+    samples = [jpeg_encode(a[i], quality=quality) for i in range(n)]
+    sizes = [len(s) for s in samples]
+    mdat = _box(b"mdat", b"".join(samples))
+    ftyp = _box(b"ftyp", b"qt  \x00\x00\x02\x00qt  ")
+    chunk_off = len(ftyp) + 8          # first sample, inside mdat
+    # video sample description: 78 bytes of fields, no child boxes
+    entry = (bytes(6) + struct.pack(">H", 1) + bytes(16)
+             + struct.pack(">HH", w, h)
+             + struct.pack(">II", 0x00480000, 0x00480000)
+             + bytes(4) + struct.pack(">H", 1) + bytes(32)
+             + struct.pack(">Hh", 24, -1))
+    stsd = bytes(4) + struct.pack(">I", 1) + _box(b"jpeg", entry)
+    stts = (bytes(4) + struct.pack(">I", 1)
+            + struct.pack(">II", n, timescale // fps))
+    stsc = (bytes(4) + struct.pack(">I", 1)
+            + struct.pack(">III", 1, n, 1))
+    stsz = (bytes(4) + struct.pack(">II", 0, n)
+            + b"".join(struct.pack(">I", s) for s in sizes))
+    stco = bytes(4) + struct.pack(">I", 1) + struct.pack(">I", chunk_off)
+    stbl = _box(b"stbl", _box(b"stsd", stsd) + _box(b"stts", stts)
+                + _box(b"stsc", stsc) + _box(b"stsz", stsz)
+                + _box(b"stco", stco))
+    mdia = _box(b"mdia", _box(b"minf", stbl))
+    duration = n * timescale // fps
+    mvhd = (bytes([0, 0, 0, 0]) + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, duration) + bytes(80))
+    tkhd = (bytes([0, 0, 0, 7]) + bytes(76)
+            + struct.pack(">II", w << 16, h << 16))
+    trak = _box(b"trak", _box(b"tkhd", tkhd) + mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    return ftyp + mdat + moov
+
+
+#: historical name from the avc1-only revision
+mp4_h264_frames = mp4_video_frames

@@ -227,3 +227,58 @@ def test_audio_first_mp4_finds_the_video_trak():
            + _s.pack(">I", old_len + len(audio_trak))
            + out[i:])
     assert np.array_equal(mp4_h264_frames(out), frames)
+
+
+class TestMp4Mjpeg:
+    """Motion-JPEG tracks (QTFF jpeg sample entry): per-sample JPEG
+    decode through the from-scratch baseline codec."""
+
+    def test_mjpeg_roundtrip_ocr(self):
+        from lexoid_spark.kernels.mp4_avc import (
+            make_test_mp4_mjpeg, mp4_video_frames)
+        from lexoid_spark.kernels.ocr_glyph import (
+            recognize_pixels, render_text)
+
+        texts = ["MJPG F %d" % i for i in range(3)]
+        fr = [render_text(t, scale=2) for t in texts]
+        H = max(a.shape[0] for a in fr)
+        W = max(a.shape[1] for a in fr)
+        padded = np.stack([
+            np.pad(a, ((0, H - a.shape[0]), (0, W - a.shape[1])),
+                   constant_values=255) for a in fr])
+        frames = mp4_video_frames(make_test_mp4_mjpeg(padded))
+        assert frames.shape == (3, H, W)
+        assert [recognize_pixels(f)[0] for f in frames] == texts
+
+    def test_mjpeg_dispatches_from_multimodal(self):
+        from lexoid_spark.functions.multimodal import decode_video_frames
+        from lexoid_spark.kernels.mp4_avc import make_test_mp4_mjpeg
+
+        frames = np.full((2, 16, 16), 128, np.uint8)
+        got = decode_video_frames(make_test_mp4_mjpeg(frames))
+        assert got.shape == (2, 16, 16)
+
+    def test_bad_jpeg_sample_is_typed(self):
+        from lexoid_spark.kernels.mp4_avc import (
+            Mp4Error, make_test_mp4_mjpeg, mp4_video_frames)
+
+        frames = np.full((1, 16, 16), 200, np.uint8)
+        mp4 = bytearray(make_test_mp4_mjpeg(frames))
+        # corrupt the JPEG magic of the first (only) sample in mdat
+        soi = mp4.find(b"\xff\xd8\xff")
+        assert soi > 0
+        mp4[soi] = 0x00
+        with pytest.raises(Mp4Error):
+            mp4_video_frames(bytes(mp4))
+
+    def test_truncation_never_crashes_untyped(self):
+        from lexoid_spark.kernels.mp4_avc import (
+            Mp4Error, make_test_mp4_mjpeg, mp4_video_frames)
+        from lexoid_spark.kernels.jpeg_codec import JpegError
+
+        mp4 = make_test_mp4_mjpeg(np.full((2, 16, 16), 77, np.uint8))
+        for cut in range(1, len(mp4), 97):
+            try:
+                mp4_video_frames(mp4[:cut])
+            except (Mp4Error, JpegError):
+                pass
