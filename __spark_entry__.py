@@ -2481,6 +2481,60 @@ FROM documents WHERE doc_id % 11 = 7 ORDER BY doc_id, frame_idx
 """
 
 
+def _avi_mjpeg_ocr(spark, sf):
+    """frame_ocr over RIFF AVI Motion-JPEG — the classic
+    camera/capture container: ``NNdc`` movi chunks, one JPEG per
+    frame. Odd docs ship the OpenDML wild layout (every frame's
+    Huffman tables OMITTED — the decoder must splice in the Annex K
+    typical tables), even docs carry their own tables; both must OCR
+    identically, so a hash match pins the RIFF chunk walk, the DHT
+    repair AND per-frame JPEG decode under q=90 noise. Closed-form
+    per (doc_id, frame). Reference has no video path — LLM-pipeline
+    surface."""
+    from lexoid_spark.functions.multimodal import frame_ocr
+
+    @F.pandas_udf("binary")
+    def avi_vid(doc_ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from lexoid_spark.kernels.avi import make_test_avi_mjpeg
+        from lexoid_spark.kernels.ocr_glyph import render_text
+
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            k = d % 3 + 2
+            fr = [render_text(f"AV {d % 100} F {i}", scale=2)
+                  for i in range(k)]
+            H = max(a.shape[0] for a in fr)
+            W = max(a.shape[1] for a in fr)
+            padded = np.stack([
+                np.pad(a, ((0, H - a.shape[0]), (0, W - a.shape[1])),
+                       constant_values=255)
+                for a in fr
+            ])
+            out.append(make_test_avi_mjpeg(
+                padded, quality=90, omit_dht=bool(d % 2)))
+        return pd.Series(out)
+
+    docs = _tp(spark, sf, "documents").filter(F.col("doc_id") % 9 == 4)
+    vids = docs.select("doc_id", avi_vid("doc_id").alias("payload"))
+    return (
+        frame_ocr(vids, every_n=2, id_col="doc_id", bin_col="payload")
+        .select(F.col("id").alias("doc_id"), "frame_idx", "text")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+_AVI_MJPEG_OCR_SQL = """
+SELECT doc_id,
+       CAST(UNNEST(range(0, doc_id % 3 + 2, 2)) AS INT) AS frame_idx,
+       'AV ' || CAST(doc_id % 100 AS VARCHAR) || ' F '
+       || CAST(UNNEST(range(0, doc_id % 3 + 2, 2)) AS VARCHAR) AS text
+FROM documents WHERE doc_id % 9 = 4 ORDER BY doc_id, frame_idx
+"""
+
+
 def _flac_meta(spark, sf):
     """audio surface over REAL FLAC bytes (kernels/flac.py): sample
     rate + frame count from the STREAMINFO walk AND the integer SUM
@@ -6986,6 +7040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": _video_frames,
         "video_frame_ocr": _video_frame_ocr,
         "video_mjpeg_ocr": _video_mjpeg_ocr,
+        "avi_mjpeg_ocr": _avi_mjpeg_ocr,
         "flac_meta": _flac_meta,
         "audio_meta": _audio_meta,
         "audio_chunks": _audio_chunks,
@@ -7147,6 +7202,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": _VIDEO_FRAMES_SQL,
         "video_frame_ocr": _VIDEO_FRAME_OCR_SQL,
         "video_mjpeg_ocr": _VIDEO_MJPEG_OCR_SQL,
+        "avi_mjpeg_ocr": _AVI_MJPEG_OCR_SQL,
         "flac_meta": _FLAC_META_SQL,
         "audio_meta": _AUDIO_META_SQL,
         "audio_chunks": _AUDIO_CHUNKS_SQL,

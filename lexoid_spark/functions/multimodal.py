@@ -135,6 +135,10 @@ def decode_video_header(b: bytes) -> tuple[int, int, int] | None:
     if looks_like_h264(b):
         # real Annex-B H.264 elementary stream (kernels/h264.py)
         return h264_header(b)
+    from lexoid_spark.kernels.avi import avi_header, looks_like_avi
+    if looks_like_avi(b):
+        # real RIFF AVI (kernels/avi.py)
+        return avi_header(b)
     if b[:4] != VID_MAGIC:
         return None
     return struct.unpack(">HHH", b[4:10])
@@ -142,9 +146,10 @@ def decode_video_header(b: bytes) -> tuple[int, int, int] | None:
 
 def decode_video_frames(b: bytes) -> "np.ndarray":
     """Real video pixel decode → (n, H, W) uint8 luma frames: Annex-B
-    H.264 elementary streams (I_PCM baseline scope, kernels/h264.py)
-    and MP4 files carrying an avc1 or Motion-JPEG track (sample
-    tables + avcC / per-sample JPEG decode, kernels/mp4_avc.py). The
+    H.264 elementary streams (I_PCM baseline scope, kernels/h264.py),
+    MP4 files carrying an avc1 or Motion-JPEG track (sample tables +
+    avcC / per-sample JPEG decode, kernels/mp4_avc.py), and RIFF AVI
+    Motion-JPEG (kernels/avi.py, DHT-less wild frames repaired). The
     FAKE container and track-less MP4 box trees carry metadata only —
     both raise a typed error (caller quarantines or falls back to the
     header path)."""
@@ -163,6 +168,10 @@ def decode_video_frames(b: bytes) -> "np.ndarray":
         from lexoid_spark.kernels.mp4_avc import mp4_video_frames
 
         return mp4_video_frames(b)
+    from lexoid_spark.kernels.avi import avi_mjpeg_frames, looks_like_avi
+
+    if looks_like_avi(b):
+        return avi_mjpeg_frames(b)
     raise H264Error("payload carries no decodable video pixels "
                     "(the FAKE container is metadata-only)")
 
@@ -364,6 +373,7 @@ def frame_ocr(df: DataFrame, every_n: int = 10, id_col: str = "id",
                     F.col(bin_col).alias("payload"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lexoid_spark.kernels.avi import AviError
         from lexoid_spark.kernels.h264 import H264Error
         from lexoid_spark.kernels.mp4_meta import Mp4Error
         from lexoid_spark.kernels.ocr_glyph import recognize_pixels
@@ -373,7 +383,7 @@ def frame_ocr(df: DataFrame, every_n: int = 10, id_col: str = "id",
             for i, payload in zip(b["id"], b["payload"]):
                 try:
                     frames = decode_video_frames(payload)
-                except (H264Error, Mp4Error):
+                except (AviError, H264Error, Mp4Error):
                     continue
                 for fi in range(0, frames.shape[0], every_n):
                     try:

@@ -231,13 +231,24 @@ def _frames_from_tables(b: bytes) -> np.ndarray:
     return h264_decode_frames(bytes(out))
 
 
+def jpeg_luma(px: np.ndarray) -> np.ndarray:
+    """Decoded JPEG array → (H, W) uint8 luma: RGB frames reduce via
+    BT.601 integer luma ((77R + 150G + 29B + 128) >> 8 —
+    deterministic, no float); grayscale passes through. Shared by the
+    MP4 and AVI Motion-JPEG arms."""
+    if px.ndim == 3 and px.shape[2] == 3:
+        p32 = px.astype(np.uint32)
+        return ((77 * p32[:, :, 0] + 150 * p32[:, :, 1]
+                 + 29 * p32[:, :, 2] + 128) >> 8).astype(np.uint8)
+    return px.reshape(px.shape[0], px.shape[1])
+
+
 def _decode_mjpeg_samples(b: bytes,
                           spans: List[Tuple[int, int]]) -> np.ndarray:
     """Motion-JPEG samples → (n, H, W) uint8 luma: each sample is a
-    complete JPEG image, decoded by the from-scratch baseline codec;
-    RGB frames reduce to BT.601 integer luma
-    ((77R + 150G + 29B + 128) >> 8 — deterministic, no float). All
-    frames must share one geometry (one track = one coded size)."""
+    complete JPEG image, decoded by the from-scratch baseline codec.
+    All frames must share one geometry (one track = one coded
+    size)."""
     from lexoid_spark.kernels.jpeg_codec import JpegError, jpeg_decode
 
     if not spans:
@@ -248,13 +259,7 @@ def _decode_mjpeg_samples(b: bytes,
             px = jpeg_decode(b[pos:end])
         except JpegError as e:
             raise Mp4Error(f"bad Motion-JPEG sample: {e}") from e
-        if px.ndim == 3 and px.shape[2] == 3:
-            p32 = px.astype(np.uint32)
-            luma = ((77 * p32[:, :, 0] + 150 * p32[:, :, 1]
-                     + 29 * p32[:, :, 2] + 128) >> 8).astype(np.uint8)
-        else:
-            luma = px.reshape(px.shape[0], px.shape[1])
-        frames.append(luma)
+        frames.append(jpeg_luma(px))
     if len({f.shape for f in frames}) != 1:
         raise Mp4Error("Motion-JPEG samples disagree on frame size")
     return np.stack(frames)
