@@ -1977,6 +1977,53 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _webp_meta(spark, sf):
+    """image_meta over WebP containers (kernels/webp_meta.py),
+    rotating all three stream flavors on doc_id — VP8 lossy (14-bit
+    dims after the 9D012A start code), VP8L lossless (LSB-first
+    width-1/height-1/alpha bitstream) and VP8X extended (24-bit
+    canvas dims + alpha flag) — so a hash match pins every header
+    layout. Header-metadata fixtures (the pixel arms quarantine
+    typed); dims/alpha are closed-form in the doc row, so DuckDB
+    predicts every value."""
+    from lexoid_spark.functions.multimodal import image_meta
+
+    @F.pandas_udf("binary")
+    def webp_bytes(doc_ids: pd.Series, n_chars: pd.Series) -> pd.Series:
+        from lexoid_spark.kernels.webp_meta import make_test_webp
+
+        flavors = ("vp8", "vp8l", "vp8x")
+        out = []
+        for d, nc in zip(doc_ids, n_chars):
+            d, nc = int(d), int(nc)
+            out.append(make_test_webp(
+                nc % 120 + 8, (nc * 7) % 90 + 8,
+                flavor=flavors[d % 3], alpha=bool(d % 2)))
+        return pd.Series(out)
+
+    docs = _t(spark, sf, "documents")
+    imgs = docs.select(
+        "doc_id", webp_bytes("doc_id", "n_chars").alias("payload"))
+    return (
+        image_meta(imgs, id_col="doc_id", bin_col="payload")
+        .select(F.col("id").alias("doc_id"), "width", "height",
+                "channels", "error")
+        .orderBy("doc_id")
+    )
+
+
+_WEBP_META_SQL = """
+SELECT doc_id,
+       CAST(n_chars % 120 + 8 AS INT) AS width,
+       CAST((n_chars * 7) % 90 + 8 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 3           -- VP8 lossy
+                 WHEN doc_id % 2 = 1 THEN 4           -- alpha bit set
+                 ELSE 3 END AS INT) AS channels,
+       CAST(NULL AS VARCHAR) AS error
+FROM documents ORDER BY doc_id
+"""
+
+
 def _gif_meta(spark, sf):
     """image_meta over REAL GIF bytes: the kernel reads the logical
     screen descriptor via the stdlib LZW codec (kernels/gif_codec.py),
@@ -7028,6 +7075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_hof": _emb_near_dup_hof,
         "image_meta": _image_meta,
         "png_meta": _png_meta,
+        "webp_meta": _webp_meta,
         "png_resize": _png_resize,
         "png_dialects": _png_dialects,
         "jpeg_resize": _jpeg_resize,
@@ -7190,6 +7238,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_hof": _EMB_NEAR_DUP_SQL,
         "image_meta": _IMAGE_META_SQL,
         "png_meta": _PNG_META_SQL,
+        "webp_meta": _WEBP_META_SQL,
         "png_resize": _PNG_RESIZE_SQL,
         "png_dialects": _PNG_DIALECTS_SQL,
         "jpeg_resize": _JPEG_RESIZE_SQL,

@@ -117,6 +117,9 @@ def decode_image_header(b: bytes) -> tuple[int, int, int] | None:
         # JPEG 2000: O(header) SIZ probe, no pixel work
         from lexoid_spark.kernels.jpx import jpx_header
         return jpx_header(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from lexoid_spark.kernels.webp_meta import webp_header
+        return webp_header(b)
     if len(b) < 9 or b[:4] != IMG_MAGIC:
         return None
     w, h, c = struct.unpack(">HHB", b[4:9])

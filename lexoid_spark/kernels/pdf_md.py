@@ -2044,6 +2044,8 @@ def sniff_doctype(payload) -> str:
                  b"\x00\x00\x00\x0cjP  ", b"\xff\x4f",
                  b"II*\x00", b"MM\x00*")):
         return "image"
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        return "image"
     if b[:2] == b"BM" and len(b) >= 18 and int.from_bytes(
             b[14:18], "little") in (40, 52, 56, 108, 124):
         # BMP needs the DIB-header-size check: 'BM' alone is a

@@ -73,7 +73,11 @@ def with_doctype(df: DataFrame, payload_col: str = "html") -> DataFrame:
             | ((F.hex(F.substring(F.col(payload_col), 1, 2)) == "424D")
                & F.hex(F.substring(F.col(payload_col), 15, 4)).isin(
                    "28000000", "34000000", "38000000",
-                   "6C000000", "7C000000")),
+                   "6C000000", "7C000000"))
+            # WebP: RIFF....WEBP
+            | ((F.hex(F.substring(F.col(payload_col), 1, 4)) == "52494646")
+               & (F.hex(F.substring(F.col(payload_col), 9, 4))
+                  == "57454250")),
             F.lit("image"),  # → OCR arm (P5)
         )
         # UTF-32 BOM first (see _u32bom comment), then UTF-16: probe
