@@ -6561,6 +6561,75 @@ def _sitemap_frontier(spark, sf):
                             agent="lexoidbot").orderBy("url")
 
 
+def _sitemap_gz_parse(spark, sf):
+    """Sitemap ingestion AS STORED: per-host ``sitemap.xml.gz``
+    members (the layout the sitemaps protocol prescribes for large
+    sites) gunzip through the WARC kernel's bounded inflater, decode
+    and parse with the zero-shuffle block splitter
+    (operators/robots.py::parse_sitemap_bytes). Same closed-form
+    document set as sitemap_frontier, so DuckDB predicts every (host,
+    url, lastmod) row without modeling gzip at all."""
+    from lexoid_spark.operators.robots import parse_sitemap_bytes
+
+    docs = _t(spark, sf, "documents")
+    entry = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"),
+        F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+        F.lit("</loc>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("<lastmod>2024-01-"),
+                     F.lpad((F.col("doc_id") % 28 + 1).cast("string"),
+                            2, "0"),
+                     F.lit("</lastmod>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+
+    @F.pandas_udf("binary")
+    def gz(xml: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for x in xml:
+            c = zlib.compressobj(9, zlib.DEFLATED, 31)
+            out.append(c.compress(x.encode()) + c.flush())
+        return pd.Series(out)
+
+    sitemaps = (
+        docs.select("source", F.struct("doc_id", entry.alias("e")).alias("s"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list("s")),
+                                lambda s: s["e"]), ""),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+        .select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            gz("sitemap_xml").alias("sitemap_blob"),
+        )
+    )
+    return parse_sitemap_bytes(sitemaps).orderBy("url")
+
+
+_SITEMAP_GZ_PARSE_SQL = r"""
+SELECT host, url, lastmod FROM (
+  SELECT source || '.example.com' AS host,
+         'https://' || source || '.example.com/doc/'
+         || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 2 = 0
+              THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+                                      2, '0')
+              ELSE NULL END AS lastmod
+  FROM documents
+) ORDER BY url
+"""
+
+
 _SITEMAP_FRONTIER_SQL = r"""
 SELECT url, host, lastmod FROM (
   SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
@@ -7156,6 +7225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_gz_ingest": _warc_gz_ingest,
         "robots_check": _robots_check,
         "sitemap_frontier": _sitemap_frontier,
+        "sitemap_gz_parse": _sitemap_gz_parse,
         "crawl_schedule": _crawl_schedule,
         "corpus_diff": _corpus_diff,
         "langid_confusion": _langid_confusion,
@@ -7319,6 +7389,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_gz_ingest": _WARC_GZ_INGEST_SQL,
         "robots_check": _ROBOTS_CHECK_SQL,
         "sitemap_frontier": _SITEMAP_FRONTIER_SQL,
+        "sitemap_gz_parse": _SITEMAP_GZ_PARSE_SQL,
         "crawl_schedule": _CRAWL_SCHEDULE_SQL,
         "corpus_diff": _CORPUS_DIFF_SQL,
         "langid_confusion": _LANGID_CONFUSION_SQL,

@@ -144,7 +144,7 @@ def main() -> None:
         # BPE training (learn on the hash subsample, apply fused);
         # Motion-JPEG MP4 frame decode + OCR
         "html_charset_1252", "phrase_merges_sampled", "video_mjpeg_ocr",
-        "avi_mjpeg_ocr", "webp_meta",
+        "avi_mjpeg_ocr", "webp_meta", "sitemap_gz_parse",
     ]
 
     def run_extract():

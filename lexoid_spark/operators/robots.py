@@ -222,6 +222,40 @@ def parse_sitemap(sitemaps: DataFrame, host_col: str = "host",
     )
 
 
+def parse_sitemap_bytes(sitemaps: DataFrame, host_col: str = "host",
+                        bytes_col: str = "sitemap_blob") -> DataFrame:
+    """Byte-level twin of :func:`parse_sitemap` for fetched sitemap
+    payloads AS STORED: ``sitemap.xml.gz`` members (the layout the
+    sitemaps protocol prescribes for large sites, and what Common
+    Crawl actually serves) gunzip first — concatenated members
+    allowed, zip-bomb capped via the WARC kernel's bounded inflater —
+    then decode UTF-8 (BOM tolerated) and parse with the same
+    zero-shuffle block splitter. Malformed gzip yields an empty
+    parse for that row (discovery is best-effort; the frontier must
+    not die on one bad blob)."""
+    import pandas as pd
+
+    def to_xml(batches):
+        from lexoid_spark.kernels.warc import WarcError, _gunzip_members
+
+        for b in batches:
+            xs = []
+            for blob in b[bytes_col]:
+                raw = bytes(blob) if blob is not None else b""
+                if raw[:2] == b"\x1f\x8b":
+                    try:
+                        raw = _gunzip_members(raw)
+                    except WarcError:
+                        raw = b""
+                xs.append(raw.decode("utf-8-sig", errors="replace"))
+            yield pd.DataFrame({host_col: b[host_col],
+                                "sitemap_xml": xs})
+
+    decoded = sitemaps.select(host_col, bytes_col).mapInPandas(
+        to_xml, schema=f"{host_col} string, sitemap_xml string")
+    return parse_sitemap(decoded, host_col=host_col)
+
+
 def sitemap_frontier(sitemaps: DataFrame, robots: DataFrame,
                      agent: str = "lexoidbot") -> DataFrame:
     """Compose discovery with politeness: sitemap URLs that the

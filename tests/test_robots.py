@@ -292,3 +292,35 @@ class TestGroupClosingDirectives:
         rows = sitemap_frontier(sitemaps, robots,
                                 agent="lexoidbot").collect()
         assert len(rows) == 1 and rows[0]["url"] == "https://a.test/p"
+
+
+class TestParseSitemapBytes:
+    """Byte-level sitemap ingestion: .xml.gz members gunzip, plain
+    XML passes through, malformed gzip yields an empty (not failed)
+    parse."""
+
+    def test_gz_plain_and_malformed(self, spark):
+        import zlib
+
+        from lexoid_spark.operators.robots import parse_sitemap_bytes
+
+        xml = ("<urlset><url><loc>https://a.example/p1</loc>"
+               "<lastmod>2024-02-03</lastmod></url>"
+               "<url><loc>https://a.example/p2</loc></url></urlset>")
+        c = zlib.compressobj(9, zlib.DEFLATED, 31)
+        gz = c.compress(xml.encode()) + c.flush()
+        rows = [("h-gz", bytearray(gz)),
+                ("h-plain", bytearray(xml.encode())),
+                ("h-bad", bytearray(b"\x1f\x8b" + b"\x00" * 10))]
+        df = spark.createDataFrame(
+            rows, "host string, sitemap_blob binary")
+        got = parse_sitemap_bytes(df).collect()
+        by_host = {}
+        for r in got:
+            by_host.setdefault(r["host"], []).append(
+                (r["url"], r["lastmod"]))
+        want = [("https://a.example/p1", "2024-02-03"),
+                ("https://a.example/p2", None)]
+        assert sorted(by_host["h-gz"]) == want
+        assert sorted(by_host["h-plain"]) == want
+        assert "h-bad" not in by_host
