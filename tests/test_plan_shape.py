@@ -363,3 +363,34 @@ def test_frame_ocr_is_map_only(spark):
     plan = _formatted(frame_ocr(df, every_n=2))
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_parse_sitemap_bytes_zero_shuffle(spark):
+    """Byte-level sitemap ingestion must ride the scan: one
+    mapInPandas gunzip+decode, then the native block split — no
+    Exchange anywhere (at 10^8 hosts a shuffle here would move raw
+    sitemap blobs)."""
+    from lexoid_spark.operators.robots import parse_sitemap_bytes
+
+    df = spark.createDataFrame(
+        [("h%d" % i, bytearray(b"<urlset></urlset>")) for i in range(8)],
+        "host string, sitemap_blob binary")
+    plan = _formatted(parse_sitemap_bytes(df))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_phrase_merges_sampled_apply_is_broadcast(spark):
+    """The sampled trainer's apply stage: ALL learned merges ride ONE
+    broadcast pattern row into a single fused projection — never a
+    cartesian, never a per-merge shuffle of the corpus."""
+    from lexoid_spark.functions.tokenizer import phrase_merges
+
+    df = spark.createDataFrame(
+        [(i, "a b c d a b") for i in range(12)],
+        "id long, text string")
+    out = phrase_merges(df, "id", "text", n_merges=2, sample_mod=3)
+    plan = _formatted(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
