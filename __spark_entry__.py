@@ -6384,6 +6384,47 @@ FROM documents ORDER BY url
 """
 
 
+def _wet_roundtrip(spark, sf):
+    """WET emission + re-ingest (the Common-Crawl OUTPUT format):
+    extracted text serializes to WARC ``conversion`` records in
+    per-record gzip members via write_wet_blobs (one md5-shard
+    shuffle, deterministic url order per shard), then the ordinary
+    read arm explodes the blobs back. A hash match proves the writer
+    and reader agree byte-for-byte on framing, member gzip and UTF-8
+    payloads — the full crawl-ecosystem roundtrip inside one plan."""
+    from lexoid_spark.sources.warc import read_warc_blobs, write_wet_blobs
+
+    docs = _t(spark, sf, "documents")
+    rows = docs.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("2024-03-"),
+                 F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+                 F.lit("T00:00:00Z")).alias("warc_date"),
+        F.col("text"),
+    )
+    wet = write_wet_blobs(rows, n_shards=8, gz=True)
+    back = read_warc_blobs(
+        wet.select(F.col("shard").cast("long").alias("id"),
+                   F.col("wet").alias("data")))
+    return back.select(
+        "url", "warc_type", "warc_date",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    ).orderBy("url")
+
+
+_WET_ROUNDTRIP_SQL = """
+SELECT 'https://' || source || '.example.com/doc/'
+       || CAST(doc_id AS VARCHAR) AS url,
+       'conversion' AS warc_type,
+       '2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+       || 'T00:00:00Z' AS warc_date,
+       text
+FROM documents ORDER BY url
+"""
+
+
 def _warc_gz_ingest(spark, sf):
     """The ACTUAL Common-Crawl archive layout: ``.warc.gz`` blobs made
     of one gzip member PER RECORD (RFC 1952 member concatenation, so
@@ -7223,6 +7264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": _inverted_postings,
         "warc_ingest": _warc_ingest,
         "warc_gz_ingest": _warc_gz_ingest,
+        "wet_roundtrip": _wet_roundtrip,
         "robots_check": _robots_check,
         "sitemap_frontier": _sitemap_frontier,
         "sitemap_gz_parse": _sitemap_gz_parse,
@@ -7387,6 +7429,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_postings": _INVERTED_SQL,
         "warc_ingest": _WARC_INGEST_SQL,
         "warc_gz_ingest": _WARC_GZ_INGEST_SQL,
+        "wet_roundtrip": _WET_ROUNDTRIP_SQL,
         "robots_check": _ROBOTS_CHECK_SQL,
         "sitemap_frontier": _SITEMAP_FRONTIER_SQL,
         "sitemap_gz_parse": _SITEMAP_GZ_PARSE_SQL,

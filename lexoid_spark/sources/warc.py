@@ -108,3 +108,50 @@ def warc_blobs_to_pages(blobs: DataFrame):
         "error",
     )
     return pages, bad
+
+
+WET_BLOBS_SCHEMA = T.StructType([
+    T.StructField("shard", T.IntegerType()),
+    T.StructField("wet", T.BinaryType()),
+    T.StructField("n_records", T.LongType()),
+])
+
+
+def write_wet_blobs(df: DataFrame, url_col: str = "url",
+                    date_col: str = "warc_date",
+                    text_col: str = "text",
+                    n_shards: int = 16, gz: bool = True) -> DataFrame:
+    """Extracted text → WET-style archive blobs (the Common-Crawl
+    output format: one WARC ``conversion`` record per document,
+    ``Content-Type: text/plain``, per-record gzip members when
+    ``gz``) — the WRITE twin of :func:`read_warc_blobs`, so a
+    curation pipeline can emit crawl-ecosystem artifacts without
+    leaving the DataFrame plan.
+
+    Scale shape: ONE hash shuffle on the md5 shard key (uniform by
+    construction — no hot shards), then applyInPandas serializes each
+    shard to one blob with records in deterministic url order. Shard
+    count is the parallelism knob: at 10^12 docs set n_shards to the
+    target archive count, not 16."""
+    from lexoid_spark.functions.dedup import _md5_hash64
+    from lexoid_spark.kernels.warc import build_record
+
+    src = df.select(
+        F.col(url_col).alias("url"),
+        F.col(date_col).cast("string").alias("date"),
+        F.col(text_col).alias("text"),
+        F.pmod(_md5_hash64(F.col(url_col)),
+               F.lit(n_shards)).cast("int").alias("shard"),
+    )
+
+    def serialize(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("url")
+        out = bytearray()
+        for url, date, text in zip(pdf["url"], pdf["date"], pdf["text"]):
+            out += build_record("conversion", url or "", date or "",
+                                (text or "").encode("utf-8"), gz=gz)
+        return pd.DataFrame({"shard": [key[0]], "wet": [bytes(out)],
+                             "n_records": [len(pdf)]})
+
+    return src.groupBy("shard").applyInPandas(serialize,
+                                              WET_BLOBS_SCHEMA)
