@@ -2807,6 +2807,56 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _epub_extract(spark, sf):
+    """EPUB extraction (books — the container a training corpus
+    actually ingests at scale): deterministic two-chapter EPUBs
+    (mimetype + container.xml + OPF manifest/spine + XHTML chapters)
+    built per doc, parsed by the stdlib zip+XML+HTML kernel chain in
+    SPINE order. The oracle predicts the exact concatenated markdown,
+    so a hash match pins container resolution, OPF spine ordering and
+    the chapter HTML conversion end to end. Reference has no EPUB
+    path — LLM-pipeline surface."""
+    from lexoid_spark.kernels.office_md import epub_to_md
+
+    @F.pandas_udf("binary")
+    def epub_bytes(doc_ids: pd.Series, texts: pd.Series,
+                   sources: pd.Series) -> pd.Series:
+        from lexoid_spark.corpus.gen import make_test_epub
+
+        out = []
+        for d, t, s in zip(doc_ids, texts, sources):
+            out.append(make_test_epub([
+                (f"Doc {int(d)} Ch 1", t),
+                (f"Doc {int(d)} Ch 2", f"chapter two of {s}"),
+            ]))
+        return pd.Series(out)
+
+    @F.pandas_udf("string")
+    def epub_md(payloads: pd.Series) -> pd.Series:
+        return pd.Series([epub_to_md(p) for p in payloads])
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        epub_md(epub_bytes("doc_id", "text", "source")).alias("raw"),
+    ).orderBy("doc_id")
+
+
+_EPUB_EXTRACT_SQL = """
+SELECT doc_id,
+       chr(10) || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR) || ' Ch 1'
+       || chr(10)
+       || repeat('=', 9 + length(CAST(doc_id AS VARCHAR)))
+       || chr(10) || chr(10) || text || chr(10) || chr(10)
+       || chr(10) || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR)
+       || ' Ch 2' || chr(10)
+       || repeat('=', 9 + length(CAST(doc_id AS VARCHAR)))
+       || chr(10) || chr(10) || 'chapter two of ' || source
+       || chr(10) || chr(10) AS raw
+FROM documents ORDER BY doc_id
+"""
+
+
 def _extract_segments_n(spark, sf):
     from lexoid_spark.functions.udfs import html_to_md_udf, segment_md_udf
 
@@ -7204,6 +7254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_chunks": _audio_chunks,
         "extract_html_h1": _extract_html_h1,
         "html_charset_1252": _html_charset_1252,
+        "epub_extract": _epub_extract,
         "extract_html_main": _extract_html_main,
         "extract_segments_n": _extract_segments_n,
         "email_embed": _email_embed,
@@ -7369,6 +7420,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_chunks": _AUDIO_CHUNKS_SQL,
         "extract_html_h1": _EXTRACT_HTML_SQL,
         "html_charset_1252": _HTML_CHARSET_SQL,
+        "epub_extract": _EPUB_EXTRACT_SQL,
         "extract_html_main": _EXTRACT_HTML_MAIN_SQL,
         "extract_segments_n": _EXTRACT_SEGMENTS_SQL,
         "email_embed": _EMAIL_EMBED_SQL,

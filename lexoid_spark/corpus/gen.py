@@ -538,6 +538,40 @@ _BUILDERS = {
 }
 
 
+def make_test_epub(chapters) -> bytes:
+    """Deterministic EPUB from ``[(title, body), ...]`` chapters:
+    mimetype + container.xml + OPF manifest/spine + one XHTML file
+    per chapter (fixtures/corpus only — the read side is
+    ``office_md.epub_to_md``). Titles/bodies must be HTML-safe (no
+    unescaped ``<``/``&``), matching the synthetic corpus."""
+    items = "".join(
+        f'<item id="c{k}" href="ch{k}.xhtml" '
+        f'media-type="application/xhtml+xml"/>'
+        for k in range(len(chapters)))
+    refs = "".join(f'<itemref idref="c{k}"/>'
+                   for k in range(len(chapters)))
+    entries = {
+        "mimetype": "application/epub+zip",
+        "META-INF/container.xml":
+            '<?xml version="1.0"?><container version="1.0" '
+            'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+            '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+            'media-type="application/oebps-package+xml"/></rootfiles>'
+            "</container>",
+        "OEBPS/content.opf":
+            '<?xml version="1.0"?><package version="3.0" '
+            'xmlns="http://www.idpf.org/2007/opf" unique-identifier="u">'
+            f"<manifest>{items}</manifest><spine>{refs}</spine></package>",
+    }
+    for k, (title, body) in enumerate(chapters):
+        entries[f"OEBPS/ch{k}.xhtml"] = (
+            '<?xml version="1.0" encoding="utf-8"?>'
+            "<html><body>"
+            f"<h1>{title}</h1><p>{body}</p>"
+            "</body></html>")
+    return _zip_bytes(entries)
+
+
 def gen_page_row(i: int, p_giant: float = 0.0) -> Tuple[str, dt.datetime, bytes, str, str]:
     """One deterministic pages row for doc index i."""
     r = _rng(i)

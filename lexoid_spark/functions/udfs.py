@@ -179,6 +179,7 @@ def _extract_one(doctype: str, payload, pdf_framework: str = "pdfplumber",
     elif doctype == "zip":
         from lexoid_spark.kernels.office_md import (
             docx_to_md,
+            epub_to_md,
             pptx_to_md,
             sniff_office,
             xlsx_to_md,
@@ -194,6 +195,13 @@ def _extract_one(doctype: str, payload, pdf_framework: str = "pdfplumber",
         elif office == "pptx":
             raw = pptx_to_md(payload)
             # reference splits pptx output by headings → slide segments
+            segs = [
+                {"page": None, "section": s, "content": c}
+                for s, c in segment_md(raw)
+            ]
+        elif office == "epub":
+            raw = epub_to_md(payload)
+            # books segment on chapter headings, like html
             segs = [
                 {"page": None, "section": s, "content": c}
                 for s, c in segment_md(raw)

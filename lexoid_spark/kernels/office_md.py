@@ -48,7 +48,7 @@ def _as_bytes(payload) -> bytes:
 
 
 def sniff_office(payload) -> str | None:
-    """'docx' | 'xlsx' | 'pptx' | None for a PK-zip payload."""
+    """'docx' | 'xlsx' | 'pptx' | 'epub' | None for a PK-zip payload."""
     b = _as_bytes(payload)
     if not b.startswith(b"PK\x03\x04"):
         return None
@@ -61,6 +61,8 @@ def sniff_office(payload) -> str | None:
                 return "xlsx"
             if any(n.startswith("ppt/slides/") for n in names):
                 return "pptx"
+            if "META-INF/container.xml" in names:
+                return "epub"
     except zipfile.BadZipFile:
         return None
     return None
@@ -122,6 +124,72 @@ def pptx_to_md(payload) -> str:
             if parts:
                 slides.append("\n\n".join(parts))
     return "\n\n".join(slides)
+
+
+_CONTAINER_NS = "{urn:oasis:names:tc:opendocument:xmlns:container}"
+_OPF_NS = "{http://www.idpf.org/2007/opf}"
+_EPUB_MAX_INFLATED = 1 << 28  # zip-bomb cap, same bound as the WARC arm
+
+
+def epub_to_md(payload) -> str:
+    """EPUB (2 and 3 share this core) → markdown — the books container
+    a training-data pipeline actually ingests: ``META-INF/
+    container.xml`` names the OPF package, the OPF manifest maps
+    manifest ids to hrefs, the ``<spine>`` orders the reading
+    documents, and each XHTML chapter converts through the HTML
+    kernel (``kernels/html_md.py``), concatenated in spine order
+    (each chapter carries its own blank-line padding).
+
+    Hostile-input bounds: total inflated chapter bytes are capped at
+    :data:`_EPUB_MAX_INFLATED` (a stored-size lie in the zip directory
+    still can't overrun it — reads go through the zip streamer);
+    missing container/OPF/spine entries raise typed (→ quarantine).
+    Reference parity: none — Lexoid has no EPUB path; this is
+    LLM-pipeline surface (book corpora)."""
+    from lexoid_spark.kernels.html_md import html_to_md
+
+    b = _as_bytes(payload)
+    with zipfile.ZipFile(io.BytesIO(b)) as zf:
+        try:
+            container = ET.fromstring(zf.read("META-INF/container.xml"))
+        except KeyError:
+            raise ValueError("epub misses META-INF/container.xml")
+        rf = container.find(
+            f"{_CONTAINER_NS}rootfiles/{_CONTAINER_NS}rootfile")
+        if rf is None or not rf.attrib.get("full-path"):
+            raise ValueError("epub container names no rootfile")
+        opf_path = rf.attrib["full-path"]
+        try:
+            opf = ET.fromstring(zf.read(opf_path))
+        except KeyError:
+            raise ValueError(f"epub misses OPF {opf_path!r}")
+        base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+        hrefs = {
+            item.attrib.get("id"): item.attrib.get("href")
+            for item in opf.iter(f"{_OPF_NS}item")
+        }
+        chapters = []
+        total = 0
+        for ref in opf.iter(f"{_OPF_NS}itemref"):
+            href = hrefs.get(ref.attrib.get("idref"))
+            if not href:
+                raise ValueError("epub spine names an unknown item")
+            name = base + href
+            try:
+                info = zf.getinfo(name)
+            except KeyError:
+                raise ValueError(f"epub spine entry {name!r} missing")
+            total += info.file_size
+            if total > _EPUB_MAX_INFLATED:
+                raise ValueError("epub inflated size exceeds cap")
+            with zf.open(info) as fh:
+                xhtml = fh.read(_EPUB_MAX_INFLATED + 1)
+            if len(xhtml) > _EPUB_MAX_INFLATED:
+                raise ValueError("epub inflated size exceeds cap")
+            chapters.append(html_to_md(xhtml))
+        if not chapters:
+            raise ValueError("epub spine is empty")
+    return "".join(chapters)
 
 
 def _col_index(cell_ref: str) -> int:
