@@ -2807,6 +2807,40 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _rtf_extract(spark, sf):
+    """RTF extraction through the txt arm (text/rtf sniffs as txt,
+    where raw control words would be silently-poor output): the
+    state-machine kernel must skip the font table, honor \\uc1
+    Unicode fallbacks, decode \\'xx through the windows-1252 table
+    and map \\par to newline — the oracle predicts the exact
+    recovered text. Reference has no RTF path — web corpora do."""
+    from lexoid_spark.functions.udfs import txt_decode_udf
+
+    docs = _t(spark, sf, "documents")
+    body = F.concat(
+        F.lit("{\\rtf1\\ansi\\ansicpg1252"
+              "{\\fonttbl{\\f0 Times;}}"
+              "{\\*\\generator lexoid-fixture;}"
+              "\\uc1\\pard\\f0 Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" \\'97 "), F.col("text"),
+        F.lit("\\par tail "), F.col("source"), F.lit("}"),
+    )
+    return docs.select(
+        "doc_id",
+        txt_decode_udf(F.encode(body, "UTF-8"))
+        .getField("raw").alias("raw"),
+    ).orderBy("doc_id")
+
+
+_RTF_EXTRACT_SQL = """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' — ' || text
+       || chr(10) || 'tail ' || source AS raw
+FROM documents ORDER BY doc_id
+"""
+
+
 def _epub_extract(spark, sf):
     """EPUB extraction (books — the container a training corpus
     actually ingests at scale): deterministic two-chapter EPUBs
@@ -7255,6 +7289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_html_h1": _extract_html_h1,
         "html_charset_1252": _html_charset_1252,
         "epub_extract": _epub_extract,
+        "rtf_extract": _rtf_extract,
         "extract_html_main": _extract_html_main,
         "extract_segments_n": _extract_segments_n,
         "email_embed": _email_embed,
@@ -7421,6 +7456,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_html_h1": _EXTRACT_HTML_SQL,
         "html_charset_1252": _HTML_CHARSET_SQL,
         "epub_extract": _EPUB_EXTRACT_SQL,
+        "rtf_extract": _RTF_EXTRACT_SQL,
         "extract_html_main": _EXTRACT_HTML_MAIN_SQL,
         "extract_segments_n": _EXTRACT_SEGMENTS_SQL,
         "email_embed": _EMAIL_EMBED_SQL,

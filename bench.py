@@ -145,7 +145,7 @@ def main() -> None:
         # Motion-JPEG MP4 frame decode + OCR
         "html_charset_1252", "phrase_merges_sampled", "video_mjpeg_ocr",
         "avi_mjpeg_ocr", "webp_meta", "sitemap_gz_parse",
-        "wet_roundtrip", "epub_extract",
+        "wet_roundtrip", "epub_extract", "rtf_extract",
     ]
 
     def run_extract():

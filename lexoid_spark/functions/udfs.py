@@ -69,6 +69,12 @@ def csv_to_md_udf(payloads: pd.Series) -> pd.DataFrame:
 def _txt_decode(payload) -> str:
     from lexoid_spark.kernels.text_ops import decode_payload
 
+    # RTF is text/rtf — it sniffs into the txt arm, where dumping the
+    # raw control words would be silently-poor output; parse it
+    if payload is not None and bytes(payload[:5]) == b"{\\rtf":
+        from lexoid_spark.kernels.rtf import rtf_to_text
+
+        return rtf_to_text(payload)
     return decode_payload(payload)
 
 
