@@ -6686,6 +6686,139 @@ def _sitemap_frontier(spark, sf):
                             agent="lexoidbot").orderBy("url")
 
 
+def _html_head_meta(spark, sf):
+    """Crawl-curation head metadata: canonical URL (the site's own
+    dedup key), og:title, robots meta with the noindex exclusion
+    flag, and the declared lang — one zero-shuffle struct of anchored
+    regexp_extract fields. Canonical attribute order rotates on doc
+    parity (rel-then-href vs href-then-rel) so both match arms are
+    pinned; every third doc declares noindex. Closed-form per doc."""
+    from lexoid_spark.functions.columns import html_head_meta
+
+    docs = _t(spark, sf, "documents")
+    canon_url = F.concat(F.lit("https://"), F.col("source"),
+                         F.lit(".example.com/c/"),
+                         F.col("doc_id").cast("string"))
+    link = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<link rel="canonical" href="'), canon_url,
+                 F.lit('">')),
+    ).otherwise(
+        F.concat(F.lit('<link href="'), canon_url,
+                 F.lit('" rel="canonical">')),
+    )
+    robots = F.when(F.col("doc_id") % 3 == 0,
+                    F.lit("noindex,follow")).otherwise(F.lit("index"))
+    html = F.concat(
+        F.lit('<html lang="'), F.col("lang"), F.lit('"><head>'), link,
+        F.lit('<meta property="og:title" content="Doc '),
+        F.col("doc_id").cast("string"), F.lit('">'),
+        F.lit('<meta name="robots" content="'), robots, F.lit('">'),
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    m = html_head_meta(html)
+    return docs.select(
+        "doc_id",
+        m["canonical"].alias("canonical"),
+        m["og_title"].alias("og_title"),
+        m["meta_robots"].alias("meta_robots"),
+        m["noindex"].alias("noindex"),
+        m["lang"].alias("page_lang"),
+    ).orderBy("doc_id")
+
+
+_HTML_HEAD_META_SQL = """
+SELECT doc_id,
+       'https://' || source || '.example.com/c/'
+       || CAST(doc_id AS VARCHAR) AS canonical,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS og_title,
+       CASE WHEN doc_id % 3 = 0 THEN 'noindex,follow'
+            ELSE 'index' END AS meta_robots,
+       doc_id % 3 = 0 AS noindex,
+       lang AS page_lang
+FROM documents ORDER BY doc_id
+"""
+
+
+def _feed_discovery(spark, sf):
+    """Feed-based discovery (the freshness channel next to sitemaps):
+    even docs publish RSS 2.0 (``<item><link>text</link>``), odd docs
+    Atom (``<entry><link href="..."/>``); one zero-shuffle block
+    split + anchored regexp per convention, unioned. Closed-form per
+    doc, so DuckDB predicts every (host, url, title) row."""
+    from lexoid_spark.operators.robots import parse_feed
+
+    docs = _t(spark, sf, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/post/"),
+                   F.col("doc_id").cast("string"))
+    title = F.concat(F.lit("Post "), F.col("doc_id").cast("string"))
+    rss = F.concat(
+        F.lit("<rss><channel><item><title>"), title,
+        F.lit("</title><link>"), url,
+        F.lit("</link></item></channel></rss>"))
+    atom = F.concat(
+        F.lit('<feed><entry><title>'), title,
+        F.lit('</title><link rel="alternate" href="'), url,
+        F.lit('"/></entry></feed>'))
+    feeds = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom)
+        .alias("feed_xml"),
+    )
+    return parse_feed(feeds).orderBy("url")
+
+
+_FEED_DISCOVERY_SQL = """
+SELECT source || '.example.com' AS host,
+       'https://' || source || '.example.com/post/'
+       || CAST(doc_id AS VARCHAR) AS url,
+       'Post ' || CAST(doc_id AS VARCHAR) AS title
+FROM documents ORDER BY url
+"""
+
+
+def _sitemap_index_parse(spark, sf):
+    """``<sitemapindex>`` (the outer discovery level): per doc an
+    index naming two child sitemaps, lastmod only on the first —
+    parsed by the same zero-shuffle block splitter. Closed-form."""
+    from lexoid_spark.operators.robots import parse_sitemap_index
+
+    docs = _t(spark, sf, "documents")
+    child = F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".example.com/sitemap-"),
+                     F.col("doc_id").cast("string"))
+    xml = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>"), child,
+        F.lit("-a.xml.gz</loc><lastmod>2024-02-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("</lastmod></sitemap><sitemap><loc>"), child,
+        F.lit("-b.xml.gz</loc></sitemap></sitemapindex>"),
+    )
+    idx = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        xml.alias("index_xml"),
+    )
+    return parse_sitemap_index(idx).orderBy("sitemap_url")
+
+
+_SITEMAP_INDEX_SQL = """
+SELECT host, sitemap_url, lastmod FROM (
+  SELECT source || '.example.com' AS host,
+         'https://' || source || '.example.com/sitemap-'
+         || CAST(doc_id AS VARCHAR) || '-a.xml.gz' AS sitemap_url,
+         '2024-02-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS lastmod
+  FROM documents
+  UNION ALL
+  SELECT source || '.example.com',
+         'https://' || source || '.example.com/sitemap-'
+         || CAST(doc_id AS VARCHAR) || '-b.xml.gz',
+         NULL
+  FROM documents
+) ORDER BY sitemap_url
+"""
+
+
 def _sitemap_gz_parse(spark, sf):
     """Sitemap ingestion AS STORED: per-host ``sitemap.xml.gz``
     members (the layout the sitemaps protocol prescribes for large
@@ -7354,6 +7487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_check": _robots_check,
         "sitemap_frontier": _sitemap_frontier,
         "sitemap_gz_parse": _sitemap_gz_parse,
+        "html_head_meta": _html_head_meta,
+        "feed_discovery": _feed_discovery,
+        "sitemap_index_parse": _sitemap_index_parse,
         "crawl_schedule": _crawl_schedule,
         "corpus_diff": _corpus_diff,
         "langid_confusion": _langid_confusion,
@@ -7521,6 +7657,9 @@ def oracle_sql() -> dict[str, str]:
         "robots_check": _ROBOTS_CHECK_SQL,
         "sitemap_frontier": _SITEMAP_FRONTIER_SQL,
         "sitemap_gz_parse": _SITEMAP_GZ_PARSE_SQL,
+        "html_head_meta": _HTML_HEAD_META_SQL,
+        "feed_discovery": _FEED_DISCOVERY_SQL,
+        "sitemap_index_parse": _SITEMAP_INDEX_SQL,
         "crawl_schedule": _CRAWL_SCHEDULE_SQL,
         "corpus_diff": _CORPUS_DIFF_SQL,
         "langid_confusion": _LANGID_CONFUSION_SQL,

@@ -146,6 +146,7 @@ def main() -> None:
         "html_charset_1252", "phrase_merges_sampled", "video_mjpeg_ocr",
         "avi_mjpeg_ocr", "webp_meta", "sitemap_gz_parse",
         "wet_roundtrip", "epub_extract", "rtf_extract",
+        "html_head_meta", "feed_discovery", "sitemap_index_parse",
     ]
 
     def run_extract():

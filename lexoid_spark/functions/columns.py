@@ -120,3 +120,40 @@ def anchor_text_index(df, id_col: str, md_col: str,
             ).alias("anchors"),
         )
     )
+
+
+def html_head_meta(col) -> Column:
+    """Head metadata a crawl pipeline reads before anything else —
+    canonical URL (the dedup key the site itself declares), OpenGraph
+    title, robots meta (noindex → exclude from the corpus), and the
+    declared language — as one struct, all anchored regexp_extract
+    (JVM-side, zero shuffle, Java/RE2-portable so a SQL oracle
+    mirrors each field). Attribute-order tolerant for canonical
+    (rel-then-href and href-then-rel both match); absent fields are
+    NULL. No reference counterpart (Lexoid parses body content only);
+    this is crawl-curation surface."""
+    c = F.col(col) if isinstance(col, str) else col
+    canon = F.coalesce(
+        F.nullif(F.regexp_extract(
+            c, "<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]+)\"", 1),
+            F.lit("")),
+        F.nullif(F.regexp_extract(
+            c, "<link[^>]*href=\"([^\"]+)\"[^>]*rel=\"canonical\"", 1),
+            F.lit("")),
+    )
+    og_title = F.nullif(F.regexp_extract(
+        c, "<meta[^>]*property=\"og:title\"[^>]*content=\"([^\"]*)\"", 1),
+        F.lit(""))
+    robots = F.lower(F.nullif(F.regexp_extract(
+        c, "<meta[^>]*name=\"robots\"[^>]*content=\"([^\"]*)\"", 1),
+        F.lit("")))
+    lang = F.nullif(F.regexp_extract(
+        c, "<html[^>]*lang=\"([^\"]*)\"", 1), F.lit(""))
+    return F.struct(
+        canon.alias("canonical"),
+        og_title.alias("og_title"),
+        robots.alias("meta_robots"),
+        F.coalesce(robots.contains("noindex"), F.lit(False))
+        .alias("noindex"),
+        lang.alias("lang"),
+    )

@@ -356,3 +356,72 @@ def crawl_schedule(urls: DataFrame, robots: DataFrame,
             .alias("offset_s"),
         )
     )
+
+
+def parse_sitemap_index(indexes: DataFrame, host_col: str = "host",
+                        xml_col: str = "index_xml") -> DataFrame:
+    """``<sitemapindex>`` → one row per child ``<sitemap>``: ``(host,
+    sitemap_url, lastmod)`` — the discovery loop's outer level
+    (:func:`parse_sitemap` handles the leaves). Same zero-shuffle
+    split-on-block-closer + anchored-regexp shape, Java/RE2-portable
+    so a SQL oracle mirrors the parse exactly."""
+    blocks = indexes.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(xml_col), "</sitemap>")).alias("block"),
+    )
+    loc = F.regexp_extract("block", r"<loc>\s*([^<]+?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(
+        "block", r"<lastmod>\s*([^<]+?)\s*</lastmod>", 1
+    )
+    return (
+        blocks.select(
+            "host",
+            F.regexp_replace(loc, "&amp;", "&").alias("sitemap_url"),
+            F.nullif(lastmod, F.lit("")).alias("lastmod"),
+        )
+        .filter(F.length("sitemap_url") > 0)
+    )
+
+
+def parse_feed(feeds: DataFrame, host_col: str = "host",
+               xml_col: str = "feed_xml") -> DataFrame:
+    """RSS 2.0 / Atom feed → one row per entry: ``(host, url, title)``
+    — the third discovery channel next to sitemaps and in-page links
+    (real crawlers poll feeds for freshness). RSS ``<item>`` blocks
+    yield ``<link>text</link>``; Atom ``<entry>`` blocks yield
+    ``<link ... href="..."/>``. Both run as one split + anchored
+    regexp per convention — zero shuffle, Java/RE2-portable."""
+    # every field anchors to the entry opener: blocks split on the
+    # closer, so the FIRST block still carries the channel/feed
+    # preamble (channel <title>, channel <link>, the feed self-link)
+    # which must never win the extract
+    rss = feeds.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(xml_col), "</item>")).alias("block"),
+    ).select(
+        "host",
+        F.regexp_extract(
+            "block", r"(?s)<item[ >].*?<link>\s*([^<]+?)\s*</link>", 1)
+        .alias("url"),
+        F.regexp_extract(
+            "block", r"(?s)<item[ >].*?<title>\s*([^<]*?)\s*</title>", 1)
+        .alias("title"),
+    )
+    atom = feeds.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(xml_col), "</entry>")).alias("block"),
+    ).select(
+        "host",
+        F.regexp_extract(
+            "block", r"(?s)<entry[ >].*?<link[^>]*href=\"([^\"]+)\"", 1)
+        .alias("url"),
+        F.regexp_extract(
+            "block", r"(?s)<entry[ >].*?<title>\s*([^<]*?)\s*</title>", 1)
+        .alias("title"),
+    )
+    out = rss.unionByName(atom).filter(F.length("url") > 0)
+    return out.select(
+        "host",
+        F.regexp_replace("url", "&amp;", "&").alias("url"),
+        F.nullif("title", F.lit("")).alias("title"),
+    )

@@ -324,3 +324,65 @@ class TestParseSitemapBytes:
         assert sorted(by_host["h-gz"]) == want
         assert sorted(by_host["h-plain"]) == want
         assert "h-bad" not in by_host
+
+
+class TestDiscoveryParsers:
+    def test_parse_feed_rss_and_atom(self, spark):
+        from lexoid_spark.operators.robots import parse_feed
+
+        # channel title + channel link must NEVER win the per-item
+        # extracts (blocks split on the closer, so the first block
+        # carries the preamble)
+        rss = ("<rss><channel><title>Chan</title>"
+               "<link>https://h/</link>"
+               "<item><title>A</title><link>https://h/a</link></item>"
+               "<item><link>https://h/b</link></item>"
+               "</channel></rss>")
+        atom = ('<feed><title>F</title>'
+                '<link rel="self" href="https://h/feed.xml"/>'
+                '<entry><title>C</title>'
+                '<link rel="alternate" href="https://h/c"/></entry>'
+                "</feed>")
+        df = spark.createDataFrame(
+            [("h1", rss), ("h2", atom)], "host string, feed_xml string")
+        got = {(r["host"], r["url"]): r["title"]
+               for r in parse_feed(df).collect()}
+        assert got == {("h1", "https://h/a"): "A",
+                       ("h1", "https://h/b"): None,
+                       ("h2", "https://h/c"): "C"}
+
+    def test_parse_sitemap_index(self, spark):
+        from lexoid_spark.operators.robots import parse_sitemap_index
+
+        xml = ("<sitemapindex><sitemap>"
+               "<loc>https://h/s1.xml.gz</loc>"
+               "<lastmod>2024-01-02</lastmod></sitemap>"
+               "<sitemap><loc>https://h/s2.xml.gz?a=1&amp;b=2</loc>"
+               "</sitemap></sitemapindex>")
+        df = spark.createDataFrame(
+            [("h", xml)], "host string, index_xml string")
+        got = sorted((r["sitemap_url"], r["lastmod"])
+                     for r in parse_sitemap_index(df).collect())
+        assert got == [("https://h/s1.xml.gz", "2024-01-02"),
+                       ("https://h/s2.xml.gz?a=1&b=2", None)]
+
+    def test_html_head_meta_fields_and_absence(self, spark):
+        from lexoid_spark.functions.columns import html_head_meta
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, '<html lang="fr"><head>'
+                '<link href="https://h/c1" rel="canonical">'
+                '<meta name="robots" content="NOINDEX, nofollow">'
+                "</head><body/></html>"),
+            (2, "<html><head><p>no meta at all</p></head></html>"),
+        ]
+        df = spark.createDataFrame(rows, "id long, html string")
+        m = html_head_meta(F.col("html"))
+        got = {r["id"]: r for r in df.select(
+            "id", m["canonical"].alias("c"), m["noindex"].alias("n"),
+            m["lang"].alias("l"), m["og_title"].alias("t")).collect()}
+        assert got[1]["c"] == "https://h/c1"
+        assert got[1]["n"] is True and got[1]["l"] == "fr"
+        assert got[2]["c"] is None and got[2]["n"] is False
+        assert got[2]["t"] is None
