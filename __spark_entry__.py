@@ -2358,6 +2358,56 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _mp3_meta(spark, sf):
+    """audio_meta over MP3 frame streams (kernels/mp3_meta.py): the
+    sample count comes from WALKING every Layer III frame header
+    (bitrate/sample-rate index tables, padding arithmetic, ID3v2
+    syncsafe prefix and ID3v1 trailer skipped) — rotating the
+    sample-rate and bitrate indices on doc fields so each table row
+    is exercised. n_samples = 1152 × frames (MPEG-1), closed-form, so
+    DuckDB predicts every value including the exact-integer half-up
+    duration. Metadata fixture class (decode arms quarantine typed)."""
+    from lexoid_spark.functions.multimodal import audio_meta
+
+    @F.pandas_udf("binary")
+    def mp3_bytes(doc_ids: pd.Series, n_chars: pd.Series) -> pd.Series:
+        from lexoid_spark.kernels.mp3_meta import make_test_mp3
+
+        rates = (44100, 48000, 32000)
+        kbps = (96, 128, 160, 192)
+        out = []
+        for d, nc in zip(doc_ids, n_chars):
+            d, nc = int(d), int(nc)
+            out.append(make_test_mp3(
+                nc % 20 + 3, kbps=kbps[d % 4], rate=rates[d % 3],
+                id3=bool(d % 2)))
+        return pd.Series(out)
+
+    docs = _t(spark, sf, "documents")
+    auds = docs.select(
+        "doc_id", mp3_bytes("doc_id", "n_chars").alias("payload"))
+    return (
+        audio_meta(auds, id_col="doc_id")
+        .select(F.col("id").alias("doc_id"), "sample_rate", "n_samples",
+                "duration_sec")
+        .orderBy("doc_id")
+    )
+
+
+_MP3_META_SQL = """
+SELECT doc_id,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+            ELSE 32000 END AS INT) AS sample_rate,
+       CAST(1152 * (n_chars % 20 + 3) AS BIGINT) AS n_samples,
+       ((2 * CAST(1152 * (n_chars % 20 + 3) AS BIGINT) * 1000000
+         + CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+           ELSE 32000 END)
+        // (2 * CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+             ELSE 32000 END)) / 1000000.0 AS duration_sec
+FROM documents ORDER BY doc_id
+"""
+
+
 def _audio_chunks(spark, sf):
     """Fixed-duration audio chunking (ASR batching primitive): one row
     per chunk via the UDTF-shaped mapInPandas kernel."""
@@ -7403,6 +7453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": _image_meta,
         "png_meta": _png_meta,
         "webp_meta": _webp_meta,
+        "mp3_meta": _mp3_meta,
         "png_resize": _png_resize,
         "png_dialects": _png_dialects,
         "jpeg_resize": _jpeg_resize,
@@ -7573,6 +7624,7 @@ def oracle_sql() -> dict[str, str]:
         "image_meta": _IMAGE_META_SQL,
         "png_meta": _PNG_META_SQL,
         "webp_meta": _WEBP_META_SQL,
+        "mp3_meta": _MP3_META_SQL,
         "png_resize": _PNG_RESIZE_SQL,
         "png_dialects": _PNG_DIALECTS_SQL,
         "jpeg_resize": _JPEG_RESIZE_SQL,

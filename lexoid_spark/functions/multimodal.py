@@ -72,6 +72,11 @@ def decode_audio_header(b: bytes) -> tuple[int, int] | None:
         from lexoid_spark.kernels.flac import flac_header
         hdr = flac_header(b)
         return (hdr[0], hdr[3]) if hdr else None
+    from lexoid_spark.kernels.mp3_meta import looks_like_mp3, mp3_header
+    if looks_like_mp3(b):
+        # real MP3: per-frame header walk (kernels/mp3_meta.py)
+        hdr = mp3_header(b)
+        return (hdr[0], hdr[2]) if hdr else None
     if b[:4] != AUD_MAGIC:
         return None
     return struct.unpack(">II", b[4:12])
