@@ -44,6 +44,11 @@ def main() -> None:
                     help="after processing, compact small files in "
                          "extracted/ (plans/compact.py)")
     ap.add_argument("--compact-target-mb", type=int, default=128)
+    ap.add_argument("--emit-wet", action="store_true",
+                    help="also serialize the extracted text to "
+                         "WET-style WARC conversion blobs under wet/ "
+                         "(the Common-Crawl output format)")
+    ap.add_argument("--wet-shards", type=int, default=16)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -94,6 +99,24 @@ def main() -> None:
                 "files_before": c.files_before,
                 "files_after": c.files_after,
             }
+    if args.emit_wet:
+        import os
+
+        from pyspark.sql import functions as F
+
+        from lexoid_spark.plans.job import read_extracted
+        from lexoid_spark.sources.warc import write_wet_blobs
+
+        ext = read_extracted(spark, args.output).select(
+            "url",
+            F.date_format(F.current_date(), "yyyy-MM-dd'T'00:00:00'Z'")
+            .alias("warc_date"),
+            F.coalesce("raw", F.lit("")).alias("text"),
+        )
+        wet = write_wet_blobs(ext, n_shards=args.wet_shards)
+        wet_dir = os.path.join(args.output, "wet")
+        wet.write.mode("overwrite").parquet(wet_dir)
+        out["wet_shards"] = spark.read.parquet(wet_dir).count()
     print(json.dumps(out))
     spark.stop()
 
