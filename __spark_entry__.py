@@ -2919,7 +2919,9 @@ def _epub_extract(spark, sf):
     def epub_md(payloads: pd.Series) -> pd.Series:
         return pd.Series([epub_to_md(p) for p in payloads])
 
-    docs = _t(spark, sf, "documents")
+    # _tp: zip+XML+HTML per doc is compute-bound — fan out past the
+    # ≤3 parquet splits before the heavy map
+    docs = _tp(spark, sf, "documents")
     return docs.select(
         "doc_id",
         epub_md(epub_bytes("doc_id", "text", "source")).alias("raw"),
