@@ -159,7 +159,11 @@ for _k in range(8):
 # --- Huffman machinery --------------------------------------------------------
 
 def _canonical_codes(bits, vals):
-    """(symbol, code, length) triples in canonical order (T.81 C.2)."""
+    """(symbol, code, length) triples in canonical order (T.81 C.2).
+    A DHT whose per-length counts exceed its value list is hostile
+    input → typed error, never an unguarded index."""
+    if sum(bits) > len(vals):
+        raise JpegError("DHT counts exceed its symbol list")
     out = []
     code = 0
     k = 0
@@ -803,6 +807,8 @@ def jpeg_decode(b: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
+            if len(seg) < 1 or len(seg) < 4 + seg[0] * 2:
+                raise JpegError("truncated SOS header")
             ns = seg[0]
             scan_comps = []
             for ci in range(ns):

@@ -153,3 +153,64 @@ def test_pii_redact_idempotent(text):
 
     once = scrub(text)
     assert scrub(once) == once
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=1024))
+def test_rtf_total_and_deterministic(payload):
+    """rtf_to_text is total over arbitrary bytes (with and without the
+    magic prefix), deterministic, and never leaks a lone surrogate."""
+    from lexoid_spark.kernels.rtf import rtf_to_text
+
+    for b in (payload, b"{\\rtf1" + payload):
+        a = rtf_to_text(b)
+        assert a == rtf_to_text(b)
+        a.encode("utf-8")  # must never raise
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=256))
+def test_webp_header_total(payload):
+    """webp_header returns None or a sane (w, h, c) triple — never an
+    exception — for arbitrary RIFF/WEBP-framed bytes."""
+    from lexoid_spark.kernels.webp_meta import webp_header
+
+    framed = b"RIFF" + len(payload).to_bytes(4, "little") + b"WEBP" + payload
+    for b in (payload, framed):
+        out = webp_header(b)
+        assert out is None or (
+            len(out) == 3 and all(isinstance(x, int) for x in out))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=2048))
+def test_mp3_header_total(payload):
+    """mp3_header is total over arbitrary bytes: None or a consistent
+    (rate, frames, samples) triple with samples a multiple of the
+    per-frame count."""
+    from lexoid_spark.kernels.mp3_meta import mp3_header
+
+    out = mp3_header(payload)
+    if out is not None:
+        rate, n, samples = out
+        assert n >= 1 and samples % n == 0 and rate > 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 4095), st.integers(0, 255))
+def test_avi_mutation_always_typed(pos, val):
+    """Byte mutations of a valid MJPEG AVI either decode or raise the
+    typed errors — never an unhandled crash."""
+    import numpy as np
+
+    from lexoid_spark.kernels.avi import AviError, make_test_avi_mjpeg, \
+        avi_mjpeg_frames
+    from lexoid_spark.kernels.jpeg_codec import JpegError
+
+    base = bytearray(make_test_avi_mjpeg(
+        np.full((1, 16, 16), 99, np.uint8)))
+    base[pos % len(base)] = val
+    try:
+        avi_mjpeg_frames(bytes(base))
+    except (AviError, JpegError):
+        pass
