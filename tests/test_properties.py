@@ -214,3 +214,75 @@ def test_avi_mutation_always_typed(pos, val):
         avi_mjpeg_frames(bytes(base))
     except (AviError, JpegError):
         pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 1 << 16), st.integers(0, 255))
+def test_mp4_mutation_always_typed(pos, val):
+    """Byte mutations of MJPEG and avc1 MP4s either decode or raise
+    the typed errors the video arm skips on."""
+    import numpy as np
+
+    from lexoid_spark.kernels.h264 import H264Error
+    from lexoid_spark.kernels.jpeg_codec import JpegError
+    from lexoid_spark.kernels.mp4_avc import (
+        Mp4Error, make_test_mp4_h264, make_test_mp4_mjpeg,
+        mp4_video_frames)
+
+    frames = np.full((1, 16, 16), 80, np.uint8)
+    for mk in (make_test_mp4_mjpeg, make_test_mp4_h264):
+        b = bytearray(mk(frames))
+        b[pos % len(b)] = val
+        try:
+            mp4_video_frames(bytes(b))
+        except (Mp4Error, JpegError, H264Error):
+            pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 1 << 14), st.integers(0, 255))
+def test_epub_mutation_always_typed(pos, val):
+    """Byte mutations of an EPUB either convert or raise the exception
+    classes the zip dispatch arm quarantines (ValueError family,
+    zipfile/XML errors) — never a hang or wrong type."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from lexoid_spark.corpus.gen import make_test_epub
+    from lexoid_spark.kernels.office_md import epub_to_md
+
+    b = bytearray(make_test_epub([("T", "body text")]))
+    b[pos % len(b)] = val
+    try:
+        out = epub_to_md(bytes(b))
+        assert isinstance(out, str)
+    except (ValueError, KeyError, zipfile.BadZipFile, ET.ParseError,
+            NotImplementedError, OSError, EOFError):
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 1 << 14), st.integers(0, 255))
+def test_tiff_flac_mutation_always_typed(pos, val):
+    """Byte mutations of TIFF scans and FLAC streams stay inside the
+    kernels' typed error contracts."""
+    import numpy as np
+
+    from lexoid_spark.kernels.flac import FlacError, flac_decode, \
+        make_test_flac
+    from lexoid_spark.kernels.tiff_codec import TiffError, tiff_decode, \
+        tiff_encode_gray
+
+    t = bytearray(tiff_encode_gray(
+        np.full((16, 16), 130, np.uint8), compression="lzw"))
+    t[pos % len(t)] = val
+    try:
+        tiff_decode(bytes(t))
+    except TiffError:
+        pass
+    f = bytearray(make_test_flac(0, n_samples=256))
+    f[pos % len(f)] = val
+    try:
+        flac_decode(bytes(f))
+    except FlacError:
+        pass
