@@ -6792,6 +6792,44 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _html_jsonld(spark, sf):
+    """schema.org JSON-LD mining: the ld+json script block extracts
+    with one anchored regexp (zero shuffle), then field access runs
+    through the native JSON path evaluator (F.get_json_object — no
+    Python). Every value is closed-form in the doc row, so DuckDB
+    predicts headline/type/wordCount without JSON functions at all."""
+    from lexoid_spark.functions.columns import html_jsonld
+
+    docs = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'
+              '{"@type": "Article", "headline": "Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('", "wordCount": '), F.col("n_chars").cast("string"),
+        F.lit(', "inLanguage": "'), F.col("lang"),
+        F.lit('"}</script></head><body><p>x</p></body></html>'),
+    )
+    block = html_jsonld(html)
+    return docs.select(
+        "doc_id",
+        F.get_json_object(block, "$.headline").alias("headline"),
+        F.get_json_object(block, "$['@type']").alias("ld_type"),
+        F.get_json_object(block, "$.wordCount").cast("long")
+        .alias("word_count"),
+        F.get_json_object(block, "$.inLanguage").alias("in_language"),
+    ).orderBy("doc_id")
+
+
+_HTML_JSONLD_SQL = """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS headline,
+       'Article' AS ld_type,
+       CAST(n_chars AS BIGINT) AS word_count,
+       lang AS in_language
+FROM documents ORDER BY doc_id
+"""
+
+
 def _feed_discovery(spark, sf):
     """Feed-based discovery (the freshness channel next to sitemaps):
     even docs publish RSS 2.0 (``<item><link>text</link>``), odd docs
@@ -7542,6 +7580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_gz_parse": _sitemap_gz_parse,
         "html_head_meta": _html_head_meta,
         "feed_discovery": _feed_discovery,
+        "html_jsonld": _html_jsonld,
         "sitemap_index_parse": _sitemap_index_parse,
         "crawl_schedule": _crawl_schedule,
         "corpus_diff": _corpus_diff,
@@ -7713,6 +7752,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_gz_parse": _SITEMAP_GZ_PARSE_SQL,
         "html_head_meta": _HTML_HEAD_META_SQL,
         "feed_discovery": _FEED_DISCOVERY_SQL,
+        "html_jsonld": _HTML_JSONLD_SQL,
         "sitemap_index_parse": _SITEMAP_INDEX_SQL,
         "crawl_schedule": _CRAWL_SCHEDULE_SQL,
         "corpus_diff": _CORPUS_DIFF_SQL,

@@ -147,7 +147,7 @@ def main() -> None:
         "avi_mjpeg_ocr", "webp_meta", "sitemap_gz_parse",
         "wet_roundtrip", "epub_extract", "rtf_extract",
         "html_head_meta", "feed_discovery", "sitemap_index_parse",
-        "mp3_meta",
+        "mp3_meta", "html_jsonld",
     ]
 
     def run_extract():

@@ -157,3 +157,22 @@ def html_head_meta(col) -> Column:
         .alias("noindex"),
         lang.alias("lang"),
     )
+
+
+def html_jsonld(col) -> Column:
+    """The first ``<script type="application/ld+json">`` block — the
+    schema.org structured data real pipelines mine for article
+    metadata — as a raw JSON string column (NULL when absent).
+    Anchored non-greedy regexp_extract, JVM-side, zero shuffle;
+    downstream field access stays native via ``F.get_json_object``.
+    No reference counterpart; crawl-curation surface."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.nullif(
+        F.regexp_extract(
+            c,
+            "(?s)<script[^>]*type=\"application/ld\\+json\"[^>]*>"
+            "(.*?)</script>",
+            1,
+        ),
+        F.lit(""),
+    )

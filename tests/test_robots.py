@@ -386,3 +386,21 @@ class TestDiscoveryParsers:
         assert got[1]["n"] is True and got[1]["l"] == "fr"
         assert got[2]["c"] is None and got[2]["n"] is False
         assert got[2]["t"] is None
+
+    def test_html_jsonld_extract_and_absence(self, spark):
+        from pyspark.sql import functions as F
+
+        from lexoid_spark.functions.columns import html_jsonld
+
+        rows = [
+            (1, '<html><head><script type="application/ld+json">'
+                '{"@type":"Article","headline":"A — B"}'
+                "</script></head></html>"),
+            (2, "<html><head><script>var x = 1;</script></head></html>"),
+        ]
+        df = spark.createDataFrame(rows, "id long, html string")
+        got = {r["id"]: r["h"] for r in df.select(
+            "id", F.get_json_object(html_jsonld(F.col("html")),
+                                    "$.headline").alias("h")).collect()}
+        assert got[1] == "A — B"
+        assert got[2] is None
