@@ -38,6 +38,10 @@ def gif_header(b: bytes) -> tuple[int, int] | None:
 
 
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list:
+    if not 1 <= min_code_size <= 11:
+        # width caps at 12 bits by spec; a corrupt size of e.g. 255
+        # would otherwise allocate a 2^255-entry table (hang/OOM)
+        raise GifError(f"bad LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     end = clear + 1
     out: list[int] = []
@@ -135,11 +139,18 @@ def gif_decode(b: bytes) -> np.ndarray:
             raise GifError(f"unexpected block marker 0x{marker:02x}")
         _left, _top, w, h, ipacked = struct.unpack("<HHHHB", b[pos:pos + 9])
         pos += 9
+        if w * h > 1 << 26 or w == 0 or h == 0:
+            # hostile descriptor dims: the LZW fill loop is bounded by
+            # w*h, so a lying 65535x65535 header would otherwise grow
+            # the output toward 4.3e9 pixels (decompression bomb)
+            raise GifError("implausible image descriptor dims")
         palette = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
-            palette = np.frombuffer(
-                b[pos:pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+            lct = np.frombuffer(b[pos:pos + 3 * n], dtype=np.uint8)
+            if len(lct) < 3 * n:
+                raise GifError("truncated local color table")
+            palette = lct.reshape(-1, 3)
             pos += 3 * n
         if palette is None:
             raise GifError("no color table")

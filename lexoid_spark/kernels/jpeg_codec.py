@@ -771,13 +771,19 @@ def jpeg_decode(b: bytes) -> np.ndarray:
                 pq, tq = seg[off] >> 4, seg[off] & 15
                 off += 1
                 if pq == 0:
+                    if off + 64 > len(seg):
+                        raise JpegError("truncated DQT table")
                     tbl = np.frombuffer(
                         seg[off:off + 64], dtype=np.uint8).astype(np.int64)
                     off += 64
                 else:  # 16-bit entries
+                    if off + 128 > len(seg):
+                        raise JpegError("truncated DQT table")
                     tbl = np.frombuffer(
                         seg[off:off + 128], dtype=">u2").astype(np.int64)
                     off += 128
+                if tbl.size != 64:
+                    raise JpegError("truncated DQT table")
                 nat = np.zeros(64, dtype=np.int64)
                 nat[ZZ] = tbl  # DQT is stored in zigzag order
                 qt[tq] = nat
@@ -792,12 +798,18 @@ def jpeg_decode(b: bytes) -> np.ndarray:
                 tbl = _fast_table(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
+            if len(seg) < 6:
+                raise JpegError("truncated SOF header")
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise JpegError(f"unsupported sample precision {prec}")
+            if len(seg) < 6 + nc * 3:
+                raise JpegError("truncated SOF component list")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + ci * 3:9 + ci * 3]
+                if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 15) <= 4):
+                    raise JpegError("bad SOF sampling factors")
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
             progressive = marker == 0xC2
@@ -805,6 +817,8 @@ def jpeg_decode(b: bytes) -> np.ndarray:
                         0xCD, 0xCE, 0xCF):
             raise JpegError("non-baseline JPEG mode not supported")
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise JpegError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if len(seg) < 1 or len(seg) < 4 + seg[0] * 2:

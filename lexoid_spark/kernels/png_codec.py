@@ -148,9 +148,13 @@ def png_decode(b: bytes) -> np.ndarray:
     idat = bytearray()
     for kind, data in _chunks(b):
         if kind == b"IHDR":
+            if len(data) != 13:
+                raise PngError("bad IHDR length")
             width, height, depth, ctype, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data))
         elif kind == b"PLTE":
+            if len(data) % 3:
+                raise PngError("bad PLTE length")
             palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif kind == b"tRNS":
             trns = np.frombuffer(data, dtype=np.uint8)
