@@ -1334,6 +1334,8 @@ def parse_pdf(data: bytes) -> List[PdfPage]:
         if pobj is None:
             continue
         media = _numbers_in_brackets(pobj, b"/MediaBox") or [0, 0, 612, 792]
+        if len(media) < 4:
+            media = [0, 0, 612, 792]  # corrupt box → US-Letter default
         width = media[2] - media[0]
         height = media[3] - media[1]
         page = PdfPage(width, height)
