@@ -67,6 +67,33 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.persist()
 
 
+def _ck(df: DataFrame) -> DataFrame:
+    """Pin a COMPUTED result frame before the trailing global sort.
+
+    ``orderBy`` compiles to a range-partitioned exchange whose
+    boundaries come from a SAMPLING job over the child plan — so an
+    un-pinned child is executed TWICE per action (guide §2.4: check
+    the plan for exchanges you did not expect; §1.1: find where the
+    time actually goes). For the codec/crypt/extract queries the
+    child is the expensive part — a pure-Python kernel pass over
+    every fixture — and the sampling pass doubled it (measured:
+    flac_meta 2.99 s as-is vs 1.20 s without the sort vs 1.71 s
+    pinned; the sort itself orders ≤ a few thousand tiny rows).
+
+    ``localCheckpoint(eager=False)`` materializes the partitions on
+    the first job (the sampler) and serves the second from the
+    MEMORY_AND_DISK-cached RDD — one kernel execution, identical
+    rows, identical final order. Lazy, so explain/dry paths pay
+    nothing. The blocks are freed by the ContextCleaner when the
+    query's RDDs go out of scope (no cache-leak across bench
+    passes; results are recomputed from the parquet inputs on every
+    invocation). Trade-off vs ``persist()``: no columnar re-encode
+    (measured faster), at the cost of lineage truncation — a lost
+    executor cannot recompute the block, acceptable for a
+    result-sized frame feeding one terminal sort."""
+    return df.localCheckpoint(eager=False)
+
+
 # ---------------------------------------------------------------------------
 # flagship entry
 # ---------------------------------------------------------------------------
@@ -1020,7 +1047,7 @@ FROM documents ORDER BY doc_id
 def _doc_quality(spark, sf):
     from lexoid_spark.functions.textstats import quality_score
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return docs.select(
         "doc_id", quality_score(F.col("text")).alias("quality")
     ).orderBy("doc_id")
@@ -1045,7 +1072,7 @@ FROM documents ORDER BY doc_id
 def _doc_langid(spark, sf):
     from lexoid_spark.functions.textstats import langid_table
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return (
         langid_table(docs, "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
@@ -1079,7 +1106,7 @@ FROM c ORDER BY doc_id
 def _doc_fingerprint(spark, sf):
     from lexoid_spark.functions.textstats import fingerprint
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy(
         "doc_id"
     )
@@ -1171,7 +1198,7 @@ _SHINGLES_SQL = (
 def _ngram_jaccard_adjacent(spark, sf):
     from lexoid_spark.functions.dedup import shingles
 
-    docs = _t(spark, sf, "documents").select(
+    docs = _tp(spark, sf, "documents").select(
         "doc_id", shingles(F.col("text"), 3).alias("sh")
     )
     a = docs.alias("a")
@@ -1237,7 +1264,7 @@ FROM s ORDER BY doc_id
 def _minhash_band_pairs(spark, sf):
     from lexoid_spark.functions.dedup import lsh_candidate_pairs
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return lsh_candidate_pairs(
         docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3
     ).orderBy("id_a", "id_b")
@@ -1280,7 +1307,7 @@ def _quality_classifier(spark, sf):
     the scan."""
     from lexoid_spark.functions.curation import linear_quality_classifier
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return linear_quality_classifier(
         docs, "doc_id", "text").orderBy("doc_id")
 
@@ -1503,7 +1530,7 @@ def _simhash_pairs(spark, sf):
     oracle-checkable."""
     from lexoid_spark.functions.dedup import simhash_near_pairs_portable
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return simhash_near_pairs_portable(
         docs, "doc_id", "text", max_hamming=3
     ).orderBy("id_a", "id_b")
@@ -1874,7 +1901,7 @@ ORDER BY id_a, id_b
 def _mm_images(spark, sf):
     from lexoid_spark.functions.multimodal import fake_image_udf
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     w = (F.col("n_chars") % 1900 + 100).cast("int")
     h = ((F.col("n_chars") * 7) % 1200 + 50).cast("int")
     c = (F.col("doc_id") % 3 + 1).cast("int")
@@ -1891,7 +1918,7 @@ def _image_meta(spark, sf):
         image_meta(imgs, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "width", "height",
                 "channels", "error")
-        .orderBy("doc_id")
+        .transform(_ck).orderBy("doc_id")
     )
 
 
@@ -1963,7 +1990,7 @@ def _png_meta(spark, sf):
         image_meta(imgs, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "width", "height",
                 "channels", "error")
-        .orderBy("doc_id")
+        .transform(_ck).orderBy("doc_id")
     )
 
 
@@ -2001,14 +2028,14 @@ def _webp_meta(spark, sf):
                 flavor=flavors[d % 3], alpha=bool(d % 2)))
         return pd.Series(out)
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     imgs = docs.select(
         "doc_id", webp_bytes("doc_id", "n_chars").alias("payload"))
     return (
         image_meta(imgs, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "width", "height",
                 "channels", "error")
-        .orderBy("doc_id")
+        .transform(_ck).orderBy("doc_id")
     )
 
 
@@ -2117,7 +2144,7 @@ def _resize_roundtrip(resized):
                 "doc_id", "new_width", "new_height", "resized",
                 "dec_width", "dec_height"])
 
-    return resized.mapInPandas(kernel, schema).orderBy("doc_id")
+    return resized.mapInPandas(kernel, schema).transform(_ck).orderBy("doc_id")
 
 
 def _png_resize(spark, sf):
@@ -2196,7 +2223,7 @@ def _png_dialects(spark, sf):
             ((F.col("n_chars") * 7) % 90 + 8).cast("int"),
             (F.col("doc_id") % 256).cast("int"), v,
         ).alias("roundtrip_ok"),
-    ).orderBy("doc_id")
+    ).transform(_ck).orderBy("doc_id")
 
 
 _PNG_DIALECTS_SQL = """
@@ -2315,7 +2342,7 @@ def _jpeg_progressive(spark, sf):
             ((F.col("n_chars") * 5) % 36 + 8).cast("int"),
             (F.col("doc_id") % 64).cast("int"),
         ).alias("pixels_match"),
-    ).orderBy("doc_id")
+    ).transform(_ck).orderBy("doc_id")
 
 
 _JPEG_PROGRESSIVE_SQL = """
@@ -2383,14 +2410,14 @@ def _mp3_meta(spark, sf):
                 id3=bool(d % 2)))
         return pd.Series(out)
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     auds = docs.select(
         "doc_id", mp3_bytes("doc_id", "n_chars").alias("payload"))
     return (
         audio_meta(auds, id_col="doc_id")
         .select(F.col("id").alias("doc_id"), "sample_rate", "n_samples",
                 "duration_sec")
-        .orderBy("doc_id")
+        .transform(_ck).orderBy("doc_id")
     )
 
 
@@ -2413,7 +2440,7 @@ def _audio_chunks(spark, sf):
     per chunk via the UDTF-shaped mapInPandas kernel."""
     from lexoid_spark.functions.multimodal import audio_chunks, fake_audio_udf
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     auds = docs.select(
         "doc_id",
         fake_audio_udf(
@@ -2424,7 +2451,7 @@ def _audio_chunks(spark, sf):
         audio_chunks(auds, chunk_sec=3.0, id_col="doc_id")
         .select(F.col("id").alias("doc_id"), "chunk_idx", "start_sample",
                 "n_samples")
-        .orderBy("doc_id", "chunk_idx")
+        .transform(_ck).orderBy("doc_id", "chunk_idx")
     )
 
 
@@ -2442,7 +2469,7 @@ FROM s ORDER BY doc_id, chunk_idx
 def _video_frames(spark, sf):
     from lexoid_spark.functions.multimodal import fake_video_udf, frame_sample
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     vids = docs.select(
         "doc_id",
         fake_video_udf(
@@ -2452,7 +2479,7 @@ def _video_frames(spark, sf):
     return (
         frame_sample(vids, every_n=7, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "frame_idx")
-        .orderBy("doc_id", "frame_idx")
+        .transform(_ck).orderBy("doc_id", "frame_idx")
     )
 
 
@@ -2509,7 +2536,7 @@ def _video_frame_ocr(spark, sf):
     return (
         frame_ocr(vids, every_n=2, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "frame_idx", "text")
-        .orderBy("doc_id", "frame_idx")
+        .transform(_ck).orderBy("doc_id", "frame_idx")
     )
 
 
@@ -2565,7 +2592,7 @@ def _video_mjpeg_ocr(spark, sf):
     return (
         frame_ocr(vids, every_n=2, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "frame_idx", "text")
-        .orderBy("doc_id", "frame_idx")
+        .transform(_ck).orderBy("doc_id", "frame_idx")
     )
 
 
@@ -2619,7 +2646,7 @@ def _avi_mjpeg_ocr(spark, sf):
     return (
         frame_ocr(vids, every_n=2, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "frame_idx", "text")
-        .orderBy("doc_id", "frame_idx")
+        .transform(_ck).orderBy("doc_id", "frame_idx")
     )
 
 
@@ -2668,7 +2695,7 @@ def _flac_meta(spark, sf):
         docs.select("doc_id", fl("doc_id").alias("m"))
         .select("doc_id", "m.sample_rate", "m.n_samples",
                 "m.sample_sum")
-        .orderBy("doc_id")
+        .transform(_ck).orderBy("doc_id")
     )
 
 
@@ -2758,14 +2785,14 @@ FROM documents ORDER BY doc_id, frame_idx
 def _extract_html_h1(spark, sf):
     from lexoid_spark.functions.udfs import html_to_md_udf
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     html = F.concat(
         F.lit("<html><body><h1>Doc "), F.col("doc_id").cast("string"),
         F.lit("</h1><p>"), F.col("text"), F.lit("</p></body></html>"),
     )
     return docs.select(
         "doc_id", html_to_md_udf(html).getField("raw").alias("raw")
-    ).orderBy("doc_id")
+    ).transform(_ck).orderBy("doc_id")
 
 
 _EXTRACT_HTML_SQL = """
@@ -2785,7 +2812,7 @@ def _extract_html_main(spark, sf):
     h1+paragraph markdown the oracle predicts."""
     from lexoid_spark.functions.udfs import html_main_to_md_udf
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     html = F.concat(
         F.lit(
             "<html><body>"
@@ -2804,7 +2831,7 @@ def _extract_html_main(spark, sf):
     )
     return docs.select(
         "doc_id", html_main_to_md_udf(html).getField("raw").alias("raw")
-    ).orderBy("doc_id")
+    ).transform(_ck).orderBy("doc_id")
 
 
 # identical closed form to _EXTRACT_HTML_SQL: every chrome element is
@@ -2830,7 +2857,7 @@ def _html_charset_1252(spark, sf):
     errors='ignore' path would silently DROP every non-UTF-8 byte."""
     from lexoid_spark.functions.udfs import html_to_md_udf
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     pre = ('<html><head><meta http-equiv="Content-Type" '
            'content="text/html; charset=iso-8859-1"></head>'
            "<body><h1>Doc ").encode("ascii")
@@ -2844,7 +2871,7 @@ def _html_charset_1252(spark, sf):
     )
     return docs.select(
         "doc_id", html_to_md_udf(payload).getField("raw").alias("raw")
-    ).orderBy("doc_id")
+    ).transform(_ck).orderBy("doc_id")
 
 
 _HTML_CHARSET_SQL = """
@@ -2866,7 +2893,7 @@ def _rtf_extract(spark, sf):
     recovered text. Reference has no RTF path — web corpora do."""
     from lexoid_spark.functions.udfs import txt_decode_udf
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     body = F.concat(
         F.lit("{\\rtf1\\ansi\\ansicpg1252"
               "{\\fonttbl{\\f0 Times;}}"
@@ -2880,7 +2907,7 @@ def _rtf_extract(spark, sf):
         "doc_id",
         txt_decode_udf(F.encode(body, "UTF-8"))
         .getField("raw").alias("raw"),
-    ).orderBy("doc_id")
+    ).transform(_ck).orderBy("doc_id")
 
 
 _RTF_EXTRACT_SQL = """
@@ -2925,7 +2952,7 @@ def _epub_extract(spark, sf):
     return docs.select(
         "doc_id",
         epub_md(epub_bytes("doc_id", "text", "source")).alias("raw"),
-    ).orderBy("doc_id")
+    ).transform(_ck).orderBy("doc_id")
 
 
 _EPUB_EXTRACT_SQL = """
@@ -3095,7 +3122,7 @@ ORDER BY depth, parent_url, child_url
 def _parse_quality_metrics(spark, sf):
     from lexoid_spark.functions.metrics import token_set_metrics
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     parsed = F.substring("text", 1, 60)
     m = token_set_metrics(parsed, F.col("text"))
     return docs.select(
@@ -3409,7 +3436,7 @@ def _pdf_flate_extract(spark, sf):
         F.lit("en").alias("lang"),
     )
     out = extract(_materialize(pages), run_id="flate_check")["extracted"]
-    return out.select("url", "raw", "n_chars").orderBy("url")
+    return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
 
 
 _PDF_FLATE_SQL = """
@@ -3465,7 +3492,7 @@ def _pdf_rc4_extract(spark, sf):
         F.lit("en").alias("lang"),
     )
     out = extract(_materialize(pages), run_id="rc4_check")["extracted"]
-    return out.select("url", "raw", "n_chars").orderBy("url")
+    return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
 
 
 _PDF_RC4_SQL = """
@@ -3523,7 +3550,7 @@ def _pdf_aes_extract(spark, sf):
         F.lit("en").alias("lang"),
     )
     out = extract(_materialize(pages), run_id="aes_check")["extracted"]
-    return out.select("url", "raw", "n_chars").orderBy("url")
+    return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
 
 
 _PDF_AES_SQL = """
@@ -3582,7 +3609,7 @@ def _pdf_aes256_extract(spark, sf):
         F.lit("en").alias("lang"),
     )
     out = extract(_materialize(pages), run_id="aes256_check")["extracted"]
-    return out.select("url", "raw", "n_chars").orderBy("url")
+    return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
 
 
 _PDF_AES256_SQL = """
@@ -3736,7 +3763,7 @@ def _pdf_filters_extract(spark, sf):
         F.lit("en").alias("lang"),
     )
     out = extract(_materialize(pages), run_id="filters_check")["extracted"]
-    return out.select("url", "raw", "n_chars").orderBy("url")
+    return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
 
 
 _PDF_FILTERS_SQL = """
@@ -3802,7 +3829,7 @@ def _cid_shape_extract(spark, sf, host: str, marker: str,
         F.lit("en").alias("lang"),
     )
     out = extract(_materialize(pages), run_id=f"{host}_check")["extracted"]
-    return out.select("url", "raw", "n_chars").orderBy("url")
+    return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
 
 
 def _pdf_cid_extract(spark, sf):
@@ -3954,7 +3981,7 @@ def _ocr_scanned(spark, sf):
         F.lit("en").alias("lang"),
     )
     out = extract(_materialize(pages), run_id="ocr_check")["extracted"]
-    return out.select("url", "raw", "parser_used").orderBy("url")
+    return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
 
 
 _OCR_SCANNED_SQL = """
@@ -4013,7 +4040,7 @@ def _ocr_glyph_scan(spark, sf):
         F.lit("en").alias("lang"),
     )
     out = extract(_materialize(pages), run_id="ocr_glyph")["extracted"]
-    return out.select("url", "raw", "parser_used").orderBy("url")
+    return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
 
 
 _OCR_GLYPH_SCAN_SQL = """
@@ -4065,7 +4092,7 @@ def _ocr_mixed_case(spark, sf):
         F.lit("en").alias("lang"),
     )
     out = extract(_materialize(pages), run_id="ocr_mixed")["extracted"]
-    return out.select("url", "raw", "parser_used").orderBy("url")
+    return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
 
 
 _OCR_MIXED_CASE_SQL = """
@@ -4116,7 +4143,7 @@ def _pdf_g3_scan(spark, sf):
         F.lit("en").alias("lang"),
     )
     out = extract(_materialize(pages), run_id="g3_pdf")["extracted"]
-    return out.select("url", "raw", "parser_used").orderBy("url")
+    return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
 
 
 _PDF_G3_SCAN_SQL = """
@@ -4170,7 +4197,7 @@ def _pdf_jbig2_scan(spark, sf):
         F.lit("en").alias("lang"),
     )
     out = extract(_materialize(pages), run_id="jbig2_pdf")["extracted"]
-    return out.select("url", "raw", "parser_used").orderBy("url")
+    return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
 
 
 _PDF_JBIG2_SCAN_SQL = """
@@ -4221,7 +4248,7 @@ def _pdf_jpx_scan(spark, sf):
         F.lit("en").alias("lang"),
     )
     out = extract(_materialize(pages), run_id="jpx_pdf")["extracted"]
-    return out.select("url", "raw", "parser_used").orderBy("url")
+    return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
 
 
 _PDF_JPX_SCAN_SQL = """
@@ -4281,7 +4308,7 @@ def _tiff_ocr_scan(spark, sf):
         F.lit("en").alias("lang"),
     )
     out = extract(_materialize(pages), run_id="tiff_ocr")["extracted"]
-    return out.select("url", "raw", "parser_used").orderBy("url")
+    return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
 
 
 _TIFF_OCR_SCAN_SQL = """
@@ -4343,7 +4370,7 @@ def _pdf_inline_image(spark, sf):
         F.lit("en").alias("lang"),
     )
     out = extract(_materialize(pages), run_id="inline_pdf")["extracted"]
-    return out.select("url", "raw", "parser_used").orderBy("url")
+    return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
 
 
 _PDF_INLINE_IMAGE_SQL = """
@@ -4397,7 +4424,7 @@ def _pdf_type3_extract(spark, sf):
         F.lit("en").alias("lang"),
     )
     out = extract(_materialize(pages), run_id="type3_check")["extracted"]
-    return out.select("url", "raw", "n_chars").orderBy("url")
+    return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
 
 
 _PDF_TYPE3_SQL = """
@@ -4526,7 +4553,7 @@ def _pdf_ocr_extract(spark, sf):
         F.lit("en").alias("lang"),
     )
     out = extract(_materialize(pages), run_id="pdf_ocr")["extracted"]
-    return out.select("url", "raw", "parser_used").orderBy("url")
+    return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
 
 
 _PDF_OCR_EXTRACT_SQL = """
@@ -4575,7 +4602,7 @@ def _pdf_speed_arm(spark, sf):
     )
     out = extract(_materialize(pages), run_id="speed_check",
                   pdf_framework="pdfminer")["extracted"]
-    return out.select("url", "raw", "n_chars").orderBy("url")
+    return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
 
 
 _PDF_SPEED_SQL = """
@@ -4611,7 +4638,7 @@ def _pii_redact_docs(spark, sf):
     the 'g' flag."""
     from lexoid_spark.functions.curation import pii_redact
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     blob = docs.select(
         "doc_id",
         F.concat(
@@ -4664,7 +4691,7 @@ def _para_dedup(spark, sf):
     min(struct) — map-side combinable, no hot window partitions."""
     from lexoid_spark.functions.curation import paragraph_dedup
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     body = docs.select(
         "doc_id",
         F.concat(
@@ -4721,7 +4748,7 @@ def _doc_repetition(spark, sf):
     compares; only the 2-gram mode explodes."""
     from lexoid_spark.functions.curation import repetition_table
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     body = docs.select(
         "doc_id",
         F.concat_ws(
@@ -5503,7 +5530,7 @@ def _chunk_windows(spark, sf):
     slice over ONE tokenization; only the explode multiplies rows."""
     from lexoid_spark.functions.curation import chunk_by_tokens
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return (
         chunk_by_tokens(docs, "doc_id", "text", 64, overlap=16)
         .withColumnRenamed("id", "doc_id")
@@ -5579,7 +5606,7 @@ def _decontaminate(spark, sf):
     the tiny benchmark gram set broadcasts."""
     from lexoid_spark.functions.curation import decontaminate
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(37)) == 0).select(
         F.substring("text", 1, 120).alias("text")
     )
@@ -5672,7 +5699,7 @@ def _curation_pipeline(spark, sf):
         token_count,
     )
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     quality = docs.filter(
         gopher_quality_flags(F.col("text")).getField("passes")
     )
@@ -5886,7 +5913,7 @@ def _c4_filter(spark, sf):
     higher-order filter + array_join ride the scan."""
     from lexoid_spark.functions.curation import c4_line_filter
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     body = F.transform(
         F.sequence(
@@ -5959,7 +5986,7 @@ def _dsir_importance(spark, sf):
     matches bit-for-bit."""
     from lexoid_spark.functions.curation import dsir_weights
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return dsir_weights(
         docs, "doc_id", "text", F.col("lang") == "en", n_buckets=1024
     ).orderBy("doc_id")
@@ -6179,7 +6206,7 @@ def _dup_span_removal(spark, sf):
     map-side-combinable aggregation; masking is per-row native HOFs."""
     from lexoid_spark.functions.curation import duplicate_span_removal
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     body = docs.select(
         "doc_id",
         F.concat_ws(
@@ -6248,7 +6275,7 @@ def _char_span_removal(spark, sf):
     window function, no second explode."""
     from lexoid_spark.functions.curation import char_span_removal
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     body = docs.select(
         "doc_id",
         F.concat(
@@ -6315,7 +6342,7 @@ def _char_span_winnow(spark, sf):
     there, 0-based here)."""
     from lexoid_spark.functions.curation import char_span_removal_winnow
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     body = docs.select(
         "doc_id",
         F.concat(
@@ -6409,7 +6436,7 @@ def _tfidf_topk(spark, sf):
     desc, term asc) identically on both engines."""
     from lexoid_spark.functions.textstats import tfidf_topk
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return tfidf_topk(docs, "doc_id", "text", k=5).orderBy(
         "doc_id", "rank"
     )
@@ -6469,7 +6496,7 @@ def _warc_ingest(spark, sf):
     from the documents table."""
     from lexoid_spark.sources.warc import read_warc_blobs
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     url = F.concat(F.lit("https://"), F.col("source"),
                    F.lit(".example.com/doc/"),
                    F.col("doc_id").cast("string"))
@@ -6504,7 +6531,7 @@ def _warc_ingest(spark, sf):
     out = read_warc_blobs(blobs, "id", "data", strip_http=True)
     return out.select(
         "url", "rec_idx", "warc_type", "warc_date", "n_bytes", "error"
-    ).orderBy("url")
+    ).transform(_ck).orderBy("url")
 
 
 _WARC_INGEST_SQL = """
@@ -6530,7 +6557,7 @@ def _wet_roundtrip(spark, sf):
     payloads — the full crawl-ecosystem roundtrip inside one plan."""
     from lexoid_spark.sources.warc import read_warc_blobs, write_wet_blobs
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     rows = docs.select(
         F.concat(F.lit("https://"), F.col("source"),
                  F.lit(".example.com/doc/"),
@@ -6547,7 +6574,7 @@ def _wet_roundtrip(spark, sf):
     return back.select(
         "url", "warc_type", "warc_date",
         F.decode(F.col("payload"), "UTF-8").alias("text"),
-    ).orderBy("url")
+    ).transform(_ck).orderBy("url")
 
 
 _WET_ROUNDTRIP_SQL = """
@@ -6586,7 +6613,7 @@ def _warc_gz_ingest(spark, sf):
                 for r in recs))
         return pd.Series(out)
 
-    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0)
+    docs = _tp(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0)
     url = F.concat(F.lit("https://"), F.col("source"),
                    F.lit(".example.com/doc/"),
                    F.col("doc_id").cast("string"))
@@ -6613,7 +6640,7 @@ def _warc_gz_ingest(spark, sf):
     out = read_warc_blobs(blobs, "id", "data", strip_http=True)
     return out.select(
         "url", "rec_idx", "warc_type", "warc_date", "n_bytes", "error"
-    ).orderBy("url")
+    ).transform(_ck).orderBy("url")
 
 
 _WARC_GZ_INGEST_SQL = """
@@ -6639,7 +6666,7 @@ def _robots_check(spark, sf):
     the digit arithmetic — parser and enforcer both checked."""
     from lexoid_spark.operators.robots import crawl_allowed
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     k = F.regexp_extract("source", r"(\d+)", 1).cast("long") % 10
     robots = docs.select("source").distinct().select(
         F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
@@ -6658,7 +6685,7 @@ def _robots_check(spark, sf):
                  F.col("doc_id").cast("string")).alias("url")
     )
     return crawl_allowed(urls, robots,
-                         agent="lexoidbot").orderBy("url")
+                         agent="lexoidbot").transform(_ck).orderBy("url")
 
 
 _ROBOTS_CHECK_SQL = r"""
@@ -6693,7 +6720,7 @@ def _sitemap_frontier(spark, sf):
     from the same digit arithmetic."""
     from lexoid_spark.operators.robots import sitemap_frontier
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     entry = F.concat(
         F.lit("<url><loc>https://"), F.col("source"),
         F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
@@ -6735,7 +6762,7 @@ def _sitemap_frontier(spark, sf):
         ).alias("robots_txt"),
     )
     return sitemap_frontier(sitemaps, robots,
-                            agent="lexoidbot").orderBy("url")
+                            agent="lexoidbot").transform(_ck).orderBy("url")
 
 
 def _html_head_meta(spark, sf):
@@ -6919,7 +6946,7 @@ def _sitemap_gz_parse(spark, sf):
     url, lastmod) row without modeling gzip at all."""
     from lexoid_spark.operators.robots import parse_sitemap_bytes
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     entry = F.concat(
         F.lit("<url><loc>https://"), F.col("source"),
         F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
@@ -6961,7 +6988,7 @@ def _sitemap_gz_parse(spark, sf):
             gz("sitemap_xml").alias("sitemap_blob"),
         )
     )
-    return parse_sitemap_bytes(sitemaps).orderBy("url")
+    return parse_sitemap_bytes(sitemaps).transform(_ck).orderBy("url")
 
 
 _SITEMAP_GZ_PARSE_SQL = r"""
@@ -7201,7 +7228,7 @@ def _corpus_report(spark, sf):
         token_count,
     )
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     g = gopher_quality_flags(F.col("text"))
     per = docs.select(
         "lang",
@@ -7256,7 +7283,7 @@ def _phrase_merges(spark, sf):
     in SQL with a run-parity mark equal to the fold."""
     from lexoid_spark.functions.tokenizer import phrase_merges
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return phrase_merges(docs, "doc_id", "text", n_merges=6,
                          checkpoint_every=2).orderBy("doc_id")
 
@@ -7341,7 +7368,7 @@ def _phrase_merges_sampled(spark, sf):
     with pair counts filtered to the same hash subsample."""
     from lexoid_spark.functions.tokenizer import phrase_merges
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     return phrase_merges(docs, "doc_id", "text", n_merges=6,
                          checkpoint_every=2,
                          sample_mod=4).orderBy("doc_id")
@@ -7360,7 +7387,7 @@ def _ccnet_buckets(spark, sf):
 
     from lexoid_spark.functions.curation import charlm_familiarity
 
-    docs = _t(spark, sf, "documents")
+    docs = _tp(spark, sf, "documents")
     scored = charlm_familiarity(docs, "doc_id", "text", "lang",
                                 top_k=512).join(
         docs.select("doc_id", "lang"), "doc_id"
