@@ -1573,7 +1573,7 @@ ORDER BY id_a, id_b
 def _ann_cosine_topk(spark, sf):
     from lexoid_spark.functions.similarity import cosine_topk
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _tp(spark, sf, "embeddings")
     return cosine_topk(emb, query_ids=list(range(10)), k=5).orderBy(
         "qid", "rank"
     )
@@ -1604,7 +1604,7 @@ def _ann_sq8_topk(spark, sf):
     ann_ivf_topk."""
     from lexoid_spark.functions.similarity import sq8_topk
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _tp(spark, sf, "embeddings")
     return sq8_topk(
         emb, query_ids=list(range(10)), k=5, n_centroids=8, nprobe=2,
     ).orderBy("qid", "rank")
@@ -1868,7 +1868,7 @@ def _emb_near_dup_hof(spark, sf):
     default trades that for BLAS throughput)."""
     from lexoid_spark.functions.similarity import embedding_near_dup_pairs
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _tp(spark, sf, "embeddings")
     return embedding_near_dup_pairs(
         emb, tau=0.35, n_centroids=8, impl="hof"
     ).orderBy("id_a", "id_b")
@@ -7283,9 +7283,13 @@ def _phrase_merges(spark, sf):
     in SQL with a run-parity mark equal to the fold."""
     from lexoid_spark.functions.tokenizer import phrase_merges
 
-    docs = _tp(spark, sf, "documents")
+    docs = _t(spark, sf, "documents")
+    # checkpoint_every=1: each pair-count job then reads the previous
+    # step's materialized frame directly and each checkpoint executes
+    # exactly ONE rewrite layer — measured fastest cadence (4.5 s vs
+    # 5.4 s at every-2 / 5.7 s at every-3, sf0.1); lineage stays O(1)
     return phrase_merges(docs, "doc_id", "text", n_merges=6,
-                         checkpoint_every=2).orderBy("doc_id")
+                         checkpoint_every=1).orderBy("doc_id")
 
 
 def _phrase_sql(n_merges: int = 6, sample_mod: int = 0) -> str:
@@ -7368,9 +7372,9 @@ def _phrase_merges_sampled(spark, sf):
     with pair counts filtered to the same hash subsample."""
     from lexoid_spark.functions.tokenizer import phrase_merges
 
-    docs = _tp(spark, sf, "documents")
+    docs = _t(spark, sf, "documents")
     return phrase_merges(docs, "doc_id", "text", n_merges=6,
-                         checkpoint_every=2,
+                         checkpoint_every=1,
                          sample_mod=4).orderBy("doc_id")
 
 

@@ -773,7 +773,7 @@ def unimax_sample(df: DataFrame, id_col: str, stratum_col: str,
 # ---------------------------------------------------------------------------
 
 def duplicate_span_removal(df: DataFrame, id_col: str, text_col: str,
-                           n: int = 8) -> DataFrame:
+                           n: int = 8, materialize: bool = True) -> DataFrame:
     """Remove text spans that are exact word-level ``n``-gram
     duplicates across documents — the shape of exact substring
     deduplication (Lee et al. 2022, "Deduplicating Training Data
@@ -805,6 +805,11 @@ def duplicate_span_removal(df: DataFrame, id_col: str, text_col: str,
             )
         ).alias("pos", "h"),
     )
+    if materialize:
+        # dup-set aggregation + position join both consume `grams`:
+        # pin it so the tokenize + per-gram md5 runs once, not per
+        # consumer (same trade as char_span_removal's kernel pin)
+        grams = grams.persist()
     dup = (
         grams.groupBy("h")
         .agg(F.countDistinct("id").alias("nd"))
@@ -839,7 +844,7 @@ def duplicate_span_removal(df: DataFrame, id_col: str, text_col: str,
 
 
 def char_span_removal(df: DataFrame, id_col: str, text_col: str,
-                      w: int = 40) -> DataFrame:
+                      w: int = 40, materialize: bool = True) -> DataFrame:
     """Character-level exact-substring dedup (the Lee et al. 2022
     semantics ``duplicate_span_removal`` approximates at word level):
     any window of ``w`` CHARACTERS occurring in two or more distinct
@@ -871,6 +876,13 @@ def char_span_removal(df: DataFrame, id_col: str, text_col: str,
     # polynomial-hash kernel (the per-window md5 this replaced was the
     # dominant cost: ~w bytes digested per character)
     wins = _char_window_fps(base, w=w, k=1)
+    if materialize:
+        # two consumers (dup-set aggregation + the position join) would
+        # otherwise each run the Arrow fingerprint kernel — pin it so
+        # the corpus is hashed ONCE (guide §5: reuse > recompute when
+        # the intermediate is CPU-born; the spill-backed cache write is
+        # cheaper than a second full kernel pass)
+        wins = wins.persist()
     dup = (
         wins.groupBy("h")
         .agg(F.countDistinct("id").alias("nd"))
@@ -1010,7 +1022,8 @@ def _char_window_fps(base: DataFrame, w: int, k: int) -> DataFrame:
 
 
 def char_span_removal_winnow(df: DataFrame, id_col: str, text_col: str,
-                             w: int = 40, k: int = 8) -> DataFrame:
+                             w: int = 40, k: int = 8,
+                             materialize: bool = True) -> DataFrame:
     """Winnowing-sampled character-level dedup (Schleimer et al. 2003,
     "Winnowing: Local Algorithms for Document Fingerprinting") — the
     scale path for :func:`char_span_removal`, whose stride-1 windows
@@ -1049,6 +1062,9 @@ def char_span_removal_winnow(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
     )
     fps = _char_window_fps(base, w=w, k=k)
+    if materialize:
+        # same one-kernel-run pin as char_span_removal (two consumers)
+        fps = fps.persist()
     dup = (
         fps.groupBy("h")
         .agg(F.countDistinct("id").alias("nd"))

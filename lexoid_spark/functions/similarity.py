@@ -237,6 +237,14 @@ def embedding_near_dup_pairs(embeddings: DataFrame, tau: float = 0.9,
     noise of tau.
     """
     assigned = assign_clusters(embeddings, n_centroids, id_col, vec_col)
+    if impl != "gemm":
+        # both self-join sides consume `assigned`; un-pinned, the
+        # map-only HOF assignment (C fused cosines per vector) runs
+        # once PER SIDE — persist so it runs once total and the join
+        # sides read the cache (the gemm arm feeds one groupBy, no
+        # second consumer). Results unchanged; the entry bench clears
+        # the cache between passes.
+        assigned = assigned.persist()
     if impl == "gemm":
         import numpy as np
 

@@ -83,9 +83,13 @@ def phrase_merges(df: DataFrame, id_col: str, text_col: str,
         # later merge iterations (merged tokens must stay space-free)
         raise ValueError(f"sep must not contain whitespace: {sep!r}")
     spark = df.sparkSession
+    # n_tokens_in rides the loop as a precomputed int column: deriving
+    # it at the END via a join of the rewritten frame back onto the
+    # source re-read + re-tokenized the whole corpus and paid a join
+    # shuffle for one integer (guide §2.4: remove shuffles outright)
     base = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
-    )
+    ).withColumn("n_in", F.size("t"))
     if sample_mod >= 2:
         from lexoid_spark.functions.dedup import _md5_hash64
 
@@ -94,6 +98,15 @@ def phrase_merges(df: DataFrame, id_col: str, text_col: str,
                    F.lit(sample_mod)) == 0)
     else:
         cur = base
+    # materialize the TRAINING frame once, fanned out to the session's
+    # shuffle parallelism: every merge iteration launches a pair-count
+    # job over `cur`, and an un-pinned base re-reads + re-tokenizes the
+    # corpus per job on however few splits the input happens to have
+    # (guide §2.4/§5 — one disk-backed materialization of the tokenized
+    # sample against n_merges re-scans; the apply phase of the sampled
+    # variant still streams the full corpus exactly once, un-pinned)
+    n_fan = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cur = cur.repartition(n_fan).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     for _step in range(n_merges):
         pairs = (
@@ -146,7 +159,7 @@ def phrase_merges(df: DataFrame, id_col: str, text_col: str,
                                             F.col("rep"))), "  ")
         )
         cur = cur.crossJoin(F.broadcast(pairrow)).select(
-            "id", new_t.alias("t")
+            "id", new_t.alias("t"), "n_in"
         )
         if checkpoint_every > 0 and (_step + 1) % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
@@ -179,24 +192,15 @@ def phrase_merges(df: DataFrame, id_col: str, text_col: str,
                 F.size("t") < 2, F.col("t")
             ).otherwise(F.split(F.trim(enc), "  "))
             cur = base.crossJoin(F.broadcast(patrow)).select(
-                "id", applied.alias("t"))
+                "id", applied.alias("t"), "n_in")
         else:
             cur = base
 
-    out = (
-        base.select("id", F.size("t").alias("n_tokens_in"))
-        .join(
-            cur.select(
-                "id",
-                F.size("t").alias("n_tokens_out"),
-                F.array_join("t", " ").alias("text_merged"),
-            ),
-            "id",
-        )
-        .select(
-            F.col("id").alias(id_col), "n_tokens_in", "n_tokens_out",
-            "text_merged",
-        )
+    out = cur.select(
+        F.col("id").alias(id_col),
+        F.col("n_in").alias("n_tokens_in"),
+        F.size("t").alias("n_tokens_out"),
+        F.array_join("t", " ").alias("text_merged"),
     )
     out.merges = merges  # driver-side training artifact
     return out

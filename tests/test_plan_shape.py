@@ -273,7 +273,10 @@ def test_dup_span_removal_no_window_no_cartesian(spark):
     df = spark.createDataFrame(
         [(i, "one two three four five six seven eight tail%d" % i)
          for i in range(10)], "id long, text string")
-    plan = _formatted(duplicate_span_removal(df, "id", "text", n=8))
+    # materialize=False: pin the LOGICAL shape (the default pins the
+    # shared gram frame, which explain renders as an opaque cache scan)
+    plan = _formatted(duplicate_span_removal(df, "id", "text", n=8,
+                                             materialize=False))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
 
@@ -290,7 +293,8 @@ def test_char_span_removal_no_window_no_cartesian(spark):
         [(i, ("shared boilerplate text that is long enough! " * 2)
           + "tail%d" % i) for i in range(10)],
         "id long, text string")
-    plan = _formatted(char_span_removal(df, "id", "text", w=40))
+    plan = _formatted(char_span_removal(df, "id", "text", w=40,
+                                        materialize=False))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "Generate (" not in plan
@@ -341,7 +345,8 @@ def test_char_span_winnow_shape(spark):
         [(i, ("shared boilerplate text that is long enough! " * 2)
           + "tail%d" % i) for i in range(10)],
         "id long, text string")
-    plan = _formatted(char_span_removal_winnow(df, "id", "text", w=40, k=8))
+    plan = _formatted(char_span_removal_winnow(df, "id", "text", w=40, k=8,
+                                               materialize=False))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "Generate (" not in plan
