@@ -1072,7 +1072,7 @@ FROM documents ORDER BY doc_id
 def _doc_langid(spark, sf):
     from lexoid_spark.functions.textstats import langid_table
 
-    docs = _tp(spark, sf, "documents")
+    docs = _t(spark, sf, "documents")
     return (
         langid_table(docs, "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
@@ -1106,7 +1106,7 @@ FROM c ORDER BY doc_id
 def _doc_fingerprint(spark, sf):
     from lexoid_spark.functions.textstats import fingerprint
 
-    docs = _tp(spark, sf, "documents")
+    docs = _t(spark, sf, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy(
         "doc_id"
     )
@@ -1901,7 +1901,7 @@ ORDER BY id_a, id_b
 def _mm_images(spark, sf):
     from lexoid_spark.functions.multimodal import fake_image_udf
 
-    docs = _tp(spark, sf, "documents")
+    docs = _t(spark, sf, "documents")
     w = (F.col("n_chars") % 1900 + 100).cast("int")
     h = ((F.col("n_chars") * 7) % 1200 + 50).cast("int")
     c = (F.col("doc_id") % 3 + 1).cast("int")
@@ -1918,7 +1918,7 @@ def _image_meta(spark, sf):
         image_meta(imgs, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "width", "height",
                 "channels", "error")
-        .transform(_ck).orderBy("doc_id")
+        .orderBy("doc_id")
     )
 
 
@@ -2028,14 +2028,14 @@ def _webp_meta(spark, sf):
                 flavor=flavors[d % 3], alpha=bool(d % 2)))
         return pd.Series(out)
 
-    docs = _tp(spark, sf, "documents")
+    docs = _t(spark, sf, "documents")
     imgs = docs.select(
         "doc_id", webp_bytes("doc_id", "n_chars").alias("payload"))
     return (
         image_meta(imgs, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "width", "height",
                 "channels", "error")
-        .transform(_ck).orderBy("doc_id")
+        .orderBy("doc_id")
     )
 
 
@@ -2410,14 +2410,14 @@ def _mp3_meta(spark, sf):
                 id3=bool(d % 2)))
         return pd.Series(out)
 
-    docs = _tp(spark, sf, "documents")
+    docs = _t(spark, sf, "documents")
     auds = docs.select(
         "doc_id", mp3_bytes("doc_id", "n_chars").alias("payload"))
     return (
         audio_meta(auds, id_col="doc_id")
         .select(F.col("id").alias("doc_id"), "sample_rate", "n_samples",
                 "duration_sec")
-        .transform(_ck).orderBy("doc_id")
+        .orderBy("doc_id")
     )
 
 
@@ -2440,7 +2440,7 @@ def _audio_chunks(spark, sf):
     per chunk via the UDTF-shaped mapInPandas kernel."""
     from lexoid_spark.functions.multimodal import audio_chunks, fake_audio_udf
 
-    docs = _tp(spark, sf, "documents")
+    docs = _t(spark, sf, "documents")
     auds = docs.select(
         "doc_id",
         fake_audio_udf(
@@ -2451,7 +2451,7 @@ def _audio_chunks(spark, sf):
         audio_chunks(auds, chunk_sec=3.0, id_col="doc_id")
         .select(F.col("id").alias("doc_id"), "chunk_idx", "start_sample",
                 "n_samples")
-        .transform(_ck).orderBy("doc_id", "chunk_idx")
+        .orderBy("doc_id", "chunk_idx")
     )
 
 
@@ -4691,7 +4691,7 @@ def _para_dedup(spark, sf):
     min(struct) — map-side combinable, no hot window partitions."""
     from lexoid_spark.functions.curation import paragraph_dedup
 
-    docs = _tp(spark, sf, "documents")
+    docs = _t(spark, sf, "documents")
     body = docs.select(
         "doc_id",
         F.concat(
@@ -5699,7 +5699,7 @@ def _curation_pipeline(spark, sf):
         token_count,
     )
 
-    docs = _tp(spark, sf, "documents")
+    docs = _t(spark, sf, "documents")
     quality = docs.filter(
         gopher_quality_flags(F.col("text")).getField("passes")
     )
@@ -6436,7 +6436,7 @@ def _tfidf_topk(spark, sf):
     desc, term asc) identically on both engines."""
     from lexoid_spark.functions.textstats import tfidf_topk
 
-    docs = _tp(spark, sf, "documents")
+    docs = _t(spark, sf, "documents")
     return tfidf_topk(docs, "doc_id", "text", k=5).orderBy(
         "doc_id", "rank"
     )
@@ -6666,7 +6666,7 @@ def _robots_check(spark, sf):
     the digit arithmetic — parser and enforcer both checked."""
     from lexoid_spark.operators.robots import crawl_allowed
 
-    docs = _tp(spark, sf, "documents")
+    docs = _t(spark, sf, "documents")
     k = F.regexp_extract("source", r"(\d+)", 1).cast("long") % 10
     robots = docs.select("source").distinct().select(
         F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
@@ -6685,7 +6685,7 @@ def _robots_check(spark, sf):
                  F.col("doc_id").cast("string")).alias("url")
     )
     return crawl_allowed(urls, robots,
-                         agent="lexoidbot").transform(_ck).orderBy("url")
+                         agent="lexoidbot").orderBy("url")
 
 
 _ROBOTS_CHECK_SQL = r"""
@@ -6720,7 +6720,7 @@ def _sitemap_frontier(spark, sf):
     from the same digit arithmetic."""
     from lexoid_spark.operators.robots import sitemap_frontier
 
-    docs = _tp(spark, sf, "documents")
+    docs = _t(spark, sf, "documents")
     entry = F.concat(
         F.lit("<url><loc>https://"), F.col("source"),
         F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
@@ -6762,7 +6762,7 @@ def _sitemap_frontier(spark, sf):
         ).alias("robots_txt"),
     )
     return sitemap_frontier(sitemaps, robots,
-                            agent="lexoidbot").transform(_ck).orderBy("url")
+                            agent="lexoidbot").orderBy("url")
 
 
 def _html_head_meta(spark, sf):
