@@ -80,18 +80,20 @@ def _ck(df: DataFrame) -> DataFrame:
     flac_meta 2.99 s as-is vs 1.20 s without the sort vs 1.71 s
     pinned; the sort itself orders ≤ a few thousand tiny rows).
 
-    ``localCheckpoint(eager=False)`` materializes the partitions on
-    the first job (the sampler) and serves the second from the
-    MEMORY_AND_DISK-cached RDD — one kernel execution, identical
-    rows, identical final order. Lazy, so explain/dry paths pay
-    nothing. The blocks are freed by the ContextCleaner when the
-    query's RDDs go out of scope (no cache-leak across bench
-    passes; results are recomputed from the parquet inputs on every
-    invocation). Trade-off vs ``persist()``: no columnar re-encode
-    (measured faster), at the cost of lineage truncation — a lost
-    executor cannot recompute the block, acceptable for a
-    result-sized frame feeding one terminal sort."""
-    return df.localCheckpoint(eager=False)
+    ``persist()`` pins the result so the sampler's first
+    materialization is served back to the real shuffle from the
+    MEMORY_AND_DISK cache — one kernel execution, identical rows,
+    identical final order. Measured against the alternatives on the
+    codec/crypt family (min-of-3, fresh plans per invocation):
+    persist < localCheckpoint(eager=True) < localCheckpoint(lazy) <
+    nothing (e.g. pdf_aes256 1.43 / 1.62 / 1.82 / 2.31 s) — the lazy
+    checkpoint pays an extra post-action ``doCheckpoint`` sweep that
+    re-executes partitions the sampler's mapped RDD did not leave in
+    the block store. Entries are freed by ``clearCache()`` between
+    bench passes (and matched by analyzed plan, so one invocation
+    never leaks work to the next — results are recomputed from the
+    parquet inputs on every invocation)."""
+    return df.persist()
 
 
 # ---------------------------------------------------------------------------

@@ -485,6 +485,10 @@ def charlm_familiarity(df: DataFrame, id_col: str, text_col: str,
             ).otherwise(F.array().cast("array<string>"))
         ).alias("bg"),
     )
+    # the exploded bigram frame feeds BOTH the training aggregation and
+    # the scoring join — pin it so the per-character explode + substring
+    # runs once per query, not once per consumer (guide §5)
+    bigrams = bigrams.persist()
     counts = bigrams.groupBy("lang", "bg").agg(F.count("*").alias("cnt"))
     rk = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bg"))
     table = (

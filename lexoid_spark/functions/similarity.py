@@ -161,10 +161,24 @@ def ivf_centroid_rows(embeddings: DataFrame, n_centroids: int,
             F.col(id_col) % train_modulus == 0
         )
     for _ in range(n_iter):
-        refined = refine_centroids(
-            _assign_local(train, rows, id_col, vec_col)
-        )
-        rows = [(int(r["cid"]), list(r["cvec"])) for r in refined.collect()]
+        # collect the (cid, pos, mean) control-plane rows directly —
+        # C*dim rows — and assemble the vectors driver-side: the extra
+        # groupBy(cid)+collect_list shuffle refine_centroids runs to
+        # return a relation is pure overhead when the loop collects
+        # anyway (identical values: same per-dimension rounded means)
+        per_dim = _assign_local(train, rows, id_col, vec_col).select(
+            "cid", F.posexplode("vvec").alias("pos", "v")
+        ).groupBy("cid", "pos").agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("c")
+        ).collect()
+        by_cid: dict = {}
+        for r in per_dim:
+            by_cid.setdefault(int(r["cid"]), []).append(
+                (int(r["pos"]), float(r["c"])))
+        rows = [
+            (cid, [c for _pos, c in sorted(dims)])
+            for cid, dims in sorted(by_cid.items())
+        ]
     return rows
 
 

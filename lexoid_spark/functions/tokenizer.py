@@ -191,7 +191,12 @@ def phrase_merges(df: DataFrame, id_col: str, text_col: str,
             applied = F.when(
                 F.size("t") < 2, F.col("t")
             ).otherwise(F.split(F.trim(enc), "  "))
-            cur = base.crossJoin(F.broadcast(patrow)).select(
+            # the one full-corpus pass: fan the chained-regex apply
+            # out to the session's parallelism — the raw scan's few
+            # input splits would run the whole rewrite chain on that
+            # many cores (same rationale as the training repartition)
+            cur = base.repartition(n_fan).crossJoin(
+                F.broadcast(patrow)).select(
                 "id", applied.alias("t"), "n_in")
         else:
             cur = base

@@ -41,8 +41,17 @@ def get_spark(app_name: str = "lexoid_spark", cores: str | int | None = None,
         .config("spark.sql.files.openCostInBytes", "256k")
         .config("spark.locality.wait", "0")
         .config("spark.ui.enabled", "false")
+        # the whole-stage-codegen class cache defaults to 100 entries
+        # (static conf): a session that runs the ~170-query driver
+        # surface holds far more distinct codegen units than that, so
+        # every repeated invocation recompiled its generated classes
+        # through Janino instead of hitting the cache. Scale-neutral
+        # (driver-side planning cost only); sized to hold the full
+        # query surface with headroom.
+        .config("spark.sql.codegen.cache.maxEntries",
+                os.environ.get("SPARK_CODEGEN_CACHE_ENTRIES", "4000"))
         .config("spark.driver.memory",
-                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+                os.environ.get("SPARK_DRIVER_MEMORY", "14g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
