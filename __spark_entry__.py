@@ -7286,12 +7286,13 @@ def _phrase_merges(spark, sf):
     from lexoid_spark.functions.tokenizer import phrase_merges
 
     docs = _t(spark, sf, "documents")
-    # checkpoint_every=1: each pair-count job then reads the previous
-    # step's materialized frame directly and each checkpoint executes
-    # exactly ONE rewrite layer — measured fastest cadence (4.5 s vs
-    # 5.4 s at every-2 / 5.7 s at every-3, sf0.1); lineage stays O(1)
+    # checkpoint_every=0: the per-step lazy persist inside
+    # phrase_merges already bounds recompute to one rewrite layer and
+    # merges materialization into the pair-count jobs (6 jobs instead
+    # of 12); plan depth at 6 merges never needs the lineage
+    # truncation a 30k-merge run would re-enable via checkpoint_every
     return phrase_merges(docs, "doc_id", "text", n_merges=6,
-                         checkpoint_every=1).orderBy("doc_id")
+                         checkpoint_every=0).orderBy("doc_id")
 
 
 def _phrase_sql(n_merges: int = 6, sample_mod: int = 0) -> str:
@@ -7376,7 +7377,7 @@ def _phrase_merges_sampled(spark, sf):
 
     docs = _t(spark, sf, "documents")
     return phrase_merges(docs, "doc_id", "text", n_merges=6,
-                         checkpoint_every=1,
+                         checkpoint_every=0,
                          sample_mod=4).orderBy("doc_id")
 
 

@@ -386,10 +386,14 @@ def test_parse_sitemap_bytes_zero_shuffle(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_phrase_merges_sampled_apply_is_broadcast(spark):
-    """The sampled trainer's apply stage: ALL learned merges ride ONE
-    broadcast pattern row into a single fused projection — never a
-    cartesian, never a per-merge shuffle of the corpus."""
+def test_phrase_merges_sampled_apply_is_fused(spark):
+    """The sampled trainer's apply stage: ALL learned merges fuse into
+    ONE projection of chained literal-pattern regexp_replace calls —
+    never a cartesian, never a per-merge shuffle or join of the
+    corpus (r6: the former one-row broadcast pattern frame cost a
+    default-parallelism Python parallelize job per invocation; scalar
+    string literals generate value-independent code, so the codegen
+    cache still hits across invocations)."""
     from lexoid_spark.functions.tokenizer import phrase_merges
 
     df = spark.createDataFrame(
@@ -398,4 +402,5 @@ def test_phrase_merges_sampled_apply_is_broadcast(spark):
     out = phrase_merges(df, "id", "text", n_merges=2, sample_mod=3)
     plan = _formatted(out)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Join" not in plan          # apply is join-free now
+    assert plan.count("regexp_replace") >= 2  # fused chain, one Project

@@ -103,10 +103,12 @@ class TestPhraseMerges:
         out = phrase_merges(df, "id", "text", n_merges=1)
         plan = out._sc._jvm.PythonSQLUtils.explainString(
             out._jdf.queryExecution(), "formatted")
-        # the learned pair joins back as a one-row broadcast, never a
-        # cartesian against the corpus
+        # the learned pair is a scalar-string literal fused into the
+        # rewrite projection (value-independent generated code): no
+        # join against the corpus at all, so no cartesian to guard
         assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoopJoin" in plan
+        assert "Join" not in plan
+        assert "regexp_replace" in plan
 
 
 class TestPhraseMergesSampled:
