@@ -282,7 +282,7 @@ class _BatchWriter:
         self.lens.append(n)
 
     def _pack(self) -> None:
-        if not self.vals:
+        if len(self.vals) == 0:  # list OR ndarray (vectorized path)
             return
         v = np.array(self.vals, dtype=np.int64)
         l = np.array(self.lens, dtype=np.int64)
@@ -919,6 +919,102 @@ def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((base * scale + 50) // 100, 1, 255)
 
 
+def _code_arrays(codes, size):
+    """Huffman (code, length) dict → two int64 lookup arrays."""
+    code = np.zeros(size, dtype=np.int64)
+    length = np.zeros(size, dtype=np.int64)
+    for s, (cd, ln) in codes.items():
+        code[s] = cd
+        length[s] = ln
+    return code, length
+
+
+def _encode_baseline_entropy(grids, samp, tables, c, mcux,
+                             mcuy) -> tuple:
+    """Vectorized baseline entropy coding (no restart markers): emit
+    the full interleaved-MCU token stream as two int64 arrays
+    (values, bit-lengths) in one numpy pass — byte-identical to the
+    per-block ``_encode_block`` loop it replaces on that path, which
+    walked every nonzero coefficient in interpreted Python (the
+    encoder's dominant cost at fixture scale).
+
+    Token ordering is reconstructed with a stable sort over integer
+    keys ``visit_index * 1024 + slot``: slot 0/1 = DC symbol/extra,
+    2 + 5*j + {0,1,2} = up to three ZRLs of the j-th nonzero,
+    2 + 5*j + {3,4} = its symbol/extra bits, 1000 = EOB. The visit
+    index is the T.81 interleave (MCU-major, components in order,
+    then the component's vs x hs sub-blocks row-major)."""
+    nb = [hs * vs for hs, vs in samp]
+    nbm = sum(nb)
+    offs = np.cumsum([0] + nb)
+    tv, tl, tk = [], [], []
+    for ci in range(c):
+        hs, vs = samp[ci]
+        g = grids[ci]
+        if hs == 1 and vs == 1:
+            blk = g.reshape(-1, 64).astype(np.int64)
+        else:
+            blk = (g.reshape(mcuy, vs, mcux, hs, 64)
+                   .transpose(0, 2, 1, 3, 4)
+                   .reshape(-1, 64).astype(np.int64))
+        n = blk.shape[0]
+        ar = np.arange(n, dtype=np.int64)
+        gidx = (ar // nb[ci]) * nbm + offs[ci] + (ar % nb[ci])
+        dc_code, dc_len = _code_arrays(tables[ci][0], 17)
+        ac_code, ac_len = _code_arrays(tables[ci][1], 256)
+        # --- DC: per-component predictor chain = diff over visit order
+        diff = np.diff(blk[:, 0], prepend=0)
+        ab = np.abs(diff)
+        s = np.frexp(ab.astype(np.float64))[1].astype(np.int64)
+        tv.append(dc_code[s]); tl.append(dc_len[s]); tk.append(gidx * 1024)
+        m = s > 0
+        extra = np.where(diff >= 0, diff,
+                         diff + np.left_shift(np.int64(1), s) - 1)
+        tv.append(extra[m]); tl.append(s[m]); tk.append(gidx[m] * 1024 + 1)
+        # --- AC: runs from nonzero index gaps, ZRL for runs > 15
+        ac = blk[:, 1:]
+        bz, kz = np.nonzero(ac)  # row-major: sorted by (block, pos)
+        last = np.full(n, -1, dtype=np.int64)
+        if len(bz):
+            vals = ac[bz, kz]
+            prev = np.empty(len(bz), dtype=np.int64)
+            prev[0] = -1
+            prev[1:] = np.where(bz[1:] == bz[:-1], kz[:-1], -1)
+            run = kz - prev - 1
+            zrl = run >> 4
+            rem = run & 15
+            sv = np.frexp(np.abs(vals).astype(np.float64))[1].astype(
+                np.int64)
+            sym = (rem << 4) | sv
+            extra_ac = np.where(vals >= 0, vals,
+                                vals + np.left_shift(np.int64(1), sv) - 1)
+            j = np.arange(len(bz), dtype=np.int64) - np.searchsorted(
+                bz, bz)
+            basekey = gidx[bz] * 1024 + 2 + 5 * j
+            nz_tot = int(zrl.sum())
+            if nz_tot:
+                rep = np.repeat(np.arange(len(bz)), zrl)
+                starts = np.concatenate(
+                    [[0], np.cumsum(zrl)[:-1]])[rep]
+                slot = np.arange(nz_tot, dtype=np.int64) - starts
+                tv.append(np.full(nz_tot, ac_code[0xF0]))
+                tl.append(np.full(nz_tot, ac_len[0xF0]))
+                tk.append(basekey[rep] + slot)
+            tv.append(ac_code[sym]); tl.append(ac_len[sym])
+            tk.append(basekey + 3)
+            tv.append(extra_ac); tl.append(sv); tk.append(basekey + 4)
+            last[bz] = kz  # row-major assignment: last write wins
+        eob = last < 62
+        tv.append(np.full(int(eob.sum()), ac_code[0x00]))
+        tl.append(np.full(int(eob.sum()), ac_len[0x00]))
+        tk.append(gidx[eob] * 1024 + 1000)
+    v = np.concatenate(tv)
+    l = np.concatenate(tl)
+    k = np.concatenate(tk)
+    order = np.argsort(k, kind="stable")
+    return v[order], l[order]
+
+
 def _encode_block(bw: _BatchWriter, blk: np.ndarray,
                   dc_codes, ac_codes, pred: int) -> int:
     """Entropy-encode one zigzag block; returns the new DC predictor.
@@ -1204,6 +1300,17 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85,
 
     # interleaved MCU scan
     bw = _BatchWriter()
+    if restart_interval == 0:
+        # the common no-restart stream: one vectorized numpy pass
+        # (byte-identical to the block loop below, which restart
+        # segmentation still uses — predictor resets break the single
+        # diff chain)
+        v, l = _encode_baseline_entropy(grids, samp, tables, c,
+                                        mcux, mcuy)
+        bw.vals, bw.lens = v, l
+        out += bw.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
     preds = [0] * c
     mcu_count = 0
     for my in range(mcuy):

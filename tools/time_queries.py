@@ -36,10 +36,13 @@ def main() -> None:
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
 
-    # warmup pass (codegen + python worker spin-up), untimed
+    # warmup pass (codegen + python worker spin-up), untimed; clear
+    # the cache after it so pass 1 does not read fixture/result pins
+    # populated by the warmup (bench.py clears between passes too)
     for name in names:
         spark.sparkContext.setJobDescription(f"warm:{name}")
         run(name)
+    spark.catalog.clearCache()
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _p in range(passes):
         for name in names:
