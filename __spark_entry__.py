@@ -3377,7 +3377,8 @@ def _pipeline_extract(spark, sf):
         F.col("text"),
         F.col("lang"),
     )
-    out = extract(_materialize(pages), run_id="driver_check")["extracted"]
+    out = extract(_materialize(pages), run_id="driver_check",
+                  repartition=False)["extracted"]
     return out.select(
         "url", "raw", "parser_used", "n_chars", "n_tokens",
         F.size("segments").alias("n_segments"),
@@ -3437,7 +3438,8 @@ def _pdf_flate_extract(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(_materialize(pages), run_id="flate_check")["extracted"]
+    out = extract(_materialize(pages), run_id="flate_check",
+                  repartition=False)["extracted"]
     return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
 
 
@@ -3493,7 +3495,8 @@ def _pdf_rc4_extract(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(_materialize(pages), run_id="rc4_check")["extracted"]
+    out = extract(_materialize(pages), run_id="rc4_check",
+                  repartition=False)["extracted"]
     return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
 
 
@@ -3551,7 +3554,8 @@ def _pdf_aes_extract(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(_materialize(pages), run_id="aes_check")["extracted"]
+    out = extract(_materialize(pages), run_id="aes_check",
+                  repartition=False)["extracted"]
     return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
 
 
@@ -3610,7 +3614,8 @@ def _pdf_aes256_extract(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(_materialize(pages), run_id="aes256_check")["extracted"]
+    out = extract(_materialize(pages), run_id="aes256_check",
+                  repartition=False)["extracted"]
     return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
 
 
@@ -3764,7 +3769,8 @@ def _pdf_filters_extract(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(_materialize(pages), run_id="filters_check")["extracted"]
+    out = extract(_materialize(pages), run_id="filters_check",
+                  repartition=False)["extracted"]
     return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
 
 
@@ -3830,7 +3836,8 @@ def _cid_shape_extract(spark, sf, host: str, marker: str,
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(_materialize(pages), run_id=f"{host}_check")["extracted"]
+    out = extract(_materialize(pages), run_id=f"{host}_check",
+                  repartition=False)["extracted"]
     return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
 
 
@@ -3982,7 +3989,8 @@ def _ocr_scanned(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(_materialize(pages), run_id="ocr_check")["extracted"]
+    out = extract(_materialize(pages), run_id="ocr_check",
+                  repartition=False)["extracted"]
     return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
 
 
@@ -4041,7 +4049,8 @@ def _ocr_glyph_scan(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(_materialize(pages), run_id="ocr_glyph")["extracted"]
+    out = extract(_materialize(pages), run_id="ocr_glyph",
+                  repartition=False)["extracted"]
     return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
 
 
@@ -4093,7 +4102,8 @@ def _ocr_mixed_case(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(_materialize(pages), run_id="ocr_mixed")["extracted"]
+    out = extract(_materialize(pages), run_id="ocr_mixed",
+                  repartition=False)["extracted"]
     return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
 
 
@@ -4144,7 +4154,8 @@ def _pdf_g3_scan(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(_materialize(pages), run_id="g3_pdf")["extracted"]
+    out = extract(_materialize(pages), run_id="g3_pdf",
+                  repartition=False)["extracted"]
     return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
 
 
@@ -4198,7 +4209,8 @@ def _pdf_jbig2_scan(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(_materialize(pages), run_id="jbig2_pdf")["extracted"]
+    out = extract(_materialize(pages), run_id="jbig2_pdf",
+                  repartition=False)["extracted"]
     return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
 
 
@@ -4249,7 +4261,8 @@ def _pdf_jpx_scan(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(_materialize(pages), run_id="jpx_pdf")["extracted"]
+    out = extract(_materialize(pages), run_id="jpx_pdf",
+                  repartition=False)["extracted"]
     return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
 
 
@@ -4309,7 +4322,8 @@ def _tiff_ocr_scan(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(_materialize(pages), run_id="tiff_ocr")["extracted"]
+    out = extract(_materialize(pages), run_id="tiff_ocr",
+                  repartition=False)["extracted"]
     return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
 
 
@@ -4371,7 +4385,8 @@ def _pdf_inline_image(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(_materialize(pages), run_id="inline_pdf")["extracted"]
+    out = extract(_materialize(pages), run_id="inline_pdf",
+                  repartition=False)["extracted"]
     return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
 
 
@@ -4425,7 +4440,8 @@ def _pdf_type3_extract(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(_materialize(pages), run_id="type3_check")["extracted"]
+    out = extract(_materialize(pages), run_id="type3_check",
+                  repartition=False)["extracted"]
     return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
 
 
@@ -4491,7 +4507,8 @@ def _ocr_noise_quarantine(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(_materialize(pages), run_id="ocr_noise")
+    out = extract(_materialize(pages), run_id="ocr_noise",
+                  repartition=False)
     ok = out["extracted"].select(
         "url", F.lit("extracted").alias("status"))
     bad = out["errors"].select(
@@ -4554,7 +4571,8 @@ def _pdf_ocr_extract(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(_materialize(pages), run_id="pdf_ocr")["extracted"]
+    out = extract(_materialize(pages), run_id="pdf_ocr",
+                  repartition=False)["extracted"]
     return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
 
 
@@ -4603,6 +4621,7 @@ def _pdf_speed_arm(spark, sf):
         F.lit("en").alias("lang"),
     )
     out = extract(_materialize(pages), run_id="speed_check",
+                  repartition=False,
                   pdf_framework="pdfminer")["extracted"]
     return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
 
@@ -5794,7 +5813,8 @@ def _pdf_objstm_extract(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    out = extract(_materialize(pages), run_id="objstm_check")["extracted"]
+    out = extract(_materialize(pages), run_id="objstm_check",
+                  repartition=False)["extracted"]
     return out.select("url", "raw", "n_chars").orderBy("url")
 
 
