@@ -413,7 +413,11 @@ def simhash_near_pairs_portable(df: DataFrame, id_col: str, text_col: str,
     distance ≤ 3 shares at least one exact block), then the exact
     Hamming filter via bit_count(xor). Same scale shape as the FNV
     variant; every step DuckDB-expressible (the CORRECTNESS oracle)."""
-    sig = simhash_signatures_portable(df, id_col, text_col)
+    # both self-join sides derive from the signature frame; pin it so
+    # the token explode + 60-sum aggregation runs once per query, not
+    # once per side (16 bytes/doc cached vs a second full pass —
+    # guide §5). The entry bench clears the cache between passes.
+    sig = simhash_signatures_portable(df, id_col, text_col).persist()
     blocks = sig.select(
         "id", "sim",
         F.explode(

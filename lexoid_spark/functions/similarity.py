@@ -77,8 +77,10 @@ def _assign_local(embeddings: DataFrame, cent_rows, id_col: str,
     Tie-break (cos equal → smaller cid) via a negated-cid field;
     cosine bits unchanged (same folds, same operand order)."""
     spark = embeddings.sparkSession
+    from lexoid_spark.session import local_rows_df
+
     cents_one = (
-        spark.createDataFrame(cent_rows, "cid long, cvec array<double>")
+        local_rows_df(spark, cent_rows, "cid long, cvec array<double>")
         .select(F.struct(
             "cid", "cvec", norm(F.col("cvec")).alias("nc")
         ).alias("c"))
@@ -189,8 +191,10 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int,
     want a centroid relation, e.g. per-query probe selection)."""
     rows = ivf_centroid_rows(embeddings, n_centroids, id_col, vec_col,
                              n_iter, train_modulus)
-    return embeddings.sparkSession.createDataFrame(
-        rows, "cid long, cvec array<double>"
+    from lexoid_spark.session import local_rows_df
+
+    return local_rows_df(
+        embeddings.sparkSession, rows, "cid long, cvec array<double>"
     )
 
 
@@ -320,8 +324,10 @@ def ivf_topk(embeddings: DataFrame, query_ids, k: int = 5,
     ``train_modulus`` subsamples the refinement pass (minibatch)."""
     rows = ivf_centroid_rows(embeddings, n_centroids, id_col, vec_col,
                              n_iter, train_modulus)
-    cents = embeddings.sparkSession.createDataFrame(
-        rows, "cid long, cvec array<double>"
+    from lexoid_spark.session import local_rows_df
+
+    cents = local_rows_df(
+        embeddings.sparkSession, rows, "cid long, cvec array<double>"
     )
     assigned = _assign_local(embeddings, rows, id_col, vec_col)
     q = embeddings.filter(F.col(id_col).isin(list(query_ids))).select(
@@ -396,8 +402,10 @@ def sq8_topk(embeddings: DataFrame, query_ids, k: int = 5,
     the bucket-join shape of :func:`ivf_topk`."""
     rows = ivf_centroid_rows(embeddings, n_centroids, id_col, vec_col, 0)
     assigned = _assign_local(embeddings, rows, id_col, vec_col)
-    cents = embeddings.sparkSession.createDataFrame(
-        rows, "cid long, cvec array<double>"
+    from lexoid_spark.session import local_rows_df
+
+    cents = local_rows_df(
+        embeddings.sparkSession, rows, "cid long, cvec array<double>"
     )
     aq = assigned.select(
         "vid", "cid", _sq8_codes(F.col("vvec")).alias("nq")
@@ -470,8 +478,10 @@ def ivfpq_topk(embeddings: DataFrame, query_ids, k: int = 5,
     sd = dim // m
     rows = ivf_centroid_rows(embeddings, n_centroids, id_col, vec_col, 0)
     assigned = _assign_local(embeddings, rows, id_col, vec_col)
-    cents = embeddings.sparkSession.createDataFrame(
-        rows, "cid long, cvec array<double>"
+    from lexoid_spark.session import local_rows_df
+
+    cents = local_rows_df(
+        embeddings.sparkSession, rows, "cid long, cvec array<double>"
     )
     # control-plane codebook: sq8 codes of the first k_pq vectors,
     # flattened [(j*k_pq + c)*sd + t] — one broadcast row
