@@ -148,10 +148,21 @@ def epub_to_md(payload) -> str:
     LLM-pipeline surface (book corpora)."""
     from lexoid_spark.kernels.html_md import html_to_md
 
+    def _zread(zf, name):
+        # zipfile raises a BARE RuntimeError for an entry whose
+        # general-purpose flag claims encryption (one flipped bit in a
+        # wild/corrupt file) — translate to the typed quarantine
+        # family (found by the single-byte mutation fuzz)
+        try:
+            return zf.read(name)
+        except RuntimeError as e:
+            raise ValueError(f"epub entry unreadable: {e}") from None
+
     b = _as_bytes(payload)
     with zipfile.ZipFile(io.BytesIO(b)) as zf:
         try:
-            container = ET.fromstring(zf.read("META-INF/container.xml"))
+            container = ET.fromstring(
+                _zread(zf, "META-INF/container.xml"))
         except KeyError:
             raise ValueError("epub misses META-INF/container.xml")
         rf = container.find(
@@ -160,7 +171,7 @@ def epub_to_md(payload) -> str:
             raise ValueError("epub container names no rootfile")
         opf_path = rf.attrib["full-path"]
         try:
-            opf = ET.fromstring(zf.read(opf_path))
+            opf = ET.fromstring(_zread(zf, opf_path))
         except KeyError:
             raise ValueError(f"epub misses OPF {opf_path!r}")
         base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
@@ -182,8 +193,12 @@ def epub_to_md(payload) -> str:
             total += info.file_size
             if total > _EPUB_MAX_INFLATED:
                 raise ValueError("epub inflated size exceeds cap")
-            with zf.open(info) as fh:
-                xhtml = fh.read(_EPUB_MAX_INFLATED + 1)
+            try:
+                with zf.open(info) as fh:
+                    xhtml = fh.read(_EPUB_MAX_INFLATED + 1)
+            except RuntimeError as e:  # encrypted-flag bit (see _zread)
+                raise ValueError(
+                    f"epub entry unreadable: {e}") from None
             if len(xhtml) > _EPUB_MAX_INFLATED:
                 raise ValueError("epub inflated size exceeds cap")
             chapters.append(html_to_md(xhtml))
