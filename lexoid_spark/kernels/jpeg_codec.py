@@ -437,9 +437,24 @@ def _decode_baseline_scan(scan, scan_comps, comps, planes, huff_dc,
                             "Huffman table") from None
         plan.append((ci, _packed_table(dct), _packed_table(act), vs, hs))
     segments = _split_segments(scan)
-    from_bytes = int.from_bytes
+
+    def _windows(data: bytes) -> list:
+        # 48-bit big-endian window at every byte offset, vectorized
+        # once per segment then indexed as a plain Python list: the
+        # symbol loop previously built a bytes slice + from_bytes per
+        # Huffman symbol (two per coefficient) — the decoder's
+        # hottest allocation
+        a = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        w = (
+            (a[:-5] << np.uint64(40)) | (a[1:-4] << np.uint64(32))
+            | (a[2:-3] << np.uint64(24)) | (a[3:-2] << np.uint64(16))
+            | (a[4:-1] << np.uint64(8)) | a[5:]
+        )
+        return w.tolist()
+
     seg_idx = 0
     data = segments[0] + b"\xff\xff\xff\xff\xff\xff"
+    win48 = _windows(data)
     pos = 0
     nbits = (len(data) - 6) * 8
     preds = [0] * len(comps)
@@ -454,6 +469,7 @@ def _decode_baseline_scan(scan, scan_comps, comps, planes, huff_dc,
                 if seg_idx >= len(segments):
                     raise JpegError("missing restart segment")
                 data = segments[seg_idx] + b"\xff\xff\xff\xff\xff\xff"
+                win48 = _windows(data)
                 pos = 0
                 nbits = (len(data) - 6) * 8
                 preds = [0] * len(comps)
@@ -463,9 +479,8 @@ def _decode_baseline_scan(scan, scan_comps, comps, planes, huff_dc,
                 for by in range(vs):
                     for bx in range(hs):
                         coefs = [0] * 64
-                        i = pos >> 3
                         sh = pos & 7
-                        win = from_bytes(data[i:i + 6], "big")
+                        win = win48[pos >> 3]
                         e = dct[(win >> (32 - sh)) & 0xFFFF]
                         s = e >> 5
                         length = e & 31
@@ -484,9 +499,8 @@ def _decode_baseline_scan(scan, scan_comps, comps, planes, huff_dc,
                         coefs[0] = pred
                         k = 1
                         while k < 64:
-                            i = pos >> 3
                             sh = pos & 7
-                            win = from_bytes(data[i:i + 6], "big")
+                            win = win48[pos >> 3]
                             e = act[(win >> (32 - sh)) & 0xFFFF]
                             length = e & 31
                             if length == 0:
