@@ -3588,10 +3588,23 @@ def _pdf_aes256_extract(spark, sf):
     cipher + KDF are the from-scratch FIPS-197 / ISO 32000-2
     re-derivation in kernels/pdf_crypt.py."""
     from lexoid_spark.corpus.pdf_gen import build_pdf
+    from lexoid_spark.kernels.pdf_crypt import (
+        make_entries_v5,
+        preseed_entries_v5,
+    )
     from lexoid_spark.plans.extract import extract
+
+    # derive the shared /Encrypt entries ONCE on the driver (session
+    # lru) and ship them in the closure: a grown worker pool keeps
+    # landing fixture tasks on cold workers that re-paid the ~2 s R6
+    # password-stretch per pass. The writer is fixture plumbing; the
+    # PARSE side still derives from /U //UE per worker — that is the
+    # engine path this query benchmarks.
+    _v5 = make_entries_v5(-44, b"lexoid-v5-fixture")
 
     @F.pandas_udf("binary")
     def aes256_pdf(doc_ids: pd.Series) -> pd.Series:
+        preseed_entries_v5(-44, b"lexoid-v5-fixture", _v5)
         out = []
         for d in doc_ids:
             d = int(d)
@@ -6968,7 +6981,7 @@ def _sitemap_gz_parse(spark, sf):
     url, lastmod) row without modeling gzip at all."""
     from lexoid_spark.operators.robots import parse_sitemap_bytes
 
-    docs = _tp(spark, sf, "documents")
+    docs = _t(spark, sf, "documents")
     entry = F.concat(
         F.lit("<url><loc>https://"), F.col("source"),
         F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
@@ -7010,7 +7023,7 @@ def _sitemap_gz_parse(spark, sf):
             gz("sitemap_xml").alias("sitemap_blob"),
         )
     )
-    return parse_sitemap_bytes(sitemaps).transform(_ck).orderBy("url")
+    return parse_sitemap_bytes(sitemaps).orderBy("url")
 
 
 _SITEMAP_GZ_PARSE_SQL = r"""

@@ -477,12 +477,33 @@ def check_perms_v5(perms: bytes, file_key: bytes, p: int) -> bool:
             and struct.unpack("<i", dec[:4])[0] == p)
 
 
+#: driver-computed (args → entries) preseed consulted before the R6
+#: writer KDF runs: a long session's Python worker pool grows past
+#: the core count (AQE materializes independent stages concurrently),
+#: so fixture tasks keep landing on workers whose lru memo is cold
+#: and re-paying the ~2 s Algorithm-2.B stretch per worker per pass.
+#: The fixture WRITER is not the engine under test — the driver
+#: derives once per session and ships the 200-byte result in the UDF
+#: closure (the PARSER still derives from /U //UE per worker: that IS
+#: the benchmarked path, already lru-memoized).
+_V5_PRESEED: dict = {}
+
+
+def preseed_entries_v5(p: int, seed: bytes, entries,
+                       user_pw: bytes = b"", owner_pw: bytes = b"",
+                       r: int = 6) -> None:
+    _V5_PRESEED[(p, seed, user_pw, owner_pw, r)] = entries
+
+
 @lru_cache(maxsize=16)
 def make_entries_v5(p: int, seed: bytes, user_pw: bytes = b"",
                     owner_pw: bytes = b"", r: int = 6):
     """Writer side (fixtures): deterministic (U, UE, O, OE, Perms,
     file_key) for an R5/R6 document. Salts and the file key derive
     from ``seed`` so fixture bytes are reproducible."""
+    pre = _V5_PRESEED.get((p, seed, user_pw, owner_pw, r))
+    if pre is not None:
+        return pre
     def _h(pw, salt, udata=b""):
         if r == 5:
             return hashlib.sha256(pw + salt + udata).digest()
