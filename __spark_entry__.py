@@ -1269,7 +1269,7 @@ def _minhash_band_pairs(spark, sf):
     docs = _tp(spark, sf, "documents")
     return lsh_candidate_pairs(
         docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3
-    ).orderBy("id_a", "id_b")
+    ).transform(_ck).orderBy("id_a", "id_b")
 
 
 def _band_hash_sql(b: int, rows: int) -> str:
@@ -1535,7 +1535,7 @@ def _simhash_pairs(spark, sf):
     docs = _tp(spark, sf, "documents")
     return simhash_near_pairs_portable(
         docs, "doc_id", "text", max_hamming=3
-    ).orderBy("id_a", "id_b")
+    ).transform(_ck).orderBy("id_a", "id_b")
 
 
 _SIMHASH_PAIRS_SQL = r"""
@@ -6254,7 +6254,7 @@ def _dup_span_removal(spark, sf):
         ).alias("body"),
     )
     return duplicate_span_removal(body, "doc_id", "body",
-                                  n=8).orderBy("doc_id")
+                                  n=8).transform(_ck).orderBy("doc_id")
 
 
 _DUP_SPAN_SQL = r"""
@@ -6321,7 +6321,7 @@ def _char_span_removal(spark, sf):
             F.lit("] contact/about/privacy—sitemap.rss"),
         ).alias("body"),
     )
-    return char_span_removal(body, "doc_id", "body", w=40).orderBy("doc_id")
+    return char_span_removal(body, "doc_id", "body", w=40).transform(_ck).orderBy("doc_id")
 
 
 _CHAR_SPAN_SQL = """
@@ -6389,7 +6389,7 @@ def _char_span_winnow(spark, sf):
         ).alias("body"),
     )
     return char_span_removal_winnow(
-        body, "doc_id", "body", w=40, k=8).orderBy("doc_id")
+        body, "doc_id", "body", w=40, k=8).transform(_ck).orderBy("doc_id")
 
 
 _CHAR_WINNOW_SQL = """
@@ -7443,7 +7443,7 @@ def _ccnet_buckets(spark, sf):
             .when(F.col("tercile") == 2, "middle")
             .otherwise("tail").alias("bucket"),
         )
-        .orderBy("doc_id")
+        .transform(_ck).orderBy("doc_id")
     )
 
 
