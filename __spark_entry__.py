@@ -16,6 +16,7 @@ otherwise widens to HUGEINT).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pandas as pd
@@ -94,6 +95,31 @@ def _ck(df: DataFrame) -> DataFrame:
     never leaks work to the next — results are recomputed from the
     parquet inputs on every invocation)."""
     return df.persist()
+
+
+def _srt(*cols: str):
+    """Trailing total sort for a computed (Python-kernel) result frame.
+
+    Two plan shapes produce the identical sorted rows:
+
+    * ``rr1`` (default): ``repartition(1)`` (round-robin — NO sampling
+      job) then ``sortWithinPartitions``. The kernel runs exactly once,
+      in the parallel shuffle-map stage; the single reducer totally
+      sorts the ≤ a-few-thousand tiny result rows. One job, no pin.
+    * ``range``: the round-6 shape — ``persist()`` pin then ``orderBy``
+      (range exchange whose boundary sampler re-reads the pin). Kept
+      selectable via ``LEXOID_TAIL_SORT=range`` for A/B measurement.
+
+    Keys are plain ascending columns on every call site, so both
+    shapes yield the same total order as ``orderBy(*cols)``.
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        if os.environ.get("LEXOID_TAIL_SORT", "rr1") == "range":
+            return _ck(df).orderBy(*cols)
+        return df.repartition(1).sortWithinPartitions(*cols)
+
+    return apply
 
 
 # ---------------------------------------------------------------------------
@@ -1269,7 +1295,7 @@ def _minhash_band_pairs(spark, sf):
     docs = _tp(spark, sf, "documents")
     return lsh_candidate_pairs(
         docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3
-    ).transform(_ck).orderBy("id_a", "id_b")
+    ).transform(_srt("id_a", "id_b"))
 
 
 def _band_hash_sql(b: int, rows: int) -> str:
@@ -1535,7 +1561,7 @@ def _simhash_pairs(spark, sf):
     docs = _tp(spark, sf, "documents")
     return simhash_near_pairs_portable(
         docs, "doc_id", "text", max_hamming=3
-    ).transform(_ck).orderBy("id_a", "id_b")
+    ).transform(_srt("id_a", "id_b"))
 
 
 _SIMHASH_PAIRS_SQL = r"""
@@ -1992,7 +2018,7 @@ def _png_meta(spark, sf):
         image_meta(imgs, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "width", "height",
                 "channels", "error")
-        .transform(_ck).orderBy("doc_id")
+        .transform(_srt("doc_id"))
     )
 
 
@@ -2146,7 +2172,7 @@ def _resize_roundtrip(resized):
                 "doc_id", "new_width", "new_height", "resized",
                 "dec_width", "dec_height"])
 
-    return resized.mapInPandas(kernel, schema).transform(_ck).orderBy("doc_id")
+    return resized.mapInPandas(kernel, schema).transform(_srt("doc_id"))
 
 
 def _png_resize(spark, sf):
@@ -2225,7 +2251,7 @@ def _png_dialects(spark, sf):
             ((F.col("n_chars") * 7) % 90 + 8).cast("int"),
             (F.col("doc_id") % 256).cast("int"), v,
         ).alias("roundtrip_ok"),
-    ).transform(_ck).orderBy("doc_id")
+    ).transform(_srt("doc_id"))
 
 
 _PNG_DIALECTS_SQL = """
@@ -2344,7 +2370,7 @@ def _jpeg_progressive(spark, sf):
             ((F.col("n_chars") * 5) % 36 + 8).cast("int"),
             (F.col("doc_id") % 64).cast("int"),
         ).alias("pixels_match"),
-    ).transform(_ck).orderBy("doc_id")
+    ).transform(_srt("doc_id"))
 
 
 _JPEG_PROGRESSIVE_SQL = """
@@ -2481,7 +2507,7 @@ def _video_frames(spark, sf):
     return (
         frame_sample(vids, every_n=7, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "frame_idx")
-        .transform(_ck).orderBy("doc_id", "frame_idx")
+        .transform(_srt("doc_id", "frame_idx"))
     )
 
 
@@ -2538,7 +2564,7 @@ def _video_frame_ocr(spark, sf):
     return (
         frame_ocr(vids, every_n=2, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "frame_idx", "text")
-        .transform(_ck).orderBy("doc_id", "frame_idx")
+        .transform(_srt("doc_id", "frame_idx"))
     )
 
 
@@ -2594,7 +2620,7 @@ def _video_mjpeg_ocr(spark, sf):
     return (
         frame_ocr(vids, every_n=2, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "frame_idx", "text")
-        .transform(_ck).orderBy("doc_id", "frame_idx")
+        .transform(_srt("doc_id", "frame_idx"))
     )
 
 
@@ -2648,7 +2674,7 @@ def _avi_mjpeg_ocr(spark, sf):
     return (
         frame_ocr(vids, every_n=2, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "frame_idx", "text")
-        .transform(_ck).orderBy("doc_id", "frame_idx")
+        .transform(_srt("doc_id", "frame_idx"))
     )
 
 
@@ -2697,7 +2723,7 @@ def _flac_meta(spark, sf):
         docs.select("doc_id", fl("doc_id").alias("m"))
         .select("doc_id", "m.sample_rate", "m.n_samples",
                 "m.sample_sum")
-        .transform(_ck).orderBy("doc_id")
+        .transform(_srt("doc_id"))
     )
 
 
@@ -2794,7 +2820,7 @@ def _extract_html_h1(spark, sf):
     )
     return docs.select(
         "doc_id", html_to_md_udf(html).getField("raw").alias("raw")
-    ).transform(_ck).orderBy("doc_id")
+    ).transform(_srt("doc_id"))
 
 
 _EXTRACT_HTML_SQL = """
@@ -2833,7 +2859,7 @@ def _extract_html_main(spark, sf):
     )
     return docs.select(
         "doc_id", html_main_to_md_udf(html).getField("raw").alias("raw")
-    ).transform(_ck).orderBy("doc_id")
+    ).transform(_srt("doc_id"))
 
 
 # identical closed form to _EXTRACT_HTML_SQL: every chrome element is
@@ -2873,7 +2899,7 @@ def _html_charset_1252(spark, sf):
     )
     return docs.select(
         "doc_id", html_to_md_udf(payload).getField("raw").alias("raw")
-    ).transform(_ck).orderBy("doc_id")
+    ).transform(_srt("doc_id"))
 
 
 _HTML_CHARSET_SQL = """
@@ -2909,7 +2935,7 @@ def _rtf_extract(spark, sf):
         "doc_id",
         txt_decode_udf(F.encode(body, "UTF-8"))
         .getField("raw").alias("raw"),
-    ).transform(_ck).orderBy("doc_id")
+    ).transform(_srt("doc_id"))
 
 
 _RTF_EXTRACT_SQL = """
@@ -2954,7 +2980,7 @@ def _epub_extract(spark, sf):
     return docs.select(
         "doc_id",
         epub_md(epub_bytes("doc_id", "text", "source")).alias("raw"),
-    ).transform(_ck).orderBy("doc_id")
+    ).transform(_srt("doc_id"))
 
 
 _EPUB_EXTRACT_SQL = """
@@ -3440,7 +3466,7 @@ def _pdf_flate_extract(spark, sf):
     )
     out = extract(_materialize(pages), run_id="flate_check",
                   repartition=False)["extracted"]
-    return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
+    return out.select("url", "raw", "n_chars").transform(_srt("url"))
 
 
 _PDF_FLATE_SQL = """
@@ -3497,7 +3523,7 @@ def _pdf_rc4_extract(spark, sf):
     )
     out = extract(_materialize(pages), run_id="rc4_check",
                   repartition=False)["extracted"]
-    return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
+    return out.select("url", "raw", "n_chars").transform(_srt("url"))
 
 
 _PDF_RC4_SQL = """
@@ -3556,7 +3582,7 @@ def _pdf_aes_extract(spark, sf):
     )
     out = extract(_materialize(pages), run_id="aes_check",
                   repartition=False)["extracted"]
-    return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
+    return out.select("url", "raw", "n_chars").transform(_srt("url"))
 
 
 _PDF_AES_SQL = """
@@ -3629,7 +3655,7 @@ def _pdf_aes256_extract(spark, sf):
     )
     out = extract(_materialize(pages), run_id="aes256_check",
                   repartition=False)["extracted"]
-    return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
+    return out.select("url", "raw", "n_chars").transform(_srt("url"))
 
 
 _PDF_AES256_SQL = """
@@ -3784,7 +3810,7 @@ def _pdf_filters_extract(spark, sf):
     )
     out = extract(_materialize(pages), run_id="filters_check",
                   repartition=False)["extracted"]
-    return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
+    return out.select("url", "raw", "n_chars").transform(_srt("url"))
 
 
 _PDF_FILTERS_SQL = """
@@ -3851,7 +3877,7 @@ def _cid_shape_extract(spark, sf, host: str, marker: str,
     )
     out = extract(_materialize(pages), run_id=f"{host}_check",
                   repartition=False)["extracted"]
-    return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
+    return out.select("url", "raw", "n_chars").transform(_srt("url"))
 
 
 def _pdf_cid_extract(spark, sf):
@@ -4004,7 +4030,7 @@ def _ocr_scanned(spark, sf):
     )
     out = extract(_materialize(pages), run_id="ocr_check",
                   repartition=False)["extracted"]
-    return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
+    return out.select("url", "raw", "parser_used").transform(_srt("url"))
 
 
 _OCR_SCANNED_SQL = """
@@ -4064,7 +4090,7 @@ def _ocr_glyph_scan(spark, sf):
     )
     out = extract(_materialize(pages), run_id="ocr_glyph",
                   repartition=False)["extracted"]
-    return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
+    return out.select("url", "raw", "parser_used").transform(_srt("url"))
 
 
 _OCR_GLYPH_SCAN_SQL = """
@@ -4117,7 +4143,7 @@ def _ocr_mixed_case(spark, sf):
     )
     out = extract(_materialize(pages), run_id="ocr_mixed",
                   repartition=False)["extracted"]
-    return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
+    return out.select("url", "raw", "parser_used").transform(_srt("url"))
 
 
 _OCR_MIXED_CASE_SQL = """
@@ -4169,7 +4195,7 @@ def _pdf_g3_scan(spark, sf):
     )
     out = extract(_materialize(pages), run_id="g3_pdf",
                   repartition=False)["extracted"]
-    return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
+    return out.select("url", "raw", "parser_used").transform(_srt("url"))
 
 
 _PDF_G3_SCAN_SQL = """
@@ -4224,7 +4250,7 @@ def _pdf_jbig2_scan(spark, sf):
     )
     out = extract(_materialize(pages), run_id="jbig2_pdf",
                   repartition=False)["extracted"]
-    return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
+    return out.select("url", "raw", "parser_used").transform(_srt("url"))
 
 
 _PDF_JBIG2_SCAN_SQL = """
@@ -4276,7 +4302,7 @@ def _pdf_jpx_scan(spark, sf):
     )
     out = extract(_materialize(pages), run_id="jpx_pdf",
                   repartition=False)["extracted"]
-    return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
+    return out.select("url", "raw", "parser_used").transform(_srt("url"))
 
 
 _PDF_JPX_SCAN_SQL = """
@@ -4337,7 +4363,7 @@ def _tiff_ocr_scan(spark, sf):
     )
     out = extract(_materialize(pages), run_id="tiff_ocr",
                   repartition=False)["extracted"]
-    return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
+    return out.select("url", "raw", "parser_used").transform(_srt("url"))
 
 
 _TIFF_OCR_SCAN_SQL = """
@@ -4400,7 +4426,7 @@ def _pdf_inline_image(spark, sf):
     )
     out = extract(_materialize(pages), run_id="inline_pdf",
                   repartition=False)["extracted"]
-    return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
+    return out.select("url", "raw", "parser_used").transform(_srt("url"))
 
 
 _PDF_INLINE_IMAGE_SQL = """
@@ -4455,7 +4481,7 @@ def _pdf_type3_extract(spark, sf):
     )
     out = extract(_materialize(pages), run_id="type3_check",
                   repartition=False)["extracted"]
-    return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
+    return out.select("url", "raw", "n_chars").transform(_srt("url"))
 
 
 _PDF_TYPE3_SQL = """
@@ -4586,7 +4612,7 @@ def _pdf_ocr_extract(spark, sf):
     )
     out = extract(_materialize(pages), run_id="pdf_ocr",
                   repartition=False)["extracted"]
-    return out.select("url", "raw", "parser_used").transform(_ck).orderBy("url")
+    return out.select("url", "raw", "parser_used").transform(_srt("url"))
 
 
 _PDF_OCR_EXTRACT_SQL = """
@@ -4636,7 +4662,7 @@ def _pdf_speed_arm(spark, sf):
     out = extract(_materialize(pages), run_id="speed_check",
                   repartition=False,
                   pdf_framework="pdfminer")["extracted"]
-    return out.select("url", "raw", "n_chars").transform(_ck).orderBy("url")
+    return out.select("url", "raw", "n_chars").transform(_srt("url"))
 
 
 _PDF_SPEED_SQL = """
@@ -6254,7 +6280,7 @@ def _dup_span_removal(spark, sf):
         ).alias("body"),
     )
     return duplicate_span_removal(body, "doc_id", "body",
-                                  n=8).transform(_ck).orderBy("doc_id")
+                                  n=8).transform(_srt("doc_id"))
 
 
 _DUP_SPAN_SQL = r"""
@@ -6321,7 +6347,7 @@ def _char_span_removal(spark, sf):
             F.lit("] contact/about/privacy—sitemap.rss"),
         ).alias("body"),
     )
-    return char_span_removal(body, "doc_id", "body", w=40).transform(_ck).orderBy("doc_id")
+    return char_span_removal(body, "doc_id", "body", w=40).transform(_srt("doc_id"))
 
 
 _CHAR_SPAN_SQL = """
@@ -6389,7 +6415,7 @@ def _char_span_winnow(spark, sf):
         ).alias("body"),
     )
     return char_span_removal_winnow(
-        body, "doc_id", "body", w=40, k=8).transform(_ck).orderBy("doc_id")
+        body, "doc_id", "body", w=40, k=8).transform(_srt("doc_id"))
 
 
 _CHAR_WINNOW_SQL = """
@@ -6566,7 +6592,7 @@ def _warc_ingest(spark, sf):
     out = read_warc_blobs(blobs, "id", "data", strip_http=True)
     return out.select(
         "url", "rec_idx", "warc_type", "warc_date", "n_bytes", "error"
-    ).transform(_ck).orderBy("url")
+    ).transform(_srt("url"))
 
 
 _WARC_INGEST_SQL = """
@@ -6609,7 +6635,7 @@ def _wet_roundtrip(spark, sf):
     return back.select(
         "url", "warc_type", "warc_date",
         F.decode(F.col("payload"), "UTF-8").alias("text"),
-    ).transform(_ck).orderBy("url")
+    ).transform(_srt("url"))
 
 
 _WET_ROUNDTRIP_SQL = """
@@ -6675,7 +6701,7 @@ def _warc_gz_ingest(spark, sf):
     out = read_warc_blobs(blobs, "id", "data", strip_http=True)
     return out.select(
         "url", "rec_idx", "warc_type", "warc_date", "n_bytes", "error"
-    ).transform(_ck).orderBy("url")
+    ).transform(_srt("url"))
 
 
 _WARC_GZ_INGEST_SQL = """
@@ -7443,7 +7469,7 @@ def _ccnet_buckets(spark, sf):
             .when(F.col("tercile") == 2, "middle")
             .otherwise("tail").alias("bucket"),
         )
-        .transform(_ck).orderBy("doc_id")
+        .transform(_srt("doc_id"))
     )
 
 
