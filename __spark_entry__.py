@@ -97,26 +97,30 @@ def _ck(df: DataFrame) -> DataFrame:
     return df.persist()
 
 
-def _srt(*cols: str):
-    """Trailing total sort for a computed (Python-kernel) result frame.
+def _srt(*cols, pin: bool = True):
+    """Trailing total sort of a query's final (small) result frame.
 
     Two plan shapes produce the identical sorted rows:
 
     * ``rr1`` (default): ``repartition(1)`` (round-robin — NO sampling
-      job) then ``sortWithinPartitions``. The kernel runs exactly once,
+      job) then ``sortWithinPartitions``. The child runs exactly once,
       in the parallel shuffle-map stage; the single reducer totally
-      sorts the ≤ a-few-thousand tiny result rows. One job, no pin.
-    * ``range``: the round-6 shape — ``persist()`` pin then ``orderBy``
-      (range exchange whose boundary sampler re-reads the pin). Kept
+      sorts the small result rows. One job, no pin.
+    * ``range``: the pre-refinement shape — ``orderBy`` (range
+      exchange whose boundary sampler executes the child a second
+      time), preceded by a ``persist()`` pin when ``pin=True`` (the
+      shape the Python-kernel tails shipped with; relational tails
+      used a plain un-pinned ``orderBy``, ``pin=False``). Kept
       selectable via ``LEXOID_TAIL_SORT=range`` for A/B measurement.
 
-    Keys are plain ascending columns on every call site, so both
-    shapes yield the same total order as ``orderBy(*cols)``.
+    Keys sort the same ASC/DESC direction in both shapes (plain
+    ascending columns or explicit F.desc/F.asc Columns), so both
+    yield the same total order as ``orderBy(*cols)``.
     """
 
     def apply(df: DataFrame) -> DataFrame:
         if os.environ.get("LEXOID_TAIL_SORT", "rr1") == "range":
-            return _ck(df).orderBy(*cols)
+            return (_ck(df) if pin else df).orderBy(*cols)
         return df.repartition(1).sortWithinPartitions(*cols)
 
     return apply
@@ -169,7 +173,7 @@ def _q1(spark, sf):
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(_srt("l_returnflag", "l_linestatus", pin=False))
     )
 
 
@@ -251,7 +255,7 @@ def _q5(spark, sf):
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
-        .orderBy(F.desc("revenue"), F.asc("n_name"))
+        .transform(_srt(F.desc("revenue"), F.asc("n_name"), pin=False))
     )
 
 
@@ -289,7 +293,7 @@ def _q4(spark, sf):
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
-        .orderBy("o_orderpriority")
+        .transform(_srt("o_orderpriority", pin=False))
     )
 
 
@@ -389,7 +393,7 @@ def _q12(spark, sf):
             F.sum(hi.cast("long")).alias("high_line_count"),
             F.sum((~hi).cast("long")).alias("low_line_count"),
         )
-        .orderBy("l_returnflag")
+        .transform(_srt("l_returnflag", pin=False))
     )
 
 
@@ -539,7 +543,7 @@ def _q7_volume_shipping(spark, sf):
         .agg(F.round(F.sum(
             F.col("l_extendedprice") * (1 - F.col("l_discount"))
         ), 2).alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .transform(_srt("supp_nation", "cust_nation", "l_year", pin=False))
     )
 
 
@@ -592,7 +596,7 @@ def _q8_market_share(spark, sf):
             F.sum(F.when(F.col("s_nationkey") < 5, vol).otherwise(0.0))
             / F.sum(vol), 6,
         ).alias("mkt_share"))
-        .orderBy("o_year")
+        .transform(_srt("o_year", pin=False))
     )
 
 
@@ -629,7 +633,7 @@ def _q16_supplier_cnt(spark, sf):
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .transform(_srt(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size", pin=False))
     )
 
 
@@ -659,7 +663,7 @@ def _q20_small_part_suppliers(spark, sf):
     return (
         supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
-        .orderBy("s_name")
+        .transform(_srt("s_name", pin=False))
     )
 
 
@@ -691,7 +695,7 @@ def _q13_customer_distribution(spark, sf):
     return (
         per_cust.groupBy("c_count")
         .agg(F.count("*").alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
+        .transform(_srt(F.desc("custdist"), F.desc("c_count"), pin=False))
     )
 
 
@@ -814,7 +818,7 @@ def _q22_global_sales_opportunity(spark, sf):
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(F.count("*").alias("numcust"),
              F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
-        .orderBy("cntrycode")
+        .transform(_srt("cntrycode", pin=False))
     )
 
 
@@ -871,7 +875,7 @@ def _supplier_rank(spark, sf):
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select("n_name", "s_suppkey", "s_name",
                 F.round("s_acctbal", 2).alias("acctbal"), "rnk")
-        .orderBy("n_name", "rnk")
+        .transform(_srt("n_name", "rnk", pin=False))
     )
 
 
@@ -898,7 +902,7 @@ def _events_daily(spark, sf):
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
-        .orderBy("day", "event_type")
+        .transform(_srt("day", "event_type", pin=False))
     )
 
 
@@ -921,7 +925,7 @@ def _events_sessions(spark, sf):
             (F.sum("new_sess") + 1).alias("n_sessions"),
             F.count("*").alias("n_events"),
         )
-        .orderBy("user_id")
+        .transform(_srt("user_id", pin=False))
     )
 
 
@@ -949,7 +953,7 @@ def _events_json(spark, sf):
             F.round(F.avg("k"), 4).alias("avg_k"),
             F.sum("k").alias("sum_k"),
         )
-        .orderBy("event_type")
+        .transform(_srt("event_type", pin=False))
     )
 
 
@@ -975,9 +979,9 @@ def _sessions_closed(spark, sf):
     from lexoid_spark.streaming.sessionize import sessionize_batch
 
     ev = _t(spark, sf, "events")
-    return sessionize_batch(ev, gap_sec=1800).orderBy(
+    return sessionize_batch(ev, gap_sec=1800).transform(_srt(
         "user_id", "start_sec"
-    )
+    , pin=False))
 
 
 _SESSIONS_CLOSED_SQL = """
@@ -1015,7 +1019,7 @@ def _docs_by_lang(spark, sf):
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
             F.sum("n_chars").alias("sum_chars"),
         )
-        .orderBy("lang")
+        .transform(_srt("lang", pin=False))
     )
 
 
@@ -1038,7 +1042,7 @@ def _doc_token_stats(spark, sf):
         n.alias("n_tokens"),
         F.when(n > 0, F.round(tok_chars / n, 4)).otherwise(0.0).alias("avg_token_len"),
         alnum_ratio(F.col("text")).alias("alnum_ratio"),
-    ).orderBy("doc_id")
+    ).transform(_srt("doc_id", pin=False))
 
 
 _DOC_TOKEN_STATS_SQL = r"""
@@ -1060,7 +1064,7 @@ def _doc_bpe_tokens(spark, sf):
         "doc_id",
         token_count(F.col("text")).alias("ws_tokens"),
         bpe_token_count(F.col("text")).alias("bpe_tokens"),
-    ).orderBy("doc_id")
+    ).transform(_srt("doc_id", pin=False))
 
 
 _DOC_BPE_SQL = r"""
@@ -1078,7 +1082,7 @@ def _doc_quality(spark, sf):
     docs = _tp(spark, sf, "documents")
     return docs.select(
         "doc_id", quality_score(F.col("text")).alias("quality")
-    ).orderBy("doc_id")
+    ).transform(_srt("doc_id", pin=False))
 
 
 _STOP_SQL = "'the','a','of','and','to','in','is','it','for','on'"
@@ -1104,7 +1108,7 @@ def _doc_langid(spark, sf):
     return (
         langid_table(docs, "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -1135,9 +1139,9 @@ def _doc_fingerprint(spark, sf):
     from lexoid_spark.functions.textstats import fingerprint
 
     docs = _t(spark, sf, "documents")
-    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy(
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).transform(_srt(
         "doc_id"
-    )
+    , pin=False))
 
 
 _DOC_FINGERPRINT_SQL = r"""
@@ -1157,7 +1161,7 @@ def _exact_dedup_keepers(spark, sf):
     return (
         exact_dedup(docs, "doc_id", "text")
         .select("doc_id", "n_dups")
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -1185,7 +1189,7 @@ def _events_windowed(spark, sf):
     from lexoid_spark.streaming.windowed import windowed_counts
 
     ev = _t(spark, sf, "events")
-    return windowed_counts(ev).orderBy("window_start", "event_type")
+    return windowed_counts(ev).transform(_srt("window_start", "event_type", pin=False))
 
 
 _EVENTS_WINDOWED_SQL = """
@@ -1203,7 +1207,7 @@ def _exact_dup_groups(spark, sf):
         docs.groupBy("lang", "n_chars")
         .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
         .filter(F.col("n_dups") > 1)
-        .orderBy("lang", "n_chars")
+        .transform(_srt("lang", "n_chars", pin=False))
     )
 
 
@@ -1241,7 +1245,7 @@ def _ngram_jaccard_adjacent(spark, sf):
             .otherwise(0.0)
             .alias("jaccard"),
         )
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -1263,7 +1267,7 @@ def _minhash_sample(spark, sf):
     return (
         minhash_signatures(docs, "doc_id", "text", num_hashes=4)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -1337,7 +1341,7 @@ def _quality_classifier(spark, sf):
 
     docs = _tp(spark, sf, "documents")
     return linear_quality_classifier(
-        docs, "doc_id", "text").orderBy("doc_id")
+        docs, "doc_id", "text").transform(_srt("doc_id", pin=False))
 
 
 _QUALITY_CLASSIFIER_SQL = r"""
@@ -1381,7 +1385,7 @@ def _gopher_filters(spark, sf):
         f.getField("passes").alias("passes"),
         f.getField("stopword_ok").alias("stopword_ok"),
         f.getField("passes_strict").alias("passes_strict"),
-    ).orderBy("doc_id")
+    ).transform(_srt("doc_id", pin=False))
 
 
 _GOPHER_SQL = r"""
@@ -1449,7 +1453,7 @@ def _doc_winnow(spark, sf):
     return (
         winnow_fingerprints(docs, "doc_id", "text", k=3, window=4)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id", "fp")
+        .transform(_srt("doc_id", "fp", pin=False))
     )
 
 
@@ -1493,7 +1497,7 @@ def _dup_clusters(spark, sf):
     pairs = lsh_candidate_pairs(
         docs, "doc_id", "text", num_hashes=8, bands=4, shingle_n=3
     )
-    return connected_components(pairs).orderBy("id")
+    return connected_components(pairs).transform(_srt("id", pin=False))
 
 
 _DUP_CLUSTERS_SQL = f"""
@@ -1533,7 +1537,7 @@ def _dedup_keep_list(spark, sf):
         .filter(F.col("id") != F.col("cluster_id"))
         .select(F.col("id").alias("doc_id"))
     )
-    return exact_keep.join(dropped, "doc_id", "left_anti").orderBy("doc_id")
+    return exact_keep.join(dropped, "doc_id", "left_anti").transform(_srt("doc_id", pin=False))
 
 
 _DEDUP_KEEP_SQL = f"""
@@ -1602,9 +1606,9 @@ def _ann_cosine_topk(spark, sf):
     from lexoid_spark.functions.similarity import cosine_topk
 
     emb = _tp(spark, sf, "embeddings")
-    return cosine_topk(emb, query_ids=list(range(10)), k=5).orderBy(
+    return cosine_topk(emb, query_ids=list(range(10)), k=5).transform(_srt(
         "qid", "rank"
-    )
+    , pin=False))
 
 
 _ANN_COSINE_SQL = """
@@ -1635,7 +1639,7 @@ def _ann_sq8_topk(spark, sf):
     emb = _tp(spark, sf, "embeddings")
     return sq8_topk(
         emb, query_ids=list(range(10)), k=5, n_centroids=8, nprobe=2,
-    ).orderBy("qid", "rank")
+    ).transform(_srt("qid", "rank", pin=False))
 
 
 _ANN_SQ8_SQL = """
@@ -1718,7 +1722,7 @@ def _ann_ivfpq_topk(spark, sf):
     return ivfpq_topk(
         emb, query_ids=list(range(10)), k=5, n_centroids=8, nprobe=2,
         m=8, k_pq=16,
-    ).orderBy("qid", "rank")
+    ).transform(_srt("qid", "rank", pin=False))
 
 
 _ANN_IVFPQ_SQL = """
@@ -1808,7 +1812,7 @@ def _ann_ivf_topk(spark, sf):
     return ivf_topk(
         emb, query_ids=list(range(10)), k=5, n_centroids=8, nprobe=2,
         n_iter=1, train_modulus=4,
-    ).orderBy("qid", "rank")
+    ).transform(_srt("qid", "rank", pin=False))
 
 
 # n_iter=1, train_modulus=4: one minibatch Lloyd refinement of the
@@ -1885,9 +1889,9 @@ def _emb_near_dup(spark, sf):
     from lexoid_spark.functions.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf, "embeddings")
-    return embedding_near_dup_pairs(emb, tau=0.35, n_centroids=8).orderBy(
+    return embedding_near_dup_pairs(emb, tau=0.35, n_centroids=8).transform(_srt(
         "id_a", "id_b"
-    )
+    , pin=False))
 
 
 def _emb_near_dup_hof(spark, sf):
@@ -1899,7 +1903,7 @@ def _emb_near_dup_hof(spark, sf):
     emb = _tp(spark, sf, "embeddings")
     return embedding_near_dup_pairs(
         emb, tau=0.35, n_centroids=8, impl="hof"
-    ).orderBy("id_a", "id_b")
+    ).transform(_srt("id_a", "id_b", pin=False))
 
 
 _EMB_NEAR_DUP_SQL = """
@@ -1946,7 +1950,7 @@ def _image_meta(spark, sf):
         image_meta(imgs, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "width", "height",
                 "channels", "error")
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -1969,7 +1973,7 @@ def _image_resize(spark, sf):
                           bin_col="payload")
         .select(F.col("id").alias("doc_id"), "new_width", "new_height",
                 "resized")
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -2063,7 +2067,7 @@ def _webp_meta(spark, sf):
         image_meta(imgs, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "width", "height",
                 "channels", "error")
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -2096,7 +2100,7 @@ def _gif_meta(spark, sf):
         image_meta(gifs, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "width", "height",
                 "channels", "error")
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -2131,7 +2135,7 @@ def _jpeg_meta(spark, sf):
         image_meta(jpgs, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "width", "height",
                 "channels", "error")
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -2398,7 +2402,7 @@ def _audio_meta(spark, sf):
         audio_meta(auds, id_col="doc_id")
         .select(F.col("id").alias("doc_id"), "sample_rate", "n_samples",
                 "duration_sec")
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -2445,7 +2449,7 @@ def _mp3_meta(spark, sf):
         audio_meta(auds, id_col="doc_id")
         .select(F.col("id").alias("doc_id"), "sample_rate", "n_samples",
                 "duration_sec")
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -2479,7 +2483,7 @@ def _audio_chunks(spark, sf):
         audio_chunks(auds, chunk_sec=3.0, id_col="doc_id")
         .select(F.col("id").alias("doc_id"), "chunk_idx", "start_sample",
                 "n_samples")
-        .orderBy("doc_id", "chunk_idx")
+        .transform(_srt("doc_id", "chunk_idx", pin=False))
     )
 
 
@@ -2762,7 +2766,7 @@ def _wav_meta(spark, sf):
         audio_meta(wavs, id_col="doc_id")
         .select(F.col("id").alias("doc_id"), "sample_rate", "n_samples",
                 "duration_sec")
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -2795,7 +2799,7 @@ def _mp4_frames(spark, sf):
     return (
         frame_sample(vids, every_n=7, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "frame_idx", "width", "height")
-        .orderBy("doc_id", "frame_idx")
+        .transform(_srt("doc_id", "frame_idx", pin=False))
     )
 
 
@@ -3012,7 +3016,7 @@ def _extract_segments_n(spark, sf):
     raw = html_to_md_udf(html).getField("raw")
     return docs.select(
         "doc_id", F.size(segment_md_udf(raw)).alias("n_segments")
-    ).orderBy("doc_id")
+    ).transform(_srt("doc_id", pin=False))
 
 
 _EXTRACT_SEGMENTS_SQL = """
@@ -3031,7 +3035,7 @@ def _email_embed(spark, sf):
     )
     return docs.select(
         "doc_id", embed_email_links(raw).alias("wrapped")
-    ).orderBy("doc_id")
+    ).transform(_srt("doc_id", pin=False))
 
 
 _EMAIL_EMBED_SQL = """
@@ -3053,7 +3057,7 @@ def _md_url_extract(spark, sf):
     )
     return (
         docs.select("doc_id", F.explode(extract_md_urls(md)).alias("url"))
-        .orderBy("doc_id", "url")
+        .transform(_srt("doc_id", "url", pin=False))
     )
 
 
@@ -3075,7 +3079,7 @@ def _strip_md_roundtrip(spark, sf):
     )
     return docs.select(
         "doc_id", strip_markdown(md).alias("stripped")
-    ).orderBy("doc_id")
+    ).transform(_srt("doc_id", pin=False))
 
 
 _STRIP_MD_SQL = """
@@ -3091,9 +3095,9 @@ def _clean_text_roundtrip(spark, sf):
     raw = F.concat(
         F.lit("\\alpha{x} "), F.substring("text", 1, 50), F.lit(" 42!")
     )
-    return docs.select("doc_id", clean_text(raw).alias("cleaned")).orderBy(
+    return docs.select("doc_id", clean_text(raw).alias("cleaned")).transform(_srt(
         "doc_id"
-    )
+    , pin=False))
 
 
 _CLEAN_TEXT_SQL = r"""
@@ -3118,9 +3122,9 @@ def _crawl_reachable(spark, sf):
             F.lit(") and [b](http://c.test/"), F.col("doc_id") + 7, F.lit(")"),
         ).alias("text"),
     )
-    return crawl_edges(pages, seed_urls=["http://c.test/0", "http://c.test/1"], depth=2).orderBy(
+    return crawl_edges(pages, seed_urls=["http://c.test/0", "http://c.test/1"], depth=2).transform(_srt(
         "depth", "parent_url", "child_url"
-    )
+    , pin=False))
 
 
 _CRAWL_SQL = """
@@ -3159,7 +3163,7 @@ def _parse_quality_metrics(spark, sf):
         F.round(m["precision"], 4).alias("precision"),
         F.round(m["recall"], 4).alias("recall"),
         F.round(m["f1"], 4).alias("f1"),
-    ).orderBy("doc_id")
+    ).transform(_srt("doc_id", pin=False))
 
 
 _PARSE_QUALITY_SQL = r"""
@@ -3211,7 +3215,7 @@ def _low_yield_split(spark, sf):
     low = parts["needs_review"].select(
         "doc_id", F.lit("needs_review").alias("bucket")
     )
-    return kept.unionByName(low).orderBy("doc_id")
+    return kept.unionByName(low).transform(_srt("doc_id", pin=False))
 
 
 # html kernel renders <p>x</p> as "\n\nx\n\n"; trim(raw) = the text
@@ -3241,7 +3245,7 @@ def _quality_by_lang(spark, sf):
             F.round(F.avg("recall"), 4).alias("avg_recall"),
             F.round(F.stddev("recall"), 4).alias("std_recall"),
         )
-        .orderBy("lang")
+        .transform(_srt("lang", pin=False))
     )
 
 
@@ -3289,7 +3293,7 @@ def _bbox_range_join(spark, sf):
         joined.groupBy("rect_id")
         .agg(F.count("*").alias("n_words"),
              F.round(F.avg("x0"), 4).alias("avg_x0"))
-        .orderBy("rect_id")
+        .transform(_srt("rect_id", pin=False))
     )
 
 
@@ -3352,7 +3356,7 @@ def _pdf_word_boxes(spark, sf):
             F.round("x1", 4).alias("x1"),
             F.round("bottom", 4).alias("bottom"),
         )
-        .orderBy("doc_id", "x0")
+        .transform(_srt("doc_id", "x0", pin=False))
     )
 
 
@@ -3408,7 +3412,7 @@ def _pipeline_extract(spark, sf):
     return out.select(
         "url", "raw", "parser_used", "n_chars", "n_tokens",
         F.size("segments").alias("n_segments"),
-    ).orderBy("url")
+    ).transform(_srt("url", pin=False))
 
 
 # n_tokens mirrors functions/textstats.py::token_count exactly:
@@ -3704,7 +3708,7 @@ def _bmp_tiff_meta(spark, sf):
         image_meta(imgs, id_col="doc_id", bin_col="payload")
         .select(F.col("id").alias("doc_id"), "width", "height",
                 "channels", "error")
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -3756,7 +3760,7 @@ def _canonical_urls(spark, sf):
         .groupBy("group_key")
         .agg(F.count("*").alias("n_pages"),
              F.min("url").alias("first_url"))
-        .orderBy("group_key")
+        .transform(_srt("group_key", pin=False))
     )
 
 
@@ -4552,7 +4556,7 @@ def _ocr_noise_quarantine(spark, sf):
         "url", F.lit("extracted").alias("status"))
     bad = out["errors"].select(
         "url", F.lit("quarantined").alias("status"))
-    return ok.unionByName(bad).orderBy("url")
+    return ok.unionByName(bad).transform(_srt("url", pin=False))
 
 
 _OCR_NOISE_QUARANTINE_SQL = """
@@ -4716,7 +4720,7 @@ def _pii_redact_docs(spark, sf):
     )
     return blob.select(
         "doc_id", pii_redact("blob").alias("redacted")
-    ).orderBy("doc_id")
+    ).transform(_srt("doc_id", pin=False))
 
 
 _PII_REDACT_SQL = r"""
@@ -4763,7 +4767,7 @@ def _para_dedup(spark, sf):
     out = paragraph_dedup(body, "doc_id", "body")
     return out.select(
         F.col("id").alias("doc_id"), "n_paras", "n_kept", "text_dedup"
-    ).orderBy("doc_id")
+    ).transform(_srt("doc_id", pin=False))
 
 
 _PARA_DEDUP_SQL = r"""
@@ -4821,7 +4825,7 @@ def _doc_repetition(spark, sf):
     return (
         repetition_table(body, "doc_id", "body")
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -4916,7 +4920,7 @@ def _url_normalize(spark, sf):
     )
     return u.select(
         "doc_id", "url", normalize_url("url").alias("url_norm")
-    ).orderBy("doc_id")
+    ).transform(_srt("doc_id", pin=False))
 
 
 _URL_NORMALIZE_SQL = r"""
@@ -4964,7 +4968,7 @@ def _doc_sample_stratified(spark, sf):
     return (
         stratified_sample(docs, "doc_id", "lang", rates, default_rate=0.1)
         .select("doc_id", "lang")
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -4992,7 +4996,7 @@ def _token_pack_bins(spark, sf):
         bins.groupBy("bin")
         .agg(F.count("*").alias("n_docs"),
              F.sum("n_tokens").alias("sum_tokens"))
-        .orderBy("bin")
+        .transform(_srt("bin", pin=False))
     )
 
 
@@ -5044,7 +5048,7 @@ def _cms_token_freq(spark, sf):
         est.join(exact, "tok", "left")
         .select("tok", "est",
                 F.coalesce("exact_n", F.lit(0)).alias("exact_n"))
-        .orderBy("tok")
+        .transform(_srt("tok", pin=False))
     )
 
 
@@ -5097,7 +5101,7 @@ def _customer_balance_deciles(spark, sf):
         .groupBy("c_mktsegment", "decile")
         .agg(F.count("*").alias("n"),
              F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
-        .orderBy("c_mktsegment", "decile")
+        .transform(_srt("c_mktsegment", "decile", pin=False))
     )
 
 
@@ -5127,7 +5131,7 @@ def _customer_setops(spark, sf):
     low = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
     return (
         building.intersect(with_orders).exceptAll(low)
-        .orderBy("c_custkey")
+        .transform(_srt("c_custkey", pin=False))
     )
 
 
@@ -5159,7 +5163,7 @@ def _price_quantity_corr(spark, sf):
              .alias("stddev_discount"),
             F.count("*").alias("n"),
         )
-        .orderBy("l_returnflag")
+        .transform(_srt("l_returnflag", pin=False))
     )
 
 
@@ -5187,7 +5191,7 @@ def _z_order_layout(spark, sf):
     b = F.pmod(_md5_hash64(F.col("lang")), F.lit(65536))
     return docs.select(
         "doc_id", z_order_key(a, b).alias("zkey")
-    ).orderBy("doc_id")
+    ).transform(_srt("doc_id", pin=False))
 
 
 def _z_order_sql(bits: int = 16) -> str:
@@ -5215,7 +5219,7 @@ def _hll_doc_registers(spark, sf):
     from lexoid_spark.functions.textstats import hll_registers
 
     docs = _t(spark, sf, "documents")
-    return hll_registers(docs, "text", n_buckets=256).orderBy("bucket")
+    return hll_registers(docs, "text", n_buckets=256).transform(_srt("bucket", pin=False))
 
 
 _HLL_REGISTERS_SQL = r"""
@@ -5252,7 +5256,7 @@ def _bloom_url_filter(spark, sf):
         res.join(seen.withColumn("_a", F.lit(True)), "u", "left")
         .select("u", "maybe_present",
                 F.coalesce("_a", F.lit(False)).alias("actually_present"))
-        .orderBy("u")
+        .transform(_srt("u", pin=False))
     )
 
 
@@ -5309,7 +5313,7 @@ def _sales_rollup(spark, sf):
              F.count("*").alias("n_orders"),
              F.round(F.sum("o_totalprice"), 2).alias("total"))
         .select("n_name", "o_year", "gid", "n_orders", "total")
-        .orderBy("gid", "n_name", "o_year")
+        .transform(_srt("gid", "n_name", "o_year", pin=False))
     )
 
 
@@ -5337,7 +5341,7 @@ def _orders_pivot(spark, sf):
         .pivot("o_orderpriority", pris)
         .count()
         .withColumnsRenamed({p: f"p{p[0]}" for p in pris})
-        .orderBy("o_year")
+        .transform(_srt("o_year", pin=False))
     )
 
 
@@ -5382,7 +5386,7 @@ def _events_funnel(spark, sf):
                      - F.unix_timestamp("signup_ts")) / 86400.0, 4),
             ).alias("days_to_convert"),
         )
-        .orderBy("user_id")
+        .transform(_srt("user_id", pin=False))
     )
 
 
@@ -5430,7 +5434,7 @@ def _events_rolling_7d(spark, sf):
             F.sum("n").over(w).alias("n_7d"),
             F.round(F.sum("v").over(w), 2).alias("v_7d"),
         )
-        .orderBy("event_type", "day")
+        .transform(_srt("event_type", "day", pin=False))
     )
 
 
@@ -5472,7 +5476,7 @@ def _events_session_window(spark, sf):
             F.col("w.end").alias("session_end"),
             "n_events", "sum_value",
         )
-        .orderBy("user_id", "session_start")
+        .transform(_srt("user_id", "session_start", pin=False))
     )
 
 
@@ -5514,7 +5518,7 @@ def _corpus_percentiles(spark, sf):
             F.percentile("n_chars", 0.99).alias("p99"),
             F.count("*").alias("n_docs"),
         )
-        .orderBy("lang")
+        .transform(_srt("lang", pin=False))
     )
 
 
@@ -5548,7 +5552,7 @@ def _link_pagerank(spark, sf):
     return (
         pagerank(edges, iterations=4)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -5594,7 +5598,7 @@ def _chunk_windows(spark, sf):
     return (
         chunk_by_tokens(docs, "doc_id", "text", 64, overlap=16)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id", "chunk_id")
+        .transform(_srt("doc_id", "chunk_id", pin=False))
     )
 
 
@@ -5632,7 +5636,7 @@ def _mixture_rebalance(spark, sf):
     return (
         rebalance_mixture(docs, "doc_id", "source", "n_chars", targets)
         .select("doc_id", "source", "n_chars")
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -5673,7 +5677,7 @@ def _decontaminate(spark, sf):
     return (
         decontaminate(docs, bench, "doc_id", "text", n=8)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -5717,7 +5721,7 @@ def _charlm_familiarity(spark, sf):
 
     docs = _t(spark, sf, "documents")
     return charlm_familiarity(docs, "doc_id", "text", "lang",
-                              top_k=512).orderBy("doc_id")
+                              top_k=512).transform(_srt("doc_id", pin=False))
 
 
 _CHARLM_SQL = """
@@ -5772,7 +5776,7 @@ def _curation_pipeline(spark, sf):
         "doc_id", "lang",
         token_count("text").alias("n_tokens"),
         pii_redact("text").alias("text_clean"),
-    ).orderBy("doc_id")
+    ).transform(_srt("doc_id", pin=False))
 
 
 _CURATION_PIPELINE_SQL = rf"""
@@ -5854,7 +5858,7 @@ def _pdf_objstm_extract(spark, sf):
     )
     out = extract(_materialize(pages), run_id="objstm_check",
                   repartition=False)["extracted"]
-    return out.select("url", "raw", "n_chars").orderBy("url")
+    return out.select("url", "raw", "n_chars").transform(_srt("url", pin=False))
 
 
 _PDF_OBJSTM_SQL = """
@@ -5917,7 +5921,7 @@ def _stream_dedup(spark, sf):
     return (
         read_deduped(spark, out_dir)
         .select("url", "text", "lang")
-        .orderBy("url")
+        .transform(_srt("url", pin=False))
     )
 
 
@@ -5998,7 +6002,7 @@ def _c4_filter(spark, sf):
     out = c4_line_filter(pages, "doc_id", "page")
     return out.select(
         F.col("id").alias("doc_id"), "n_lines", "n_kept", "text_clean"
-    ).orderBy("doc_id")
+    ).transform(_srt("doc_id", pin=False))
 
 
 _C4_FILTER_SQL = r"""
@@ -6050,7 +6054,7 @@ def _dsir_importance(spark, sf):
     docs = _tp(spark, sf, "documents")
     return dsir_weights(
         docs, "doc_id", "text", F.col("lang") == "en", n_buckets=1024
-    ).orderBy("doc_id")
+    ).transform(_srt("doc_id", pin=False))
 
 
 _DSIR_SQL = r"""
@@ -6124,7 +6128,7 @@ def _unimax_alloc(spark, sf):
 
     docs = _t(spark, sf, "documents")
     return unimax_allocation(docs, "doc_id", "lang",
-                             budget_pct=80).orderBy("stratum")
+                             budget_pct=80).transform(_srt("stratum", pin=False))
 
 
 _UNIMAX_ALLOC_SQL = (
@@ -6142,7 +6146,7 @@ def _unimax_sample(spark, sf):
 
     docs = _t(spark, sf, "documents")
     return unimax_sample(docs, "doc_id", "lang",
-                         budget_pct=80).orderBy("doc_id")
+                         budget_pct=80).transform(_srt("doc_id", pin=False))
 
 
 _UNIMAX_SAMPLE_SQL = (
@@ -6175,7 +6179,7 @@ def _semdedup_keep(spark, sf):
     from lexoid_spark.functions.similarity import semdedup_keepers
 
     emb = _t(spark, sf, "embeddings")
-    return semdedup_keepers(emb, tau=0.35, n_centroids=8).orderBy("vec_id")
+    return semdedup_keepers(emb, tau=0.35, n_centroids=8).transform(_srt("vec_id", pin=False))
 
 
 _SEMDEDUP_SQL = """
@@ -6215,7 +6219,7 @@ def _semdedup_greedy(spark, sf):
 
     emb = _t(spark, sf, "embeddings")
     return semdedup_keepers_greedy(
-        emb, tau=0.35, n_centroids=8).orderBy("vec_id")
+        emb, tau=0.35, n_centroids=8).transform(_srt("vec_id", pin=False))
 
 
 _SEMDEDUP_GREEDY_SQL = """
@@ -6498,9 +6502,9 @@ def _tfidf_topk(spark, sf):
     from lexoid_spark.functions.textstats import tfidf_topk
 
     docs = _t(spark, sf, "documents")
-    return tfidf_topk(docs, "doc_id", "text", k=5).orderBy(
+    return tfidf_topk(docs, "doc_id", "text", k=5).transform(_srt(
         "doc_id", "rank"
-    )
+    , pin=False))
 
 
 _TFIDF_SQL = r"""
@@ -6532,7 +6536,7 @@ def _inverted_postings(spark, sf):
 
     docs = _t(spark, sf, "documents")
     return inverted_postings(docs, "doc_id", "text",
-                             max_postings=20).orderBy("term")
+                             max_postings=20).transform(_srt("term", pin=False))
 
 
 _INVERTED_SQL = r"""
@@ -6746,7 +6750,7 @@ def _robots_check(spark, sf):
                  F.col("doc_id").cast("string")).alias("url")
     )
     return crawl_allowed(urls, robots,
-                         agent="lexoidbot").orderBy("url")
+                         agent="lexoidbot").transform(_srt("url", pin=False))
 
 
 _ROBOTS_CHECK_SQL = r"""
@@ -6823,7 +6827,7 @@ def _sitemap_frontier(spark, sf):
         ).alias("robots_txt"),
     )
     return sitemap_frontier(sitemaps, robots,
-                            agent="lexoidbot").orderBy("url")
+                            agent="lexoidbot").transform(_srt("url", pin=False))
 
 
 def _html_head_meta(spark, sf):
@@ -6864,7 +6868,7 @@ def _html_head_meta(spark, sf):
         m["meta_robots"].alias("meta_robots"),
         m["noindex"].alias("noindex"),
         m["lang"].alias("page_lang"),
-    ).orderBy("doc_id")
+    ).transform(_srt("doc_id", pin=False))
 
 
 _HTML_HEAD_META_SQL = """
@@ -6905,7 +6909,7 @@ def _html_jsonld(spark, sf):
         F.get_json_object(block, "$.wordCount").cast("long")
         .alias("word_count"),
         F.get_json_object(block, "$.inLanguage").alias("in_language"),
-    ).orderBy("doc_id")
+    ).transform(_srt("doc_id", pin=False))
 
 
 _HTML_JSONLD_SQL = """
@@ -6944,7 +6948,7 @@ def _feed_discovery(spark, sf):
         F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom)
         .alias("feed_xml"),
     )
-    return parse_feed(feeds).orderBy("url")
+    return parse_feed(feeds).transform(_srt("url", pin=False))
 
 
 _FEED_DISCOVERY_SQL = """
@@ -6977,7 +6981,7 @@ def _sitemap_index_parse(spark, sf):
         F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
         xml.alias("index_xml"),
     )
-    return parse_sitemap_index(idx).orderBy("sitemap_url")
+    return parse_sitemap_index(idx).transform(_srt("sitemap_url", pin=False))
 
 
 _SITEMAP_INDEX_SQL = """
@@ -7049,7 +7053,7 @@ def _sitemap_gz_parse(spark, sf):
             gz("sitemap_xml").alias("sitemap_blob"),
         )
     )
-    return parse_sitemap_bytes(sitemaps).orderBy("url")
+    return parse_sitemap_bytes(sitemaps).transform(_srt("url", pin=False))
 
 
 _SITEMAP_GZ_PARSE_SQL = r"""
@@ -7108,7 +7112,7 @@ def _crawl_schedule(spark, sf):
                  F.col("doc_id").cast("string")).alias("url")
     )
     return crawl_schedule(urls, robots, agent="lexoidbot",
-                          default_delay_s=1).orderBy("url")
+                          default_delay_s=1).transform(_srt("url", pin=False))
 
 
 _CRAWL_SCHEDULE_SQL = r"""
@@ -7166,7 +7170,7 @@ def _corpus_diff(spark, sf):
             .when(F.col("h1") != F.col("h2"), "changed")
             .otherwise("unchanged").alias("status"),
         )
-        .orderBy("doc_id")
+        .transform(_srt("doc_id", pin=False))
     )
 
 
@@ -7207,7 +7211,7 @@ def _langid_confusion(spark, sf):
         .join(pred, "id")
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n"))
-        .orderBy("lang", "lang_pred")
+        .transform(_srt("lang", "lang_pred", pin=False))
     )
 
 
@@ -7262,7 +7266,7 @@ def _train_val_split(spark, sf):
         "doc_id", "lang",
         F.when(b < 90, "train").when(b < 95, "val")
         .otherwise("test").alias("split"),
-    ).orderBy("doc_id")
+    ).transform(_srt("doc_id", pin=False))
 
 
 _TRAIN_VAL_SPLIT_SQL = """
@@ -7310,7 +7314,7 @@ def _corpus_report(spark, sf):
             F.expr("(2 * sum_tokens * 1000000 + n_docs) div (2 * n_docs)")
             / F.lit(1000000.0),
         )
-        .orderBy("lang")
+        .transform(_srt("lang", pin=False))
     )
 
 
@@ -7351,7 +7355,7 @@ def _phrase_merges(spark, sf):
     # of 12); plan depth at 6 merges never needs the lineage
     # truncation a 30k-merge run would re-enable via checkpoint_every
     return phrase_merges(docs, "doc_id", "text", n_merges=6,
-                         checkpoint_every=0).orderBy("doc_id")
+                         checkpoint_every=0).transform(_srt("doc_id", pin=False))
 
 
 def _phrase_sql(n_merges: int = 6, sample_mod: int = 0) -> str:
@@ -7437,7 +7441,7 @@ def _phrase_merges_sampled(spark, sf):
     docs = _t(spark, sf, "documents")
     return phrase_merges(docs, "doc_id", "text", n_merges=6,
                          checkpoint_every=0,
-                         sample_mod=4).orderBy("doc_id")
+                         sample_mod=4).transform(_srt("doc_id", pin=False))
 
 
 _PHRASE_MERGES_SAMPLED_SQL = _phrase_sql(sample_mod=4)
@@ -7509,7 +7513,7 @@ def _anchor_index(spark, sf):
     return anchor_text_index(
         docs.select("doc_id", md.alias("md")), "doc_id", "md",
         max_anchors=10,
-    ).orderBy("url")
+    ).transform(_srt("url", pin=False))
 
 
 _ANCHOR_INDEX_SQL = """
